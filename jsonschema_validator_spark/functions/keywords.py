@@ -1,0 +1,857 @@
+"""Keyword -> Column predicate compilers (draft4 / draft6 / draft7).
+
+The reference implements each keyword as a struct with
+``compile(scope_builder, schema) -> Option<Self>`` and
+``validation_errors(path, value)`` (/root/reference/src/types/validator.rs:5-18),
+registered per draft (/root/reference/src/keywords/mod.rs:44-62). Here a
+keyword compiles to a *pure function* ``JsonAccessor -> Column`` producing a
+boolean pass predicate — evaluated once per column, vectorized, JVM-side.
+
+Semantics contracts (SURVEY.md §1.3):
+- conjunction: all keywords of a schema must pass (schema.rs:76-78);
+- vacuous truth: a keyword only constrains instances of its applicable
+  type (properties_.rs:132-134) and absent values pass everything;
+- number ⊇ integer (corpus semantics; diverges from the reference's
+  exact-match bug at type_.rs:104 — SURVEY.md §1.4);
+- malformed schema -> MalformedSchemaError at compile, never at runtime
+  (schema_error.rs:10-11, e.g. type_.rs:69-92).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_validator_spark.errors import (
+    CyclicRefError,
+    MalformedSchemaError,
+    RefResolutionError,
+)
+from jsonschema_validator_spark.functions.accessors import (
+    JsonAccessor,
+    TypedAccessor,
+)
+
+
+
+
+Factory = Callable[[JsonAccessor], Column]
+
+DRAFTS = ("draft4", "draft6", "draft7")
+
+
+@dataclass(frozen=True)
+class CheckExpr:
+    """One compiled keyword check: the Spark analog of a DraftValidator
+    (/root/reference/src/keywords/mod.rs:15-19) carrying its error metadata
+    (ValidationError {message, keyword, path},
+    /root/reference/src/types/validation_error.rs:5-10)."""
+
+    keyword: str
+    path: str  # normalized, '#'-rooted (validation_error.rs:18-26)
+    message: str
+    factory: Factory  # raw predicate; may return NULL on absent values
+
+    def gated(self, acc: JsonAccessor) -> Column:
+        """Null-vacuous pass predicate: absent value => pass
+        (SURVEY.md §1.3.3)."""
+        return F.when(acc.is_missing(), F.lit(True)).otherwise(
+            F.coalesce(self.factory(acc), F.lit(True))
+        )
+
+
+def normalise_path(path: str) -> str:
+    """Path normalization per /root/reference/src/types/validation_error.rs:18-26:
+    '#/' -> '#', strip trailing '/'."""
+    if path.startswith("#/"):
+        path = "#" + path[2:]
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    return path
+
+
+def pred_of(checks: list[CheckExpr]) -> Factory:
+    """Fuse a validator list into one boolean — the Spark analog of the
+    all-must-pass conjunction at /root/reference/src/types/schema.rs:76-78.
+    Boolean AND short-circuits in codegen, giving the reference's
+    first-error-wins fast path (keywords/mod.rs:30-32) for free."""
+
+    def fused(acc: JsonAccessor) -> Column:
+        if not checks:
+            return F.lit(True)
+        out = checks[0].gated(acc)
+        for c in checks[1:]:
+            out = out & c.gated(acc)
+        return out
+
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# Compile context ($ref scope; mirrors ScopeBuilder, scope_builder.rs:11-15)
+# ---------------------------------------------------------------------------
+
+MAX_REF_DEPTH = 6
+
+
+@dataclass
+class Scope:
+    """Compilation context: draft + document registry + memo cache.
+
+    Mirrors ScopeBuilder { draft_version, loader, schema_cache }
+    (/root/reference/src/types/scope_builder.rs:11-15). The registry maps
+    base URIs to raw schema documents (the loader analog,
+    scope_builder.rs:33-35); anonymous roots register under a
+    content-derived key (deterministic — contrast the reference's uuid4 at
+    scope_builder.rs:17-19)."""
+
+    draft: str = "draft7"
+    registry: dict[str, object] = field(default_factory=dict)
+    root: object = None
+    base_uri: str = ""
+    max_ref_depth: int = MAX_REF_DEPTH
+    strict_cycles: bool = False
+    validate_formats: bool = False
+    _memo: dict[str, list[CheckExpr]] = field(default_factory=dict)
+    _stack: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.draft not in DRAFTS:
+            raise MalformedSchemaError("#", "$schema", f"unsupported draft {self.draft!r}")
+
+    # -- JSON-pointer / URI resolution ---------------------------------
+    def _lookup(self, ref: str, path: str):
+        from urllib.parse import urldefrag, urljoin
+
+        base = self.base_uri or ""
+        resolved = urljoin(base, ref) if ref else base
+        uri, frag = urldefrag(resolved)
+        doc = None
+        if not uri or uri == self.base_uri:
+            doc = self.root
+        elif uri in self.registry:
+            doc = self.registry[uri]
+        else:
+            raise RefResolutionError(f"cannot resolve $ref {ref!r} at {path} (base {base!r})")
+        # JSON-pointer walk
+        node = doc
+        if frag:
+            for part in frag.lstrip("/").split("/"):
+                part = part.replace("~1", "/").replace("~0", "~")
+                if isinstance(node, dict) and part in node:
+                    node = node[part]
+                elif isinstance(node, list):
+                    try:
+                        node = node[int(part)]
+                    except (ValueError, IndexError):
+                        raise RefResolutionError(f"bad $ref pointer {ref!r} at {path}")
+                else:
+                    raise RefResolutionError(f"bad $ref pointer {ref!r} at {path}")
+        return resolved, node
+
+    def resolve_ref(self, ref: str, path: str) -> list[CheckExpr]:
+        """Compile-time $ref inlining with memoization
+        (scope_builder.rs:43-54) and bounded recursion for cyclic schemas
+        (SURVEY.md §1.4 — the reference loops forever on cycles)."""
+        key, node = self._lookup(ref, path)
+        if key in self._memo:
+            return self._memo[key]
+        depth = self._stack.count(key)
+        if depth >= self.max_ref_depth:
+            if self.strict_cycles:
+                raise CyclicRefError(f"$ref cycle through {ref!r} at {path}")
+            # bounded unrolling: beyond max depth, vacuously pass
+            return []
+        self._stack.append(key)
+        try:
+            checks = compile_schema(node, self, path=path)
+        finally:
+            self._stack.pop()
+        if depth == 0 and key not in self._stack:
+            self._memo[key] = checks
+        return checks
+
+
+# ---------------------------------------------------------------------------
+# Literal equality (enum / const / uniqueItems canonicalization)
+# ---------------------------------------------------------------------------
+
+def canonical_json(value) -> str:
+    """Canonical JSON text matching Spark's to_json(variant): sorted object
+    keys, compact separators, integral floats rendered as integers
+    (verified: parse_json('1.00') -> to_json -> '1')."""
+
+    def norm(v):
+        if isinstance(v, bool) or v is None or isinstance(v, (int, str)):
+            return v
+        if isinstance(v, float):
+            return int(v) if math.isfinite(v) and v == int(v) else v
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        raise TypeError(f"not a JSON value: {type(v)}")
+
+    return json.dumps(norm(value), sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+def eq_literal(acc: JsonAccessor, value) -> Column:
+    """Value equality against a compile-time JSON literal, with JSON-Schema
+    semantics: numbers compare by mathematical value (1 == 1.0), composite
+    values compare deep/key-order-insensitively."""
+    if value is None:
+        return F.coalesce(acc.has_type({"null"}), F.lit(False))
+    if isinstance(value, bool):
+        return F.coalesce(acc.as_boolean() == F.lit(value), F.lit(False))
+    if isinstance(value, (int, float)):
+        return F.coalesce(acc.as_double() == F.lit(float(value)), F.lit(False))
+    if isinstance(value, str):
+        return F.coalesce(acc.as_string() == F.lit(value), F.lit(False))
+    if isinstance(value, (list, dict)):
+        tag = "array" if isinstance(value, list) else "object"
+        return F.coalesce(
+            acc.has_type({tag}) & (acc.canonical() == F.lit(canonical_json(value))),
+            F.lit(False),
+        )
+    raise MalformedSchemaError("#", "enum", f"unsupported literal {type(value)}")
+
+
+# ---------------------------------------------------------------------------
+# Keyword handlers
+# ---------------------------------------------------------------------------
+# Each handler: (schema, scope, path) -> Optional[Factory]; absent keyword
+# compiles to nothing (the Ok(None) pattern, type_.rs:52-57). `applies`
+# wraps type-gated vacuous truth, folding to a constant when the accessor's
+# type is statically known.
+
+VALID_TYPES = {"null", "boolean", "integer", "number", "string", "array", "object"}
+
+
+def _applies(acc: JsonAccessor, tags: set[str], inner: Column) -> Column:
+    st = acc.static_tag()
+    if st is not None:
+        effective = set(tags) | ({"integer"} if "number" in tags else set())
+        return inner if st in effective else F.lit(True)
+    return F.when(acc.has_type(tags), inner).otherwise(F.lit(True))
+
+
+def _compile_type(schema, scope, path) -> Optional[Factory]:
+    spec = schema.get("type")
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        tags = [spec]
+    elif isinstance(spec, list):
+        # empty array is a schema error (type_.rs:69-75); non-string
+        # element is a schema error (type_.rs:77-89)
+        if not spec:
+            raise MalformedSchemaError(path, "type", "empty type array")
+        bad = [t for t in spec if not isinstance(t, str)]
+        if bad:
+            raise MalformedSchemaError(path, "type", f"non-string type entries: {bad}")
+        tags = spec
+    else:
+        raise MalformedSchemaError(path, "type", f"expected string or array, got {type(spec).__name__}")
+    unknown = [t for t in tags if t not in VALID_TYPES]
+    if unknown:
+        raise MalformedSchemaError(path, "type", f"unknown primitive types: {unknown}")
+    tagset = frozenset(tags)
+    return lambda acc: acc.has_type(tagset)
+
+
+def _compile_enum(schema, scope, path) -> Optional[Factory]:
+    values = schema.get("enum")
+    if values is None:
+        return None
+    if not isinstance(values, list) or not values:
+        raise MalformedSchemaError(path, "enum", "enum must be a non-empty array")
+    # fast path: all-string enums use a single isin (broadcast-hash in
+    # codegen; SURVEY.md §2.3 row `enum`); non-strings coalesce to fail
+    if all(isinstance(v, str) for v in values):
+        vals = list(values)
+        return lambda acc: F.coalesce(acc.as_string().isin(vals), F.lit(False))
+
+    def fac(acc: JsonAccessor) -> Column:
+        out = eq_literal(acc, values[0])
+        for v in values[1:]:
+            out = out | eq_literal(acc, v)
+        return out
+
+    return fac
+
+
+def _compile_const(schema, scope, path) -> Optional[Factory]:
+    if scope.draft == "draft4" or "const" not in schema:
+        return None
+    value = schema["const"]
+    return lambda acc: eq_literal(acc, value)
+
+
+def _compile_required(schema, scope, path) -> Optional[Factory]:
+    names = schema.get("required")
+    if names is None:
+        return None
+    if not isinstance(names, list) or not all(isinstance(n, str) for n in names):
+        raise MalformedSchemaError(path, "required", "required must be an array of strings")
+    if scope.draft == "draft4" and not names:
+        raise MalformedSchemaError(path, "required", "draft4 requires a non-empty array")
+    if not names:
+        return None
+
+    def fac(acc: JsonAccessor) -> Column:
+        inner = acc.has_field(names[0])
+        for n in names[1:]:
+            inner = inner & acc.has_field(n)
+        return _applies(acc, {"object"}, inner)
+
+    return fac
+
+
+def _compile_pattern(schema, scope, path) -> Optional[Factory]:
+    pat = schema.get("pattern")
+    if pat is None:
+        return None
+    if not isinstance(pat, str):
+        raise MalformedSchemaError(path, "pattern", "pattern must be a string")
+    try:
+        re.compile(pat)
+    except re.error as e:
+        raise MalformedSchemaError(path, "pattern", f"invalid regex: {e}")
+    # ECMA-262 vs Java dialect: unanchored search either way (rlike);
+    # common classes (\d \w \s, anchors, quantifiers) agree — documented
+    # contract (SURVEY.md §7 hard parts)
+    return lambda acc: _applies(
+        acc, {"string"}, F.coalesce(acc.as_string().rlike(pat), F.lit(False))
+    )
+
+
+def _num(schema, path, kw):
+    v = schema.get(kw)
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise MalformedSchemaError(path, kw, f"{kw} must be a number")
+    return float(v)
+
+
+def _compile_bounds(schema, scope, path) -> list[tuple[str, Factory]]:
+    """minimum/maximum with draft4 boolean exclusive* modifiers or
+    draft6+ numeric exclusive* keywords."""
+    out: list[tuple[str, Factory]] = []
+
+    def bound(kw, cmp):
+        limit = _num(schema, path, kw)
+        excl = schema.get("exclusive" + kw[0].upper() + kw[1:])
+        if isinstance(excl, bool):
+            if scope.draft != "draft4":
+                raise MalformedSchemaError(path, "exclusive" + kw, "boolean form is draft4-only")
+            if limit is None:
+                raise MalformedSchemaError(path, "exclusive" + kw, f"requires {kw}")
+        if limit is not None:
+            strict = excl is True
+            out.append(
+                (
+                    kw,
+                    lambda acc, lo=limit, s=strict, c=cmp: _applies(
+                        acc, {"number"}, c(acc.as_double(), F.lit(lo), s)
+                    ),
+                )
+            )
+        if excl is not None and not isinstance(excl, bool):
+            if scope.draft == "draft4":
+                raise MalformedSchemaError(path, "exclusive" + kw, "draft4 requires a boolean")
+            lim = float(excl)
+            out.append(
+                (
+                    "exclusive" + kw[0].upper() + kw[1:],
+                    lambda acc, lo=lim, c=cmp: _applies(
+                        acc, {"number"}, c(acc.as_double(), F.lit(lo), True)
+                    ),
+                )
+            )
+
+    bound("minimum", lambda x, lo, strict: (x > lo) if strict else (x >= lo))
+    bound("maximum", lambda x, hi, strict: (x < hi) if strict else (x <= hi))
+    return out
+
+
+def _compile_multiple_of(schema, scope, path) -> Optional[Factory]:
+    k = _num(schema, path, "multipleOf")
+    if k is None:
+        return None
+    if k <= 0:
+        raise MalformedSchemaError(path, "multipleOf", "must be > 0")
+
+    def fac(acc: JsonAccessor) -> Column:
+        q = acc.as_double() / F.lit(k)
+        # decimal-safe divisibility (SURVEY.md §2.3): |q - round(q)| small;
+        # overflow to inf/NaN compares false => invalid, which is correct
+        ok = F.abs(q - F.round(q)) < F.lit(1e-9)
+        return _applies(acc, {"number"}, F.coalesce(ok & ~F.isnan(q), F.lit(False)))
+
+    return fac
+
+
+def _compile_length(schema, scope, path) -> list[tuple[str, Factory]]:
+    out = []
+    for kw, cmp in (("minLength", "ge"), ("maxLength", "le")):
+        n = schema.get(kw)
+        if n is None:
+            continue
+        if isinstance(n, bool) or not isinstance(n, int) or n < 0:
+            raise MalformedSchemaError(path, kw, "must be a non-negative integer")
+        out.append(
+            (
+                kw,
+                lambda acc, n=n, c=cmp: _applies(
+                    acc,
+                    {"string"},
+                    (F.length(acc.as_string()) >= n) if c == "ge" else (F.length(acc.as_string()) <= n),
+                ),
+            )
+        )
+    return out
+
+
+def _compile_items_bounds(schema, scope, path) -> list[tuple[str, Factory]]:
+    out = []
+    for kw, is_min in (("minItems", True), ("maxItems", False)):
+        n = schema.get(kw)
+        if n is None:
+            continue
+        if isinstance(n, bool) or not isinstance(n, int) or n < 0:
+            raise MalformedSchemaError(path, kw, "must be a non-negative integer")
+        out.append(
+            (
+                kw,
+                lambda acc, n=n, mn=is_min: _applies(
+                    acc,
+                    {"array"},
+                    (F.size(acc.as_array()) >= n) if mn else (F.size(acc.as_array()) <= n),
+                ),
+            )
+        )
+    return out
+
+
+def _compile_props_bounds(schema, scope, path) -> list[tuple[str, Factory]]:
+    out = []
+    for kw, is_min in (("minProperties", True), ("maxProperties", False)):
+        n = schema.get(kw)
+        if n is None:
+            continue
+        if isinstance(n, bool) or not isinstance(n, int) or n < 0:
+            raise MalformedSchemaError(path, kw, "must be a non-negative integer")
+        out.append(
+            (
+                kw,
+                lambda acc, n=n, mn=is_min: _applies(
+                    acc,
+                    {"object"},
+                    (F.size(F.map_keys(acc.as_object())) >= n)
+                    if mn
+                    else (F.size(F.map_keys(acc.as_object())) <= n),
+                ),
+            )
+        )
+    return out
+
+
+def _compile_unique_items(schema, scope, path) -> Optional[Factory]:
+    v = schema.get("uniqueItems")
+    if v is None or v is False:
+        return None
+    if v is not True:
+        raise MalformedSchemaError(path, "uniqueItems", "must be a boolean")
+
+    def fac(acc: JsonAccessor) -> Column:
+        arr = acc.as_array()
+        canon = F.transform(arr, lambda x: acc.element(x).canonical())
+        return _applies(acc, {"array"}, F.size(canon) == F.size(F.array_distinct(canon)))
+
+    return fac
+
+
+def _subpred(sub, scope, path) -> Factory:
+    return pred_of(compile_schema(sub, scope, path=path))
+
+
+def _compile_items(schema, scope, path) -> list[tuple[str, Factory]]:
+    out = []
+    items = schema.get("items")
+    if isinstance(items, (dict, bool)):
+        p = _subpred(items, scope, f"{path}/items")
+
+        def fac(acc: JsonAccessor, p=p) -> Column:
+            arr = acc.as_array()
+            return _applies(
+                acc, {"array"}, F.forall(arr, lambda x: F.coalesce(p(acc.element(x)), F.lit(True)))
+            )
+
+        out.append(("items", fac))
+    elif isinstance(items, list):
+        preds = [_subpred(s, scope, f"{path}/items/{i}") for i, s in enumerate(items)]
+
+        def fac(acc: JsonAccessor, preds=preds) -> Column:
+            arr = acc.as_array()
+            inner = F.lit(True)
+            for i, p in enumerate(preds):
+                # try_element_at: NULL (not ANSI error) when index > size
+                el = acc.element(F.try_element_at(arr, F.lit(i + 1)))
+                inner = inner & F.when(
+                    F.size(arr) > i, F.coalesce(p(el), F.lit(True))
+                ).otherwise(F.lit(True))
+            return _applies(acc, {"array"}, inner)
+
+        out.append(("items", fac))
+        add = schema.get("additionalItems")
+        n = len(items)
+        if add is False:
+            out.append(
+                (
+                    "additionalItems",
+                    lambda acc, n=n: _applies(acc, {"array"}, F.size(acc.as_array()) <= n),
+                )
+            )
+        elif isinstance(add, (dict, bool)):
+            ap = _subpred(add, scope, f"{path}/additionalItems")
+
+            def afac(acc: JsonAccessor, ap=ap, n=n) -> Column:
+                rest = F.filter(acc.as_array(), lambda x, i: i >= n)
+                return _applies(
+                    acc,
+                    {"array"},
+                    F.forall(rest, lambda x: F.coalesce(ap(acc.element(x)), F.lit(True))),
+                )
+
+            out.append(("additionalItems", afac))
+    elif items is not None:
+        raise MalformedSchemaError(path, "items", "must be a schema or array of schemas")
+    return out
+
+
+def _compile_contains(schema, scope, path) -> Optional[Factory]:
+    if scope.draft == "draft4" or "contains" not in schema:
+        return None
+    p = _subpred(schema["contains"], scope, f"{path}/contains")
+
+    def fac(acc: JsonAccessor) -> Column:
+        return _applies(
+            acc,
+            {"array"},
+            F.exists(acc.as_array(), lambda x: F.coalesce(p(acc.element(x)), F.lit(False))),
+        )
+
+    return fac
+
+
+def _compile_properties(schema, scope, path) -> list[CheckExpr]:
+    """Per-property sub-schema recursion — child errors surface with
+    extended paths exactly like the reference
+    (/root/reference/src/keywords/properties_.rs:119-131: path
+    `{path}/{name}`, absent properties skipped, non-object instances yield
+    no errors). Returns lifted child CheckExprs rather than one opaque
+    predicate so violations carry per-property paths."""
+    props = schema.get("properties")
+    if props is None:
+        return []
+    if not isinstance(props, dict):
+        # non-object `properties` value is a schema error (properties_.rs:59-63)
+        raise MalformedSchemaError(path, "properties", "properties must be an object")
+    bad = [k for k, v in props.items() if not isinstance(v, (dict, bool))]
+    if bad:
+        # aggregate faulty paths into one error (properties_.rs:96-112)
+        raise MalformedSchemaError(
+            path, "properties", f"non-schema property values at: {sorted(bad)}"
+        )
+    lifted: list[CheckExpr] = []
+    for name, sub in props.items():
+        child_path = normalise_path(f"{path}/{name}")
+        for child in compile_schema(sub, scope, path=child_path):
+
+            def fac(acc: JsonAccessor, name=name, child=child) -> Column:
+                applies = acc.has_type(frozenset({"object"})) & acc.has_field(name)
+                if isinstance(applies, Column):
+                    return F.when(applies, child.gated(acc.get_field(name))).otherwise(F.lit(True))
+                return child.gated(acc.get_field(name)) if applies else F.lit(True)
+
+            lifted.append(CheckExpr(child.keyword, child.path, child.message, fac))
+    return lifted
+
+
+def _compile_pattern_properties(schema, scope, path) -> Optional[Factory]:
+    pp = schema.get("patternProperties")
+    if pp is None:
+        return None
+    if not isinstance(pp, dict):
+        raise MalformedSchemaError(path, "patternProperties", "must be an object")
+    compiled = [
+        (pat, _subpred(sub, scope, f"{path}/patternProperties"))
+        for pat, sub in pp.items()
+    ]
+
+    def fac(acc: JsonAccessor) -> Column:
+        obj = acc.as_object()
+        inner = F.lit(True)
+        for pat, p in compiled:
+            matched = F.map_filter(obj, lambda k, v: k.rlike(pat))
+            inner = inner & F.forall(
+                F.map_values(matched), lambda v: F.coalesce(p(acc.element(v)), F.lit(True))
+            )
+        return _applies(acc, {"object"}, inner)
+
+    return fac
+
+
+def _compile_additional_properties(schema, scope, path) -> Optional[Factory]:
+    add = schema.get("additionalProperties")
+    if add is None or add is True:
+        return None
+    known = list(schema.get("properties", {}) or {})
+    pats = list(schema.get("patternProperties", {}) or {})
+
+    def extras(acc: JsonAccessor) -> Column:
+        obj = acc.as_object()
+
+        def is_extra(k, v):
+            cond = ~k.isin(known) if known else F.lit(True)
+            for pat in pats:
+                cond = cond & ~k.rlike(pat)
+            return cond
+
+        return F.map_filter(obj, is_extra)
+
+    if add is False:
+        return lambda acc: _applies(acc, {"object"}, F.size(F.map_keys(extras(acc))) == 0)
+    if isinstance(add, dict):
+        p = _subpred(add, scope, f"{path}/additionalProperties")
+        return lambda acc: _applies(
+            acc,
+            {"object"},
+            F.forall(F.map_values(extras(acc)), lambda v: F.coalesce(p(acc.element(v)), F.lit(True))),
+        )
+    raise MalformedSchemaError(path, "additionalProperties", "must be a schema or boolean")
+
+
+def _compile_property_names(schema, scope, path) -> Optional[Factory]:
+    if scope.draft == "draft4" or "propertyNames" not in schema:
+        return None
+    p = _subpred(schema["propertyNames"], scope, f"{path}/propertyNames")
+
+    def fac(acc: JsonAccessor) -> Column:
+        return _applies(
+            acc,
+            {"object"},
+            F.forall(
+                F.map_keys(acc.as_object()),
+                lambda k: F.coalesce(p(TypedAccessor(k, T.StringType())), F.lit(True)),
+            ),
+        )
+
+    return fac
+
+
+def _compile_dependencies(schema, scope, path) -> Optional[Factory]:
+    deps = schema.get("dependencies")
+    if deps is None:
+        return None
+    if not isinstance(deps, dict):
+        raise MalformedSchemaError(path, "dependencies", "must be an object")
+    compiled: list[tuple[str, object]] = []
+    for name, dep in deps.items():
+        if isinstance(dep, list):
+            if not all(isinstance(d, str) for d in dep):
+                raise MalformedSchemaError(path, "dependencies", f"bad dependency list for {name!r}")
+            compiled.append((name, list(dep)))
+        elif isinstance(dep, (dict, bool)):
+            compiled.append((name, _subpred(dep, scope, f"{path}/dependencies/{name}")))
+        else:
+            raise MalformedSchemaError(path, "dependencies", f"bad dependency for {name!r}")
+
+    def fac(acc: JsonAccessor) -> Column:
+        inner = F.lit(True)
+        for name, dep in compiled:
+            if isinstance(dep, list):
+                req = F.lit(True)
+                for d in dep:
+                    req = req & acc.has_field(d)
+            else:
+                req = F.coalesce(dep(acc), F.lit(True))
+            inner = inner & F.when(acc.has_field(name), req).otherwise(F.lit(True))
+        return _applies(acc, {"object"}, inner)
+
+    return fac
+
+
+def _compile_combinators(schema, scope, path) -> list[tuple[str, Factory]]:
+    out = []
+    for kw in ("allOf", "anyOf", "oneOf"):
+        subs = schema.get(kw)
+        if subs is None:
+            continue
+        if not isinstance(subs, list) or not subs:
+            raise MalformedSchemaError(path, kw, "must be a non-empty array of schemas")
+        preds = [_subpred(s, scope, f"{path}/{kw}/{i}") for i, s in enumerate(subs)]
+        if kw == "allOf":
+            out.append(
+                (
+                    kw,
+                    lambda acc, ps=preds: functools.reduce(
+                        lambda a, b: a & b, [F.coalesce(p(acc), F.lit(True)) for p in ps]
+                    ),
+                )
+            )
+        elif kw == "anyOf":
+            out.append(
+                (
+                    kw,
+                    lambda acc, ps=preds: functools.reduce(
+                        lambda a, b: a | b, [F.coalesce(p(acc), F.lit(True)) for p in ps]
+                    ),
+                )
+            )
+        else:  # oneOf: exactly one passes
+            def one_of(acc: JsonAccessor, ps=preds) -> Column:
+                total = F.lit(0)
+                for p in ps:
+                    total = total + F.coalesce(p(acc), F.lit(True)).cast("int")
+                return total == 1
+
+            out.append((kw, one_of))
+    if "not" in schema:
+        p = _subpred(schema["not"], scope, f"{path}/not")
+        out.append(("not", lambda acc: ~F.coalesce(p(acc), F.lit(True))))
+    if scope.draft == "draft7" and "if" in schema:
+        pif = _subpred(schema["if"], scope, f"{path}/if")
+        pthen = _subpred(schema["then"], scope, f"{path}/then") if "then" in schema else None
+        pelse = _subpred(schema["else"], scope, f"{path}/else") if "else" in schema else None
+
+        def if_then_else(acc: JsonAccessor) -> Column:
+            t = F.coalesce(pthen(acc), F.lit(True)) if pthen else F.lit(True)
+            e = F.coalesce(pelse(acc), F.lit(True)) if pelse else F.lit(True)
+            return F.when(F.coalesce(pif(acc), F.lit(True)), t).otherwise(e)
+
+        out.append(("if", if_then_else))
+    return out
+
+
+# format (draft4 §7: optional) — opt-in probes, pure Column algebra
+_FORMAT_PROBES: dict[str, Factory] = {
+    "date-time": lambda acc: F.try_to_timestamp(
+        F.regexp_replace(acc.as_string(), r"[zZ]$", "+00:00"),
+        F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"),
+    ).isNotNull(),
+    "date": lambda acc: F.try_to_timestamp(acc.as_string(), F.lit("yyyy-MM-dd")).isNotNull(),
+    "email": lambda acc: acc.as_string().rlike(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+    "ipv4": lambda acc: acc.as_string().rlike(
+        r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+    ),
+    "ipv6": lambda acc: acc.as_string().rlike(r"^[0-9A-Fa-f:.]{2,45}$")
+    & (F.length(F.regexp_replace(acc.as_string(), r"[^:]", "")) >= 2),
+    "hostname": lambda acc: acc.as_string().rlike(
+        r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
+    ),
+    "uri": lambda acc: acc.as_string().rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:\S*$"),
+}
+
+
+def _compile_format(schema, scope, path) -> Optional[Factory]:
+    fmt = schema.get("format")
+    if fmt is None or not scope.validate_formats:
+        return None
+    probe = _FORMAT_PROBES.get(fmt)
+    if probe is None:
+        return None  # unknown formats are annotations per spec
+    return lambda acc: _applies(acc, {"string"}, F.coalesce(probe(acc), F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Top-level schema compiler
+# ---------------------------------------------------------------------------
+
+_MESSAGES = {
+    "type": "Invalid Type",  # exact message, /root/reference/src/keywords/type_.rs:106
+    "enum": "value not in enum",
+    "const": "value != const",
+    "required": "required property missing",
+    "pattern": "string does not match pattern",
+}
+
+
+def compile_schema(
+    schema, scope: Scope | None = None, path: str = "#", validate_formats: bool = False
+) -> list[CheckExpr]:
+    """Compile a JSON-Schema document into a list of CheckExprs.
+
+    Mirrors Schema::create + compile_draft_validators
+    (/root/reference/src/types/schema.rs:30-58,
+    /root/reference/src/keywords/mod.rs:44-62): fixed keyword order, absent
+    keywords compile to nothing, malformed specs raise at compile."""
+    if scope is None:
+        scope = Scope()
+        scope.root = schema
+    if validate_formats:
+        scope.validate_formats = True
+    path = normalise_path(path)
+
+    if isinstance(schema, bool):
+        # draft6+ boolean schemas; also harmless under draft4
+        if schema:
+            return []
+        return [CheckExpr("false", path, "false schema matches nothing", lambda acc: F.lit(False))]
+    if not isinstance(schema, dict):
+        # non-object root schema is a compile error (schema.rs:46-57)
+        raise MalformedSchemaError(path, "$schema", f"schema must be an object, got {type(schema).__name__}")
+
+    # $ref: delegation (ref_.rs:55-61); siblings ignored per draft<=7;
+    # non-string $ref silently ignored (ref_.rs:35-40)
+    ref = schema.get("$ref")
+    if isinstance(ref, str):
+        resolved = scope.resolve_ref(ref, path)
+        return [CheckExpr(c.keyword, path, c.message, c.factory) for c in resolved]
+
+    checks: list[CheckExpr] = []
+
+    def add(keyword: str, fac: Optional[Factory]):
+        if fac is not None:
+            checks.append(
+                CheckExpr(keyword, path, _MESSAGES.get(keyword, f"{keyword} violated"), fac)
+            )
+
+    # registration order mirrors keywords/mod.rs:49-57 (Type, Properties,
+    # Ref) then extends with the corpus keyword set (SURVEY.md §2.3)
+    add("type", _compile_type(schema, scope, path))
+    checks.extend(_compile_properties(schema, scope, path))
+    add("enum", _compile_enum(schema, scope, path))
+    add("const", _compile_const(schema, scope, path))
+    add("required", _compile_required(schema, scope, path))
+    add("pattern", _compile_pattern(schema, scope, path))
+    for kw, fac in _compile_bounds(schema, scope, path):
+        add(kw, fac)
+    add("multipleOf", _compile_multiple_of(schema, scope, path))
+    for kw, fac in _compile_length(schema, scope, path):
+        add(kw, fac)
+    for kw, fac in _compile_items_bounds(schema, scope, path):
+        add(kw, fac)
+    for kw, fac in _compile_props_bounds(schema, scope, path):
+        add(kw, fac)
+    add("uniqueItems", _compile_unique_items(schema, scope, path))
+    for kw, fac in _compile_items(schema, scope, path):
+        add(kw, fac)
+    add("contains", _compile_contains(schema, scope, path))
+    add("patternProperties", _compile_pattern_properties(schema, scope, path))
+    add("additionalProperties", _compile_additional_properties(schema, scope, path))
+    add("propertyNames", _compile_property_names(schema, scope, path))
+    add("dependencies", _compile_dependencies(schema, scope, path))
+    for kw, fac in _compile_combinators(schema, scope, path):
+        add(kw, fac)
+    add("format", _compile_format(schema, scope, path))
+    return checks

@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Local-mode defaults sized for the sandbox (local[N], single JVM); the same
+builder settings apply on a real cluster via spark-submit --conf. AQE is on
+as the skew/coalesce backstop (SURVEY.md §4.4); Arrow is on for the one
+pandas-UDF surface (drift, SURVEY.md §4.5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "jsonschema_validator_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    # local[N] -> N cores; shuffle partitions ~ 2x cores keeps every core
+    # busy without tiny-task overhead at local scale
+    if shuffle_partitions is None:
+        n = int(master[master.index("[") + 1 : -1]) if "[" in master and "*" not in master else cpus
+        shuffle_partitions = max(2 * n, 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
