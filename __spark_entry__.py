@@ -1,38 +1,640 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query routes through jsonschema_validator_spark operators (the
+engine under test); every oracle is the equivalent ANSI SQL for DuckDB
+over the same parquet views. Column names/aliases match exactly on both
+sides (the driver's compare sorts columns by name before value-hashing).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+EVENT_TYPES_RESTRICTED = ["click", "view", "purchase", "signup"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _day(col):
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# flagship: fused keyword-verdict pass over events (CheckSuite)
+# ---------------------------------------------------------------------------
+
+def _events_suite():
+    from jsonschema_validator_spark.plans import CheckSuite
+
+    spec = {
+        "name": "events_v1",
+        "draft": "draft7",
+        "partition_by": "day",
+        "keys": ["event_id", "user_id"],
+        "row": {
+            "required": ["event_id", "ts"],
+            "properties": {
+                "event_type": {"enum": EVENT_TYPES},
+                "value": {"minimum": 0, "maximum": 1000},
+            },
+        },
+    }
+    return CheckSuite(spec).build()
+
+
+def q_keyword_verdicts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    v = _events_suite().verdicts(ev)
+    return v.select("day", "check", "violation_count", "rows_checked").orderBy("day", "check")
+
+
+_ORACLE_VERDICTS_EVENTS = """
+WITH ev AS (SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events),
+agg AS (
+  SELECT day, COUNT(*)::BIGINT AS rows_checked,
+    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS f_req_event_id,
+    SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS f_req_ts,
+    SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)::BIGINT AS f_enum,
+    SUM(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END)::BIGINT AS f_min,
+    SUM(CASE WHEN value IS NOT NULL AND value > 1000 THEN 1 ELSE 0 END)::BIGINT AS f_max
+  FROM ev GROUP BY day)
+SELECT day, "check", violation_count, rows_checked FROM (
+  SELECT day, 'required@#event_id' AS "check", f_req_event_id AS violation_count, rows_checked FROM agg
+  UNION ALL SELECT day, 'required@#ts', f_req_ts, rows_checked FROM agg
+  UNION ALL SELECT day, 'enum@#event_type', f_enum, rows_checked FROM agg
+  UNION ALL SELECT day, 'minimum@#value', f_min, rows_checked FROM agg
+  UNION ALL SELECT day, 'maximum@#value', f_max, rows_checked FROM agg
+) ORDER BY day, "check"
+"""
+
+
+# ---------------------------------------------------------------------------
+# enum membership (SURVEY §2.4 enum row)
+# ---------------------------------------------------------------------------
+
+def q_enum_membership_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(~F.col("event_type").isin(EVENT_TYPES_RESTRICTED))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_ENUM = """
+SELECT event_type, COUNT(*)::BIGINT AS n_violations FROM events
+WHERE event_type NOT IN ('click','view','purchase','signup')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# uniqueness (SURVEY §2.4 uniqueness row; uniqueItems generalization)
+# ---------------------------------------------------------------------------
+
+def q_unique_keys_lineitem(spark, sf_dir):
+    from jsonschema_validator_spark.operators.uniqueness import duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey", "l_linenumber"]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+_ORACLE_UNIQUE = """
+SELECT l_orderkey, l_linenumber, COUNT(*)::BIGINT AS dup_count
+FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1 ORDER BY 1, 2
+"""
+
+
+def q_unique_salted_lineitem(spark, sf_dir):
+    """Same result via the explicit two-stage salted aggregation — the
+    skew-safe path (SURVEY §4.3); must agree with the plain hash agg."""
+    from jsonschema_validator_spark.operators.uniqueness import salted_duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_duplicate_keys(li, ["l_orderkey", "l_linenumber"], buckets=16).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential integrity (SURVEY §2.4; $ref generalization)
+# ---------------------------------------------------------------------------
+
+def q_ri_childless_orders(spark, sf_dir):
+    from jsonschema_validator_spark.operators.integrity import childless
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        childless(orders, li, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_childless"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_ORACLE_CHILDLESS = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_childless FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_ri_orphan_lineitems(spark, sf_dir):
+    from jsonschema_validator_spark.operators.integrity import orphans
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    orders = _t(spark, sf_dir, "orders")
+    return orphans(li, orders, "o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    )
+
+
+_ORACLE_ORPHANS = """
+SELECT COUNT(*)::BIGINT AS n_orphans FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ordering / density (SURVEY §2.4 monotone/dense row)
+# ---------------------------------------------------------------------------
+
+def q_density_lineitem(spark, sf_dir):
+    from jsonschema_validator_spark.operators.ordering import density
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = density(li, group="l_orderkey", order="l_linenumber", start=1)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("dense").cast("long")).alias("n_dense"),
+        F.sum((~F.col("dense")).cast("long")).alias("n_sparse"),
+    )
+
+
+_ORACLE_DENSITY = """
+WITH g AS (
+  SELECT l_orderkey, COUNT(*) AS n, MIN(l_linenumber) AS mn,
+         MAX(l_linenumber) AS mx, COUNT(DISTINCT l_linenumber) AS d
+  FROM lineitem GROUP BY 1)
+SELECT COUNT(*)::BIGINT AS n_groups,
+       SUM(CASE WHEN mn = 1 AND mx = n AND d = n THEN 1 ELSE 0 END)::BIGINT AS n_dense,
+       SUM(CASE WHEN mn = 1 AND mx = n AND d = n THEN 0 ELSE 1 END)::BIGINT AS n_sparse
+FROM g
+"""
+
+
+def q_density_salted_lineitem(spark, sf_dir):
+    """Salted two-stage variant must produce identical totals."""
+    from jsonschema_validator_spark.operators.ordering import density
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = density(li, group="l_orderkey", order="l_linenumber", start=1, salt_buckets=8)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("dense").cast("long")).alias("n_dense"),
+        F.sum((~F.col("dense")).cast("long")).alias("n_sparse"),
+    )
+
+
+def q_ordering_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    inv = (F.col("ts") < F.lag("ts").over(w)).cast("long")
+    return (
+        ev.select("user_id", inv.alias("inv"))
+        .groupBy("user_id")
+        .agg(F.sum("inv").alias("n_inversions"))
+        .filter(F.col("n_inversions") > 0)
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_ORDERING = """
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN ts < LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN 1 ELSE 0 END AS inv
+  FROM events)
+SELECT user_id, SUM(inv)::BIGINT AS n_inversions FROM x
+GROUP BY user_id HAVING SUM(inv) > 0 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# column stats (SURVEY §2.4 stats rows)
+# ---------------------------------------------------------------------------
+
+def q_stats_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.count_distinct(F.col("o_custkey")).alias("n_custkeys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ORACLE_STATS_ORDERS = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+       ROUND(MIN(o_totalprice), 4) AS min_price,
+       ROUND(MAX(o_totalprice), 4) AS max_price,
+       ROUND(AVG(o_totalprice), 4) AS avg_price,
+       COUNT(DISTINCT o_custkey)::BIGINT AS n_custkeys
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_stats_events_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_STATS_EVENTS = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over the props column (variant path)
+# ---------------------------------------------------------------------------
+
+def q_json_extract_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JSON = """
+SELECT event_type,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_malformed_json_events(spark, sf_dir):
+    from jsonschema_validator_spark.functions import malformed_json_check
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum((~malformed_json_check(F.col("props"))).cast("long")).alias("n_malformed"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ORACLE_MALFORMED = """
+SELECT SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props) THEN 1 ELSE 0 END)::BIGINT AS n_malformed,
+       COUNT(*)::BIGINT AS n_rows
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# length histogram (SURVEY §2.4 length-histogram row)
+# ---------------------------------------------------------------------------
+
+def q_length_histogram_documents(spark, sf_dir):
+    from jsonschema_validator_spark.operators.stats import length_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_histogram(docs, "text", bucket_width=100).orderBy("bucket")
+
+
+_ORACLE_LENGTH_HIST = """
+SELECT COALESCE(CAST(FLOOR(LENGTH(text) / 100) AS BIGINT), -1) AS bucket,
+       COUNT(*)::BIGINT AS n
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# drift: KS + PSI per day vs global (SURVEY §2.4 KS/PSI rows)
+# ---------------------------------------------------------------------------
+
+def q_drift_events_value(spark, sf_dir):
+    from jsonschema_validator_spark.operators.drift import ks_psi
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    res = ks_psi(ev, F.col("value"), "day", buckets=20, lo=0.0, hi=500.0)
+    return res.select(
+        F.col("part").alias("day"),
+        "n_rows",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("psi", 6).alias("psi"),
+    ).orderBy("day")
+
+
+_ORACLE_DRIFT = """
+WITH hist AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         LEAST(19, GREATEST(0, CAST(FLOOR(value / 25.0) AS INT))) AS bucket,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+parts AS (SELECT DISTINCT part FROM hist),
+grid AS (SELECT p.part, b.bucket FROM parts p
+         CROSS JOIN (SELECT UNNEST(RANGE(20))::INT AS bucket) b),
+dense AS (SELECT g.part, g.bucket, COALESCE(h.n, 0) AS n
+          FROM grid g LEFT JOIN hist h ON g.part = h.part AND g.bucket = h.bucket),
+base AS (SELECT bucket, SUM(n) AS qn FROM hist GROUP BY 1),
+d2 AS (SELECT d.part, d.bucket, d.n, COALESCE(b.qn, 0) AS qn
+       FROM dense d LEFT JOIN base b ON d.bucket = b.bucket),
+scored AS (
+  SELECT part, bucket, n,
+         n::DOUBLE / SUM(n) OVER (PARTITION BY part) AS p,
+         qn::DOUBLE / SUM(qn) OVER (PARTITION BY part) AS q
+  FROM d2),
+terms AS (
+  SELECT part, bucket, n,
+         (GREATEST(p, 1e-6) - GREATEST(q, 1e-6)) * LN(GREATEST(p, 1e-6) / GREATEST(q, 1e-6)) AS psi_term,
+         ABS(SUM(p) OVER (PARTITION BY part ORDER BY bucket)
+             - SUM(q) OVER (PARTITION BY part ORDER BY bucket)) AS ecdf_diff
+  FROM scored)
+SELECT part AS day, SUM(n)::BIGINT AS n_rows,
+       ROUND(MAX(ecdf_diff), 6) AS ks_stat,
+       ROUND(SUM(psi_term), 6) AS psi
+FROM terms GROUP BY part ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup (training-pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_documents(spark, sf_dir):
+    from jsonschema_validator_spark.operators.dedup import exact_dedup_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_summary(docs, "text")
+
+
+_ORACLE_DEDUP_EXACT = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT md5(text))::BIGINT AS n_distinct,
+       (COUNT(*) - COUNT(DISTINCT md5(text)))::BIGINT AS n_duplicates
+FROM documents
+"""
+
+
+def q_dedup_jaccard_documents(spark, sf_dir):
+    # scoped to one source: this synthetic corpus draws every doc from a
+    # ~30-word vocabulary, so the TRUE >=0.8-Jaccard pair set is
+    # quadratic in corpus size — the scale path for the full corpus is
+    # the MinHash-LSH query below
+    from jsonschema_validator_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return jaccard_pairs(docs, "doc_id", "text", threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+_ORACLE_JACCARD = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w
+  FROM documents WHERE source = 'src0'),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_minhash_documents(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-verified (rows-only check: the
+    minhash permutations are not reproducible in ANSI SQL). The corpus
+    has no true near-dups, so plant one deterministic perturbed copy per
+    src0 doc — LSH must recover exactly those pairs."""
+    from jsonschema_validator_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0").select(
+        "doc_id", "text"
+    )
+    planted = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted near duplicate suffix")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_dedup_simhash_documents(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check: bit-level hashing is not
+    reproducible in ANSI SQL)."""
+    from jsonschema_validator_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk_embeddings(spark, sf_dir):
+    from jsonschema_validator_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, "vec_id", "embedding", query_ids=[0, 1, 2], k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_ORACLE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 4) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_similarity_lsh_embeddings(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only: approximate by design; recall is
+    checked against the brute-force query in tests)."""
+    from jsonschema_validator_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, "vec_id", "embedding", query_ids=[0, 1, 2], k=5, n_planes=16, max_hamming=6
+    ).orderBy("query_id", "rank")
+
+
+def q_token_stats_documents(spark, sf_dir):
+    from jsonschema_validator_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count(F.col("text")).alias("tc"), F.length("text").alias("ln"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+            F.round(F.avg("ln"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_TOKEN_STATS = """
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(LEN(string_split(text, ' '))), 4) AS avg_tokens,
+       ROUND(AVG(LENGTH(text)), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from jsonschema_validator_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+_ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(LOWER(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: opaque binary + typed metadata
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta_documents(spark, sf_dir):
+    from jsonschema_validator_spark.operators.multimodal import binary_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    blob = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return binary_metadata(blob, "payload").orderBy("doc_id")
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS digest
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused keyword-verdict pass over sf0.001 events."""
+    return q_keyword_verdicts_events(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "keyword_verdicts_events": q_keyword_verdicts_events,
+        "enum_membership_events": q_enum_membership_events,
+        "unique_keys_lineitem": q_unique_keys_lineitem,
+        "unique_salted_lineitem": q_unique_salted_lineitem,
+        "ri_childless_orders": q_ri_childless_orders,
+        "ri_orphan_lineitems": q_ri_orphan_lineitems,
+        "density_lineitem": q_density_lineitem,
+        "density_salted_lineitem": q_density_salted_lineitem,
+        "ordering_events": q_ordering_events,
+        "stats_orders": q_stats_orders,
+        "stats_events_value": q_stats_events_value,
+        "json_extract_events": q_json_extract_events,
+        "malformed_json_events": q_malformed_json_events,
+        "length_histogram_documents": q_length_histogram_documents,
+        "drift_events_value": q_drift_events_value,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_jaccard_documents": q_dedup_jaccard_documents,
+        "dedup_minhash_documents": q_dedup_minhash_documents,
+        "dedup_simhash_documents": q_dedup_simhash_documents,
+        "similarity_topk_embeddings": q_similarity_topk_embeddings,
+        "similarity_lsh_embeddings": q_similarity_lsh_embeddings,
+        "token_stats_documents": q_token_stats_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "multimodal_meta_documents": q_multimodal_meta_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "keyword_verdicts_events": _ORACLE_VERDICTS_EVENTS,
+        "enum_membership_events": _ORACLE_ENUM,
+        "unique_keys_lineitem": _ORACLE_UNIQUE,
+        "unique_salted_lineitem": _ORACLE_UNIQUE,
+        "ri_childless_orders": _ORACLE_CHILDLESS,
+        "ri_orphan_lineitems": _ORACLE_ORPHANS,
+        "density_lineitem": _ORACLE_DENSITY,
+        "density_salted_lineitem": _ORACLE_DENSITY,
+        "ordering_events": _ORACLE_ORDERING,
+        "stats_orders": _ORACLE_STATS_ORDERS,
+        "stats_events_value": _ORACLE_STATS_EVENTS,
+        "json_extract_events": _ORACLE_JSON,
+        "malformed_json_events": _ORACLE_MALFORMED,
+        "length_histogram_documents": _ORACLE_LENGTH_HIST,
+        "drift_events_value": _ORACLE_DRIFT,
+        "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
+        "dedup_jaccard_documents": _ORACLE_JACCARD,
+        "similarity_topk_embeddings": _ORACLE_TOPK,
+        "token_stats_documents": _ORACLE_TOKEN_STATS,
+        "fingerprint_documents": _ORACLE_FINGERPRINT,
+        "multimodal_meta_documents": _ORACLE_MULTIMODAL,
+    }

@@ -1,0 +1,67 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line.
+
+Each query executes to completion through the noop sink (full plan runs,
+no driver-side collect cost). A warm-up run of the flagship absorbs
+session/JIT startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from jsonschema_validator_spark.session import get_spark
+
+
+def run_query(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        app_name="jsv_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    qs = entry_mod.queries()
+
+    # warm-up (JIT/codegen/classloading) — not timed
+    run_query(qs["keyword_verdicts_events"], spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        timings[name] = round(run_query(fn, spark, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "check_suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -195,6 +195,66 @@ class VariantAccessor(JsonAccessor):
         return F.to_json(self.col)
 
 
+class RowAccessor(JsonAccessor):
+    """A whole DataFrame row viewed as a JSON object whose properties are
+    the columns. This is how a table-level schema (`required`,
+    `properties`, `dependencies` over columns) compiles against typed
+    data: SQL NULL means the property is ABSENT (SURVEY.md §1.3.3), so
+    `required: [c]` becomes c IS NOT NULL and every other keyword is
+    null-vacuous — matching the reference's absent-property skip
+    (/root/reference/src/keywords/properties_.rs:124-128)."""
+
+    def __init__(self, schema: "T.StructType"):
+        self.schema = schema
+        self.col = None  # the row itself; no single underlying column
+
+    def static_tag(self) -> str:
+        return "object"
+
+    def is_missing(self) -> Column:
+        return F.lit(False)  # a row always exists
+
+    def has_type(self, tags) -> Column:
+        return F.lit("object" in set(tags))
+
+    def get_field(self, name: str) -> JsonAccessor:
+        if name in self.schema.fieldNames():
+            return TypedAccessor(F.col(name), self.schema[name].dataType)
+        return TypedAccessor(F.lit(None), T.NullType())
+
+    def has_field(self, name: str) -> Column:
+        if name not in self.schema.fieldNames():
+            return F.lit(False)
+        return F.col(name).isNotNull()
+
+    def _unsupported(self, what: str):
+        raise TypeError(
+            f"{what} is not supported on a row-level schema; apply it to a "
+            f"specific column instead"
+        )
+
+    def as_string(self) -> Column:
+        self._unsupported("string view of a row")
+
+    def as_double(self) -> Column:
+        self._unsupported("numeric view of a row")
+
+    def as_boolean(self) -> Column:
+        self._unsupported("boolean view of a row")
+
+    def as_array(self) -> Column:
+        self._unsupported("array view of a row")
+
+    def as_object(self) -> Column:
+        self._unsupported("map view of a row (patternProperties/minProperties)")
+
+    def element(self, elem: Column) -> JsonAccessor:
+        self._unsupported("element access on a row")
+
+    def canonical(self) -> Column:
+        self._unsupported("canonical form of a row")
+
+
 def json_accessor(col: Column) -> "VariantAccessor":
     """Accessor over a JSON-text column, malformed-input-safe.
 

@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- exact (hash-groupBy)              — xxhash64/md5 content hash, one agg
+- n-gram / word Jaccard             — token explode + self-join
+- MinHash + LSH banding             — shingle -> minhash sig -> band
+                                      bucket join; candidate pairs then
+                                      exact-verify; sub-quadratic
+- SimHash                           — 64-bit weighted hash, Hamming buckets
+
+All hashing is JVM-side (xxhash64/md5 built-ins, bit ops via Column
+algebra). The only per-batch Python is none — even MinHash signatures are
+computed with transform() over a literal array of hash-parameter pairs.
+At 100 TB: exact dedup shuffles one 16-byte hash per row; LSH shuffles
+(bands x rows) short keys; the quadratic verify only touches candidate
+buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 64-bit mixers for minhash permutations: h_i(x) = a_i*x+b_i
+# (odd multipliers; wraparound multiplication is fine for min-ordering)
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    r = random.Random(seed)
+    return [(r.randrange(1, _MERSENNE - 1) | 1, r.randrange(0, _MERSENNE - 1)) for _ in range(n)]
+
+
+def content_hash(col: Column) -> Column:
+    return F.xxhash64(col)
+
+
+def exact_dedup_summary(df: DataFrame, column: str) -> DataFrame:
+    """(n_rows, n_distinct, n_duplicates) by exact content hash — the
+    cheapest dedup pass: one scan, one partial+final agg."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.md5(F.col(column))).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5(F.col(column)))).alias("n_duplicates"),
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, column: str) -> DataFrame:
+    """(content_hash, n, ids) for content appearing more than once."""
+    return (
+        df.groupBy(F.xxhash64(F.col(column)).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _word_tokens(text: Column) -> Column:
+    """Distinct space-separated tokens (matches the SQL-oracle
+    tokenization: string_split on a single space)."""
+    return F.array_distinct(F.split(text, " "))
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Exact word-level Jaccard similarity for all pairs sharing at least
+    one token: explode tokens, self-join on token, count intersections,
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Output (doc_a, doc_b, jaccard >=
+    threshold). Exact but token-join quadratic in hot tokens — the LSH
+    path below is the scale variant."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(_word_tokens(F.col(text_col))).alias("w")
+    )
+    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles as xxhash64 values: sliding windows over the token
+    array, hashed — all Column algebra (transform + slice + concat)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")))
+    )
+
+
+def minhash_signature(sh: Column, n_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: permutation i is xxhash64(seed+i, shingle) — a
+    fresh independent 64-bit hash per permutation, min-reduced. Avoids
+    modular affine arithmetic entirely (which overflows int64 under ANSI)
+    and stays pure higher-order-function algebra."""
+
+    def perm(i: int):
+        # closure factory: Spark HOF lambdas must take exactly one arg
+        # (default-arg captures change the inspected arity)
+        return lambda x: F.xxhash64(F.lit(seed + i), x)
+
+    mins = [F.array_min(F.transform(sh, perm(i))) for i in range(n_hashes)]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into `bands` rows-per-band
+    chunks; docs sharing any band bucket are candidates. Shuffle volume is
+    O(bands * rows) small keys — the sub-quadratic near-dup path."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_k), n_hashes, seed)
+    with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    bands_df = with_sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard — output
+    (doc_a, doc_b, jaccard). Sub-quadratic: the exact verify runs only on
+    candidate pairs."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    cand = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands, shingle_k)
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    j = inter / union
+    return joined.filter(j >= threshold).select(
+        "doc_a", "doc_b", F.round(j, 4).alias("jaccard")
+    )
+
+
+def simhash(text: Column, token_k: int = 1) -> Column:
+    """64-bit SimHash over word tokens: per bit, sum +-1 weighted by token
+    presence; bit = sign. Implemented as Column algebra over the token
+    hash array (aggregate over 64 bit positions)."""
+    toks = F.transform(_word_tokens(text), lambda w: F.xxhash64(w))
+    bits = [
+        F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(63)  # bit 63 excluded: keep result positive in int64
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash with guaranteed recall: split the 63 bits into
+    max_hamming+1 bands — by pigeonhole, any pair within max_hamming bits
+    shares at least one whole band, so banding misses nothing. Candidates
+    join on (band, band_bits); exact bit_count(xor) verifies. Shuffle is
+    O(bands * rows) small keys (the same sub-quadratic shape as MinHash
+    LSH)."""
+    bands = max_hamming + 1
+    width = 63 // bands
+    s = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("sh"))
+    mask = (1 << width) - 1
+    banded = s.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sh", i * width).bitwiseAND(F.lit(mask)).alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sh", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= max_hamming).select("doc_a", "doc_b", ham.alias("hamming"))

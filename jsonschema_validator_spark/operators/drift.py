@@ -1,0 +1,124 @@
+"""Distribution-drift checks between partitions: KS statistic and PSI
+over a shared bucket grid (SURVEY.md §2.4 KS/PSI rows).
+
+Design: one groupBy(partition, bucket).count() histogram pass, then the
+statistics are computed *distributed* in Column algebra over the tiny
+histogram relation (partitions x buckets rows): PSI is an aggregate of
+per-bucket terms, KS is the sup of |ECDF difference| via a cumulative-sum
+window over buckets. No driver-side loop, no pandas — scale-independent
+(the histogram is O(partitions*buckets) regardless of input rows).
+
+The KS statistic here is the discrete ECDF sup-difference on the shared
+grid — deterministic and oracle-checkable in ANSI SQL (the exact same
+definition runs in DuckDB), unlike approxQuantile-based variants.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketize(value: Column, lo: float, hi: float, buckets: int) -> Column:
+    """Clamped equal-width bucket index in [0, buckets-1]; NULL for NULL."""
+    width = (hi - lo) / buckets if hi > lo else 1.0
+    raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(width))
+    return F.least(F.lit(buckets - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+
+def value_histogram(
+    df: DataFrame,
+    value: Column | str,
+    partition_col: str,
+    buckets: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """(partition, bucket, n) with the SAME bucket grid for every
+    partition (shared bucketing is what makes KS/PSI comparable)."""
+    value = F.col(value) if isinstance(value, str) else value
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(value.cast("double")).alias("lo"), F.max(value.cast("double")).alias("hi")
+        ).first()
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+        if lo is None:  # all-null column
+            lo, hi = 0.0, 1.0
+    b = bucketize(value, float(lo), float(hi), buckets)
+    return (
+        df.select(F.col(partition_col).alias("part"), b.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("part", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ks_psi(
+    df: DataFrame,
+    value: Column | str,
+    partition_col: str,
+    buckets: int = 20,
+    baseline_partition: str | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-partition drift vs a baseline distribution.
+
+    baseline_partition=None compares each partition against the GLOBAL
+    distribution (all partitions pooled); otherwise against the named
+    partition. Returns (part, n_rows, ks_stat, psi)."""
+    spark = df.sparkSession
+    hist = value_histogram(df, value, partition_col, buckets, lo, hi)
+
+    # densify: every (partition, bucket) pair present with n>=0 so ECDFs
+    # align on the shared grid
+    parts = hist.select("part").distinct()
+    grid = parts.crossJoin(
+        spark.range(buckets).select(F.col("id").cast("int").alias("bucket"))
+    )
+    dense = grid.join(hist, ["part", "bucket"], "left").fillna(0, subset=["n"])
+
+    # baseline distribution per bucket
+    if baseline_partition is None:
+        base = hist.groupBy("bucket").agg(F.sum("n").alias("qn"))
+    else:
+        base = (
+            hist.filter(F.col("part") == baseline_partition)
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("qn"))
+        )
+    dense = dense.join(F.broadcast(base), "bucket", "left").fillna(0, subset=["qn"])
+
+    w_part = Window.partitionBy("part")
+    w_cum = Window.partitionBy("part").orderBy("bucket")
+    p_tot = F.sum("n").over(w_part)
+    q_tot = F.sum("qn").over(w_part)  # same for all parts; computed locally
+    p = F.col("n") / p_tot
+    q = F.col("qn") / q_tot
+    p_s = F.greatest(p, F.lit(eps))
+    q_s = F.greatest(q, F.lit(eps))
+    scored = dense.select(
+        "part",
+        "bucket",
+        "n",
+        p.alias("p"),
+        q.alias("q"),
+        ((p_s - q_s) * F.log(p_s / q_s)).alias("psi_term"),
+        F.abs(F.sum(p).over(w_cum) - F.sum(q).over(w_cum)).alias("ecdf_diff"),
+    )
+    return scored.groupBy("part").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("ecdf_diff").alias("ks_stat"),
+        F.sum("psi_term").alias("psi"),
+    )
+
+
+def ks_critical_value(n: int, m: int, alpha: float = 0.01) -> float:
+    """Two-sample KS asymptotic critical value c(alpha)*sqrt((n+m)/(n*m))
+    (implemented directly — no scipy; SURVEY.md §7 M4)."""
+    c = math.sqrt(-0.5 * math.log(alpha / 2.0))
+    return c * math.sqrt((n + m) / (n * m))

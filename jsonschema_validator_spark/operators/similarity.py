@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k for a set of query vectors —
+  broadcast the (small) query side, one scan of the corpus, window top-k.
+  The dot product is F.aggregate over F.zip_with — JVM-side, no Python.
+- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path: only
+  corpus vectors sharing >= min_matches hyperplane-sign bits with the
+  query are scored. Probes a fraction of the corpus instead of all of it.
+- ``cosine_near_duplicates``: all-pairs near-dup via the same LSH buckets
+  (embedding-cosine dedup for training pipelines).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns in Column algebra."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_ids: list, k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbors for the given query ids:
+    (query_id, rank, neighbor_id, sim). Query side is broadcast; ranking
+    ties break on neighbor_id for determinism."""
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    r = random.Random(seed)
+    return [[r.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i = (vec . plane_i) > 0, packed in a long."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda v, w: v * w),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 5,
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose hyperplane
+    signature is within max_hamming bits of the query's. For random
+    hyperplanes, P(bit differs) = angle/pi, so near neighbors share most
+    bits — the corpus fraction probed shrinks exponentially in
+    (n_planes - max_hamming)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("ce"),
+        lsh_signature(_as_double(F.col(vec_col)), planes).alias("csig"),
+    )
+    q = base.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("ce").alias("qe"),
+        F.col("csig").alias("qsig"),
+    )
+    ham = F.bit_count(F.col("qsig").bitwiseXOR(F.col("csig")))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter((F.col("neighbor_id") != F.col("query_id")) & (ham <= max_hamming))
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket pre-filter + exact
+    cosine verify: (id_a, id_b, sim >= threshold)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        lsh_signature(_as_double(F.col(vec_col)), planes).alias("sig"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

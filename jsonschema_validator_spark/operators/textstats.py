@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting — all
+Column algebra (regex/length/aggregate built-ins), no per-row Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+_EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "an", "be", "this", "are", "or",
+]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (matches string_split-on-space oracles)."""
+    return F.size(F.split(text, " "))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy: word pieces by the GPT-2 pre-tokenizer-style regex
+    (contractions / letter-runs / digit-runs / punct-runs)."""
+    return F.size(
+        F.regexp_extract_all(
+            text, F.lit(r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"), 0
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or _EN_STOPWORDS
+    toks = F.split(F.lower(text), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = F.split(text, " ")
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme length,
+    high punctuation, low stopword incidence — the usual cheap pre-filter
+    before expensive dedup/training stages."""
+    length_ok = (F.length(text) >= 20) & (F.length(text) <= 50_000)
+    punct_ok = punct_ratio(text) < 0.3
+    words_ok = (mean_word_length(text) >= 2) & (mean_word_length(text) <= 15)
+    return (
+        length_ok.cast("double") * 0.4
+        + punct_ok.cast("double") * 0.3
+        + words_ok.cast("double") * 0.3
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-marker language ID: score each language by marker-token
+    hits, pick the argmax (ties -> lexicographically first language).
+    Cheap n-gram-free heuristic; 'und' (undetermined) when no marker hits."""
+    toks = F.split(F.lower(text), " ")
+
+    def marker_hit(markers: list[str]):
+        # closure factory: a default-arg capture would change the HOF
+        # lambda's inspected arity (the second arg becomes the index!)
+        return lambda t: t.isin(markers)
+
+    scores = []
+    for lang in sorted(_LANG_MARKERS):
+        hits = F.size(F.filter(toks, marker_hit(_LANG_MARKERS[lang])))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized content fingerprint: md5 of lowercased alphanumerics —
+    stable across whitespace/punctuation edits (near-exact dedup key)."""
+    return F.md5(F.lower(F.regexp_replace(text, r"[^a-zA-Z0-9]", "")))
+
+
+def text_quality_report(df: DataFrame, text_col: str, group_by: str | None = None) -> DataFrame:
+    """One-pass quality metrics, optionally grouped."""
+    t = F.col(text_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length(t)), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(t)), 4).alias("avg_tokens"),
+        F.round(F.avg(punct_ratio(t)), 4).alias("avg_punct_ratio"),
+        F.round(F.avg(stopword_ratio(t)), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg(quality_score(t)), 4).alias("avg_quality"),
+    ]
+    return (df.groupBy(group_by) if group_by else df.groupBy()).agg(*aggs)

@@ -1,0 +1,65 @@
+"""Uniqueness checks — the table-scale generalization of `uniqueItems`
+(/root/reference: uniqueItems is corpus-defined; HashSet membership at
+src/keywords/type_.rs:14 is the reference's only set primitive).
+
+Two physical strategies, chosen by the caller:
+
+- ``duplicate_keys``: plain hash aggregation. Catalyst already does
+  partial (map-side) + final aggregation, so the shuffle carries one row
+  per distinct key per input partition — fine when no key is hot.
+- ``salted_duplicate_keys``: explicit two-stage salted aggregation for
+  Zipf-hot keys (SURVEY.md §4.3): stage 1 groups by (key, salt) so a hot
+  key's rows spread over `buckets` reducers; stage 2 merges the partial
+  counts. At 10^12 turns a whale conversation cannot melt one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keys appearing more than once: (keys..., dup_count)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def salted_duplicate_keys(
+    df: DataFrame, keys: list[str], buckets: int = 64
+) -> DataFrame:
+    """Same result as duplicate_keys via explicit two-stage salted agg.
+
+    salt = pmod(xxhash64(whole row position proxy), buckets): we salt on a
+    value that varies *within* a hot key group — here monotonically_
+    increasing_id is avoided (non-deterministic across retries); instead
+    we hash all columns, which differs across physical duplicates only if
+    payloads differ, so we add spark_partition_id for true spread."""
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+        F.lit(buckets),
+    ).alias("__salt")
+    partial = (
+        df.select(*keys, salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sum("__partial").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def duplicate_rows(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Original rows that participate in a duplicate key, attributed
+    per-row (window count over the composite key — skew-safe because the
+    window key is the *full* composite key; SURVEY.md §2.4)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col("dup_count") > 1)
+    )

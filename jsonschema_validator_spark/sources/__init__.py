@@ -1,0 +1,3 @@
+from jsonschema_validator_spark.sources.tables import read_table, write_table
+
+__all__ = ["read_table", "write_table"]

@@ -1,0 +1,112 @@
+"""Integration tests: CheckSuite over the deterministic transcripts
+fixture (FIXTURES.md) — clean fixture passes everything; every injected
+violation V1..V10 surfaces in violations()/verdicts() at its known keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.errors import UninitialisedPlanError
+from jsonschema_validator_spark.fixtures import generate_transcripts
+from jsonschema_validator_spark.plans import CheckSuite
+from jsonschema_validator_spark.specs import transcripts_spec
+
+
+@pytest.fixture(scope="module")
+def clean_df(spark):
+    fx = generate_transcripts("tiny", dirty=False)
+    return spark.createDataFrame(fx.table.to_pandas()).cache()
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    fx = generate_transcripts("tiny", dirty=True)
+    return spark.createDataFrame(fx.table.to_pandas()).cache(), fx.expected_violations.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def suite():
+    return CheckSuite(transcripts_spec()).build()
+
+
+def test_unbuilt_suite_refuses():
+    s = CheckSuite(transcripts_spec())
+    with pytest.raises(UninitialisedPlanError):
+        s.verdicts(None)
+
+
+def test_clean_fixture_all_pass(clean_df, suite):
+    v = suite.verdicts(clean_df)
+    failed = v.filter(~F.col("pass")).collect()
+    assert not failed, f"clean fixture failed checks: {[(r.day, r.check) for r in failed]}"
+    # and zero violation rows
+    assert suite.violations(clean_df).count() == 0
+
+
+def test_dirty_fixture_verdicts(dirty, suite):
+    df, _ = dirty
+    v = suite.verdicts(df).collect()
+    failed_checks = {r.check for r in v if not r["pass"]}
+    # every injected violation class shows up as a failing check
+    for expect in [
+        "enum@#role",
+        "required@#text",
+        "minLength@#text",
+        "maxLength@#text",
+        "pattern@#text",
+        "enum@#tool",
+        "dependencies@#",
+        "minimum@#turn_idx",
+        "maximum@#turn_idx",
+        "unique(conv_id,turn_idx)",
+        "referential_root(conv_id)",
+        "ordering(conv_id)",
+        "drift(length(text))",
+    ]:
+        assert expect in failed_checks, f"{expect} not failing; failing: {sorted(failed_checks)}"
+
+
+def test_dirty_fixture_violation_attribution(dirty, suite):
+    df, expected = dirty
+    viol = suite.violations(df).toPandas()
+    got = set(zip(viol.conv_id, viol.turn_idx, viol.keyword))
+    # keyword name used by the engine for each expectation
+    kw_map = {
+        "unique": "unique",
+        "referential": "referential",
+        "enum": "enum",
+        "required": "required",
+        "minLength": "minLength",
+        "maxLength": "maxLength",
+        "pattern": "pattern",
+        "dependencies": "dependencies",
+        "ordering": "ordering",
+        "minimum": "minimum",
+        "maximum": "maximum",
+    }
+    missing = []
+    for _, e in expected.iterrows():
+        if (e.conv_id, e.turn_idx, kw_map[e.keyword]) not in got:
+            missing.append((e.conv_id, int(e.turn_idx), e.violation_id, e.keyword))
+    assert not missing, f"expected violations not reported: {missing}"
+
+
+def test_drift_day_flagged(dirty, suite):
+    df, _ = dirty
+    v = suite.verdicts(df).filter(F.col("check") == "drift(length(text))").toPandas()
+    drifted = set(v[~v["pass"]].day)
+    assert "2026-01-21" in drifted  # V9 shifted-lognormal day
+    # among days large enough to evaluate (>= min_rows, where PSI noise
+    # ~ buckets/n is small), the shifted day's PSI must dominate
+    big = v[v.rows_checked >= 200]
+    psi = {r.day: r.metrics["psi"] for _, r in big.iterrows()}
+    worst = max(psi, key=psi.get)
+    assert worst == "2026-01-21", psi
+
+
+def test_stats_metrics_present(clean_df, suite):
+    v = suite.verdicts(clean_df).filter(F.col("check") == "stats:text").first()
+    m = v.metrics
+    assert m["null_rate"] == 0.0
+    assert m["len_min"] >= 1 and m["len_max"] <= 8000 + 20

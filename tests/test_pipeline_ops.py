@@ -1,0 +1,160 @@
+"""Tests for the training-pipeline operators: dedup, similarity search,
+text stats, multimodal plumbing (SURVEY.md §2 extensions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "completely different words entirely unrelated content here now"),
+        (4, "el rapido zorro marron salta sobre el perro perezoso"),
+        (5, "der schnelle braune fuchs springt uber den faulen hund und der"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    from jsonschema_validator_spark.operators.dedup import (
+        exact_dedup_summary,
+        exact_duplicate_groups,
+    )
+
+    s = exact_dedup_summary(docs, "text").first()
+    assert (s["n_rows"], s["n_distinct"], s["n_duplicates"]) == (6, 5, 1)
+    g = exact_duplicate_groups(docs, "doc_id", "text").collect()
+    assert len(g) == 1 and g[0]["ids"] == [0, 1]
+
+
+def test_jaccard_pairs(spark, docs):
+    from jsonschema_validator_spark.operators.dedup import jaccard_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(docs, "doc_id", "text", 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert 0.5 <= pairs[(0, 2)] < 1.0  # near dup (one word differs)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from jsonschema_validator_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_dedup_pairs,
+        minhash_lsh_candidates,
+    )
+
+    found = {(r.doc_a, r.doc_b) for r in
+             minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5, shingle_k=2).collect()}
+    assert (0, 1) in found
+    # LSH candidates must cover every true >=0.5-jaccard 2-shingle pair
+    cands = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_candidates(docs, "doc_id", "text", shingle_k=2).collect()}
+    assert found <= cands
+
+
+def test_simhash_near_duplicates(spark, docs):
+    from jsonschema_validator_spark.operators.dedup import simhash_near_duplicates
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             simhash_near_duplicates(docs, "doc_id", "text", max_hamming=20).collect()}
+    assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
+    assert (0, 2) in pairs  # one word changed -> few bits flip
+
+
+def test_simhash_deterministic(spark, docs):
+    from jsonschema_validator_spark.operators.dedup import simhash
+
+    a = docs.select(simhash(F.col("text")).alias("s")).collect()
+    b = docs.select(simhash(F.col("text")).alias("s")).collect()
+    assert a == b and all(r["s"] >= 0 for r in a)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8)).astype("float32")
+    base[1] = base[0] * 1.1  # vec 1 parallel to vec 0 -> cosine 1
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    from jsonschema_validator_spark.operators.similarity import brute_force_topk
+
+    top = brute_force_topk(vectors, "vec_id", "embedding", [0], k=3).collect()
+    assert top[0]["neighbor_id"] == 1 and top[0]["sim"] == pytest.approx(1.0, abs=1e-3)
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_lsh_topk_agrees_on_top1(spark, vectors):
+    from jsonschema_validator_spark.operators.similarity import lsh_topk
+
+    top = lsh_topk(vectors, "vec_id", "embedding", [0], k=3, n_planes=12, max_hamming=6).collect()
+    # parallel vector shares every hyperplane sign -> always a candidate
+    assert top[0]["neighbor_id"] == 1
+
+
+def test_cosine_near_duplicates(spark, vectors):
+    from jsonschema_validator_spark.operators.similarity import cosine_near_duplicates
+
+    pairs = {(r.id_a, r.id_b) for r in
+             cosine_near_duplicates(vectors, "vec_id", "embedding", threshold=0.99).collect()}
+    assert (0, 1) in pairs
+
+
+def test_textstats(spark, docs):
+    from jsonschema_validator_spark.operators.textstats import (
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    r = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tc"),
+        language_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    by_id = {x["doc_id"]: x for x in r}
+    assert by_id[0]["tc"] == 9
+    assert by_id[0]["lang"] == "en"
+    assert by_id[4]["lang"] == "es"
+    assert by_id[5]["lang"] == "de"
+    assert all(0.0 <= x["q"] <= 1.0 for x in r)
+
+
+def test_multimodal_plumbing(spark, docs):
+    from jsonschema_validator_spark.operators.multimodal import (
+        binary_metadata,
+        decode_features,
+        frame_sample_plan,
+    )
+
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    meta = binary_metadata(blobs, "payload").collect()
+    assert all(len(m["digest"]) == 64 and m["n_bytes"] > 0 for m in meta)
+
+    feats = decode_features(blobs, "doc_id", "payload", feat_dim=8).collect()
+    assert len(feats) == 6
+    for f in feats:
+        assert len(f["feature"]) == 8
+        assert abs(sum(f["feature"]) - 1.0) < 1e-5  # normalized fake feature
+        assert f["kind"] == "image/fake" and f["width"] > 0
+
+    plan = frame_sample_plan(blobs, "doc_id", "payload", every_n=1)
+    assert plan.count() == 6  # ~44-60 bytes -> 1 frame each
+
+
+def test_audio_stub_raises(spark, docs):
+    from jsonschema_validator_spark.operators.multimodal import decode_audio
+
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    with pytest.raises(NotImplementedError):
+        decode_audio(blobs, "doc_id", "payload")

@@ -1,0 +1,75 @@
+"""Kill-and-resume proof (SURVEY.md §7 M5): a run killed mid-table
+resumes from the manifest and the final outputs equal a clean full run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.fixtures import generate_transcripts
+from jsonschema_validator_spark.plans import CheckSuite
+from jsonschema_validator_spark.plans.runner import CheckpointedRunner
+from jsonschema_validator_spark.specs import transcripts_spec
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    fx = generate_transcripts("tiny", dirty=True)
+    return spark.createDataFrame(fx.table.to_pandas()).cache()
+
+
+def _read_all(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_kill_and_resume(spark, df, tmp_path):
+    suite = CheckSuite(transcripts_spec()).build()
+    out = str(tmp_path / "out")
+    runner = CheckpointedRunner(suite, out)
+    pending = runner.pending_partitions(df)
+    assert len(pending) == 15  # 14 days + drift day
+
+    # simulate a mid-table kill: process only the first 2 batches of 3
+    part = suite.partition_by
+    first = pending[:6]
+    runner.run(df.filter(F.col(part).isin(first)), batch_size=3)
+    assert len(runner.done_partitions()) == 6
+
+    # resume on the FULL table: only the remaining 9 partitions process
+    report = runner.run(df, batch_size=5)
+    assert sorted(report.processed) == pending[6:]
+    assert sorted(report.skipped) == first
+    assert len(runner.done_partitions()) == 15
+
+    # third run: nothing pending
+    report2 = runner.run(df)
+    assert report2.processed == [] and report2.batches == 0
+
+    # outputs equal a clean full run
+    full_v = suite.verdicts(df).toPandas().sort_values(["day", "check"]).reset_index(drop=True)
+    got_v = (
+        _read_all(spark, os.path.join(out, "verdicts"))
+        .select(*full_v.columns)
+        .toPandas()
+        .sort_values(["day", "check"])
+        .reset_index(drop=True)
+    )
+    assert len(full_v) == len(got_v)
+    assert (full_v["check"] == got_v["check"]).all()
+    assert (full_v["violation_count"].to_numpy() == got_v["violation_count"].to_numpy()).all()
+
+    full_viol = suite.violations(df).count()
+    got_viol = _read_all(spark, os.path.join(out, "violations")).count()
+    assert full_viol == got_viol
+
+
+def test_spec_change_invalidates_lineage(spark, df, tmp_path):
+    out = str(tmp_path / "out2")
+    s1 = CheckSuite(transcripts_spec()).build()
+    CheckpointedRunner(s1, out).run(df)
+    # a different spec hash must see every partition as pending again
+    s2 = CheckSuite(transcripts_spec(psi_threshold=0.5)).build()
+    assert s1.spec_hash != s2.spec_hash
+    assert len(CheckpointedRunner(s2, out).pending_partitions(df)) == 15
