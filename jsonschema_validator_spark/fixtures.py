@@ -293,12 +293,14 @@ def write_fixture(out_dir: str, scale: str = "small", seed: int = SEED) -> dict:
     Returns the paths. Idempotent for a given (scale, seed)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
+    # small row groups => enough scan splits to feed 32+ cores
+    rg = 128 * 1024
     clean = generate_transcripts(scale, seed=seed, dirty=False)
     paths["clean"] = os.path.join(out_dir, f"transcripts_clean_{scale}.parquet")
-    pq.write_table(clean.table, paths["clean"])
+    pq.write_table(clean.table, paths["clean"], row_group_size=rg)
     dirty = generate_transcripts(scale, seed=seed, dirty=True)
     paths["dirty"] = os.path.join(out_dir, f"transcripts_dirty_{scale}.parquet")
-    pq.write_table(dirty.table, paths["dirty"])
+    pq.write_table(dirty.table, paths["dirty"], row_group_size=rg)
     paths["expected"] = os.path.join(out_dir, f"expected_violations_{scale}.parquet")
     pq.write_table(dirty.expected_violations, paths["expected"])
     return paths

@@ -299,6 +299,7 @@ class CheckSuite:
             res = drift_ops.ks_psi(
                 df, value, part, d.get("buckets", 20),
                 baseline_partition=d.get("baseline"),
+                lo=d.get("lo"), hi=d.get("hi"),
             )
             ks_t = d.get("ks_threshold", 0.15)
             psi_t = d.get("psi_threshold", 0.2)

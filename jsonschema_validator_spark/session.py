@@ -16,6 +16,7 @@ def get_spark(
     app_name: str = "jsonschema_validator_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -38,6 +39,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-bench default 32m: a GB-scale single-file scan must split
+        # into >= cores tasks or the CPU-heavy scan stage starves the
+        # extra cores (cluster deployments override back to 128m+)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            max_partition_bytes or os.environ.get("SPARK_MAX_PARTITION_BYTES", "33554432"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -47,6 +47,10 @@ def transcripts_spec(
                 "check": "drift",
                 "value": drift_value,
                 "buckets": 20,
+                # fixed grid bounds (text length contract is [1, 8000]):
+                # avoids a whole extra min/max scan before the histogram
+                "lo": 0.0,
+                "hi": 8200.0,
                 "ks_threshold": ks_threshold,
                 "psi_threshold": psi_threshold,
             },
