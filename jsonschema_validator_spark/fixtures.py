@@ -32,6 +32,9 @@ SCALES = {
     "tiny": dict(n_convs=100, whales=1, whale_len=500),
     "small": dict(n_convs=5_000, whales=3, whale_len=5_000),
     "bench": dict(n_convs=200_000, whales=3, whale_len=5_000),
+    # scaling-bench scale: big enough that the fully-parallel work
+    # dominates fixed per-job overhead at 32 cores (~25M turns)
+    "bench4": dict(n_convs=800_000, whales=12, whale_len=5_000),
 }
 
 
@@ -45,14 +48,16 @@ def _segment_cumsum(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
 
 def _random_ascii_array(rng: np.random.Generator, lengths: np.ndarray) -> pa.Array:
     """Variable-length random lowercase ASCII strings, built directly from
-    an offsets + data buffer (no per-row Python)."""
+    an offsets + data buffer (no per-row Python). Returns large_string so
+    >2 GB of total payload works (parquet writes the identical BYTE_ARRAY
+    physical type either way; Spark reads it back as StringType)."""
     total = int(lengths.sum())
     data = rng.integers(97, 123, size=total, dtype=np.uint8)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     return pa.LargeStringArray.from_buffers(
         len(lengths), pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())
-    ).cast(pa.string())
+    )
 
 
 @dataclass
@@ -111,10 +116,10 @@ def generate_transcripts(
         np.char.add(
             np.char.add(np.char.add(conv_ids, ":"), turn_idx.astype(str)), ":"
         )
-    )
+    ).cast(pa.large_string())
     import pyarrow.compute as pc
 
-    text = pc.binary_join_element_wise(prefix, payload, "")
+    text = pc.binary_join_element_wise(prefix, payload, pa.scalar("", type=pa.large_string()))
 
     table = pa.table(
         {
@@ -254,7 +259,9 @@ def _inject_violations(table: pa.Table, rng: np.random.Generator) -> Fixture:
         "turn_idx": pa.array(np.zeros(n_drift, dtype=np.int32)),
         "role": pa.array(np.full(n_drift, "system")),
         "text": pc.binary_join_element_wise(
-            pa.array([f"{c}:0:" for c in drift_conv]), drift_payload, ""
+            pa.array([f"{c}:0:" for c in drift_conv]).cast(pa.large_string()),
+            drift_payload,
+            pa.scalar("", type=pa.large_string()),
         ),
         "tool": pa.array([None] * n_drift, type=pa.string()),
         "ts": pa.array(
@@ -288,19 +295,29 @@ def dup_rows_to_arrays(dup_rows, schema):
         yield t.column(f.name).cast(f.type)
 
 
-def write_fixture(out_dir: str, scale: str = "small", seed: int = SEED) -> dict:
-    """Write clean + dirty variants and the expected_violations companion.
-    Returns the paths. Idempotent for a given (scale, seed)."""
+def write_fixture(
+    out_dir: str, scale: str = "small", seed: int = SEED, variant: str = "both"
+) -> dict:
+    """Write clean and/or dirty variants (and the expected_violations
+    companion for dirty). Returns the paths. Idempotent for a given
+    (scale, seed). variant: 'both' | 'clean' | 'dirty' — the scaling
+    bench only needs 'clean' (violation injection routes through pandas
+    and dominates generation time at large scales; the ~70 injected rows
+    don't change benchmark cost)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
-    # small row groups => enough scan splits to feed 32+ cores
-    rg = 128 * 1024
-    clean = generate_transcripts(scale, seed=seed, dirty=False)
-    paths["clean"] = os.path.join(out_dir, f"transcripts_clean_{scale}.parquet")
-    pq.write_table(clean.table, paths["clean"], row_group_size=rg)
-    dirty = generate_transcripts(scale, seed=seed, dirty=True)
-    paths["dirty"] = os.path.join(out_dir, f"transcripts_dirty_{scale}.parquet")
-    pq.write_table(dirty.table, paths["dirty"], row_group_size=rg)
-    paths["expected"] = os.path.join(out_dir, f"expected_violations_{scale}.parquet")
-    pq.write_table(dirty.expected_violations, paths["expected"])
+    # small row groups (~16 MB) => fine-grained scan splits: a 32-core
+    # scan stage gets several waves of balanced tasks instead of 1.6
+    # ragged waves of 32 MB splits
+    rg = 64 * 1024
+    if variant in ("both", "clean"):
+        clean = generate_transcripts(scale, seed=seed, dirty=False)
+        paths["clean"] = os.path.join(out_dir, f"transcripts_clean_{scale}.parquet")
+        pq.write_table(clean.table, paths["clean"], row_group_size=rg)
+    if variant in ("both", "dirty"):
+        dirty = generate_transcripts(scale, seed=seed, dirty=True)
+        paths["dirty"] = os.path.join(out_dir, f"transcripts_dirty_{scale}.parquet")
+        pq.write_table(dirty.table, paths["dirty"], row_group_size=rg)
+        paths["expected"] = os.path.join(out_dir, f"expected_violations_{scale}.parquet")
+        pq.write_table(dirty.expected_violations, paths["expected"])
     return paths

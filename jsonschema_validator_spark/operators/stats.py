@@ -52,6 +52,89 @@ def column_stats(
     return grouped.agg(*aggs)
 
 
+def _hll_input(col, dtype):
+    """Cast a column to a type hll_sketch_agg accepts (int/long/string/
+    binary), preserving distinctness."""
+    if isinstance(dtype, (T.StringType, T.BinaryType, T.IntegerType, T.LongType)):
+        return col
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.BooleanType)):
+        return col.cast("long")
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(col)
+    # float/double/decimal: canonical string repr keeps distinct values apart
+    return col.cast("string")
+
+
+def stats_partial_aggs(schema: T.StructType, columns: list[str]) -> list:
+    """Decomposable (mergeable) per-column stat partials for a fine-grained
+    groupBy — the map-side half of column_stats. Distinct counts use
+    Datasketches HLL (hll_sketch_agg), whose sketches MERGE across groups,
+    unlike approx_count_distinct whose final estimate can't re-aggregate.
+    Pair with stats_merge_aggs at the coarser (partition-level) groupBy."""
+    aggs = []
+    for c in columns:
+        dtype = schema[c].dataType
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__P_nulls"))
+        aggs.append(F.count(col).alias(f"{c}__P_cnt"))
+        aggs.append(F.hll_sketch_agg(_hll_input(col, dtype)).alias(f"{c}__P_hll"))
+        if isinstance(dtype, NUMERIC):
+            aggs += [
+                F.min(col).alias(f"{c}__P_min"),
+                F.max(col).alias(f"{c}__P_max"),
+                F.sum(col.cast("double")).alias(f"{c}__P_sum"),
+            ]
+        elif isinstance(dtype, T.StringType):
+            ln = F.length(col)
+            aggs += [
+                F.min(ln).alias(f"{c}__P_lmin"),
+                F.max(ln).alias(f"{c}__P_lmax"),
+                F.sum(ln.cast("double")).alias(f"{c}__P_lsum"),
+            ]
+        elif isinstance(dtype, (T.TimestampType, T.DateType)):
+            aggs += [F.min(col).alias(f"{c}__P_min"), F.max(col).alias(f"{c}__P_max")]
+    return aggs
+
+
+def stats_merge_aggs(schema: T.StructType, columns: list[str]) -> list:
+    """Merge stats_partial_aggs partials to the column_stats output schema
+    (c__null_rate, c__approx_distinct, c__min/max/mean, c__len_*). The
+    caller's agg must also provide sum(__n) -> rows_checked."""
+    aggs = []
+    for c in columns:
+        dtype = schema[c].dataType
+        aggs.append(
+            (F.sum(f"{c}__P_nulls") / (F.sum(f"{c}__P_nulls") + F.sum(f"{c}__P_cnt")))
+            .alias(f"{c}__null_rate")
+        )
+        aggs.append(
+            F.coalesce(
+                F.hll_sketch_estimate(F.hll_union_agg(f"{c}__P_hll")).cast("double"),
+                F.lit(0.0),
+            ).alias(f"{c}__approx_distinct")
+        )
+        if isinstance(dtype, NUMERIC):
+            aggs += [
+                F.min(f"{c}__P_min").cast("double").alias(f"{c}__min"),
+                F.max(f"{c}__P_max").cast("double").alias(f"{c}__max"),
+                (F.sum(f"{c}__P_sum") / F.sum(f"{c}__P_cnt")).alias(f"{c}__mean"),
+            ]
+        elif isinstance(dtype, T.StringType):
+            aggs += [
+                F.min(f"{c}__P_lmin").cast("double").alias(f"{c}__len_min"),
+                F.max(f"{c}__P_lmax").cast("double").alias(f"{c}__len_max"),
+                (F.sum(f"{c}__P_lsum") / F.sum(f"{c}__P_cnt")).alias(f"{c}__len_mean"),
+            ]
+        elif isinstance(dtype, (T.TimestampType, T.DateType)):
+            aggs += [
+                F.min(f"{c}__P_min").cast("double").alias(f"{c}__min"),
+                F.max(f"{c}__P_max").cast("double").alias(f"{c}__max"),
+            ]
+    return aggs
+
+
 def length_histogram(
     df: DataFrame,
     column: str,

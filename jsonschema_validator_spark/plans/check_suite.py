@@ -62,6 +62,16 @@ from jsonschema_validator_spark.operators import stats as stats_ops
 from jsonschema_validator_spark.operators import uniqueness as uniq_ops
 
 VIOLATION_SCHEMA = "conv_id string, turn_idx int, column string, keyword string, message string, path string, day string"
+VERDICT_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.StringType()),
+        T.StructField("check", T.StringType()),
+        T.StructField("pass", T.BooleanType()),
+        T.StructField("violation_count", T.LongType()),
+        T.StructField("rows_checked", T.LongType()),
+        T.StructField("metrics", T.MapType(T.StringType(), T.DoubleType())),
+    ]
+)
 DATASET_CHECKS = {"unique", "referential_root", "referential", "ordering", "drift", "stats"}
 
 
@@ -78,6 +88,8 @@ class CheckSuite:
         self.partition_by = spec.get("partition_by", "day")
         self.keys = spec.get("keys", ["conv_id", "turn_idx"])
         self._checks: list[CheckExpr] | None = None
+        self._flag_memo: dict[str, list] = {}
+        self._expr_memo: dict[tuple, object] = {}
         for d in spec.get("dataset", []):
             if d.get("check") not in DATASET_CHECKS:
                 raise MalformedSchemaError("#/dataset", str(d.get("check")), "unknown dataset check")
@@ -116,57 +128,336 @@ class CheckSuite:
 
     # -- fused row-check flags -------------------------------------------
     def _flag_cols(self, df: DataFrame) -> list[tuple[CheckExpr, object]]:
-        acc = RowAccessor(df.schema)
-        return [(ce, ce.gated(acc)) for ce in self._checks]
+        """Compiled flag Columns, memoized by input schema: Column
+        expressions are unresolved and depend only on the schema, so the
+        (driver-serial, py4j-heavy) construction happens once per schema —
+        the reference's compile-once / validate-many contract
+        (/root/reference/src/types/scope_builder.rs:43-54)."""
+        key = df.schema.json()
+        cached = self._flag_memo.get(key)
+        if cached is None:
+            acc = RowAccessor(df.schema)
+            cached = [(ce, ce.gated(acc)) for ce in self._checks]
+            self._flag_memo[key] = cached
+        return cached
 
     @staticmethod
     def _check_name(ce: CheckExpr) -> str:
         return f"{ce.keyword}@{ce.path}"
 
     # -- dual API ----------------------------------------------------------
-    def verdicts(self, df: DataFrame) -> DataFrame:
+    def verdicts(self, df: DataFrame, fused: bool = True) -> DataFrame:
         """Per-partition verdict rows: (day, check, pass, violation_count,
-        rows_checked, metrics). One fused scan+agg for all row checks;
-        dataset checks contribute their own (also single-pass) jobs."""
+        rows_checked, metrics).
+
+        fused=True (default) is the scale plan (SURVEY.md §4.1/§4.2): the
+        whole suite runs as TWO passes over the input —
+
+        - pass A: ONE scan computing every row-check flag, the drift
+          bucket, and all stats partials in a single
+          groupBy(partition, bucket); flags/drift/stats verdicts all
+          derive from that tiny day x bucket relation (Catalyst's
+          ReuseExchange runs the scan + shuffle once for all branches).
+          Distinct counts stay decomposable via hll_sketch_agg /
+          hll_union_agg (mergeable HLL sketches, unlike
+          approx_count_distinct whose final estimate can't re-merge).
+        - pass B: ONE window over (group ORDER BY order) — a single
+          shuffle of the key columns, no text — computing uniqueness,
+          referential-root and ordering flags per row, then one
+          day-level aggregate.
+
+        Checks whose spec shape can't fuse (drift without fixed lo/hi
+        bounds, unique on columns unrelated to the ordering key) fall
+        back to their standalone single-pass jobs. fused=False forces the
+        one-job-per-check legacy path (kept for parity testing)."""
         self._require_built()
-        part = self.partition_by
-        out: list[DataFrame] = []
-
-        flags = self._flag_cols(df)
-        if flags:
-            sel = df.select(
-                F.col(part),
-                *[(~c).cast("long").alias(f"f{i}") for i, (_, c) in enumerate(flags)],
-            )
-            agg = sel.groupBy(part).agg(
-                F.count(F.lit(1)).alias("rows_checked"),
-                *[F.sum(f"f{i}").alias(self._check_name(ce)) for i, (ce, _) in enumerate(flags)],
-            )
-            long = agg.unpivot(
-                ids=[part, "rows_checked"],
-                values=[self._check_name(ce) for ce, _ in flags],
-                variableColumnName="check",
-                valueColumnName="violation_count",
-            )
-            out.append(
-                long.select(
-                    F.col(part).alias("day"),
-                    "check",
-                    (F.col("violation_count") == 0).alias("pass"),
-                    "violation_count",
-                    "rows_checked",
-                    F.lit(None).cast("map<string,double>").alias("metrics"),
-                )
-            )
-
-        for d in self.spec.get("dataset", []):
-            out.append(self._dataset_verdicts(df, d))
+        out = self._fused_verdicts(df) if fused else self._legacy_verdicts(df)
         if not out:
             raise UninitialisedPlanError("empty check suite")
         res = out[0]
         for o in out[1:]:
             res = res.unionByName(o)
         return res
+
+    def _legacy_verdicts(self, df: DataFrame) -> list[DataFrame]:
+        part = self.partition_by
+        out: list[DataFrame] = []
+        flags = self._flag_cols(df)
+        if flags:
+            out.append(self._flag_verdict_rows(df, flags))
+        for d in self.spec.get("dataset", []):
+            out.append(self._dataset_verdicts(df, d))
+        return out
+
+    def _flag_verdict_rows(self, df: DataFrame, flags) -> DataFrame:
+        part = self.partition_by
+        sel = df.select(
+            F.col(part),
+            *[(~c).cast("long").alias(f"f{i}") for i, (_, c) in enumerate(flags)],
+        )
+        agg = sel.groupBy(part).agg(
+            F.count(F.lit(1)).alias("rows_checked"),
+            *[F.sum(f"f{i}").alias(self._check_name(ce)) for i, (ce, _) in enumerate(flags)],
+        )
+        return self._unpivot_flag_agg(agg, flags)
+
+    def _unpivot_flag_agg(self, agg: DataFrame, flags) -> DataFrame:
+        part = self.partition_by
+        long = agg.unpivot(
+            ids=[part, "rows_checked"],
+            values=[self._check_name(ce) for ce, _ in flags],
+            variableColumnName="check",
+            valueColumnName="violation_count",
+        )
+        return long.select(
+            F.col(part).alias("day"),
+            "check",
+            (F.col("violation_count") == 0).alias("pass"),
+            "violation_count",
+            "rows_checked",
+            F.lit(None).cast("map<string,double>").alias("metrics"),
+        )
+
+    # -- fused two-pass plan ------------------------------------------------
+    def _fused_verdicts(self, df: DataFrame) -> list[DataFrame]:
+        part = self.partition_by
+        dataset = list(self.spec.get("dataset", []))
+        out: list[DataFrame] = []
+        fused: set[int] = set()
+
+        # --- select what pass A / pass B can absorb -----------------------
+        drift_is = [
+            i
+            for i, d in enumerate(dataset)
+            if d["check"] == "drift"
+            and d.get("lo") is not None
+            and d.get("hi") is not None
+            and d.get("baseline") is None
+        ]
+        driftA = dataset[drift_is[0]] if len(drift_is) == 1 else None
+        stats_is = [i for i, d in enumerate(dataset) if d["check"] == "stats"]
+        statsA = dataset[stats_is[0]] if len(stats_is) == 1 else None
+
+        # key checks sharing one (group, order) pair -> pass B
+        def key_of(d: dict) -> tuple[str, str] | None:
+            if d["check"] == "unique":
+                cols = d["columns"]
+                return (cols[0], cols[1]) if len(cols) == 2 else None
+            if d["check"] in ("referential_root", "ordering"):
+                return (d.get("group", "conv_id"), d.get("order", "turn_idx"))
+            return None
+
+        key_groups: dict[tuple[str, str], list[int]] = {}
+        for i, d in enumerate(dataset):
+            k = key_of(d)
+            if k is not None:
+                key_groups.setdefault(k, []).append(i)
+
+        # --- run pass A and the pass B jobs concurrently ------------------
+        # (independent scans: A reads payload columns, B only key columns;
+        # overlapping them fills scheduler bubbles at high core counts)
+        from concurrent.futures import ThreadPoolExecutor
+
+        flags = self._flag_cols(df)
+        tasks = []
+        if flags or driftA is not None or statsA is not None:
+            tasks.append(lambda: self._pass_a(df, flags, driftA, statsA))
+            if driftA is not None:
+                fused.add(drift_is[0])
+            if statsA is not None:
+                fused.add(stats_is[0])
+        for (g, o), idxs in key_groups.items():
+            tasks.append(
+                lambda g=g, o=o, idxs=idxs: self._pass_b(
+                    df, g, o, [dataset[i] for i in idxs]
+                )
+            )
+            fused.update(idxs)
+
+        local_rows: list[tuple] = []
+        if tasks:
+            with ThreadPoolExecutor(len(tasks)) as ex:
+                for rows in ex.map(lambda t: t(), tasks):
+                    local_rows.extend(rows)
+            out.append(
+                df.sparkSession.createDataFrame(local_rows, schema=VERDICT_ROW_SCHEMA)
+            )
+
+        # --- anything not fusable keeps its standalone job ----------------
+        for i, d in enumerate(dataset):
+            if i not in fused:
+                out.append(self._dataset_verdicts(df, d))
+        return out
+
+    def _pass_a(self, df: DataFrame, flags, driftA: dict | None, statsA: dict | None) -> list[tuple]:
+        """One heavy scan: flags + drift bucket + stats partials aggregated
+        by (partition, bucket) in ONE distributed job. The day-level merge
+        is collected to the driver (O(partitions) wide rows, plus an
+        O(partitions x buckets) count histogram for drift) and shaped into
+        verdict row tuples in plain Python — the many tiny consumer
+        branches each cost zero Spark stages this way. Why not leave the
+        branches distributed: Catalyst's per-branch column pruning
+        specializes each consumer's partial agg, exchanges stop being
+        equal, ReuseExchange never fires, and the heavy scan runs once PER
+        CONSUMER (measured: 12 parquet scans for this suite). HLL sketches
+        are merged distributed (hll_union_agg) BEFORE the collect, so only
+        final estimates reach the driver."""
+        part = self.partition_by
+        buckets = int(driftA.get("buckets", 20)) if driftA is not None else 0
+
+        # Column construction is driver-serial py4j chatter (~100s of
+        # round trips); memoize by schema — compile-once / run-many
+        memo_key = ("passA", df.schema.json())
+        cached = self._expr_memo.get(memo_key)
+        if cached is None:
+            group_keys = [part]
+            sel_cols = [F.col(part)]
+            if driftA is not None:
+                b = drift_ops.bucketize(
+                    F.expr(driftA.get("value", "length(text)")),
+                    float(driftA["lo"]),
+                    float(driftA["hi"]),
+                    buckets,
+                )
+                sel_cols.append(b.alias("__bucket"))
+                group_keys.append("__bucket")
+
+            sel_cols += [(~c).cast("long").alias(f"f{i}") for i, (_, c) in enumerate(flags)]
+
+            stats_columns: list[str] = []
+            if statsA is not None:
+                stats_columns = statsA.get("columns") or [c for c in df.columns if c != part]
+                sel_cols += [F.col(c) for c in stats_columns]
+
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            aggs += [F.sum(f"f{i}").alias(f"s{i}") for i in range(len(flags))]
+            if statsA is not None:
+                aggs += stats_ops.stats_partial_aggs(df.schema, stats_columns)
+
+            day_aggs = [F.sum("__n").alias("rows_checked")]
+            day_aggs += [F.sum(f"s{i}").alias(f"s{i}") for i in range(len(flags))]
+            if statsA is not None:
+                day_aggs += stats_ops.stats_merge_aggs(df.schema, stats_columns)
+
+            cached = (group_keys, sel_cols, aggs, day_aggs, stats_columns)
+            self._expr_memo[memo_key] = cached
+        group_keys, sel_cols, aggs, day_aggs, stats_columns = cached
+
+        dayb = df.select(*sel_cols).groupBy(*group_keys).agg(*aggs)
+        if driftA is not None:
+            # two consumers (day-level merge + drift histogram): persist
+            # the tiny (partition, bucket) relation so the scan runs once
+            dayb = dayb.persist()
+
+        wide_rows = dayb.groupBy(part).agg(*day_aggs).collect()  # heavy job
+
+        hist_rows = None
+        if driftA is not None:
+            hist_rows = (
+                dayb.filter(F.col("__bucket").isNotNull())
+                .select(part, "__bucket", "__n")
+                .collect()  # reads the persisted relation, no rescan
+            )
+            dayb.unpersist(blocking=False)
+
+        # ---- driver-side shaping (tiny) ----------------------------------
+        out: list[tuple] = []
+        for r in wide_rows:
+            day, rows_checked = r[part], r["rows_checked"]
+            for i, (ce, _) in enumerate(flags):
+                viol = r[f"s{i}"] or 0
+                out.append((day, self._check_name(ce), viol == 0, viol, rows_checked, None))
+            if statsA is not None:
+                by_col: dict[str, dict[str, float | None]] = {c: {} for c in stats_columns}
+                for name, val in r.asDict().items():
+                    if "__" in name:
+                        col, metric = name.split("__", 1)
+                        if col in by_col:
+                            # keep NULL-valued metric keys (matches the
+                            # legacy create_map output for all-null cols)
+                            by_col[col][metric] = None if val is None else float(val)
+                for c in stats_columns:
+                    out.append((day, f"stats:{c}", True, 0, rows_checked, by_col[c]))
+        if driftA is not None:
+            stats = drift_ops.ks_psi_local(
+                [(r[part], r["__bucket"], r["__n"]) for r in hist_rows],
+                buckets,
+                driftA.get("baseline"),
+            )
+            ks_t = driftA.get("ks_threshold", 0.15)
+            psi_t = driftA.get("psi_threshold", 0.2)
+            min_rows = driftA.get("min_rows", 200)
+            label = f"drift({driftA.get('value', 'length(text)')})"
+            for day, (n_rows, ks, psi) in stats.items():
+                ok = bool(n_rows < min_rows or (ks <= ks_t and psi <= psi_t))
+                out.append(
+                    (day, label, ok, 0, n_rows, {"ks_stat": ks, "psi": psi})
+                )
+        return out
+
+    def _pass_b(self, df: DataFrame, g: str, o: str, checks: list[dict]) -> list[tuple]:
+        """One window over (group ORDER BY order) — uniqueness, root
+        presence and ordering flags per row from a single sort-based
+        shuffle of the key columns only (no payload columns move); the
+        O(partitions) day-level aggregate is collected and shaped on the
+        driver."""
+        from pyspark.sql import Window
+
+        part = self.partition_by
+        monotone: list[str] = []
+        for d in checks:
+            if d["check"] == "ordering":
+                monotone = d.get("monotone") or []
+
+        memo_key = ("passB", g, o, tuple(monotone))
+        flag_cols = self._expr_memo.get(memo_key)
+        if flag_cols is None:
+            w = Window.partitionBy(g).orderBy(o)
+            cur = F.col(o)
+            lag_o = F.lag(o).over(w)
+            lead_o = F.lead(o).over(w)
+            first_o = F.first(o, ignorenulls=True).over(w)  # == min: asc order
+
+            dup_member = (lag_o == cur) | (lead_o == cur)
+            ordering_any = (
+                (lag_o.isNotNull() & (cur == lag_o))
+                | (lag_o.isNotNull() & (cur > lag_o + 1))
+                | (lag_o.isNotNull() & (cur < lag_o))
+                | (lag_o.isNull() & (cur != 0))
+            )
+            for c in monotone:
+                lag_c = F.lag(c).over(w)
+                ordering_any = ordering_any | (lag_c.isNotNull() & (F.col(c) < lag_c))
+            root_member = first_o != 0
+            flag_cols = [
+                dup_member.cast("long").alias("__dup"),
+                ordering_any.cast("long").alias("__ord"),
+                root_member.cast("long").alias("__root"),
+            ]
+            self._expr_memo[memo_key] = flag_cols
+
+        perrow = df.select(part, g, o, *monotone).select(F.col(part), *flag_cols)
+        day2 = perrow.groupBy(part).agg(
+            F.count(F.lit(1)).alias("rows_checked"),
+            F.coalesce(F.sum("__dup"), F.lit(0)).alias("__dup"),
+            F.coalesce(F.sum("__ord"), F.lit(0)).alias("__ord"),
+            F.coalesce(F.sum("__root"), F.lit(0)).alias("__root"),
+        ).collect()
+
+        out: list[tuple] = []
+        for d in checks:
+            if d["check"] == "unique":
+                label, flag = f"unique({','.join(d['columns'])})", "__dup"
+            elif d["check"] == "referential_root":
+                label, flag = f"referential_root({g})", "__root"
+            elif d["check"] == "ordering":
+                label, flag = f"ordering({g})", "__ord"
+            else:
+                continue
+            for r in day2:
+                viol = r[flag]
+                out.append((r[part], label, viol == 0, viol, r["rows_checked"], None))
+        return out
 
     def violations(self, df: DataFrame) -> DataFrame:
         """Per-row violation rows — ValidationError analog
@@ -301,54 +592,63 @@ class CheckSuite:
                 baseline_partition=d.get("baseline"),
                 lo=d.get("lo"), hi=d.get("hi"),
             )
-            ks_t = d.get("ks_threshold", 0.15)
-            psi_t = d.get("psi_threshold", 0.2)
-            # abstain (pass) below min_rows: PSI/KS over B buckets are pure
-            # noise when n ~ B (E[PSI] ~ B/n); metrics still reported
-            min_rows = d.get("min_rows", 200)
-            return res.select(
-                F.col("part").alias("day"),
-                F.lit(f"drift({d.get('value', 'length(text)')})").alias("check"),
-                (
-                    (F.col("n_rows") < min_rows)
-                    | ((F.col("ks_stat") <= ks_t) & (F.col("psi") <= psi_t))
-                ).alias("pass"),
-                F.lit(0).cast("long").alias("violation_count"),
-                F.col("n_rows").alias("rows_checked"),
-                F.create_map(
-                    F.lit("ks_stat"), F.col("ks_stat"), F.lit("psi"), F.col("psi")
-                ).alias("metrics"),
-            )
+            return self._drift_verdict_rows(res, d)
 
         if kind == "stats":
-            cols = d.get("columns")
-            wide = stats_ops.column_stats(df, cols, part)
-            metric_cols = [c for c in wide.columns if c not in (part, "rows_checked")]
-            by_col: dict[str, list[str]] = {}
-            for mc in metric_cols:
-                col, metric = mc.split("__", 1)
-                by_col.setdefault(col, []).append(mc)
-            frames = []
-            for col, mcs in by_col.items():
-                kv = []
-                for mc in mcs:
-                    kv += [F.lit(mc.split("__", 1)[1]), F.col(mc)]
-                frames.append(
-                    wide.select(
-                        F.col(part).alias("day"),
-                        F.lit(f"stats:{col}").alias("check"),
-                        F.lit(True).alias("pass"),
-                        F.lit(0).cast("long").alias("violation_count"),
-                        F.col("rows_checked"),
-                        F.create_map(*kv).alias("metrics"),
-                    )
-                )
-            res = frames[0]
-            for fr in frames[1:]:
-                res = res.unionByName(fr)
-            return res
+            wide = stats_ops.column_stats(df, d.get("columns"), part)
+            return self._stats_verdict_rows(wide)
 
         raise MalformedSchemaError("#/dataset", kind, "unknown dataset check")
+
+    def _drift_verdict_rows(self, res: DataFrame, d: dict) -> DataFrame:
+        """Shape ks_psi output (part, n_rows, ks_stat, psi) into verdict rows."""
+        ks_t = d.get("ks_threshold", 0.15)
+        psi_t = d.get("psi_threshold", 0.2)
+        # abstain (pass) below min_rows: PSI/KS over B buckets are pure
+        # noise when n ~ B (E[PSI] ~ B/n); metrics still reported
+        min_rows = d.get("min_rows", 200)
+        return res.select(
+            F.col("part").alias("day"),
+            F.lit(f"drift({d.get('value', 'length(text)')})").alias("check"),
+            (
+                (F.col("n_rows") < min_rows)
+                | ((F.col("ks_stat") <= ks_t) & (F.col("psi") <= psi_t))
+            ).alias("pass"),
+            F.lit(0).cast("long").alias("violation_count"),
+            F.col("n_rows").alias("rows_checked"),
+            F.create_map(
+                F.lit("ks_stat"), F.col("ks_stat"), F.lit("psi"), F.col("psi")
+            ).alias("metrics"),
+        )
+
+    def _stats_verdict_rows(self, wide: DataFrame) -> DataFrame:
+        """Shape a wide per-partition stats row (col__metric columns) into
+        one verdict row per column with a metrics map."""
+        part = self.partition_by
+        metric_cols = [c for c in wide.columns if c not in (part, "rows_checked")]
+        by_col: dict[str, list[str]] = {}
+        for mc in metric_cols:
+            col, metric = mc.split("__", 1)
+            by_col.setdefault(col, []).append(mc)
+        frames = []
+        for col, mcs in by_col.items():
+            kv = []
+            for mc in mcs:
+                kv += [F.lit(mc.split("__", 1)[1]), F.col(mc)]
+            frames.append(
+                wide.select(
+                    F.col(part).alias("day"),
+                    F.lit(f"stats:{col}").alias("check"),
+                    F.lit(True).alias("pass"),
+                    F.lit(0).cast("long").alias("violation_count"),
+                    F.col("rows_checked"),
+                    F.create_map(*kv).alias("metrics"),
+                )
+            )
+        res = frames[0]
+        for fr in frames[1:]:
+            res = res.unionByName(fr)
+        return res
 
     def _dataset_violations(self, df: DataFrame, d: dict) -> DataFrame | None:
         part = self.partition_by
