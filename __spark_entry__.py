@@ -576,6 +576,73 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_dedup_cosine_embeddings(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact brute-force baseline
+    (n_planes=0 disables the LSH pre-filter; the LSH-pre-filtered scale
+    path is exercised rows-only by similarity_lsh_embeddings)."""
+    from jsonschema_validator_spark.operators.similarity import cosine_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=0
+    ).orderBy("id_a", "id_b")
+
+
+_ORACLE_DEDUP_COSINE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_text_quality_documents(spark, sf_dir):
+    """Per-document language-ID + quality score (row-level oracle check:
+    the exact same heuristics re-expressed in SQL)."""
+    from jsonschema_validator_spark.operators.textstats import language_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_pred"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# mean word length over split-on-single-space tokens:
+#   sum(len(tok)) = LENGTH(text) - (#spaces); n_tokens = #spaces + 1
+_ORACLE_TEXT_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+         LENGTH(text) - LENGTH(replace(text, ' ', '')) AS n_spaces,
+         LENGTH(replace(text, ' ', '')) AS token_chars,
+         LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           / GREATEST(LENGTH(text), 1) AS punct_ratio,
+         string_split(LOWER(text), ' ') AS toks
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, punct_ratio,
+         token_chars / GREATEST(n_spaces + 1, 1) AS mwl,
+         LEN(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+         LEN(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS h_en,
+         LEN(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS h_es,
+         LEN(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS h_fr
+  FROM base)
+SELECT doc_id,
+       CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr) THEN 'fr'
+            WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+            WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       ROUND(
+         CASE WHEN LENGTH(text) BETWEEN 20 AND 50000 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN punct_ratio < 0.3 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN mwl BETWEEN 2 AND 15 THEN 0.3 ELSE 0.0 END, 4) AS quality
+FROM scored ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -611,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "multimodal_meta_documents": q_multimodal_meta_documents,
+        "dedup_cosine_embeddings": q_dedup_cosine_embeddings,
+        "text_quality_documents": q_text_quality_documents,
     }
 
 
@@ -637,4 +706,6 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_documents": _ORACLE_TOKEN_STATS,
         "fingerprint_documents": _ORACLE_FINGERPRINT,
         "multimodal_meta_documents": _ORACLE_MULTIMODAL,
+        "dedup_cosine_embeddings": _ORACLE_DEDUP_COSINE,
+        "text_quality_documents": _ORACLE_TEXT_QUALITY,
     }

@@ -130,22 +130,29 @@ def cosine_near_duplicates(
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket pre-filter + exact
-    cosine verify: (id_a, id_b, sim >= threshold)."""
+    """Embedding-cosine near-dup pairs: (id_a, id_b, sim >= threshold).
+
+    n_planes > 0: LSH bucket pre-filter (hamming distance of hyperplane
+    signatures <= max_hamming) + exact cosine verify — the scale path
+    (the pre-filter prunes the quadratic pair space before the exact
+    check; recall depends on n_planes/max_hamming).
+    n_planes = 0: exact brute-force over all pairs — the oracle-checkable
+    baseline for small candidate sets."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        lsh_signature(_as_double(F.col(vec_col)), planes).alias("sig"),
-    )
+    cols = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
+    if n_planes:
+        planes = _hyperplanes(dim, n_planes, seed)
+        cols.append(lsh_signature(_as_double(F.col(vec_col)), planes).alias("sig"))
+    base = df.select(*cols)
     a, b = base.alias("a"), base.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     sim = cosine(F.col("a.v"), F.col("b.v"))
+    joined = a.join(b, F.col("a.id") < F.col("b.id"))
+    if n_planes:
+        ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+        joined = joined.filter(ham <= max_hamming)
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .filter(ham <= max_hamming)
+        joined
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

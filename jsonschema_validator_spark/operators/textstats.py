@@ -70,7 +70,8 @@ def quality_score(text: Column) -> Column:
 
 def language_id(text: Column) -> Column:
     """Stopword-marker language ID: score each language by marker-token
-    hits, pick the argmax (ties -> lexicographically first language).
+    hits, pick the argmax. Ties resolve to the lexicographically LAST
+    language (array_max compares (hits, lang) structs field-by-field).
     Cheap n-gram-free heuristic; 'und' (undetermined) when no marker hits."""
     toks = F.split(F.lower(text), " ")
 
