@@ -103,18 +103,36 @@ def shingles(text: Column, k: int = 5) -> Column:
 
 
 def minhash_signature(sh: Column, n_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature: permutation i is xxhash64(seed+i, shingle) — a
-    fresh independent 64-bit hash per permutation, min-reduced. Avoids
-    modular affine arithmetic entirely (which overflows int64 under ANSI)
-    and stays pure higher-order-function algebra."""
+    """MinHash signature via affine permutations over the Mersenne prime
+    p = 2^31 - 1: permutation i maps shingle hash h to (a_i*(h mod p) +
+    b_i) mod p. Both operands stay < 2^31 so products fit int64 (safe
+    under ANSI arithmetic). Computed in ONE Arrow-vectorized pandas UDF —
+    a numpy broadcast min over (n_hashes x n_shingles) per row — instead
+    of n_hashes interpreted higher-order-function traversals of the
+    shingle array (64 transforms/doc made this the slowest dedup op)."""
+    import numpy as np
+    import pandas as pd
 
-    def perm(i: int):
-        # closure factory: Spark HOF lambdas must take exactly one arg
-        # (default-arg captures change the inspected arity)
-        return lambda x: F.xxhash64(F.lit(seed + i), x)
+    P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+    rs = np.random.RandomState(seed)
+    A = rs.randint(1, P, size=n_hashes).astype(np.int64)
+    B = rs.randint(0, P, size=n_hashes).astype(np.int64)
 
-    mins = [F.array_min(F.transform(sh, perm(i))) for i in range(n_hashes)]
-    return F.array(*mins)
+    def _mh(batch):
+        out = []
+        for h in batch:
+            if h is None or len(h) == 0:
+                out.append(np.full(n_hashes, P, dtype=np.int64))
+                continue
+            hm = np.asarray(h, dtype=np.int64) % P  # numpy %: non-negative
+            sig = ((A[:, None] * hm[None, :]) + B[:, None]) % P
+            out.append(sig.min(axis=1))
+        return pd.Series(out)
+
+    # set real (non-stringified) annotations: `from __future__ import
+    # annotations` turns inline hints into strings pyspark can't resolve
+    _mh.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_mh, "array<long>")(sh)
 
 
 def minhash_lsh_candidates(
