@@ -212,27 +212,31 @@ def minhash_dedup_pairs(
 
 
 def simhash(text: Column, token_k: int = 1) -> Column:
-    """64-bit SimHash over word tokens: per bit, sum +-1 weighted by token
-    presence; bit = sign. Implemented as Column algebra over the token
-    hash array (aggregate over 64 bit positions)."""
+    """63-bit SimHash over word tokens: per bit, sum +-1 weighted by token
+    presence; bit = sign of the sum (bit 63 excluded so the result stays
+    positive in int64). Token hashing (xxhash64) runs JVM-side; the
+    per-bit sign-sums run as one numpy bit-matrix reduction per row in an
+    Arrow-batched pandas UDF — the previous formulation was 63 separate
+    interpreted aggregate() traversals of the token array per row."""
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(63, dtype=np.uint64)
+
+    def _sh(batch):
+        out = np.zeros(len(batch), dtype=np.int64)
+        for r, h in enumerate(batch):
+            if h is None or len(h) == 0:
+                continue
+            hu = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = ((hu[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            sums = (2 * bits - 1).sum(axis=0)  # +-1 vote per token per bit
+            out[r] = int(((sums > 0).astype(np.uint64) << shifts).sum())
+        return pd.Series(out)
+
+    _sh.__annotations__ = {"batch": pd.Series, "return": pd.Series}
     toks = F.transform(_word_tokens(text), lambda w: F.xxhash64(w))
-    bits = [
-        F.when(
-            F.aggregate(
-                toks,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(63)  # bit 63 excluded: keep result positive in int64
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    return F.pandas_udf(_sh, "long")(toks)
 
 
 def simhash_near_duplicates(
