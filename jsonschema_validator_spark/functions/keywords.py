@@ -368,6 +368,10 @@ def _compile_bounds(schema, scope, path) -> list[tuple[str, Factory]]:
         if excl is not None and not isinstance(excl, bool):
             if scope.draft == "draft4":
                 raise MalformedSchemaError(path, "exclusive" + kw, "draft4 requires a boolean")
+            if not isinstance(excl, (int, float)):
+                raise MalformedSchemaError(
+                    path, "exclusive" + kw, "must be a number (draft6+) or boolean (draft4)"
+                )
             lim = float(excl)
             out.append(
                 (
