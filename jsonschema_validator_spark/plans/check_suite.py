@@ -239,17 +239,9 @@ class CheckSuite:
         statsA = dataset[stats_is[0]] if len(stats_is) == 1 else None
 
         # key checks sharing one (group, order) pair -> pass B
-        def key_of(d: dict) -> tuple[str, str] | None:
-            if d["check"] == "unique":
-                cols = d["columns"]
-                return (cols[0], cols[1]) if len(cols) == 2 else None
-            if d["check"] in ("referential_root", "ordering"):
-                return (d.get("group", "conv_id"), d.get("order", "turn_idx"))
-            return None
-
         key_groups: dict[tuple[str, str], list[int]] = {}
         for i, d in enumerate(dataset):
-            k = key_of(d)
+            k = self._fusable_key(d)
             if k is not None:
                 key_groups.setdefault(k, []).append(i)
 
@@ -459,10 +451,18 @@ class CheckSuite:
                 out.append((r[part], label, viol == 0, viol, r["rows_checked"], None))
         return out
 
-    def violations(self, df: DataFrame) -> DataFrame:
+    def violations(self, df: DataFrame, fused: bool = True) -> DataFrame:
         """Per-row violation rows — ValidationError analog
         (validation_error.rs:5-10): (conv_id, turn_idx, column, keyword,
-        message, path, day)."""
+        message, path, day).
+
+        fused=True collapses the unique/referential-root/ordering
+        violation attribution into ONE window pass over (group ORDER BY
+        order) — the same single key-shuffle as the verdict pass B,
+        emitting violation structs instead of counts — replacing three
+        separate scans (composite-key window, orphan agg + broadcast
+        semi join, ordering window). Row flags are one fused select
+        either way."""
         self._require_built()
         part = self.partition_by
         k1, k2 = self.keys
@@ -505,7 +505,22 @@ class CheckSuite:
             )
             out.append(rows)
 
-        for d in self.spec.get("dataset", []):
+        dataset = list(self.spec.get("dataset", []))
+        fused_idx: set[int] = set()
+        if fused:
+            key_groups: dict[tuple[str, str], list[int]] = {}
+            for i, d in enumerate(dataset):
+                k = self._fusable_key(d)
+                if k is not None:
+                    key_groups.setdefault(k, []).append(i)
+            for (g, o), idxs in key_groups.items():
+                out.append(
+                    self._fused_key_violations(df, g, o, [dataset[i] for i in idxs])
+                )
+                fused_idx.update(idxs)
+        for i, d in enumerate(dataset):
+            if i in fused_idx:
+                continue
             v = self._dataset_violations(df, d)
             if v is not None:
                 out.append(v)
@@ -513,6 +528,107 @@ class CheckSuite:
         for o in out[1:]:
             res = res.unionByName(o)
         return res
+
+    @staticmethod
+    def _fusable_key(d: dict) -> tuple[str, str] | None:
+        """(group, order) pair a key check can fuse on, or None."""
+        if d["check"] == "unique":
+            cols = d["columns"]
+            return (cols[0], cols[1]) if len(cols) == 2 else None
+        if d["check"] in ("referential_root", "ordering"):
+            return (d.get("group", "conv_id"), d.get("order", "turn_idx"))
+        return None
+
+    def _fused_key_violations(
+        self, df: DataFrame, g: str, o: str, checks: list[dict]
+    ) -> DataFrame:
+        """One window over (group ORDER BY order) emitting the violation
+        structs for every fused key check — same flags as verdict pass B,
+        same output shape/messages as the per-check legacy paths."""
+        from pyspark.sql import Window
+
+        part = self.partition_by
+        k1, k2 = self.keys
+        monotone: list[str] = []
+        for d in checks:
+            if d["check"] == "ordering":
+                monotone = d.get("monotone") or []
+
+        w = Window.partitionBy(g).orderBy(o)
+        cur = F.col(o)
+        lag_o = F.lag(o).over(w)
+        lead_o = F.lead(o).over(w)
+        first_o = F.first(o, ignorenulls=True).over(w)
+
+        def struct_of(cols: str, keyword: str, message) -> object:
+            return F.struct(
+                F.lit(cols).alias("column"),
+                F.lit(keyword).alias("keyword"),
+                (F.lit(message) if isinstance(message, str) else message).alias("message"),
+                F.lit("#").alias("path"),
+            )
+
+        structs = []
+        for d in checks:
+            if d["check"] == "unique":
+                dup_member = (lag_o == cur) | (lead_o == cur)
+                structs.append(
+                    F.when(
+                        dup_member, struct_of(",".join(d["columns"]), "unique", "duplicate key")
+                    )
+                )
+            elif d["check"] == "referential_root":
+                structs.append(
+                    F.when(
+                        first_o != 0,
+                        struct_of(
+                            ",".join(d.get("columns", [k1, k2])),
+                            "referential",
+                            "conversation has no root turn",
+                        ),
+                    )
+                )
+            elif d["check"] == "ordering":
+                issues = [
+                    F.when(lag_o.isNotNull() & (cur == lag_o), F.lit("duplicate_order")),
+                    F.when(lag_o.isNotNull() & (cur > lag_o + 1), F.lit("gap")),
+                    F.when(lag_o.isNotNull() & (cur < lag_o), F.lit("inversion")),
+                    F.when(lag_o.isNull() & (cur != 0), F.lit("missing_root")),
+                ]
+                for c in monotone:
+                    lag_c = F.lag(c).over(w)
+                    issues.append(
+                        F.when(lag_c.isNotNull() & (F.col(c) < lag_c), F.lit(f"{c}_inversion"))
+                    )
+                issue = F.array_join(F.array_compact(F.array(*issues)), ",")
+                structs.append(
+                    F.when(
+                        F.size(F.array_compact(F.array(*issues))) > 0,
+                        struct_of(",".join(d.get("columns", [k1, k2])), "ordering", issue),
+                    )
+                )
+
+        needed = list(dict.fromkeys([part, g, o, *monotone, k1, k2]))
+        return (
+            df.select(*needed)
+            .select(
+                F.col(k1).alias("conv_id"),
+                F.col(k2).cast("int").alias("turn_idx"),
+                F.col(part).alias("day"),
+                F.array_compact(F.array(*structs)).alias("v"),
+            )
+            .filter(F.size("v") > 0)
+            .select("conv_id", "turn_idx", F.explode("v").alias("e"), "day")
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.col("e.column").alias("column"),
+                F.col("e.keyword").alias("keyword"),
+                F.col("e.message").alias("message"),
+                F.col("e.path").alias("path"),
+                "day",
+            )
+        )
 
     def run(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         return self.verdicts(df), self.violations(df)

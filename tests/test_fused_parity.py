@@ -14,6 +14,20 @@ from jsonschema_validator_spark.specs import transcripts_spec
 
 
 @pytest.mark.parametrize("dirty", [False, True])
+def test_fused_violations_match_legacy(spark, dirty):
+    fx = generate_transcripts("tiny", dirty=dirty)
+    df = spark.createDataFrame(fx.table.to_pandas()).cache()
+    suite = CheckSuite(transcripts_spec()).build()
+
+    def key(r):
+        return (r.conv_id, r.turn_idx, r.column, r.keyword, r.message, r.path, r.day)
+
+    legacy = sorted(key(r) for r in suite.violations(df, fused=False).collect())
+    fused = sorted(key(r) for r in suite.violations(df, fused=True).collect())
+    assert legacy == fused, (len(legacy), len(fused))
+
+
+@pytest.mark.parametrize("dirty", [False, True])
 def test_fused_matches_legacy(spark, dirty):
     fx = generate_transcripts("tiny", dirty=dirty)
     df = spark.createDataFrame(fx.table.to_pandas()).cache()
