@@ -31,6 +31,7 @@ CORPUS_DIR = Path(__file__).parent / "corpus"
 DRAFT_OF_FILE = {
     "draft4_core.json": "draft4",
     "draft6_draft7.json": "draft7",
+    "draft_ref_bool.json": "draft7",
 }
 
 
