@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local `python scripts/run_checks.py` convenience: the package ships via
+# --py-files on a cluster, but a direct invocation needs the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
