@@ -1,0 +1,105 @@
+"""Structured Streaming surface for the validation engine.
+
+The reference is a one-shot batch library (no streaming anywhere in
+/root/reference/src — SURVEY.md §2.5), and the north rule's resume
+requirement is met by the batch CheckpointedRunner. This module is the
+engine's incremental-ingest story on top of that: validate transcript
+micro-batches as they land, with Spark's streaming checkpoint giving
+exactly-once sink semantics.
+
+Design choices (idiomatic Structured Streaming, SURVEY.md §2.5 row):
+
+- ``stream_validate``: readStream (file source) -> ``foreachBatch``
+  that reuses the COMPILED batch CheckSuite per micro-batch. foreachBatch
+  is the right tool because the suite's dataset checks (uniqueness,
+  ordering) are full-relation operators per batch, not incremental
+  row-maps; the streaming checkpoint makes batch replay idempotent.
+- ``streaming_enum_rate``: a genuinely incremental check — per-window
+  enum-violation rates via watermarked windowed aggregation (late data
+  handled by the watermark, not by reprocessing).
+- ``streaming_dedup``: exact key dedup inside the watermark horizon via
+  ``dropDuplicatesWithinWatermark`` — the streaming analog of the
+  unique(conv_id, turn_idx) batch check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.plans.check_suite import CheckSuite
+
+
+def stream_validate(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    suite: CheckSuite,
+    output_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Validate transcript files as they arrive: every micro-batch runs
+    the compiled suite and appends verdicts + violations parquet under
+    ``output_dir``. Returns the StreamingQuery (caller awaits it).
+
+    The streaming checkpoint (offsets + sink commit log) lives under
+    ``output_dir/_checkpoint`` — a killed query resumes at the failed
+    micro-batch, the streaming analog of the batch manifest resume."""
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts = suite.verdicts(batch_df).withColumn("batch_id", F.lit(batch_id))
+        verdicts.write.mode("append").parquet(f"{output_dir}/verdicts")
+        violations = suite.violations(batch_df).withColumn("batch_id", F.lit(batch_id))
+        violations.write.mode("append").parquet(f"{output_dir}/violations")
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_enum_rate(
+    stream_df: DataFrame,
+    column: str,
+    allowed: list[str],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed enum-violation rate: (window, n_rows,
+    n_violations, violation_rate). Late rows inside the watermark update
+    their window; older ones are dropped — bounded state at any scale."""
+    bad = (~F.col(column).isin(allowed)) & F.col(column).isNotNull()
+    # watermarks require TIMESTAMP (parquet written without a timezone
+    # reads back as TIMESTAMP_NTZ; interpret it in the session timezone)
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(bad.cast("long")).alias("n_violations"),
+        )
+        .withColumn("violation_rate", F.col("n_violations") / F.col("n_rows"))
+    )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on the composite key within the watermark
+    horizon (state is bounded by the watermark; exact global dedup over
+    an unbounded stream is impossible with bounded state)."""
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys + [ts_col]
+    )
