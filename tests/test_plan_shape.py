@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the properties that make the engine
+viable at 100 TB are plan shapes, not results — pin them.
+
+- column pruning: pass B reads ONLY key columns from parquet
+  (ReadSchema must not contain text), and a projection query's scan
+  must not read unused columns;
+- predicate pushdown: filters reach the parquet scan (PushedFilters);
+- scan multiplicity: the fused violations plan scans the input once
+  per pass, not once per check;
+- whole-stage codegen: the fused flag select stays inside a codegen
+  region (no interpreted row path in the hot loop).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_validator_spark.plans import CheckSuite
+from jsonschema_validator_spark.specs import transcripts_spec
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.filter(F.col("event_type") == "click").select("event_id")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in p, p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "value" not in m.group(1) and "props" not in m.group(1), m.group(0)
+
+
+def test_violations_scan_count_and_pruning(spark, tmp_path):
+    # write the transcripts-shaped fixture as parquet so scans are real
+    from jsonschema_validator_spark.fixtures import generate_transcripts
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(generate_transcripts("tiny", dirty=True).table, f)
+    df = spark.read.parquet(f)
+    suite = CheckSuite(transcripts_spec()).build()
+
+    p = plan_of(suite.violations(df))
+    scans = p.count("Scan parquet")
+    # one scan for the fused row flags + one for the fused key-window
+    # pass (non-fused specs would add more) — NOT one per check
+    assert scans == 2, f"expected 2 scans, got {scans}"
+
+    # the key-window scan must not read the text payload: exactly one of
+    # the two ReadSchemas contains `text`
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", p)
+    with_text = [s for s in schemas if "text" in s]
+    assert len(schemas) == 2 and len(with_text) == 1, schemas
+
+
+def test_fused_flag_select_in_codegen(spark, tmp_path):
+    from jsonschema_validator_spark.fixtures import generate_transcripts
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "t2.parquet")
+    pq.write_table(generate_transcripts("tiny", dirty=False).table, f)
+    df = spark.read.parquet(f)
+    suite = CheckSuite(transcripts_spec()).build()
+    flags = suite._flag_cols(df)
+    sel = df.select(*[(~c).cast("long").alias(f"f{i}") for i, (_, c) in enumerate(flags)])
+    p = plan_of(sel)
+    # `*(n)` prefixes mark whole-stage-codegen regions in executedPlan
+    # toString (the formatted explain spells out WholeStageCodegen)
+    assert re.search(r"\*\(\d+\) Project", p), p
+    # statically-true checks (e.g. `type` on schema-typed columns) must
+    # constant-fold to literals, not evaluate per row
+    assert re.search(r"\b0 AS f\d+", p), p
