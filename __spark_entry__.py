@@ -643,6 +643,40 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_row_parity_documents(spark, sf_dir):
+    """Row-level parity invariant (BASELINE.json input_hint: per-turn
+    text equality under stable key ordering), demonstrated against a
+    deterministically perturbed copy of documents: every ~97th doc gets
+    a corrupted text, every ~89th is dropped."""
+    from jsonschema_validator_spark.operators.parity import row_parity
+
+    docs = _t(spark, sf_dir, "documents")
+    pert = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit("X"))).otherwise(
+            F.col("text")
+        ),
+    ).filter(F.col("doc_id") % 89 != 0)
+    return row_parity(docs, pert, ["doc_id"], ["text"]).orderBy("doc_id")
+
+
+_ORACLE_ROW_PARITY = """
+WITH l AS (SELECT doc_id, text FROM documents),
+r AS (SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN text || 'X' ELSE text END AS text
+      FROM documents WHERE doc_id % 89 <> 0)
+SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+       CASE WHEN l.doc_id IS NULL THEN 'right_only'
+            WHEN r.doc_id IS NULL THEN 'left_only'
+            WHEN l.text = r.text THEN 'ok'
+            ELSE 'differs' END AS status,
+       CASE WHEN l.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+                 AND l.text <> r.text THEN 'text' ELSE '' END AS differing_columns
+FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -680,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta_documents": q_multimodal_meta_documents,
         "dedup_cosine_embeddings": q_dedup_cosine_embeddings,
         "text_quality_documents": q_text_quality_documents,
+        "row_parity_documents": q_row_parity_documents,
     }
 
 
@@ -708,4 +743,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta_documents": _ORACLE_MULTIMODAL,
         "dedup_cosine_embeddings": _ORACLE_DEDUP_COSINE,
         "text_quality_documents": _ORACLE_TEXT_QUALITY,
+        "row_parity_documents": _ORACLE_ROW_PARITY,
     }

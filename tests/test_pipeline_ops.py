@@ -158,3 +158,36 @@ def test_audio_stub_raises(spark, docs):
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     with pytest.raises(NotImplementedError):
         decode_audio(blobs, "doc_id", "payload")
+
+
+def test_row_parity_invariant(spark):
+    """input_hint row-level invariant: per-turn text equality under
+    (conv_id, turn_idx). Clean vs clean is all-ok; clean vs dirty
+    surfaces exactly the injected text/key corruptions."""
+    from jsonschema_validator_spark.fixtures import generate_transcripts
+    from jsonschema_validator_spark.operators.parity import parity_summary, row_parity
+
+    clean = spark.createDataFrame(generate_transcripts("tiny", dirty=False).table.to_pandas())
+    dirty_fx = generate_transcripts("tiny", dirty=True)
+    # drop duplicate keys (V1) — row_parity assumes unique keys per side
+    dirty = (
+        spark.createDataFrame(dirty_fx.table.to_pandas())
+        .dropDuplicates(["conv_id", "turn_idx"])
+    )
+
+    same = row_parity(clean, clean, ["conv_id", "turn_idx"], ["text", "role", "tool"])
+    stat = {r.status: r.n for r in parity_summary(same).collect()}
+    assert set(stat) == {"ok"}, stat
+
+    par = row_parity(clean, dirty, ["conv_id", "turn_idx"], ["text"])
+    bad = {(r.conv_id, r.turn_idx) for r in par.filter(par.status != "ok").collect()}
+    assert bad, "injected corruption not detected"
+    # every text-affecting injection at an existing key must surface
+    exp = dirty_fx.expected_violations.to_pandas()
+    text_edits = exp[exp.column.isin(["text"])]
+    missing = [
+        (r.conv_id, int(r.turn_idx))
+        for _, r in text_edits.iterrows()
+        if (r.conv_id, int(r.turn_idx)) not in bad
+    ]
+    assert not missing, missing
