@@ -96,3 +96,55 @@ def test_streaming_dedup(spark, landed, tmp_path):
     # exact copies (same ts) collapse; the fixture's V1 duplicates are
     # exact copies of their source rows
     assert got.count() == batch.dropDuplicates(["conv_id", "turn_idx", "ts"]).count()
+
+
+def test_conversation_completeness_stateful(spark, tmp_path):
+    """applyInPandasWithState: a conversation emits ONE completeness
+    verdict once it has been idle past the timeout by event time."""
+    import pyarrow as pa
+    import numpy as np
+
+    from jsonschema_validator_spark.streaming.stateful import conversation_completeness
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+                "ts": pa.array([base + np.timedelta64(r[2], "s") for r in rows]),
+            }
+        )
+
+    # file 1: conv A dense with root; conv B missing root (starts at 1)
+    pq.write_table(tbl([("A", 0, 0), ("A", 1, 10), ("A", 2, 20), ("B", 1, 5), ("B", 3, 15)]),
+                   f"{d}/f1.parquet")
+    # file 2: a far-future row pushes the watermark past A/B + idle
+    pq.write_table(tbl([("Z", 0, 10 * 86400)]), f"{d}/f2.parquet")
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        conversation_completeness(stream, idle_timeout="1 hour", watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    assert "A" in got and "B" in got, got.keys()
+    a, b = got["A"], got["B"]
+    assert a.n_turns == 3 and a.has_root and a.dense
+    assert b.n_turns == 2 and not b.has_root and not b.dense
+    assert "Z" not in got  # still in flight — no verdict yet
