@@ -520,6 +520,17 @@ def q_similarity_lsh_embeddings(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_similarity_ivf_embeddings(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: approximate by design;
+    recall is pinned by tests on clustered data)."""
+    from jsonschema_validator_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", query_ids=[0, 1, 2], k=5, n_centroids=16, n_probe=6
+    ).orderBy("query_id", "rank")
+
+
 def q_token_stats_documents(spark, sf_dir):
     from jsonschema_validator_spark.operators.textstats import token_count
 
@@ -709,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_documents": q_dedup_simhash_documents,
         "similarity_topk_embeddings": q_similarity_topk_embeddings,
         "similarity_lsh_embeddings": q_similarity_lsh_embeddings,
+        "similarity_ivf_embeddings": q_similarity_ivf_embeddings,
         "token_stats_documents": q_token_stats_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "multimodal_meta_documents": q_multimodal_meta_documents,

@@ -120,6 +120,100 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path alongside lsh_topk:
+
+    1. train: seeded mini k-means on a deterministic corpus sample
+       (driver-side numpy — the sample is small and the centroid set is
+       the broadcast-able "index");
+    2. assign: every corpus vector gets its nearest-centroid cell via a
+       broadcast + numpy matmul mapInPandas (one BLAS call per Arrow
+       batch — the same vectorization as _exact_near_duplicates);
+    3. probe: each query scores only the cells of its n_probe nearest
+       centroids — the probed corpus fraction is ~ n_probe/n_centroids.
+
+    Deterministic for a fixed seed. Same output schema as
+    brute_force_topk: (query_id, rank, neighbor_id, sim)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    # -- 1. train a coarse quantizer on a deterministic sample ----------
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)), F.col(id_col))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(Xn))
+    C = Xn[rs.choice(len(Xn), size=n_centroids, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)  # spherical k-means (cosine)
+        for j in range(n_centroids):
+            m = Xn[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    # -- 2. assign corpus vectors to cells ------------------------------
+    def assign_cells(batches):
+        cent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf["ce"]], dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmax(Vn @ cent.T, axis=1).astype(np.int32)
+            yield pdf
+
+    src = df.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce"))
+    assigned = src.mapInPandas(
+        assign_cells, schema=f"neighbor_id {id_type}, ce array<double>, cell int"
+    )
+
+    # -- 3. probe: queries x their n_probe nearest cells ----------------
+    q_rows = df.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(list(r[1]), dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        cells = np.argsort(-(C @ qn))[: min(n_probe, n_centroids)]
+        probes += [(r[0], list(map(float, qv)), int(c)) for c in cells]
+    probe_df = df.sparkSession.createDataFrame(
+        probes, schema=f"query_id {id_type}, qe array<double>, cell int"
+    )
+
+    sims = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     id_col: str,

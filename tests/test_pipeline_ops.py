@@ -191,3 +191,34 @@ def test_row_parity_invariant(spark):
         if (r.conv_id, int(r.turn_idx)) not in bad
     ]
     assert not missing, missing
+
+
+def test_ivf_topk_recall_on_blobs(spark):
+    """IVF must recover brute-force neighbors on clustered data: 4
+    Gaussian blobs, 200 vectors; recall@5 >= 0.9 with 8 centroids /
+    2 probes (each blob maps to ~2 centroids)."""
+    import numpy as np
+
+    from jsonschema_validator_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rs = np.random.RandomState(0)
+    centers = rs.randn(4, 16) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rs.randn(16) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    qids = [0, 1, 2, 3]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(df, "vec_id", "embedding", qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            df, "vec_id", "embedding", qids, k=5, n_centroids=8, n_probe=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
