@@ -611,13 +611,14 @@ ORDER BY id_a, id_b
 def q_text_quality_documents(spark, sf_dir):
     """Per-document language-ID + quality score (row-level oracle check:
     the exact same heuristics re-expressed in SQL)."""
-    from jsonschema_validator_spark.operators.textstats import language_id, quality_score
+    from jsonschema_validator_spark.operators.textstats import text_profile
 
     docs = _t(spark, sf_dir, "documents")
+    p = text_profile(F.col("text"))
     return docs.select(
         "doc_id",
-        language_id(F.col("text")).alias("lang_pred"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        p["lang_pred"].alias("lang_pred"),
+        F.round(p["quality"], 4).alias("quality"),
     ).orderBy("doc_id")
 
 

@@ -222,3 +222,32 @@ def test_ivf_topk_recall_on_blobs(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_text_profile_matches_columns(spark):
+    """The vectorized text_profile must equal the Column-algebra
+    language_id + quality_score exactly, including NULL text and ties."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.textstats import (
+        language_id,
+        quality_score,
+        text_profile,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "le the"), (9004, "x " * 30)],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    got = df.select(
+        "doc_id",
+        text_profile(F.col("text")).alias("p"),
+        language_id(F.col("text")).alias("lang_col"),
+        F.round(quality_score(F.col("text")), 9).alias("q_col"),
+    ).collect()
+    for r in got:
+        assert r.p.lang_pred == r.lang_col, (r.doc_id, r.p, r.lang_col)
+        pq_ = None if r.p.quality is None else round(r.p.quality, 9)
+        assert pq_ == r.q_col, (r.doc_id, r.p.quality, r.q_col)
