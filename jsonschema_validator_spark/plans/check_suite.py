@@ -451,7 +451,9 @@ class CheckSuite:
                 out.append((r[part], label, viol == 0, viol, r["rows_checked"], None))
         return out
 
-    def violations(self, df: DataFrame, fused: bool = True) -> DataFrame:
+    def violations(
+        self, df: DataFrame, fused: bool = True, sample_per_check: int | None = None
+    ) -> DataFrame:
         """Per-row violation rows — ValidationError analog
         (validation_error.rs:5-10): (conv_id, turn_idx, column, keyword,
         message, path, day).
@@ -462,7 +464,15 @@ class CheckSuite:
         emitting violation structs instead of counts — replacing three
         separate scans (composite-key window, orphan agg + broadcast
         semi join, ordering window). Row flags are one fused select
-        either way."""
+        either way.
+
+        sample_per_check caps the output at N example rows per
+        (day, check-keyword) via a deterministic hash ranking — at
+        10^12 turns a pathological input (e.g. a wrong enum list) can
+        make the violations relation as large as the table; verdicts
+        carry the exact counts, so violation rows are evidence, not the
+        tally (the reference's lazy-error-iterator intent,
+        /root/reference/README.md:26)."""
         self._require_built()
         part = self.partition_by
         k1, k2 = self.keys
@@ -527,6 +537,17 @@ class CheckSuite:
         res = out[0]
         for o in out[1:]:
             res = res.unionByName(o)
+        if sample_per_check is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("day", "keyword").orderBy(
+                F.xxhash64("conv_id", "turn_idx", "path"), F.col("conv_id")
+            )
+            res = (
+                res.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= sample_per_check)
+                .drop("__rn")
+            )
         return res
 
     @staticmethod

@@ -110,3 +110,19 @@ def test_stats_metrics_present(clean_df, suite):
     m = v.metrics
     assert m["null_rate"] == 0.0
     assert m["len_min"] >= 1 and m["len_max"] <= 8000 + 20
+
+
+def test_violation_sampling_cap(dirty, suite):
+    """sample_per_check caps rows per (day, keyword) deterministically;
+    the sampled set is a subset of the full violations."""
+    df, _ = dirty
+    full = {tuple(r) for r in suite.violations(df).collect()}
+    capped = suite.violations(df, sample_per_check=2)
+    rows = capped.collect()
+    assert {tuple(r) for r in rows} <= full
+    from collections import Counter
+
+    per = Counter((r.day, r.keyword) for r in rows)
+    assert max(per.values()) <= 2
+    # deterministic: same sample on re-evaluation
+    assert {tuple(r) for r in capped.collect()} == {tuple(r) for r in rows}
