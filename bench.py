@@ -41,8 +41,10 @@ def main() -> None:
     )
     qs = entry_mod.queries()
 
-    # warm-up (JIT/codegen/classloading) — not timed
+    # warm-up (JIT/codegen/classloading + Python UDF worker spawn) — not
+    # timed: one JVM-heavy query and one Arrow/pandas-UDF query
     run_query(qs["keyword_verdicts_events"], spark, sf_dir)
+    run_query(qs["dedup_minhash_documents"], spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
