@@ -244,6 +244,14 @@ def _applies(acc: JsonAccessor, tags: set[str], inner: Column) -> Column:
 
 
 def _compile_type(schema, scope, path) -> Optional[Factory]:
+    """`type` membership (type_.rs:47-114) with corpus semantics
+    number ⊇ integer (SURVEY.md §1.4, NOT the reference's exact match).
+
+    Documented deviation: `integer` accepts integral floats (1.0) under
+    EVERY draft, i.e. draft6+ semantics. Draft4's lexical rule ("1.0 is
+    not an integer") is unimplementable on the variant path — Spark's
+    variant canonicalizes `parse_json('1.0')` to the integer 1, so the
+    lexical form is gone before any predicate runs."""
     spec = schema.get("type")
     if spec is None:
         return None
