@@ -93,6 +93,12 @@ class CheckSuite:
         for d in spec.get("dataset", []):
             if d.get("check") not in DATASET_CHECKS:
                 raise MalformedSchemaError("#/dataset", str(d.get("check")), "unknown dataset check")
+            if d.get("check") == "referential":
+                # compile-time shape errors, never runtime (SURVEY §1.3.5)
+                if not d.get("columns"):
+                    raise MalformedSchemaError("#/dataset", "referential", "requires 'columns'")
+                if not d.get("parent"):
+                    raise MalformedSchemaError("#/dataset", "referential", "requires 'parent'")
 
     # -- lineage ---------------------------------------------------------
     @property
@@ -146,7 +152,9 @@ class CheckSuite:
         return f"{ce.keyword}@{ce.path}"
 
     # -- dual API ----------------------------------------------------------
-    def verdicts(self, df: DataFrame, fused: bool = True) -> DataFrame:
+    def verdicts(
+        self, df: DataFrame, fused: bool = True, refs: dict | None = None
+    ) -> DataFrame:
         """Per-partition verdict rows: (day, check, pass, violation_count,
         rows_checked, metrics).
 
@@ -169,9 +177,16 @@ class CheckSuite:
         Checks whose spec shape can't fuse (drift without fixed lo/hi
         bounds, unique on columns unrelated to the ordering key) fall
         back to their standalone single-pass jobs. fused=False forces the
-        one-job-per-check legacy path (kept for parity testing)."""
+        one-job-per-check legacy path (kept for parity testing).
+
+        refs: name -> DataFrame for cross-table checks (the
+        `referential` dataset check's parent side); a parent not found
+        in refs is treated as a table reference for sources.read_table
+        (e.g. 'parquet:/path' or 'iceberg:cat.db.tbl')."""
         self._require_built()
-        out = self._fused_verdicts(df) if fused else self._legacy_verdicts(df)
+        out = (
+            self._fused_verdicts(df, refs) if fused else self._legacy_verdicts(df, refs)
+        )
         if not out:
             raise UninitialisedPlanError("empty check suite")
         res = out[0]
@@ -179,14 +194,14 @@ class CheckSuite:
             res = res.unionByName(o)
         return res
 
-    def _legacy_verdicts(self, df: DataFrame) -> list[DataFrame]:
+    def _legacy_verdicts(self, df: DataFrame, refs: dict | None = None) -> list[DataFrame]:
         part = self.partition_by
         out: list[DataFrame] = []
         flags = self._flag_cols(df)
         if flags:
             out.append(self._flag_verdict_rows(df, flags))
         for d in self.spec.get("dataset", []):
-            out.append(self._dataset_verdicts(df, d))
+            out.append(self._dataset_verdicts(df, d, refs))
         return out
 
     def _flag_verdict_rows(self, df: DataFrame, flags) -> DataFrame:
@@ -219,7 +234,7 @@ class CheckSuite:
         )
 
     # -- fused two-pass plan ------------------------------------------------
-    def _fused_verdicts(self, df: DataFrame) -> list[DataFrame]:
+    def _fused_verdicts(self, df: DataFrame, refs: dict | None = None) -> list[DataFrame]:
         part = self.partition_by
         dataset = list(self.spec.get("dataset", []))
         out: list[DataFrame] = []
@@ -278,7 +293,7 @@ class CheckSuite:
         # --- anything not fusable keeps its standalone job ----------------
         for i, d in enumerate(dataset):
             if i not in fused:
-                out.append(self._dataset_verdicts(df, d))
+                out.append(self._dataset_verdicts(df, d, refs))
         return out
 
     def _pass_a(self, df: DataFrame, flags, driftA: dict | None, statsA: dict | None) -> list[tuple]:
@@ -452,7 +467,11 @@ class CheckSuite:
         return out
 
     def violations(
-        self, df: DataFrame, fused: bool = True, sample_per_check: int | None = None
+        self,
+        df: DataFrame,
+        fused: bool = True,
+        sample_per_check: int | None = None,
+        refs: dict | None = None,
     ) -> DataFrame:
         """Per-row violation rows — ValidationError analog
         (validation_error.rs:5-10): (conv_id, turn_idx, column, keyword,
@@ -531,7 +550,7 @@ class CheckSuite:
         for i, d in enumerate(dataset):
             if i in fused_idx:
                 continue
-            v = self._dataset_violations(df, d)
+            v = self._dataset_violations(df, d, refs)
             if v is not None:
                 out.append(v)
         res = out[0]
@@ -655,10 +674,40 @@ class CheckSuite:
         return self.verdicts(df), self.violations(df)
 
     # -- dataset checks -----------------------------------------------------
-    def _dataset_verdicts(self, df: DataFrame, d: dict) -> DataFrame:
+    def _resolve_parent(self, df: DataFrame, d: dict, refs: dict | None) -> DataFrame:
+        parent = d.get("parent")
+        if refs and parent in refs:
+            return refs[parent]
+        from jsonschema_validator_spark.sources import read_table
+
+        return read_table(df.sparkSession, parent)
+
+    def _dataset_verdicts(self, df: DataFrame, d: dict, refs: dict | None = None) -> DataFrame:
         part = self.partition_by
         kind = d["check"]
         nullmap = F.lit(None).cast("map<string,double>")
+
+        if kind == "referential":
+            cols = d["columns"]
+            pcols = d.get("parent_columns", cols)
+            parent = self._resolve_parent(df, d, refs).select(
+                *[F.col(pc).alias(c) for pc, c in zip(pcols, cols)]
+            )
+            rows = ri_ops.orphans(df, parent, cols)
+            agg = rows.groupBy(part).agg(F.count(F.lit(1)).alias("violation_count"))
+            totals = df.groupBy(part).agg(F.count(F.lit(1)).alias("rows_checked"))
+            return (
+                totals.join(agg, part, "left")
+                .fillna(0, subset=["violation_count"])
+                .select(
+                    F.col(part).alias("day"),
+                    F.lit(f"referential({','.join(cols)})").alias("check"),
+                    (F.col("violation_count") == 0).alias("pass"),
+                    "violation_count",
+                    "rows_checked",
+                    nullmap.alias("metrics"),
+                )
+            )
 
         if kind == "unique":
             cols = d["columns"]
@@ -787,7 +836,7 @@ class CheckSuite:
             res = res.unionByName(fr)
         return res
 
-    def _dataset_violations(self, df: DataFrame, d: dict) -> DataFrame | None:
+    def _dataset_violations(self, df: DataFrame, d: dict, refs: dict | None = None) -> DataFrame | None:
         part = self.partition_by
         k1, k2 = self.keys
         kind = d["check"]
@@ -806,6 +855,14 @@ class CheckSuite:
         if kind == "unique":
             rows = uniq_ops.duplicate_rows(df, d["columns"])
             return shape(rows, "unique", "duplicate key")
+        if kind == "referential":
+            cols = d["columns"]
+            pcols = d.get("parent_columns", cols)
+            parent = self._resolve_parent(df, d, refs).select(
+                *[F.col(pc).alias(c) for pc, c in zip(pcols, cols)]
+            )
+            rows = ri_ops.orphans(df, parent, cols)
+            return shape(rows, "referential", "dangling reference")
         if kind == "referential_root":
             group = d.get("group", "conv_id")
             orphan = ri_ops.conversation_orphans(df, group, d.get("order", "turn_idx"))

@@ -126,3 +126,40 @@ def test_violation_sampling_cap(dirty, suite):
     assert max(per.values()) <= 2
     # deterministic: same sample on re-evaluation
     assert {tuple(r) for r in capped.collect()} == {tuple(r) for r in rows}
+
+
+def test_referential_cross_table_check(spark):
+    """The `referential` dataset check: child keys must exist in a parent
+    table supplied via refs (or a sources table ref)."""
+    from jsonschema_validator_spark.errors import MalformedSchemaError
+    from jsonschema_validator_spark.plans import CheckSuite
+
+    child = spark.createDataFrame(
+        [("d1", "c1", 0), ("d1", "c2", 0), ("d2", "cX", 0)],
+        "day string, conv_id string, turn_idx int",
+    )
+    parent = spark.createDataFrame([("c1",), ("c2",)], "conv_id string")
+    suite = CheckSuite(
+        {
+            "name": "ri",
+            "partition_by": "day",
+            "keys": ["conv_id", "turn_idx"],
+            "row": {},
+            "dataset": [
+                {"check": "referential", "columns": ["conv_id"], "parent": "convs"}
+            ],
+        }
+    ).build()
+    v = {r.day: r for r in suite.verdicts(child, refs={"convs": parent}).collect()}
+    assert v["d1"]["pass"] and v["d1"].violation_count == 0
+    assert not v["d2"]["pass"] and v["d2"].violation_count == 1
+    viol = suite.violations(child, refs={"convs": parent}).collect()
+    assert [(r.conv_id, r.keyword) for r in viol] == [("cX", "referential")]
+
+    # malformed spec fails at COMPILE, not at runtime
+    import pytest as _pytest
+
+    with _pytest.raises(MalformedSchemaError):
+        CheckSuite(
+            {"name": "bad", "row": {}, "dataset": [{"check": "referential"}]}
+        )
