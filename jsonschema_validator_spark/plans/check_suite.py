@@ -72,7 +72,75 @@ VERDICT_ROW_SCHEMA = T.StructType(
         T.StructField("metrics", T.MapType(T.StringType(), T.DoubleType())),
     ]
 )
-DATASET_CHECKS = {"unique", "referential_root", "referential", "ordering", "drift", "stats"}
+def _volume_rows(counts: dict, d: dict) -> list[tuple]:
+    """Volume verdict rows from {partition: n_rows}: explicit
+    min_rows/max_rows bounds and/or a tolerance band around the MEDIAN
+    partition count (the cross-partition anomaly test — a day that lost
+    half its data fails even when no absolute bound is configured)."""
+    import statistics as _st
+
+    med = float(_st.median(counts.values())) if counts else 0.0
+    lo = d.get("min_rows")
+    hi = d.get("max_rows")
+    tol = d.get("tolerance")
+    out = []
+    for day, n in counts.items():
+        ok = True
+        if lo is not None and n < lo:
+            ok = False
+        if hi is not None and n > hi:
+            ok = False
+        if tol is not None and med > 0 and abs(n - med) > tol * med:
+            ok = False
+        out.append(
+            (
+                day,
+                "volume",
+                ok,
+                0 if ok else int(n),
+                int(n),
+                {"n_rows": float(n), "median": med},
+            )
+        )
+    return out
+
+
+def _freshness_rows(per_part: dict, d: dict) -> list[tuple]:
+    """Freshness verdict rows from {partition: (n_rows, max_ts)}: a
+    partition passes iff its newest event is within max_age_hours of the
+    spec's as_of instant (explicit as_of keeps runs deterministic —
+    SURVEY.md §7 'no wall-clock in the plan')."""
+    from datetime import datetime as _dt
+
+    as_of = d["as_of"]
+    if isinstance(as_of, str):
+        as_of = _dt.fromisoformat(as_of)
+    max_age = float(d["max_age_hours"])
+    out = []
+    for day, (n, mx) in per_part.items():
+        if mx is None:
+            age = None
+            ok = False
+        else:
+            age = (as_of - mx).total_seconds() / 3600.0
+            ok = age <= max_age
+        out.append(
+            (
+                day,
+                f"freshness({d['ts']})",
+                ok,
+                0 if ok else int(n),
+                int(n),
+                {"age_hours": age, "max_age_hours": max_age},
+            )
+        )
+    return out
+
+
+DATASET_CHECKS = {
+    "unique", "referential_root", "referential", "ordering", "drift", "stats",
+    "volume", "freshness",
+}
 
 
 def _column_of(path: str) -> str:
@@ -93,6 +161,12 @@ class CheckSuite:
         for d in spec.get("dataset", []):
             if d.get("check") not in DATASET_CHECKS:
                 raise MalformedSchemaError("#/dataset", str(d.get("check")), "unknown dataset check")
+            if d.get("check") == "freshness":
+                for field in ("ts", "as_of", "max_age_hours"):
+                    if d.get(field) is None:
+                        raise MalformedSchemaError(
+                            "#/dataset", "freshness", f"requires '{field}'"
+                        )
             if d.get("check") == "referential":
                 # compile-time shape errors, never runtime (SURVEY §1.3.5)
                 if not d.get("columns"):
@@ -252,6 +326,10 @@ class CheckSuite:
         driftA = dataset[drift_is[0]] if len(drift_is) == 1 else None
         stats_is = [i for i, d in enumerate(dataset) if d["check"] == "stats"]
         statsA = dataset[stats_is[0]] if len(stats_is) == 1 else None
+        vol_is = [i for i, d in enumerate(dataset) if d["check"] == "volume"]
+        volA = dataset[vol_is[0]] if len(vol_is) == 1 else None
+        fresh_is = [i for i, d in enumerate(dataset) if d["check"] == "freshness"]
+        freshA = dataset[fresh_is[0]] if len(fresh_is) == 1 else None
 
         # key checks sharing one (group, order) pair -> pass B
         key_groups: dict[tuple[str, str], list[int]] = {}
@@ -267,12 +345,16 @@ class CheckSuite:
 
         flags = self._flag_cols(df)
         tasks = []
-        if flags or driftA is not None or statsA is not None:
-            tasks.append(lambda: self._pass_a(df, flags, driftA, statsA))
+        if flags or driftA is not None or statsA is not None or volA is not None or freshA is not None:
+            tasks.append(lambda: self._pass_a(df, flags, driftA, statsA, volA, freshA))
             if driftA is not None:
                 fused.add(drift_is[0])
             if statsA is not None:
                 fused.add(stats_is[0])
+            if volA is not None:
+                fused.add(vol_is[0])
+            if freshA is not None:
+                fused.add(fresh_is[0])
         for (g, o), idxs in key_groups.items():
             tasks.append(
                 lambda g=g, o=o, idxs=idxs: self._pass_b(
@@ -296,7 +378,15 @@ class CheckSuite:
                 out.append(self._dataset_verdicts(df, d, refs))
         return out
 
-    def _pass_a(self, df: DataFrame, flags, driftA: dict | None, statsA: dict | None) -> list[tuple]:
+    def _pass_a(
+        self,
+        df: DataFrame,
+        flags,
+        driftA: dict | None,
+        statsA: dict | None,
+        volA: dict | None = None,
+        freshA: dict | None = None,
+    ) -> list[tuple]:
         """One heavy scan: flags + drift bucket + stats partials aggregated
         by (partition, bucket) in ONE distributed job. The day-level merge
         is collected to the driver (O(partitions) wide rows, plus an
@@ -331,6 +421,9 @@ class CheckSuite:
 
             sel_cols += [(~c).cast("long").alias(f"f{i}") for i, (_, c) in enumerate(flags)]
 
+            if freshA is not None:
+                sel_cols.append(F.col(freshA["ts"]).alias("__fresh_ts"))
+
             stats_columns: list[str] = []
             if statsA is not None:
                 stats_columns = statsA.get("columns") or [c for c in df.columns if c != part]
@@ -338,11 +431,15 @@ class CheckSuite:
 
             aggs = [F.count(F.lit(1)).alias("__n")]
             aggs += [F.sum(f"f{i}").alias(f"s{i}") for i in range(len(flags))]
+            if freshA is not None:
+                aggs.append(F.max("__fresh_ts").alias("__fresh_max"))
             if statsA is not None:
                 aggs += stats_ops.stats_partial_aggs(df.schema, stats_columns)
 
             day_aggs = [F.sum("__n").alias("rows_checked")]
             day_aggs += [F.sum(f"s{i}").alias(f"s{i}") for i in range(len(flags))]
+            if freshA is not None:
+                day_aggs.append(F.max("__fresh_max").alias("__fresh_max"))
             if statsA is not None:
                 day_aggs += stats_ops.stats_merge_aggs(df.schema, stats_columns)
 
@@ -385,6 +482,22 @@ class CheckSuite:
                             by_col[col][metric] = None if val is None else float(val)
                 for c in stats_columns:
                     out.append((day, f"stats:{c}", True, 0, rows_checked, by_col[c]))
+        if volA is not None:
+            out.extend(
+                _volume_rows(
+                    {r[self.partition_by]: r["rows_checked"] for r in wide_rows}, volA
+                )
+            )
+        if freshA is not None:
+            out.extend(
+                _freshness_rows(
+                    {
+                        r[self.partition_by]: (r["rows_checked"], r["__fresh_max"])
+                        for r in wide_rows
+                    },
+                    freshA,
+                )
+            )
         if driftA is not None:
             stats = drift_ops.ks_psi_local(
                 [(r[part], r["__bucket"], r["__n"]) for r in hist_rows],
@@ -783,6 +896,24 @@ class CheckSuite:
         if kind == "stats":
             wide = stats_ops.column_stats(df, d.get("columns"), part)
             return self._stats_verdict_rows(wide)
+
+        if kind == "volume":
+            counts = {
+                r[part]: r["n"]
+                for r in df.groupBy(part).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            return df.sparkSession.createDataFrame(
+                _volume_rows(counts, d), schema=VERDICT_ROW_SCHEMA
+            )
+
+        if kind == "freshness":
+            rows = df.groupBy(part).agg(
+                F.count(F.lit(1)).alias("n"), F.max(d["ts"]).alias("mx")
+            ).collect()
+            return df.sparkSession.createDataFrame(
+                _freshness_rows({r[part]: (r["n"], r["mx"]) for r in rows}, d),
+                schema=VERDICT_ROW_SCHEMA,
+            )
 
         raise MalformedSchemaError("#/dataset", kind, "unknown dataset check")
 

@@ -163,3 +163,51 @@ def test_referential_cross_table_check(spark):
         CheckSuite(
             {"name": "bad", "row": {}, "dataset": [{"check": "referential"}]}
         )
+
+
+def test_volume_and_freshness_checks(spark):
+    """volume: tolerance band around the median partition count;
+    freshness: newest event within max_age_hours of as_of. Fused and
+    legacy paths agree."""
+    from jsonschema_validator_spark.plans import CheckSuite
+
+    rows = []
+    for day, n, last_sec in [("d1", 100, 0), ("d2", 98, 3600), ("d3", 10, 7200)]:
+        for i in range(n):
+            rows.append((day, f"c{day}{i}", 0, f"2026-01-05 0{int(last_sec//3600)}:00:00"))
+    df = spark.createDataFrame(
+        rows, "day string, conv_id string, turn_idx int, ts_s string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).col("ts_s").cast("timestamp")).drop("ts_s")
+
+    spec = {
+        "name": "vf",
+        "partition_by": "day",
+        "keys": ["conv_id", "turn_idx"],
+        "row": {},
+        "dataset": [
+            {"check": "volume", "tolerance": 0.5},
+            {
+                "check": "freshness",
+                "ts": "ts",
+                "as_of": "2026-01-05T03:30:00",
+                "max_age_hours": 3.0,
+            },
+        ],
+    }
+    suite = CheckSuite(spec).build()
+    for fused in (True, False):
+        v = {(r.day, r.check): r for r in suite.verdicts(df, fused=fused).collect()}
+        assert v[("d1", "volume")]["pass"] and v[("d2", "volume")]["pass"]
+        assert not v[("d3", "volume")]["pass"]  # 10 vs median 98
+        # d1: newest 00:00, age 3.5h > 3h -> stale; d2: 2.5h ok; d3: 1.5h ok
+        assert not v[("d1", "freshness(ts)")]["pass"]
+        assert v[("d2", "freshness(ts)")]["pass"]
+        assert v[("d3", "freshness(ts)")]["pass"]
+        assert abs(v[("d2", "freshness(ts)")].metrics["age_hours"] - 2.5) < 1e-6
+
+    # malformed freshness fails at compile
+    import pytest as _pytest
+    from jsonschema_validator_spark.errors import MalformedSchemaError
+
+    with _pytest.raises(MalformedSchemaError):
+        CheckSuite({"name": "bad", "row": {}, "dataset": [{"check": "freshness", "ts": "ts"}]})
