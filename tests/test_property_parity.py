@@ -142,6 +142,16 @@ def gen_schema(r: random.Random, depth: int = 0) -> dict:
             s["properties"] = {
                 w: gen_schema(r, depth + 1) for w in r.sample(["p", "q"], r.randint(1, 2))
             }
+        if r.random() < 0.3:
+            s["minProperties"] = r.randint(0, 2)
+        if r.random() < 0.3:
+            s["maxProperties"] = r.randint(1, 3)
+        if depth < 1 and r.random() < 0.3:
+            s["patternProperties"] = {"^p": gen_schema(r, depth + 1)}
+        if r.random() < 0.3:
+            s["propertyNames"] = {"pattern": r.choice(["^[pq]", "^[a-z]$"])}
+        if depth < 1 and r.random() < 0.3:
+            s["dependencies"] = {"p": r.choice([["q"], gen_schema(r, depth + 1)])}
     else:
         subs = [gen_schema(r, depth + 1) for _ in range(r.randint(1, 3))]
         s[r.choice(["allOf", "anyOf", "oneOf"])] = subs
@@ -232,6 +242,25 @@ def py_valid(schema: dict, v) -> bool:
         for name, sub in (schema.get("properties") or {}).items():
             if name in v and not py_valid(sub, v[name]):
                 return False
+        if "minProperties" in schema and len(v) < schema["minProperties"]:
+            return False
+        if "maxProperties" in schema and len(v) > schema["maxProperties"]:
+            return False
+        for pat, sub in (schema.get("patternProperties") or {}).items():
+            for name, val in v.items():
+                if re.search(pat, name) and not py_valid(sub, val):
+                    return False
+        if "propertyNames" in schema:
+            for name in v:
+                if not py_valid(schema["propertyNames"], name):
+                    return False
+        for dep_key, dep in (schema.get("dependencies") or {}).items():
+            if dep_key in v:
+                if isinstance(dep, list):
+                    if not all(x in v for x in dep):
+                        return False
+                elif not py_valid(dep, v):
+                    return False
     for sub in schema.get("allOf", []):
         if not py_valid(sub, v):
             return False
