@@ -689,6 +689,78 @@ ORDER BY doc_id
 """
 
 
+def q_volume_events(spark, sf_dir):
+    """Per-day volume anomaly check (median-tolerance band) from the
+    CheckSuite dataset-check surface."""
+    from jsonschema_validator_spark.plans import CheckSuite
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    suite = CheckSuite(
+        {
+            "name": "vol",
+            "partition_by": "day",
+            "keys": ["event_id", "user_id"],
+            "row": {},
+            "dataset": [{"check": "volume", "tolerance": 0.5}],
+        }
+    ).build()
+    return (
+        suite.verdicts(ev)
+        .select("day", "check", F.col("pass").alias("ok"), "rows_checked")
+        .orderBy("day")
+    )
+
+
+_ORACLE_VOLUME = """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+m AS (SELECT MEDIAN(n) AS med FROM c)
+SELECT day, 'volume' AS "check",
+       (ABS(n - med) <= 0.5 * med) AS ok,
+       n AS rows_checked
+FROM c, m ORDER BY day
+"""
+
+
+def q_freshness_events(spark, sf_dir):
+    """Per-day freshness check against a fixed as_of instant."""
+    from jsonschema_validator_spark.plans import CheckSuite
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    suite = CheckSuite(
+        {
+            "name": "fresh",
+            "partition_by": "day",
+            "keys": ["event_id", "user_id"],
+            "row": {},
+            "dataset": [
+                {
+                    "check": "freshness",
+                    "ts": "ts",
+                    "as_of": "2026-03-01T00:00:00",
+                    "max_age_hours": 24 * 30,
+                }
+            ],
+        }
+    ).build()
+    v = suite.verdicts(ev)
+    return v.select(
+        "day",
+        F.col("pass").alias("ok"),
+        F.round(F.element_at("metrics", "age_hours"), 4).alias("age_hours"),
+    ).orderBy("day")
+
+
+_ORACLE_FRESHNESS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       (date_diff('microsecond', MAX(ts), TIMESTAMP '2026-03-01 00:00:00') / 3600e6
+        <= 24 * 30) AS ok,
+       ROUND(date_diff('microsecond', MAX(ts), TIMESTAMP '2026-03-01 00:00:00') / 3600e6, 4)
+         AS age_hours
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -728,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_embeddings": q_dedup_cosine_embeddings,
         "text_quality_documents": q_text_quality_documents,
         "row_parity_documents": q_row_parity_documents,
+        "volume_events": q_volume_events,
+        "freshness_events": q_freshness_events,
     }
 
 
@@ -757,4 +831,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cosine_embeddings": _ORACLE_DEDUP_COSINE,
         "text_quality_documents": _ORACLE_TEXT_QUALITY,
         "row_parity_documents": _ORACLE_ROW_PARITY,
+        "volume_events": _ORACLE_VOLUME,
+        "freshness_events": _ORACLE_FRESHNESS,
     }
