@@ -666,6 +666,10 @@ class CheckSuite:
             v = self._dataset_violations(df, d, refs)
             if v is not None:
                 out.append(v)
+        if not out:
+            # a suite of only partition-level checks (drift/stats/volume/
+            # freshness) has no per-row violations — empty, not an error
+            return df.sparkSession.createDataFrame([], schema=VIOLATION_SCHEMA)
         res = out[0]
         for o in out[1:]:
             res = res.unionByName(o)

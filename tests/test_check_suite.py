@@ -211,3 +211,52 @@ def test_volume_and_freshness_checks(spark):
 
     with _pytest.raises(MalformedSchemaError):
         CheckSuite({"name": "bad", "row": {}, "dataset": [{"check": "freshness", "ts": "ts"}]})
+
+
+def test_every_dataset_check_kind_executes(spark):
+    """Guard the compile/runtime split for the whole DATASET_CHECKS set:
+    every kind accepted at compile must execute through fused verdicts,
+    legacy verdicts, and violations without error (the 'referential'
+    kind once compiled fine and exploded at runtime)."""
+    from jsonschema_validator_spark.plans import CheckSuite
+    from jsonschema_validator_spark.plans.check_suite import DATASET_CHECKS
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "c1", 0, "hello world", "2026-01-05 01:00:00"),
+            ("d1", "c1", 1, "more text", "2026-01-05 01:01:00"),
+            ("d2", "c2", 0, "bye", "2026-01-06 02:00:00"),
+        ],
+        "day string, conv_id string, turn_idx int, text string, ts_s string",
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    parent = spark.createDataFrame([("c1",), ("c2",)], "conv_id string")
+
+    config = {
+        "unique": {"check": "unique", "columns": ["conv_id", "turn_idx"]},
+        "referential_root": {"check": "referential_root", "group": "conv_id", "order": "turn_idx"},
+        "referential": {"check": "referential", "columns": ["conv_id"], "parent": "p"},
+        "ordering": {"check": "ordering", "group": "conv_id", "order": "turn_idx", "monotone": ["ts"]},
+        "drift": {"check": "drift", "value": "length(text)", "lo": 0.0, "hi": 100.0},
+        "stats": {"check": "stats", "columns": ["conv_id", "text"]},
+        "volume": {"check": "volume", "tolerance": 0.9},
+        "freshness": {"check": "freshness", "ts": "ts", "as_of": "2026-01-07T00:00:00", "max_age_hours": 100.0},
+    }
+    assert set(config) == DATASET_CHECKS, set(config) ^ DATASET_CHECKS
+
+    for kind, d in config.items():
+        suite = CheckSuite(
+            {
+                "name": f"k_{kind}",
+                "partition_by": "day",
+                "keys": ["conv_id", "turn_idx"],
+                "row": {},
+                "dataset": [d],
+            }
+        ).build()
+        for fused in (True, False):
+            rows = suite.verdicts(df, fused=fused, refs={"p": parent}).collect()
+            assert rows, (kind, fused)
+        suite.violations(df, refs={"p": parent}).collect()
