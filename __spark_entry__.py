@@ -447,10 +447,13 @@ ORDER BY doc_a, doc_b
 
 
 def q_dedup_minhash_documents(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-verified (rows-only check: the
-    minhash permutations are not reproducible in ANSI SQL). The corpus
-    has no true near-dups, so plant one deterministic perturbed copy per
-    src0 doc — LSH must recover exactly those pairs."""
+    """MinHash+LSH near-dup pairs, exact-verified. The corpus has no true
+    near-dups, so plant one deterministic perturbed copy per src0 doc.
+    The output (pairs + exact shingle Jaccard) IS SQL-expressible: the
+    hashed-shingle Jaccard equals the shingle-string Jaccard (xxhash64 is
+    injective modulo negligible collisions), so the DuckDB oracle
+    recomputes 5-gram shingle sets with list comprehensions and emits the
+    same >= 0.5 pair set."""
     from jsonschema_validator_spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0").select(
@@ -466,15 +469,63 @@ def q_dedup_minhash_documents(spark, sf_dir):
     )
 
 
+# DuckDB re-derivation of the Spark output: 5-gram shingle sets (same
+# windowing as operators/dedup.py shingles(): start offsets 0..max(n-5,0),
+# window clipped at the end), exact Jaccard >= 0.5 over the planted corpus.
+_ORACLE_DEDUP_MINHASH = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE source = 'src0'),
+corpus AS (
+  SELECT doc_id, toks FROM d
+  UNION ALL
+  SELECT doc_id + 1000000, list_concat(toks, ['planted','near','duplicate','suffix']) FROM d),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, GREATEST(len(toks)-5, 0) + 2),
+                       i -> array_to_string(toks[i:i+4], ' '))) AS s
+  FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, ROUND(i::DOUBLE / u, 4) AS jaccard
+FROM pairs WHERE i::DOUBLE / u >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_simhash_documents(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only check: bit-level hashing is not
-    reproducible in ANSI SQL)."""
+    """SimHash near-dup recovery of planted perturbed copies. SimHash
+    bits are not reproducible in ANSI SQL, but the planted-pair SET is:
+    plant one suffix-perturbed copy per src0 doc (measured signature
+    hamming <= 12 across sf dirs) and run the banded near-dup join at
+    max_hamming=16 — pigeonhole banding GUARANTEES every pair within 16
+    bits is a candidate, so the recovered planted pairs are exactly the
+    deterministic expected set (doc_id, doc_id + 1_000_000)."""
     from jsonschema_validator_spark.operators.dedup import simhash_near_duplicates
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy(
-        "doc_a", "doc_b"
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0").select(
+        "doc_id", "text"
     )
+    planted = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted near duplicate suffix")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return (
+        simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=16)
+        .filter(F.col("doc_b") == F.col("doc_a") + 1_000_000)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_ORACLE_DEDUP_SIMHASH = """
+SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+FROM documents WHERE source = 'src0' ORDER BY doc_a
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -509,25 +560,77 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 # text analysis
 # ---------------------------------------------------------------------------
 
+def _planted_ann_corpus(spark, sf_dir):
+    """Embeddings plus 5 EXACT copies of each query vector (ids
+    q*10 + 1_000_000 + j). Exact copies make the ANN result fully
+    deterministic and oracle-able:
+    - the true top-5 for each query is its 5 copies (cosine 1.0; the
+      densest original pair is ~0.51);
+    - a sign-hyperplane signature of a copy is bit-identical to the
+      query's (hamming 0 -> always an LSH candidate), and a copy maps
+      to the query's own IVF cell (always probed);
+    - all 5 sims are computed by the *same* arithmetic on *identical*
+      vectors, so they are exactly equal within each engine and the
+      (sim DESC, neighbor_id) tie-break yields the same order in Spark
+      and DuckDB — no float-ulp rank instability."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    copies = [
+        q.select(
+            (F.col("vec_id") * 10 + 1_000_000 + j).alias("vec_id"),
+            F.col("embedding"),
+        )
+        for j in range(5)
+    ]
+    out = emb
+    for c in copies:
+        out = out.unionByName(c)
+    return out
+
+
+_ORACLE_ANN_PLANTED = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id * 10 + 1000000 + j, embedding::DOUBLE[]
+  FROM embeddings, (SELECT UNNEST(RANGE(5))::INT AS j) WHERE vec_id IN (0, 1, 2)),
+q AS (SELECT vec_id AS query_id, v AS qe FROM corpus WHERE vec_id IN (0, 1, 2)),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, c.v) AS sim
+  FROM q CROSS JOIN corpus c WHERE c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 4) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_similarity_lsh_embeddings(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only: approximate by design; recall is
-    checked against the brute-force query in tests)."""
+    """LSH-bucketed ANN over the planted-copy corpus: the 5 exact copies
+    of each query share its full signature (hamming 0), so recovery is
+    guaranteed and the output equals the exact top-k oracle. Recall on
+    realistic (non-planted) data is pinned separately by pytest."""
     from jsonschema_validator_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    corpus = _planted_ann_corpus(spark, sf_dir)
     return lsh_topk(
-        emb, "vec_id", "embedding", query_ids=[0, 1, 2], k=5, n_planes=16, max_hamming=6
+        corpus, "vec_id", "embedding", query_ids=[0, 1, 2], k=5, n_planes=16, max_hamming=6
     ).orderBy("query_id", "rank")
 
 
 def q_similarity_ivf_embeddings(spark, sf_dir):
-    """IVF coarse-quantizer ANN (rows-only: approximate by design;
-    recall is pinned by tests on clustered data)."""
+    """IVF coarse-quantizer ANN over the planted-copy corpus: each copy
+    is assigned the same cell as its query (identical vector), and a
+    query always probes its own nearest cell, so recovery is guaranteed
+    and the output equals the exact top-k oracle."""
     from jsonschema_validator_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    corpus = _planted_ann_corpus(spark, sf_dir)
     return ivf_topk(
-        emb, "vec_id", "embedding", query_ids=[0, 1, 2], k=5, n_centroids=16, n_probe=6
+        corpus, "vec_id", "embedding", query_ids=[0, 1, 2], k=5, n_centroids=16, n_probe=6
     ).orderBy("query_id", "rank")
 
 
@@ -604,6 +707,42 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_cosine_lsh_embeddings(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via the banded-LSH SCALE path
+    (pigeonhole signature banding -> equi-join on (band, bits) -> exact
+    cosine verify; no cartesian/nested-loop join — see
+    operators/similarity.py cosine_near_duplicates). Planted scaled
+    copies (vec_id + 1_000_000, embedding x2) have cosine exactly 1 and
+    a bit-identical signature (hamming 0 -> guaranteed candidates); the
+    densest original pair is ~0.51, so at threshold 0.8 the LSH result
+    equals the exact all-pairs oracle deterministically."""
+    from jsonschema_validator_spark.operators.similarity import cosine_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return cosine_near_duplicates(
+        corpus, "vec_id", "embedding", threshold=0.8, n_planes=16, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+_ORACLE_DEDUP_COSINE_LSH = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.8
 ORDER BY id_a, id_b
 """
 
@@ -798,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "multimodal_meta_documents": q_multimodal_meta_documents,
         "dedup_cosine_embeddings": q_dedup_cosine_embeddings,
+        "dedup_cosine_lsh_embeddings": q_dedup_cosine_lsh_embeddings,
         "text_quality_documents": q_text_quality_documents,
         "row_parity_documents": q_row_parity_documents,
         "volume_events": q_volume_events,
@@ -824,11 +964,16 @@ def oracle_sql() -> dict[str, str]:
         "drift_events_value": _ORACLE_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,
+        "dedup_minhash_documents": _ORACLE_DEDUP_MINHASH,
+        "dedup_simhash_documents": _ORACLE_DEDUP_SIMHASH,
         "similarity_topk_embeddings": _ORACLE_TOPK,
+        "similarity_lsh_embeddings": _ORACLE_ANN_PLANTED,
+        "similarity_ivf_embeddings": _ORACLE_ANN_PLANTED,
         "token_stats_documents": _ORACLE_TOKEN_STATS,
         "fingerprint_documents": _ORACLE_FINGERPRINT,
         "multimodal_meta_documents": _ORACLE_MULTIMODAL,
         "dedup_cosine_embeddings": _ORACLE_DEDUP_COSINE,
+        "dedup_cosine_lsh_embeddings": _ORACLE_DEDUP_COSINE_LSH,
         "text_quality_documents": _ORACLE_TEXT_QUALITY,
         "row_parity_documents": _ORACLE_ROW_PARITY,
         "volume_events": _ORACLE_VOLUME,

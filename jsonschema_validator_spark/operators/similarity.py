@@ -226,10 +226,19 @@ def cosine_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, sim >= threshold).
 
-    n_planes > 0: LSH bucket pre-filter (hamming distance of hyperplane
-    signatures <= max_hamming) + exact cosine verify — the scale path
-    (the pre-filter prunes the quadratic pair space before the exact
-    check; recall depends on n_planes/max_hamming).
+    n_planes > 0: banded LSH pre-filter + exact cosine verify — the
+    scale path. The signature's n_planes bits are split into
+    max_hamming+1 bands; by pigeonhole, any pair within max_hamming
+    signature bits shares at least one whole band, so candidates are
+    found by a shuffled EQUI-join on (band, band_bits) — O(bands x rows)
+    shuffle, never an all-pairs comparison (the round-1 formulation
+    joined on `a.id < b.id` alone, which Spark can only plan as a
+    BroadcastNestedLoop/Cartesian join — a scale-killer; banding is the
+    fix, same shape as dedup.simhash_near_duplicates). Hamming + exact
+    cosine then verify only the candidate pairs. Recall = all pairs
+    whose signatures differ in <= max_hamming of n_planes bits; for
+    random hyperplanes P(bit differs) = angle/pi, so near-identical
+    vectors (the dedup target) are essentially always recovered.
     n_planes = 0: exact brute-force over all pairs — Arrow-vectorized:
     the normalized corpus matrix is broadcast (N x dim floats — fine to
     ~10^6 vectors; beyond that use the LSH path) and each partition
@@ -240,23 +249,59 @@ def cosine_near_duplicates(
         dim = len(df.select(vec_col).first()[0])
     if not n_planes:
         return _exact_near_duplicates(df, id_col, vec_col, threshold)
+    bands = max_hamming + 1
+    if n_planes < bands:
+        raise ValueError(f"n_planes={n_planes} must be >= max_hamming+1={bands}")
+    width = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         lsh_signature(_as_double(F.col(vec_col)), planes).alias("sig"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    sim = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .filter(ham <= max_hamming)
+    # band i covers bits [i*width, (i+1)*width); the last band absorbs
+    # the remainder bits so all n_planes bits are covered
+    def _band_bits(i: int) -> Column:
+        w = width + (n_planes - bands * width if i == bands - 1 else 0)
+        mask = (1 << w) - 1
+        return F.shiftright("sig", i * width).bitwiseAND(F.lit(mask))
+
+    banded = base.select(
+        "id",
+        "v",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), _band_bits(i).alias("bits"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(sim, 4).alias("sim"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    sim = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("id_a", "id_b", F.round(sim, 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

@@ -109,6 +109,29 @@ def test_cosine_near_duplicates(spark, vectors):
     assert (0, 1) in pairs
 
 
+def test_cosine_lsh_banding_plan_and_recall(spark, vectors):
+    """The LSH scale path must (a) plan an equi-join on band keys — never
+    a BroadcastNestedLoop/Cartesian pair join — and (b) recover planted
+    parallel copies (hamming 0 -> guaranteed by pigeonhole banding)."""
+    import numpy as np
+
+    from jsonschema_validator_spark.operators.similarity import cosine_near_duplicates
+
+    planted = vectors.select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = vectors.unionByName(planted)
+    lsh = cosine_near_duplicates(
+        corpus, "vec_id", "embedding", threshold=0.999, n_planes=16, max_hamming=3
+    )
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    got = {(r.id_a, r.id_b) for r in lsh.collect()}
+    # every planted (i, i+100) pair has cosine exactly 1 and hamming 0
+    assert {(i, i + 100) for i in range(20)} <= got
+
+
 def test_textstats(spark, docs):
     from jsonschema_validator_spark.operators.textstats import (
         language_id,
