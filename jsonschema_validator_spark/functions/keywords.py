@@ -141,11 +141,15 @@ class Scope:
             doc = self.registry[uri]
         else:
             raise RefResolutionError(f"cannot resolve $ref {ref!r} at {path} (base {base!r})")
-        # JSON-pointer walk
+        # JSON-pointer walk. Fragment tokens are percent-decoded FIRST
+        # (RFC 3986 fragment encoding), then ~-unescaped (RFC 6901):
+        # '#/definitions/percent%25field' -> token 'percent%field'.
+        from urllib.parse import unquote
+
         node = doc
         if frag:
             for part in frag.lstrip("/").split("/"):
-                part = part.replace("~1", "/").replace("~0", "~")
+                part = unquote(part).replace("~1", "/").replace("~0", "~")
                 if isinstance(node, dict) and part in node:
                     node = node[part]
                 elif isinstance(node, list):
@@ -396,18 +400,43 @@ def _compile_bounds(schema, scope, path) -> list[tuple[str, Factory]]:
 
 
 def _compile_multiple_of(schema, scope, path) -> Optional[Factory]:
+    """Exact divisibility, not epsilon tolerance (the round-1
+    |q - round(q)| < 1e-9 check both accepted near-misses and rejected
+    true multiples once the quotient's ulp exceeded the epsilon, e.g.
+    123456789.0001 % 0.0001):
+
+    - decimal branch: when the value round-trips through decimal(38,18)
+      (i.e. its shortest decimal representation — what Spark's
+      double->decimal cast produces — has <= 18 fractional digits and
+      fits), divisibility is checked with EXACT decimal pmod against the
+      divisor's shortest-repr decimal. This matches the JSON lexeme
+      semantics: 0.0075 % 0.0001 == 0 even though the binary doubles are
+      not exact multiples.
+    - double branch (value outside decimal range, e.g. 1e308): IEEE
+      fmod, which is exact for doubles — the float-overflow corpus case
+      (1e308 % 0.123456789) correctly fails without inf/NaN leakage.
+    """
+    import decimal as _dec
+
     k = _num(schema, path, "multipleOf")
     if k is None:
         return None
     if k <= 0:
         raise MalformedSchemaError(path, "multipleOf", "must be > 0")
+    kd = _dec.Decimal(str(k))
+    k_exp = -kd.as_tuple().exponent
+    k_decimal_ok = 0 <= k_exp <= 18 and len(kd.as_tuple().digits) <= 38
 
     def fac(acc: JsonAccessor) -> Column:
-        q = acc.as_double() / F.lit(k)
-        # decimal-safe divisibility (SURVEY.md §2.3): |q - round(q)| small;
-        # overflow to inf/NaN compares false => invalid, which is correct
-        ok = F.abs(q - F.round(q)) < F.lit(1e-9)
-        return _applies(acc, {"number"}, F.coalesce(ok & ~F.isnan(q), F.lit(False)))
+        v = acc.as_double()
+        ok_fmod = F.pmod(v, F.lit(float(k))) == F.lit(0.0)
+        if k_decimal_ok:
+            vdec = v.try_cast("decimal(38,18)")
+            exact_dec = vdec.isNotNull() & (vdec.cast("double") == v)
+            ok = F.when(exact_dec, F.pmod(vdec, F.lit(kd)) == F.lit(0)).otherwise(ok_fmod)
+        else:
+            ok = ok_fmod
+        return _applies(acc, {"number"}, F.coalesce(ok, F.lit(False)))
 
     return fac
 
