@@ -900,6 +900,53 @@ FROM events GROUP BY 1 ORDER BY day
 """
 
 
+def q_streaming_verdicts_events(spark, sf_dir):
+    """Streaming surface in the contract: the SAME compiled CheckSuite
+    runs via foreachBatch over a bounded file stream of the events
+    parquet (trigger availableNow, real streaming checkpoint). Per-batch
+    verdict rows land in a parquet sink; summing them per (day, check)
+    must reproduce the one-shot batch verdicts exactly (verdict counts
+    are additive across micro-batches), so the oracle is the same SQL as
+    keyword_verdicts_events."""
+    import os
+    import shutil
+    import tempfile
+
+    from jsonschema_validator_spark.streaming.validate import stream_validate
+
+    out = tempfile.mkdtemp(prefix="stream_verdicts_")
+    # the file stream source requires a DIRECTORY (in production the
+    # landing zone is one); stage the single test file via hardlink
+    src_dir = os.path.join(out, "incoming")
+    os.makedirs(src_dir)
+    src_file = f"{sf_dir}/events.parquet"
+    try:
+        os.link(src_file, os.path.join(src_dir, "events.parquet"))
+    except OSError:
+        shutil.copy(src_file, os.path.join(src_dir, "events.parquet"))
+    schema = spark.read.parquet(src_file).schema
+    suite = _events_suite()
+    q = stream_validate(
+        spark,
+        src_dir,
+        schema,
+        suite,
+        out,
+        trigger_available_now=True,
+        transform=lambda df: df.withColumn("day", _day("ts")),
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{out}/verdicts")
+        .groupBy("day", "check")
+        .agg(
+            F.sum("violation_count").alias("violation_count"),
+            F.sum("rows_checked").alias("rows_checked"),
+        )
+        .orderBy("day", "check")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -942,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_parity_documents": q_row_parity_documents,
         "volume_events": q_volume_events,
         "freshness_events": q_freshness_events,
+        "streaming_verdicts_events": q_streaming_verdicts_events,
     }
 
 
@@ -978,4 +1026,5 @@ def oracle_sql() -> dict[str, str]:
         "row_parity_documents": _ORACLE_ROW_PARITY,
         "volume_events": _ORACLE_VOLUME,
         "freshness_events": _ORACLE_FRESHNESS,
+        "streaming_verdicts_events": _ORACLE_VERDICTS_EVENTS,
     }

@@ -101,6 +101,39 @@ def pred_of(checks: list[CheckExpr]) -> Factory:
 
 MAX_REF_DEPTH = 6
 
+# schemes urllib already resolves relative references against
+_STD_SCHEMES = {"http", "https", "file", "ftp", ""}
+
+
+def full_uri(base: str, ref: str) -> str:
+    """RFC 3986 reference resolution for ANY scheme (the reference's
+    full_uri, /root/reference/src/keywords/ref_.rs:24-38 and its 15-case
+    table at :75-92): fragment swap, same-folder sibling, ./ and ../
+    relatives, absolute-path and full-URL substitution. Python's urljoin
+    only applies relative resolution for whitelisted schemes, so
+    non-standard bases (memory://, s3://, ...) are temporarily rewritten
+    to http for the join and swapped back."""
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    if not base:
+        return ref
+    if not ref:
+        return base
+    if urlsplit(ref).scheme:
+        return ref  # absolute reference replaces the base entirely
+    b = urlsplit(base)
+    if b.scheme in _STD_SCHEMES:
+        return urljoin(base, ref)
+    fake = urlunsplit(("http", b.netloc, b.path, b.query, b.fragment))
+    j = urlsplit(urljoin(fake, ref))
+    out = urlunsplit((b.scheme, j.netloc, j.path, j.query, j.fragment))
+    # urlunsplit drops the '//' authority marker when netloc is empty;
+    # keep it if the base URI had one (memory:///x stays memory:///y)
+    marker = b.scheme + "://"
+    if base.startswith(marker) and not out.startswith(marker):
+        out = marker + out[len(b.scheme) + 1 :]
+    return out
+
 
 @dataclass
 class Scope:
@@ -120,6 +153,10 @@ class Scope:
     max_ref_depth: int = MAX_REF_DEPTH
     strict_cycles: bool = False
     validate_formats: bool = False
+    # optional fetch hook for URIs absent from the registry (the
+    # scope_builder.rs:33-41 get_or_fetch_with_result analog); fetched
+    # documents are cached into the registry
+    loader: object = None
     _memo: dict[str, list[CheckExpr]] = field(default_factory=dict)
     _stack: list[str] = field(default_factory=list)
 
@@ -129,16 +166,27 @@ class Scope:
 
     # -- JSON-pointer / URI resolution ---------------------------------
     def _lookup(self, ref: str, path: str):
-        from urllib.parse import urldefrag, urljoin
+        from urllib.parse import urldefrag
 
         base = self.base_uri or ""
-        resolved = urljoin(base, ref) if ref else base
+        resolved = full_uri(base, ref)
         uri, frag = urldefrag(resolved)
+        base_doc, _ = urldefrag(base)
         doc = None
-        if not uri or uri == self.base_uri:
+        if not uri or uri == base_doc:
             doc = self.root
         elif uri in self.registry:
             doc = self.registry[uri]
+        elif self.loader is not None:
+            try:
+                doc = self.loader(uri)
+            except RefResolutionError:
+                raise
+            except Exception as e:
+                raise RefResolutionError(
+                    f"loader failed for $ref {ref!r} at {path}: {e}"
+                ) from e
+            self.registry[uri] = doc
         else:
             raise RefResolutionError(f"cannot resolve $ref {ref!r} at {path} (base {base!r})")
         # JSON-pointer walk. Fragment tokens are percent-decoded FIRST
@@ -795,8 +843,26 @@ _FORMAT_PROBES: dict[str, Factory] = {
     "ipv4": lambda acc: acc.as_string().rlike(
         r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
     ),
-    "ipv6": lambda acc: acc.as_string().rlike(r"^[0-9A-Fa-f:.]{2,45}$")
-    & (F.length(F.regexp_replace(acc.as_string(), r"[^:]", "")) >= 2),
+    # RFC 4291 textual forms: full 8-group, '::' compression at every
+    # position, and IPv4-mapped tails; no zone-ids (they are not part of
+    # the ipv6 format per the official suite)
+    "ipv6": lambda acc: acc.as_string().rlike(
+        r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+        r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+        r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+        r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+        r"|::(ffff(:0{1,4})?:)?((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\.){3}"
+        r"(25[0-5]|(2[0-4]|1?[0-9])?[0-9])"
+        r"|([0-9A-Fa-f]{1,4}:){1,4}:((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\.){3}"
+        r"(25[0-5]|(2[0-4]|1?[0-9])?[0-9])"
+        r"|([0-9A-Fa-f]{1,4}:){6}((25[0-5]|(2[0-4]|1?[0-9])?[0-9])\.){3}"
+        r"(25[0-5]|(2[0-4]|1?[0-9])?[0-9]))$"
+    ),
     "hostname": lambda acc: acc.as_string().rlike(
         r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
     ),

@@ -76,6 +76,26 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _band_struct(sig_col: str, n_planes: int, max_hamming: int) -> Column:
+    """Exploded (band, bits) structs under pigeonhole banding: the
+    signature's n_planes bits split into max_hamming+1 bands (last band
+    absorbs remainder bits), so any two signatures within max_hamming
+    bits share at least one whole band."""
+    bands = max_hamming + 1
+    width = n_planes // bands
+
+    def bits(i: int) -> Column:
+        w = width + (n_planes - bands * width if i == bands - 1 else 0)
+        mask = (1 << w) - 1
+        return F.shiftright(sig_col, i * width).bitwiseAND(F.lit(mask))
+
+    return F.explode(
+        F.array(
+            *[F.struct(F.lit(i).alias("band"), bits(i).alias("bits")) for i in range(bands)]
+        )
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -86,14 +106,26 @@ def lsh_topk(
     max_hamming: int = 4,
     dim: int | None = None,
     seed: int = 42,
+    broadcast_query_limit: int = 32,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose hyperplane
     signature is within max_hamming bits of the query's. For random
     hyperplanes, P(bit differs) = angle/pi, so near neighbors share most
     bits — the corpus fraction probed shrinks exponentially in
-    (n_planes - max_hamming)."""
+    (n_planes - max_hamming).
+
+    Probing strategy by query-set size:
+    - <= broadcast_query_limit queries: broadcast the query side and
+      evaluate the Hamming filter against every corpus row (O(Q x N)
+      cheap bit-ops, no shuffle — fine for interactive Q).
+    - larger query sets: pigeonhole-banded EQUI-join on (band, bits),
+      exactly like the near-duplicate operators — shuffle stays
+      O(bands x (Q + N)) and recall within max_hamming is guaranteed,
+      so large batch lookups never degenerate into a cartesian plan."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if n_planes < max_hamming + 1:
+        raise ValueError(f"n_planes={n_planes} must be >= max_hamming+1={max_hamming + 1}")
     planes = _hyperplanes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col).alias("neighbor_id"),
@@ -106,11 +138,26 @@ def lsh_topk(
         F.col("csig").alias("qsig"),
     )
     ham = F.bit_count(F.col("qsig").bitwiseXOR(F.col("csig")))
-    sims = (
-        F.broadcast(q)
-        .crossJoin(base)
-        .filter((F.col("neighbor_id") != F.col("query_id")) & (ham <= max_hamming))
-        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    if len(query_ids) <= broadcast_query_limit:
+        cand = (
+            F.broadcast(q)
+            .crossJoin(base)
+            .filter((F.col("neighbor_id") != F.col("query_id")) & (ham <= max_hamming))
+        )
+    else:
+        qb = q.select(
+            "query_id", "qe", "qsig", _band_struct("qsig", n_planes, max_hamming).alias("bb")
+        ).select("query_id", "qe", "qsig", "bb.band", "bb.bits")
+        cb = base.select(
+            "neighbor_id", "ce", "csig", _band_struct("csig", n_planes, max_hamming).alias("bb")
+        ).select("neighbor_id", "ce", "csig", "bb.band", "bb.bits")
+        cand = (
+            qb.join(cb, ["band", "bits"])
+            .filter((F.col("neighbor_id") != F.col("query_id")) & (ham <= max_hamming))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+    sims = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -249,35 +296,16 @@ def cosine_near_duplicates(
         dim = len(df.select(vec_col).first()[0])
     if not n_planes:
         return _exact_near_duplicates(df, id_col, vec_col, threshold)
-    bands = max_hamming + 1
-    if n_planes < bands:
-        raise ValueError(f"n_planes={n_planes} must be >= max_hamming+1={bands}")
-    width = n_planes // bands
+    if n_planes < max_hamming + 1:
+        raise ValueError(f"n_planes={n_planes} must be >= max_hamming+1={max_hamming + 1}")
     planes = _hyperplanes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         lsh_signature(_as_double(F.col(vec_col)), planes).alias("sig"),
     )
-    # band i covers bits [i*width, (i+1)*width); the last band absorbs
-    # the remainder bits so all n_planes bits are covered
-    def _band_bits(i: int) -> Column:
-        w = width + (n_planes - bands * width if i == bands - 1 else 0)
-        mask = (1 << w) - 1
-        return F.shiftright("sig", i * width).bitwiseAND(F.lit(mask))
-
     banded = base.select(
-        "id",
-        "v",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), _band_bits(i).alias("bits"))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", "v", "sig", _band_struct("sig", n_planes, max_hamming).alias("bb")
     ).select("id", "v", "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

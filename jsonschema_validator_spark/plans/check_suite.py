@@ -149,8 +149,13 @@ def _column_of(path: str) -> str:
 
 
 class CheckSuite:
-    def __init__(self, spec: dict):
+    def __init__(self, spec: dict, spec_path: str | None = None):
+        """spec_path (optional): filesystem location of the spec document.
+        When given, the row schema may ``$ref`` sibling spec files —
+        resolution uses a file loader jailed to the spec's directory
+        (the shared-spec-suite loader, scope_builder.rs:33-41 analog)."""
         self.spec = spec
+        self.spec_path = spec_path
         self.name = spec.get("name", "check_suite")
         self.draft = spec.get("draft", "draft7")
         self.partition_by = spec.get("partition_by", "day")
@@ -187,6 +192,14 @@ class CheckSuite:
         """Compile the row schema into CheckExprs and freeze the plan.
         Malformed specs raise HERE, never at runtime (SURVEY.md §1.3.5)."""
         row_schema = dict(self.spec.get("row", {}))
+        base_uri, loader = "", None
+        if self.spec_path is not None:
+            from pathlib import Path
+
+            from ..functions.loaders import file_loader
+
+            p = Path(self.spec_path).resolve()
+            base_uri, loader = p.as_uri(), file_loader(p.parent)
         checks: list[CheckExpr] = []
         # expand root-level `required` into one check per column so each
         # missing column attributes its own violation row
@@ -195,7 +208,7 @@ class CheckSuite:
             scope.root = {"required": [name]}
             for ce in compile_schema(scope.root, scope, path=f"#/{name}"):
                 checks.append(ce)
-        scope = Scope(draft=self.draft)
+        scope = Scope(draft=self.draft, base_uri=base_uri, loader=loader)
         scope.root = row_schema
         checks.extend(compile_schema(row_schema, scope))
         self._checks = checks

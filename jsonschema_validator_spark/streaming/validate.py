@@ -37,6 +37,7 @@ def stream_validate(
     suite: CheckSuite,
     output_dir: str,
     trigger_available_now: bool = True,
+    transform=None,
 ):
     """Validate transcript files as they arrive: every micro-batch runs
     the compiled suite and appends verdicts + violations parquet under
@@ -50,6 +51,10 @@ def stream_validate(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            # per-batch projection (e.g. derive the partition column from
+            # the event timestamp) before the compiled suite runs
+            batch_df = transform(batch_df)
         verdicts = suite.verdicts(batch_df).withColumn("batch_id", F.lit(batch_id))
         verdicts.write.mode("append").parquet(f"{output_dir}/verdicts")
         violations = suite.violations(batch_df).withColumn("batch_id", F.lit(batch_id))

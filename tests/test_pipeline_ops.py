@@ -132,6 +132,28 @@ def test_cosine_lsh_banding_plan_and_recall(spark, vectors):
     assert {(i, i + 100) for i in range(20)} <= got
 
 
+def test_lsh_topk_banded_large_query_set(spark, vectors):
+    """Above broadcast_query_limit the probe becomes a banded equi-join:
+    plan must have no nested-loop/cartesian node and the result must
+    equal the broadcast-crossJoin formulation (same candidates: both
+    filter on the identical hamming radius; banding guarantees every
+    within-radius pair is joined)."""
+    from jsonschema_validator_spark.operators.similarity import lsh_topk
+
+    qids = list(range(20))
+    small = lsh_topk(
+        vectors, "vec_id", "embedding", qids, k=3, n_planes=12, max_hamming=6,
+        broadcast_query_limit=32,
+    )
+    large = lsh_topk(
+        vectors, "vec_id", "embedding", qids, k=3, n_planes=12, max_hamming=6,
+        broadcast_query_limit=4,
+    )
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, large.collect()))
+
+
 def test_textstats(spark, docs):
     from jsonschema_validator_spark.operators.textstats import (
         language_id,
