@@ -61,19 +61,53 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature: bit i = (vec . plane_i) > 0, packed in a long."""
-    bits = []
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda v, w: v * w),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    """Sign-bit signature: bit i = (vec . plane_i) > 0, packed in a long.
+
+    Computed as ONE numpy matmul per Arrow batch (V @ P.T > 0, then a
+    power-of-two pack) in a vectorized pandas UDF — the higher-order
+    F.aggregate formulation evaluated n_planes interpreted array folds
+    per row and dominated every LSH query's runtime (the same
+    HOF-lambda trap measured on minhash/simhash in round 1). The sign of
+    a dot product is scale-invariant and computed identically for
+    identical/scaled vectors, which is what the banding guarantees rely
+    on."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim x n_planes
+    weights = (1 << np.arange(P.shape[1], dtype=np.int64)).astype(np.int64)
+
+    def _sig(batch):
+        if len(batch) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+        bits = (V @ P) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    _sig.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sig, "long")(vec)
+
+
+def cosine_verify(a: Column, b: Column) -> Column:
+    """Vectorized exact-cosine for candidate verification: one fused
+    numpy pass per Arrow batch over the (a, b) vector pairs — used where
+    the pair set is already pruned (banded LSH candidates), so the wide
+    arrays cross into Python once, Arrow-batched, never per-row."""
+    import numpy as np
+    import pandas as pd
+
+    def _cos(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.array([np.asarray(x, dtype=np.float64) for x in va])
+        B = np.array([np.asarray(x, dtype=np.float64) for x in vb])
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_cos, "double")(a, b)
 
 
 def _band_struct(sig_col: str, n_planes: int, max_hamming: int) -> Column:
@@ -145,17 +179,24 @@ def lsh_topk(
             .filter((F.col("neighbor_id") != F.col("query_id")) & (ham <= max_hamming))
         )
     else:
+        # the banded join and pair-dedup move only (id, sig) — 16 bytes a
+        # row — never the embedding vectors; vectors attach to the
+        # (small) surviving candidate set by id afterwards
         qb = q.select(
-            "query_id", "qe", "qsig", _band_struct("qsig", n_planes, max_hamming).alias("bb")
-        ).select("query_id", "qe", "qsig", "bb.band", "bb.bits")
+            "query_id", "qsig", _band_struct("qsig", n_planes, max_hamming).alias("bb")
+        ).select("query_id", "qsig", "bb.band", "bb.bits")
         cb = base.select(
-            "neighbor_id", "ce", "csig", _band_struct("csig", n_planes, max_hamming).alias("bb")
-        ).select("neighbor_id", "ce", "csig", "bb.band", "bb.bits")
-        cand = (
+            "neighbor_id", "csig", _band_struct("csig", n_planes, max_hamming).alias("bb")
+        ).select("neighbor_id", "csig", "bb.band", "bb.bits")
+        cand_ids = (
             qb.join(cb, ["band", "bits"])
             .filter((F.col("neighbor_id") != F.col("query_id")) & (ham <= max_hamming))
+            .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"])
         )
+        cand = cand_ids.join(
+            q.select("query_id", "qe"), "query_id"
+        ).join(base.select("neighbor_id", "ce"), "neighbor_id")
     sims = cand.select(
         "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim")
     )
@@ -304,32 +345,32 @@ def cosine_near_duplicates(
         _as_double(F.col(vec_col)).alias("v"),
         lsh_signature(_as_double(F.col(vec_col)), planes).alias("sig"),
     )
+    # the banded self-join and pair-dedup move only (id, sig) — the
+    # embedding vectors attach to the surviving candidates by id, so the
+    # wide arrays are shuffled once, not bands-times per row
     banded = base.select(
-        "id", "v", "sig", _band_struct("sig", n_planes, max_hamming).alias("bb")
-    ).select("id", "v", "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+        "id", "sig", _band_struct("sig", n_planes, max_hamming).alias("bb")
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bits") == F.col("b.bits"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.v").alias("v_a"),
-            F.col("b.v").alias("v_b"),
-        )
+        .filter(ham <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    sim = cosine(F.col("v_a"), F.col("v_b"))
+    vecs = base.select("id", "v")
+    cand = cand_ids.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+    ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+    sim = cosine_verify(F.col("v_a"), F.col("v_b"))
     return (
-        cand.filter(ham <= max_hamming)
-        .select("id_a", "id_b", F.round(sim, 4).alias("sim"))
+        cand.select("id_a", "id_b", F.round(sim, 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
