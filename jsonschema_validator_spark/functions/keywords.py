@@ -867,6 +867,32 @@ _FORMAT_PROBES: dict[str, Factory] = {
         r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
     ),
     "uri": lambda acc: acc.as_string().rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:\S*$"),
+    # RFC 3339 full-time: HH:MM:SS with optional fraction, 'Z' or a
+    # numeric offset; second 60 admitted (leap second, per the official
+    # suite's required cases)
+    "time": lambda acc: acc.as_string().rlike(
+        r"^([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?([zZ]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+    ),
+    # RFC 6901: empty, or /-separated tokens where ~ only appears as ~0/~1
+    "json-pointer": lambda acc: acc.as_string().rlike(r"^(/([^/~]|~[01])*)*$"),
+    # draft7: non-negative integer (no leading zeros) + '#' or a JSON pointer
+    "relative-json-pointer": lambda acc: acc.as_string().rlike(
+        r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$"
+    ),
+    # RFC 3986 URI-reference: relative refs allowed; reject whitespace,
+    # backslash, and malformed percent-escapes (the official suite's
+    # discriminating cases)
+    "uri-reference": lambda acc: acc.as_string().rlike(
+        r"^(%[0-9A-Fa-f]{2}|[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=])*$"
+    )
+    & ~acc.as_string().rlike(r"%(?![0-9A-Fa-f]{2})"),
+    # RFC 6570: URI chars plus balanced non-nested {expr} blocks with a
+    # non-empty varspec list
+    "uri-template": lambda acc: acc.as_string().rlike(
+        r"^([^\x00-\x20{}\x7f\"'%<>\\^`|]|%[0-9A-Fa-f]{2}"
+        r"|\{[+#./;?&=,!@|]?[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?"
+        r"(,[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?)*\})*$"
+    ),
 }
 
 
