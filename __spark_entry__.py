@@ -574,18 +574,22 @@ def _planted_ann_corpus(spark, sf_dir):
       (sim DESC, neighbor_id) tie-break yields the same order in Spark
       and DuckDB — no float-ulp rank instability."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.filter(F.col("vec_id").isin([0, 1, 2]))
-    copies = [
-        q.select(
-            (F.col("vec_id") * 10 + 1_000_000 + j).alias("vec_id"),
+    # one explode leg instead of five separate unions: the union plan has
+    # 2 parquet scans, not 6, so downstream signature UDFs run once per
+    # side rather than once per copy leg
+    copies = (
+        emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.array(*[F.lit(j) for j in range(5)])).alias("j"),
+        )
+        .select(
+            (F.col("vec_id") * 10 + 1_000_000 + F.col("j")).alias("vec_id"),
             F.col("embedding"),
         )
-        for j in range(5)
-    ]
-    out = emb
-    for c in copies:
-        out = out.unionByName(c)
-    return out
+    )
+    return emb.unionByName(copies)
 
 
 _ORACLE_ANN_PLANTED = """
@@ -616,8 +620,14 @@ def q_similarity_lsh_embeddings(spark, sf_dir):
     from jsonschema_validator_spark.operators.similarity import lsh_topk
 
     corpus = _planted_ann_corpus(spark, sf_dir)
+    # 32-bit signatures: a random pair lands within hamming 6 with
+    # P(Bin(32,.5) <= 6) ~ 0.35% (vs ~23% at 16 bits), so the exact-cosine
+    # stage scores a fraction of the corpus; the copies are hamming 0 and
+    # always recovered, so the output still equals the exact oracle.
+    # dim passed explicitly to skip the dim-probe job on the union plan.
     return lsh_topk(
-        corpus, "vec_id", "embedding", query_ids=[0, 1, 2], k=5, n_planes=16, max_hamming=6
+        corpus, "vec_id", "embedding", query_ids=[0, 1, 2], k=5,
+        n_planes=32, max_hamming=6, dim=64,
     ).orderBy("query_id", "rank")
 
 
@@ -728,8 +738,14 @@ def q_dedup_cosine_lsh_embeddings(spark, sf_dir):
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
+    # 64-bit signatures over max_hamming+1 = 4 bands -> 16-bit band keys:
+    # random band collisions ~ N^2/2^16 instead of N^2/2^4 at 16 bits, so
+    # the exact-verify stage sees hundreds of candidate pairs, not
+    # millions. Planted x2 copies stay hamming 0 (sign bits are
+    # scale-invariant) -> guaranteed candidates; verified output equals
+    # the exact all-pairs oracle either way.
     return cosine_near_duplicates(
-        corpus, "vec_id", "embedding", threshold=0.8, n_planes=16, max_hamming=3
+        corpus, "vec_id", "embedding", threshold=0.8, n_planes=64, max_hamming=3, dim=64
     ).orderBy("id_a", "id_b")
 
 
