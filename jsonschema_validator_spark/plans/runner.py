@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jsonschema_validator_spark.plans.check_suite import CheckSuite
+from jsonschema_validator_spark.sources.tables import current_snapshot_id, read_table
 
 
 @dataclass
@@ -40,6 +41,7 @@ class RunReport:
     processed: list[str]
     skipped: list[str]
     batches: int
+    snapshot_id: int | None = None
 
 
 class CheckpointedRunner:
@@ -72,6 +74,36 @@ class CheckpointedRunner:
         n = len([x for x in os.listdir(self.manifest_dir) if x.endswith(".jsonl")])
         os.replace(tmp, os.path.join(self.manifest_dir, f"batch-{n:06d}.jsonl"))
 
+    # -- snapshot lineage -------------------------------------------------
+    def pinned_snapshot(self, spark, ref: str) -> int | None:
+        """The input snapshot this run (identified by spec_hash) is
+        pinned to. First call resolves the source's CURRENT snapshot and
+        records it atomically; every later call — including a resume
+        after a kill, or after the source advanced — returns the pinned
+        id, so all partitions of one logical run read one input version
+        (Iceberg snapshot isolation, carried across driver restarts)."""
+        path = os.path.join(self.manifest_dir, f"source-{self.suite.spec_hash}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["snapshot_id"]
+        snap = current_snapshot_id(spark, ref)
+        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"ref": ref, "snapshot_id": snap, "spec_hash": self.suite.spec_hash}, f
+            )
+        os.replace(tmp, path)
+        return snap
+
+    def run_ref(self, spark, ref: str, batch_size: int | None = None) -> RunReport:
+        """Run over a table ref (iceberg:/snapdir:/parquet:) with the
+        input snapshot pinned in the manifest — the resumable entry
+        point of the north rule."""
+        snap = self.pinned_snapshot(spark, ref)
+        df = read_table(spark, ref, snapshot_id=snap)
+        report = self.run(df, batch_size=batch_size, snapshot_id=snap)
+        return report
+
     # -- run ----------------------------------------------------------------
     def pending_partitions(self, df: DataFrame) -> list[str]:
         part = self.suite.partition_by
@@ -79,7 +111,9 @@ class CheckpointedRunner:
         done = self.done_partitions()
         return sorted(p for p in allp if p not in done)
 
-    def run(self, df: DataFrame, batch_size: int | None = None) -> RunReport:
+    def run(
+        self, df: DataFrame, batch_size: int | None = None, snapshot_id: int | None = None
+    ) -> RunReport:
         """Process pending partitions in batches; each batch writes its
         verdicts/violations partitions then commits manifest lines."""
         part = self.suite.partition_by
@@ -88,7 +122,7 @@ class CheckpointedRunner:
         pending = self.pending_partitions(df)
         skipped = sorted(self.done_partitions())
         if not pending:
-            return RunReport([], skipped, 0)
+            return RunReport([], skipped, 0, snapshot_id)
         batch_size = batch_size or len(pending)
         batches = [pending[i : i + batch_size] for i in range(0, len(pending), batch_size)]
 
@@ -126,8 +160,9 @@ class CheckpointedRunner:
                         "rows_checked": int(by_day[p]["rows_checked"]) if p in by_day else 0,
                         "violation_count": int(by_day[p]["violation_count"]) if p in by_day else 0,
                         "n_checks_failed": int(by_day[p]["n_checks_failed"]) if p in by_day else 0,
+                        "snapshot_id": snapshot_id,
                     }
                     for p in batch
                 ]
             )
-        return RunReport(pending, skipped, len(batches))
+        return RunReport(pending, skipped, len(batches), snapshot_id)

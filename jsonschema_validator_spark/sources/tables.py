@@ -4,16 +4,54 @@ Production target is an Iceberg table (BASELINE.json input_hint); this
 sandbox has no Iceberg jars, so refs dispatch on scheme:
 
     "iceberg:catalog.db.table"   -> spark.read.format("iceberg") (+ snapshot)
+    "snapdir:/path"              -> versioned parquet directory (local
+                                    snapshot semantics: snap-<id>/ subdirs
+                                    + a `current` pointer file) — the
+                                    sandbox stand-in that lets snapshot
+                                    pinning be REAL and tested without the
+                                    Iceberg runtime jar
     "parquet:/path"              -> spark.read.parquet
     "/bare/path"                 -> parquet (local default)
 
 Keeping the provider behind one function means every operator/plan is
 storage-agnostic; partition pruning and pushdown work identically (both
-sources are DataSourceV2 with filter/column pushdown)."""
+sources are DataSourceV2 with filter/column pushdown).
+
+Snapshot-ID lineage contract (north rule "resumable ... with
+per-partition lineage"): ``current_snapshot_id`` resolves the source's
+live snapshot at run start; the runner pins it in its manifest and
+passes it back through ``read_table(snapshot_id=...)`` on resume, so a
+run interrupted mid-table never mixes two versions of the input (Iceberg
+reads are snapshot-isolated per ``snapshot-id``; the snapdir provider
+reproduces exactly that semantic on plain parquet)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
+    """The source's snapshot id right now, or None for unversioned
+    sources (plain parquet paths have no snapshot concept)."""
+    if ref.startswith("iceberg:"):
+        tbl = ref[len("iceberg:") :]
+        try:  # pragma: no cover - no iceberg jar locally
+            row = spark.sql(
+                f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+            return int(row[0]) if row else None
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError(
+                "iceberg snapshot resolution requires iceberg-spark-runtime "
+                "on the classpath (spark-submit --packages org.apache.iceberg:...)"
+            ) from e
+    if ref.startswith("snapdir:"):
+        root = ref[len("snapdir:") :]
+        with open(os.path.join(root, "current")) as f:
+            return int(f.read().strip())
+    return None
 
 
 def read_table(spark: SparkSession, ref: str, snapshot_id: int | None = None) -> DataFrame:
@@ -29,6 +67,11 @@ def read_table(spark: SparkSession, ref: str, snapshot_id: int | None = None) ->
                 "iceberg source requires iceberg-spark-runtime on the "
                 "classpath (spark-submit --packages org.apache.iceberg:...)"
             ) from e
+    if ref.startswith("snapdir:"):
+        root = ref[len("snapdir:") :]
+        if snapshot_id is None:
+            snapshot_id = current_snapshot_id(spark, ref)
+        return spark.read.parquet(os.path.join(root, f"snap-{snapshot_id}"))
     if ref.startswith("parquet:"):
         ref = ref[len("parquet:") :]
     return spark.read.parquet(ref)

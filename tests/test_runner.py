@@ -73,3 +73,59 @@ def test_spec_change_invalidates_lineage(spark, df, tmp_path):
     s2 = CheckSuite(transcripts_spec(psi_threshold=0.5)).build()
     assert s1.spec_hash != s2.spec_hash
     assert len(CheckpointedRunner(s2, out).pending_partitions(df)) == 15
+
+
+def test_snapshot_pinned_across_resume(spark, df, tmp_path):
+    """Snapshot-ID lineage: a run pins the input snapshot at start; a
+    resume AFTER the source advances still reads the pinned snapshot, so
+    one logical run never mixes input versions. Exercised through the
+    snapdir provider — the local stand-in for Iceberg's snapshot-id read
+    option (sources/tables.py)."""
+    root = tmp_path / "src"
+    (root / "snap-1").mkdir(parents=True)
+    df.write.mode("overwrite").parquet(str(root / "snap-1"))
+    (root / "current").write_text("1")
+    ref = f"snapdir:{root}"
+
+    suite = CheckSuite(transcripts_spec()).build()
+    out = str(tmp_path / "out3")
+    runner = CheckpointedRunner(suite, out)
+
+    # partial run (simulated kill after 2 batches of 3)
+    snap = runner.pinned_snapshot(spark, ref)
+    assert snap == 1
+    pending = runner.pending_partitions(df)
+    from jsonschema_validator_spark.sources.tables import read_table
+
+    sub = read_table(spark, ref, snapshot_id=snap).filter(
+        F.col(suite.partition_by).isin(pending[:6])
+    )
+    runner.run(sub, batch_size=3, snapshot_id=snap)
+    assert len(runner.done_partitions()) == 6
+
+    # source advances: snap-2 drops half the rows and current moves on
+    df.limit(10).write.mode("overwrite").parquet(str(root / "snap-2"))
+    (root / "current").write_text("2")
+
+    # resume: still pinned to snapshot 1, full day set completes
+    report = runner.run_ref(spark, ref, batch_size=5)
+    assert report.snapshot_id == 1
+    assert sorted(report.processed) == pending[6:]
+    assert len(runner.done_partitions()) == 15
+
+    # every manifest line carries the pinned snapshot id
+    import json as _json
+
+    mdir = os.path.join(out, "_manifest")
+    lines = [
+        _json.loads(line)
+        for fname in os.listdir(mdir)
+        if fname.endswith(".jsonl")
+        for line in open(os.path.join(mdir, fname))
+    ]
+    assert lines and all(rec["snapshot_id"] == 1 for rec in lines)
+
+    # a NEW spec (new logical run) re-resolves and pins snapshot 2
+    s2 = CheckSuite(transcripts_spec(psi_threshold=0.5)).build()
+    r2 = CheckpointedRunner(s2, out)
+    assert r2.pinned_snapshot(spark, ref) == 2
