@@ -333,6 +333,92 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# format probes at the dataset level (SURVEY §2.3 `format` row): strings
+# derived deterministically from events (with planted invalids) are
+# validated through the COMPILED format predicates — the engine path a
+# user hits with {"format": ...} in a spec — and counted in one agg.
+# ---------------------------------------------------------------------------
+
+def q_format_probes_events(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from jsonschema_validator_spark.functions.accessors import TypedAccessor
+    from jsonschema_validator_spark.functions.keywords import compile_schema, pred_of
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    derived = ev.select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.date_format("ts", "yyyy-MM-dd"), F.lit("T25:99:99Z")),
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .alias("dt_str"),
+        F.concat(
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(".example.com")).otherwise(
+                F.lit("@example.com")
+            ),
+        ).alias("email_str"),
+        F.concat_ws(
+            ".",
+            (F.col("event_id") % 300).cast("string"),
+            (F.col("user_id") % 256).cast("string"),
+            (F.expr("event_id div 1000") % 256).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+        ).alias("ip_str"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("events/"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/events/"), F.col("event_id").cast("string")))
+        .alias("ptr_str"),
+    )
+
+    def ok(fmt: str, col: str):
+        pred = pred_of(compile_schema({"format": fmt}, validate_formats=True))
+        return F.coalesce(pred(TypedAccessor(F.col(col), T.StringType())), F.lit(True))
+
+    return derived.agg(
+        F.sum(ok("date-time", "dt_str").cast("long")).alias("n_valid_datetime"),
+        F.sum(ok("email", "email_str").cast("long")).alias("n_valid_email"),
+        F.sum(ok("ipv4", "ip_str").cast("long")).alias("n_valid_ipv4"),
+        F.sum(ok("json-pointer", "ptr_str").cast("long")).alias("n_valid_jsonptr"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ORACLE_FORMAT_PROBES = r"""
+WITH d AS (
+  SELECT
+    CASE WHEN event_id % 7 = 0 THEN strftime(ts, '%Y-%m-%d') || 'T25:99:99Z'
+         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') END AS dt_str,
+    'user' || user_id ||
+      CASE WHEN event_id % 5 = 0 THEN '.example.com' ELSE '@example.com' END AS email_str,
+    (event_id % 300) || '.' || (user_id % 256) || '.' ||
+      ((event_id // 1000) % 256) || '.' || (event_id % 256) AS ip_str,
+    CASE WHEN event_id % 3 = 0 THEN 'events/' || event_id
+         ELSE '/events/' || event_id END AS ptr_str
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT
+  SUM(CASE WHEN try_strptime(regexp_replace(dt_str, 'Z$', '+00:00'),
+        '%Y-%m-%dT%H:%M:%S%z') IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_valid_datetime,
+  SUM(CASE WHEN regexp_matches(email_str, '^[^@\s]+@[^@\s]+\.[^@\s]+$')
+        THEN 1 ELSE 0 END)::BIGINT AS n_valid_email,
+  SUM(CASE WHEN regexp_matches(ip_str,
+        '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+        THEN 1 ELSE 0 END)::BIGINT AS n_valid_ipv4,
+  SUM(CASE WHEN regexp_matches(ptr_str, '^(/([^/~]|~[01])*)*$')
+        THEN 1 ELSE 0 END)::BIGINT AS n_valid_jsonptr,
+  COUNT(*)::BIGINT AS n_rows
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # length histogram (SURVEY §2.4 length-histogram row)
 # ---------------------------------------------------------------------------
 
@@ -987,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_events_value": q_stats_events_value,
         "json_extract_events": q_json_extract_events,
         "malformed_json_events": q_malformed_json_events,
+        "format_probes_events": q_format_probes_events,
         "length_histogram_documents": q_length_histogram_documents,
         "drift_events_value": q_drift_events_value,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -1024,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_events_value": _ORACLE_STATS_EVENTS,
         "json_extract_events": _ORACLE_JSON,
         "malformed_json_events": _ORACLE_MALFORMED,
+        "format_probes_events": _ORACLE_FORMAT_PROBES,
         "length_histogram_documents": _ORACLE_LENGTH_HIST,
         "drift_events_value": _ORACLE_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
