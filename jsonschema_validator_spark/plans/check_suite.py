@@ -201,6 +201,10 @@ class CheckSuite:
             p = Path(self.spec_path).resolve()
             base_uri, loader = p.as_uri(), file_loader(p.parent)
         checks: list[CheckExpr] = []
+        # opt-in format assertion (JSON Schema spec: format is an
+        # annotation unless the suite asserts it); part of the spec dict,
+        # so it participates in spec_hash lineage invalidation
+        fmts = bool(self.spec.get("validate_formats", False))
         # expand root-level `required` into one check per column so each
         # missing column attributes its own violation row
         for name in row_schema.pop("required", []) or []:
@@ -209,6 +213,7 @@ class CheckSuite:
             for ce in compile_schema(scope.root, scope, path=f"#/{name}"):
                 checks.append(ce)
         scope = Scope(draft=self.draft, base_uri=base_uri, loader=loader)
+        scope.validate_formats = fmts
         scope.root = row_schema
         checks.extend(compile_schema(row_schema, scope))
         self._checks = checks

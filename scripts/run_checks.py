@@ -44,13 +44,21 @@ def main() -> None:
     suite = CheckSuite(spec).build()
 
     spark = get_spark(app_name=f"jsv_checks_{suite.name}")
-    df = read_table(spark, args.input, snapshot_id=args.snapshot_id)
-    report = CheckpointedRunner(suite, args.output).run(df, batch_size=args.batch_size)
+    runner = CheckpointedRunner(suite, args.output)
+    if args.snapshot_id is not None:
+        # explicit pin overrides lineage resolution
+        df = read_table(spark, args.input, snapshot_id=args.snapshot_id)
+        report = runner.run(df, batch_size=args.batch_size, snapshot_id=args.snapshot_id)
+    else:
+        # resolve-and-pin: first run records the source's current
+        # snapshot in the manifest; resumes reuse the pinned one
+        report = runner.run_ref(spark, args.input, batch_size=args.batch_size)
     print(
         json.dumps(
             {
                 "spec": suite.name,
                 "spec_hash": suite.spec_hash,
+                "snapshot_id": report.snapshot_id,
                 "processed_partitions": report.processed,
                 "skipped_partitions": report.skipped,
                 "batches": report.batches,

@@ -260,3 +260,39 @@ def test_every_dataset_check_kind_executes(spark):
             rows = suite.verdicts(df, fused=fused, refs={"p": parent}).collect()
             assert rows, (kind, fused)
         suite.violations(df, refs={"p": parent}).collect()
+
+
+def test_spec_level_format_assertion(spark):
+    """`validate_formats: true` in a spec turns `format` keywords into
+    asserted checks; without it they stay annotations (JSON Schema
+    default). The flag lives in the spec dict, so it changes spec_hash
+    (lineage invalidation)."""
+    rows = [
+        ("c1", 0, "a@b.com"),
+        ("c1", 1, "not-an-email"),
+        ("c2", 0, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, contact string")
+    base = {
+        "name": "fmt_suite",
+        "draft": "draft7",
+        "partition_by": "conv_id",
+        "keys": ["conv_id", "turn_idx"],
+        "row": {
+            "required": ["conv_id"],
+            "properties": {"contact": {"format": "email"}},
+        },
+    }
+    asserted = CheckSuite({**base, "validate_formats": True}).build()
+    annotated = CheckSuite(base).build()
+    assert asserted.spec_hash != annotated.spec_hash
+
+    v = asserted.verdicts(df)
+    bad = v.filter(~F.col("pass")).collect()
+    assert len(bad) == 1 and bad[0]["day"] == "c1" and bad[0]["violation_count"] == 1
+
+    # annotation mode: the format keyword compiles to nothing, so only
+    # the required check remains and nothing fails
+    assert len(annotated._checks) == 1
+    v2 = annotated.verdicts(df)
+    assert v2.filter(~F.col("pass")).count() == 0
