@@ -1049,6 +1049,78 @@ def q_streaming_verdicts_events(spark, sf_dir):
     )
 
 
+def q_streaming_completeness_events(spark, sf_dir):
+    """Custom stateful streaming operator in the contract:
+    ``applyInPandasWithState`` conversation-completeness (one verdict per
+    conversation once idle past the event-time timeout). Input: a
+    deterministic transcript derivation of events (conv = user, turn =
+    per-user rank with planted +5 gaps on event_id % 97 == 0), staged to
+    parquet and re-read as a bounded file stream; a far-future sentinel
+    row pushes the final watermark so every real conversation times out
+    and flushes. The emitted (n, min, max, has_root, dense) verdicts are
+    pure functions of the turn multiset, so the oracle recomputes them
+    from events directly in SQL."""
+    import tempfile
+
+    from jsonschema_validator_spark.streaming.stateful import conversation_completeness
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (
+            F.row_number().over(w)
+            - 1
+            + F.when(F.col("event_id") % 97 == 0, F.lit(5)).otherwise(F.lit(0))
+        ).cast("int").alias("turn_idx"),
+        F.col("ts"),
+    )
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0)], "conv_id string, turn_idx int"
+    ).withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
+
+    root = tempfile.mkdtemp(prefix="stream_complete_")
+    src_dir = f"{root}/in"
+    turns.unionByName(sentinel).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = f"{root}/out"
+    q = (
+        conversation_completeness(stream, idle_timeout="1 hour", watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{root}/_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("conv_id") != "__sentinel__")
+        .orderBy("conv_id")
+    )
+
+
+_ORACLE_STREAMING_COMPLETENESS = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         + CASE WHEN event_id % 97 = 0 THEN 5 ELSE 0 END AS turn_idx
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT conv_id,
+       COUNT(*)::BIGINT AS n_turns,
+       MIN(turn_idx)::BIGINT AS min_turn,
+       MAX(turn_idx)::BIGINT AS max_turn,
+       (MIN(turn_idx) = 0) AS has_root,
+       (MAX(turn_idx) - MIN(turn_idx) + 1 = COUNT(*)) AS dense
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1093,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_events": q_volume_events,
         "freshness_events": q_freshness_events,
         "streaming_verdicts_events": q_streaming_verdicts_events,
+        "streaming_completeness_events": q_streaming_completeness_events,
     }
 
 
@@ -1131,4 +1204,5 @@ def oracle_sql() -> dict[str, str]:
         "volume_events": _ORACLE_VOLUME,
         "freshness_events": _ORACLE_FRESHNESS,
         "streaming_verdicts_events": _ORACLE_VERDICTS_EVENTS,
+        "streaming_completeness_events": _ORACLE_STREAMING_COMPLETENESS,
     }
