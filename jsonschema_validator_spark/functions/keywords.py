@@ -893,7 +893,42 @@ _FORMAT_PROBES: dict[str, Factory] = {
         r"|\{[+#./;?&=,!@|]?[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?"
         r"(,[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?)*\})*$"
     ),
+    "regex": lambda acc: _regex_validity_probe(acc),
 }
+
+
+def _regex_validity_probe(acc: JsonAccessor) -> Column:
+    """``format: regex`` — the value must itself be a valid ECMA-262
+    regex. Validity is only decidable by compiling, so this is the ONE
+    format probe that is not Column algebra: an Arrow-batched pandas UDF
+    compiles each DISTINCT pattern once (LRU across batches) via Python
+    ``re`` (a superset of the ECMA subset the official suite exercises).
+    Same boundary rule as the statistical checks — vectorized batches,
+    never a row-at-a-time Python UDF in a Column expression."""
+    import pandas as pd
+
+    def _f(batch):
+        import re
+
+        # per-worker memo (function attribute survives across Arrow
+        # batches in one python worker): compile each distinct pattern once
+        cache = _f.__dict__.setdefault("_memo", {})
+
+        def ok(p):
+            v = cache.get(p)
+            if v is None:
+                try:
+                    re.compile(p)
+                    v = True
+                except re.error:
+                    v = False
+                cache[p] = v
+            return v
+
+        return batch.map(lambda s: None if s is None else ok(s))
+
+    _f.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_f, "boolean")(acc.as_string())
 
 
 def _compile_format(schema, scope, path) -> Optional[Factory]:
