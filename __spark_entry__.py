@@ -1083,20 +1083,29 @@ def q_streaming_completeness_events(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="stream_complete_")
     src_dir = f"{root}/in"
-    turns.unionByName(sentinel).write.parquet(src_dir)
+    turns.unionByName(sentinel).coalesce(4).write.parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
     out = f"{root}/out"
-    q = (
-        conversation_completeness(stream, idle_timeout="1 hour", watermark="1 minute")
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", f"{root}/_cp")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the stateful query's state-store count is fixed at query start from
+    # shuffle.partitions; a handful of stores suffices for the group
+    # cardinality here and saves per-batch store checkpoint overhead
+    # (production would size this to executor count x cores)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            conversation_completeness(stream, idle_timeout="1 hour", watermark="1 minute")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(out)
         .filter(F.col("conv_id") != "__sentinel__")
