@@ -1,0 +1,157 @@
+"""Document-level API — the reference library's user surface, Spark-backed.
+
+A user of macisamuele/jsonschema-validator holds a compiled ``Schema``
+and asks it two questions about ONE json document at a time:
+
+- ``Schema::create(raw)``       — compile (+ root-shape check),
+  /root/reference/src/types/schema.rs:30-58
+- ``schema.validation_errors``  — lazy iterator of ALL errors,
+  /root/reference/src/types/schema.rs:67-78
+- ``schema.is_valid``           — first-error-wins short circuit,
+  /root/reference/src/types/validator.rs:14-16, README.md:20-22
+
+This module is that exact surface on top of the engine's compiled
+Column predicates, so switching from the reference means changing an
+import, not a mental model. Single-document calls evaluate a one-row
+DataFrame (driver round-trip — milliseconds; this is the convenience
+path, not the scale path); ``validate_many`` is the same compiled plan
+applied to a whole DataFrame column, which is the scale path and the
+reason the engine exists.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import SchemaError
+from .functions.accessors import VariantAccessor
+from .functions.keywords import Scope, compile_schema, pred_of
+
+
+@dataclass(frozen=True)
+class ValidationError:
+    """Mirror of the reference's error value
+    (/root/reference/src/types/validation_error.rs:5-10)."""
+
+    message: str
+    keyword: str
+    path: str
+
+
+class ValidationFailure(SchemaError):
+    """Raised by ``validate`` when the document is invalid; carries the
+    full error list (the eager-collect analog of the reference's
+    ``validation_errors`` iterator)."""
+
+    def __init__(self, errors: list[ValidationError]):
+        super().__init__(f"{len(errors)} validation error(s): {errors[:3]}")
+        self.errors = errors
+
+
+class Schema:
+    """A compiled schema. Create once, validate many times — the
+    compile-once/validate-many contract of the reference's scope cache
+    (/root/reference/src/types/scope_builder.rs:43-54)."""
+
+    def __init__(
+        self,
+        raw_schema,
+        spark: SparkSession,
+        draft: str = "draft7",
+        validate_formats: bool = False,
+        base_uri: str = "",
+        loader=None,
+        registry: dict | None = None,
+    ):
+        self.spark = spark
+        self.raw = raw_schema
+        scope = Scope(draft=draft, base_uri=base_uri, loader=loader)
+        if registry:
+            scope.registry.update(registry)
+        scope.validate_formats = validate_formats
+        scope.root = raw_schema
+        # compile errors raise HERE (Schema::create root check,
+        # schema.rs:46-57); runtime never sees a malformed schema
+        self._checks = compile_schema(raw_schema, scope)
+        self._fused = pred_of(self._checks)
+
+    # -- constructors ----------------------------------------------------
+    @classmethod
+    def create(cls, raw_schema, spark: SparkSession | None = None, **kw) -> "Schema":
+        """``Schema::create`` analog. ``spark`` defaults to the active
+        session (there must be one — the predicates are Spark columns)."""
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise SchemaError("Schema.create needs a SparkSession (none active)")
+        return cls(raw_schema, spark, **kw)
+
+    # -- single-document surface (reference parity) ----------------------
+    def _row_df(self, value) -> DataFrame:
+        return self.spark.createDataFrame([(json.dumps(value),)], "j string")
+
+    def is_valid(self, value) -> bool:
+        """Fused boolean only — no per-keyword error materialization
+        (the short-circuit fast path, keywords/mod.rs:30-32: "1 or 100
+        errors does not change the answer but just the execution time")."""
+        acc = VariantAccessor(F.try_parse_json(F.col("j")))
+        row = self._row_df(value).select(
+            F.coalesce(self._fused(acc), F.lit(True)).alias("ok")
+        ).first()
+        return bool(row["ok"])
+
+    def validation_errors(self, value) -> list[ValidationError]:
+        """ALL failing keywords with their paths/messages, evaluated in
+        one job (one flag column per compiled check)."""
+        if not self._checks:
+            return []
+        acc = VariantAccessor(F.try_parse_json(F.col("j")))
+        flags = [c.gated(acc).alias(f"f{i}") for i, c in enumerate(self._checks)]
+        row = self._row_df(value).select(*flags).first()
+        return [
+            ValidationError(c.message, c.keyword, c.path)
+            for i, c in enumerate(self._checks)
+            if not row[f"f{i}"]
+        ]
+
+    def validate(self, value) -> None:
+        """Raise ``ValidationFailure`` with the full error list if the
+        document is invalid (eager-collect form of the error iterator)."""
+        errors = self.validation_errors(value)
+        if errors:
+            raise ValidationFailure(errors)
+
+    # -- batch surface (the scale path) ----------------------------------
+    def valid_col(self, json_col: Column) -> Column:
+        """The fused predicate as a Column over a JSON-string column —
+        compose it into any DataFrame plan."""
+        acc = VariantAccessor(F.try_parse_json(json_col))
+        return F.coalesce(self._fused(acc), F.lit(True))
+
+    def validate_many(self, df: DataFrame, json_col: str = "j") -> DataFrame:
+        """df + ``valid`` boolean + ``violations`` array<struct<keyword,
+        path,message>> — the whole compiled validator applied to every
+        row in one pass (no per-row Python; one plan, N documents)."""
+        acc = VariantAccessor(F.try_parse_json(F.col(json_col)))
+        structs = [
+            F.when(
+                ~c.gated(acc),
+                F.struct(
+                    F.lit(c.keyword).alias("keyword"),
+                    F.lit(c.path).alias("path"),
+                    F.lit(c.message).alias("message"),
+                ),
+            )
+            for c in self._checks
+        ]
+        viol = (
+            F.filter(F.array(*structs), lambda x: x.isNotNull())
+            if structs
+            else F.array().cast("array<struct<keyword:string,path:string,message:string>>")
+        )
+        return df.withColumn("violations", viol).withColumn(
+            "valid", F.size("violations") == 0
+        )

@@ -1,0 +1,84 @@
+"""Document-level API parity: Schema.create / validation_errors /
+is_valid mirror the reference library surface (types/schema.rs,
+types/validator.rs) on top of the compiled Column predicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from jsonschema_validator_spark.api import Schema, ValidationFailure
+from jsonschema_validator_spark.errors import MalformedSchemaError
+
+SCHEMA = {
+    "type": "object",
+    "required": ["name"],
+    "properties": {
+        "name": {"type": "string", "minLength": 2},
+        "age": {"type": "integer", "minimum": 0},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def schema(spark):
+    return Schema.create(SCHEMA, spark)
+
+
+def test_is_valid(schema):
+    assert schema.is_valid({"name": "ada", "age": 36})
+    assert not schema.is_valid({"name": "ada", "age": -1})
+    assert not schema.is_valid({"age": 3})  # required missing
+    assert not schema.is_valid(42)  # not an object
+
+
+def test_validation_errors_attribution(schema):
+    errs = schema.validation_errors({"name": "a", "age": -1})
+    got = {(e.keyword, e.path) for e in errs}
+    # paths use the reference's {path}/{property} scheme, normalized per
+    # validation_error.rs:18-26 ('#/x' -> '#x')
+    assert ("minLength", "#name") in got
+    assert ("minimum", "#age") in got
+    assert len(errs) == 2
+
+
+def test_type_error_message(spark):
+    # exact reference message (type_.rs:106)
+    s = Schema.create({"type": "string"}, spark)
+    errs = s.validation_errors(5)
+    assert len(errs) == 1 and errs[0].message == "Invalid Type" and errs[0].keyword == "type"
+
+
+def test_validate_raises(schema):
+    schema.validate({"name": "ok"})
+    with pytest.raises(ValidationFailure) as ei:
+        schema.validate({"name": "x"})
+    assert {e.keyword for e in ei.value.errors} == {"minLength"}
+
+
+def test_malformed_schema_raises_at_create(spark):
+    # Schema::create root check (schema.rs:46-57): compile-time error,
+    # never a runtime surprise
+    with pytest.raises(MalformedSchemaError):
+        Schema.create([1, 2, 3], spark)
+
+
+def test_boolean_schemas(spark):
+    assert Schema.create(True, spark).is_valid({"anything": 1})
+    assert not Schema.create(False, spark).is_valid({"anything": 1})
+
+
+def test_validate_many_batch(spark, schema):
+    docs = [
+        '{"name": "ada", "age": 36}',
+        '{"name": "x"}',
+        '{"age": -2}',
+        "5",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    out = schema.validate_many(df).collect()
+    assert [r.valid for r in out] == [True, False, False, False]
+    # row 2: minLength; row 3: required + minimum; row 4: type
+    kws = [sorted(v.keyword for v in r.violations) for r in out]
+    assert kws[1] == ["minLength"]
+    assert kws[2] == ["minimum", "required"]
+    assert "type" in kws[3]
