@@ -1130,6 +1130,48 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_schema_validate_props_events(spark, sf_dir):
+    """Document-level Schema API over a JSON column at dataset scale:
+    `Schema.create(...).valid_col` composes the compiled validator into a
+    grouped aggregation — one plan, every props document validated, no
+    per-row Python (api.py validate_many path)."""
+    from jsonschema_validator_spark.api import Schema
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+        },
+        spark,
+        draft="draft7",
+    )
+    return (
+        ev.withColumn("ok", s.valid_col(F.col("props")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("ok").cast("long")).alias("n_valid"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_SCHEMA_VALIDATE = """
+SELECT event_type,
+       SUM(CASE WHEN props IS NULL THEN 1                  -- absent is vacuous
+                WHEN NOT json_valid(props) THEN 0          -- unparseable -> invalid
+                WHEN json_extract(props, '$.k') IS NULL THEN 0   -- required
+                WHEN json_type(json_extract(props, '$.k'))
+                     NOT IN ('INTEGER', 'BIGINT', 'UBIGINT') THEN 0  -- type: integer
+                WHEN CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 80
+                     THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       COUNT(*)::BIGINT AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1175,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_events": q_freshness_events,
         "streaming_verdicts_events": q_streaming_verdicts_events,
         "streaming_completeness_events": q_streaming_completeness_events,
+        "schema_validate_props_events": q_schema_validate_props_events,
     }
 
 
@@ -1214,4 +1257,5 @@ def oracle_sql() -> dict[str, str]:
         "freshness_events": _ORACLE_FRESHNESS,
         "streaming_verdicts_events": _ORACLE_VERDICTS_EVENTS,
         "streaming_completeness_events": _ORACLE_STREAMING_COMPLETENESS,
+        "schema_validate_props_events": _ORACLE_SCHEMA_VALIDATE,
     }
