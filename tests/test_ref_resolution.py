@@ -16,7 +16,7 @@ import pytest
 from urllib.parse import urldefrag
 
 from jsonschema_validator_spark.errors import RefResolutionError
-from jsonschema_validator_spark.functions.keywords import Scope, full_uri
+from jsonschema_validator_spark.functions.keywords import Scope, compile_schema, full_uri
 from jsonschema_validator_spark.functions.loaders import file_loader, registry_from_dir
 
 MATRIX = [
@@ -150,3 +150,46 @@ def test_checksuite_spec_path_sibling_ref(spark, spec_dir):
     assert bad, f"no minimum check compiled from sibling ref: {list(v)}"
     # exactly one violation: n=0 fails minimum 1; NULL n is not a violation
     assert v[bad[0]]["violation_count"] == 1
+
+
+# -- mocked remote loader (ref_.rs:136-194 analog) -------------------------
+
+def test_remote_loader_matrix():
+    """Remote $ref resolution through an injected fetcher — the engine
+    analog of the reference's mocked-HTTP loader tests: direct remote
+    ref, fragment into a remote doc, remote doc $ref-ing a sibling
+    remote, fetch-once caching, and fetch failure as a compile error."""
+    fetches = []
+    DOCS = {
+        "https://ex.com/specs/a.json": {"defs": {"s": {"type": "string"}}},
+        # b.json delegates to its sibling via a RELATIVE ref — resolution
+        # must re-base against b.json's own URI
+        "https://ex.com/specs/b.json": {"$ref": "a.json#/defs/s"},
+    }
+
+    def fake_fetch(uri):
+        fetches.append(uri)
+        try:
+            return DOCS[uri]
+        except KeyError:
+            raise RefResolutionError(f"404: {uri}")
+
+    scope = Scope(draft="draft7", base_uri="https://ex.com/specs/root.json", loader=fake_fetch)
+
+    # fragment into a remote doc
+    _, node = scope._lookup("a.json#/defs/s", "#")
+    assert node == {"type": "string"}
+    # fetch-once caching: second lookup hits the registry
+    scope._lookup("a.json#/defs/s", "#")
+    assert fetches.count("https://ex.com/specs/a.json") == 1
+
+    # remote -> sibling remote delegation compiles end to end
+    scope.root = {"$ref": "b.json"}
+    checks = compile_schema(scope.root, scope)
+    assert checks  # the delegated {"type": "string"} produced a check
+
+    # fetch failure is a compile-time error, not a runtime surprise
+    bad = Scope(draft="draft7", base_uri="https://ex.com/specs/root.json", loader=fake_fetch)
+    bad.root = {"$ref": "missing.json"}
+    with pytest.raises(RefResolutionError):
+        compile_schema(bad.root, bad)
