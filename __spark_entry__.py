@@ -1130,6 +1130,39 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_dedup_components_documents(spark, sf_dir):
+    """Connected components over a near-dup pair graph (the clustering
+    step after pairwise dedup: component representative = MIN id =
+    the keep-decision). Edges are planted 3-node chains per src0 doc
+    (doc -> doc+1M -> doc+2M): two hops, so single-round neighbor
+    exchange is NOT enough — label propagation must actually iterate to
+    convergence. The expected component of every chain node is its base
+    doc_id, which is pure arithmetic for the oracle. In production the
+    edge list is the output of minhash_lsh/simhash/cosine near-dup
+    operators; the operator only sees (id_a, id_b) pairs either way."""
+    from jsonschema_validator_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0").select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1_000_000).alias("doc_b")
+    )
+    e2 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_a"),
+        (F.col("doc_id") + 2_000_000).alias("doc_b"),
+    )
+    return connected_components(e1.unionByName(e2)).orderBy("id")
+
+
+_ORACLE_DEDUP_COMPONENTS = """
+WITH ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+nodes AS (
+  SELECT doc_id AS id, doc_id AS component FROM ids
+  UNION ALL SELECT doc_id + 1000000, doc_id FROM ids
+  UNION ALL SELECT doc_id + 2000000, doc_id FROM ids)
+SELECT id, component FROM nodes ORDER BY id
+"""
+
+
 def q_schema_validate_props_events(spark, sf_dir):
     """Document-level Schema API over a JSON column at dataset scale:
     `Schema.create(...).valid_col` composes the compiled validator into a
@@ -1218,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_verdicts_events": q_streaming_verdicts_events,
         "streaming_completeness_events": q_streaming_completeness_events,
         "schema_validate_props_events": q_schema_validate_props_events,
+        "dedup_components_documents": q_dedup_components_documents,
     }
 
 
@@ -1258,4 +1292,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_verdicts_events": _ORACLE_VERDICTS_EVENTS,
         "streaming_completeness_events": _ORACLE_STREAMING_COMPLETENESS,
         "schema_validate_props_events": _ORACLE_SCHEMA_VALIDATE,
+        "dedup_components_documents": _ORACLE_DEDUP_COMPONENTS,
     }

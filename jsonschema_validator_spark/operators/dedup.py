@@ -285,3 +285,72 @@ def simhash_near_duplicates(
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.filter(ham <= max_hamming).select("doc_a", "doc_b", ham.alias("hamming"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    clustering step that turns pairwise dedup output into keep/drop
+    decisions (component representative = MIN id, deterministic).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the minimum label among itself and its neighbors; convergence
+    in O(component diameter) rounds. Dedup graphs are shallow (near-dup
+    clusters are dense, diameters of a few hops), so the round count
+    stays small; each round is one edge join + one groupBy — all
+    shuffle-based, no driver-side graph. ``localCheckpoint`` truncates
+    the lineage each round so the plan doesn't grow with iterations.
+    (For adversarial long-chain graphs at 10^12 scale, swap the
+    propagation body for large-star/small-star — same join/agg
+    primitives, O(log n) rounds; the dedup contract here never produces
+    such chains.)
+
+    Input edges are undirected (either orientation); output is one row
+    per node appearing in any edge: (id, component) with component =
+    the smallest id reachable."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: for each node, the smallest label among its
+        # neighbors; then fold in the node's own label
+        nbr_min = (
+            e.join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "nc"), "b")
+            .groupBy("a")
+            .agg(F.min("nc").alias("nbr_component"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -296,3 +296,37 @@ def test_text_profile_matches_columns(spark):
         assert r.p.lang_pred == r.lang_col, (r.doc_id, r.p, r.lang_col)
         pq_ = None if r.p.quality is None else round(r.p.quality, 9)
         assert pq_ == r.q_col, (r.doc_id, r.p.quality, r.q_col)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must agree with a driver-side union-find on a
+    deterministic random-ish graph including a long chain (multi-hop
+    propagation) and isolated pairs."""
+    from jsonschema_validator_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 12)]          # chain 0..12
+    edges += [(100, 101), (102, 103), (101, 102)]       # chain of pairs
+    edges += [(200, 201), (300, 301), (301, 300)]       # dup orientation
+    edges += [(i * 7 % 50 + 400, i * 13 % 50 + 400) for i in range(30)]  # tangle
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == expected
