@@ -287,6 +287,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_percentiles_events_value(spark, sf_dir):
+    """Per-partition percentile column stats (p50/p95/p99 of value, by
+    event_type). Exact `F.percentile` (linear interpolation, matching
+    SQL quantile_cont) so the oracle compares bit-for-bit after
+    rounding; the 100 TB path swaps in `approx_percentile`
+    (t-digest-style mergeable sketch, same agg shape) where exact sort
+    per group is unaffordable — identical plan, different agg function."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # JSON extraction over the props column (variant path)
 # ---------------------------------------------------------------------------
@@ -1227,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering_events": q_ordering_events,
         "stats_orders": q_stats_orders,
         "stats_events_value": q_stats_events_value,
+        "percentiles_events_value": q_percentiles_events_value,
         "json_extract_events": q_json_extract_events,
         "malformed_json_events": q_malformed_json_events,
         "format_probes_events": q_format_probes_events,
@@ -1268,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "ordering_events": _ORACLE_ORDERING,
         "stats_orders": _ORACLE_STATS_ORDERS,
         "stats_events_value": _ORACLE_STATS_EVENTS,
+        "percentiles_events_value": _ORACLE_PERCENTILES,
         "json_extract_events": _ORACLE_JSON,
         "malformed_json_events": _ORACLE_MALFORMED,
         "format_probes_events": _ORACLE_FORMAT_PROBES,
