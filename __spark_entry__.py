@@ -1179,7 +1179,16 @@ def q_dedup_components_documents(spark, sf_dir):
         (F.col("doc_id") + 1_000_000).alias("doc_a"),
         (F.col("doc_id") + 2_000_000).alias("doc_b"),
     )
-    return connected_components(e1.unionByName(e2)).orderBy("id")
+    # iterative rounds pay fixed cost per shuffle partition; size the
+    # loop's shuffles to the (small) edge volume and restore after —
+    # production sizes this to edges/target-partition-bytes
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = connected_components(e1.unionByName(e2), num_partitions=8)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("id")
 
 
 _ORACLE_DEDUP_COMPONENTS = """
@@ -1210,7 +1219,7 @@ def q_schema_validate_props_events(spark, sf_dir):
         draft="draft7",
     )
     return (
-        ev.withColumn("ok", s.valid_col(F.col("props")))
+        s.with_valid(ev, "props", out_col="ok")
         .groupBy("event_type")
         .agg(
             F.sum(F.col("ok").cast("long")).alias("n_valid"),

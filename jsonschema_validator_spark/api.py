@@ -28,8 +28,42 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .errors import SchemaError
-from .functions.accessors import VariantAccessor
+from .functions.accessors import VariantAccessor, _vtag
 from .functions.keywords import Scope, compile_schema, pred_of
+
+
+class _BoundVariantAccessor(VariantAccessor):
+    """VariantAccessor whose expensive derivations (type tag, object
+    map) read PRE-PROJECTED columns instead of being re-derived inside
+    every check expression. Variant expressions (`schema_of_variant`,
+    `variant_get`) evaluate interpreted — without this binding a
+    validator with C checks recomputes them O(C) times per row, which
+    measured ~2.5x the whole query's runtime at 10^5 rows. The
+    projection boundary also survives CollapseProject (non-cheap exprs
+    used more than once are not inlined)."""
+
+    def __init__(
+        self,
+        col: Column,
+        tag_col: Column,
+        obj_col: Column,
+        fields: dict[str, "VariantAccessor"] | None = None,
+    ):
+        super().__init__(col)
+        self._tag_col = tag_col
+        self._obj_col = obj_col
+        self._fields = fields or {}
+
+    def tag(self) -> Column:
+        return self._tag_col
+
+    def as_object(self) -> Column:
+        return self._obj_col
+
+    def get_field(self, name: str) -> "VariantAccessor":
+        # top-level schema properties read their pre-projected column;
+        # anything else (nested objects) falls back to the generic path
+        return self._fields.get(name) or super().get_field(name)
 
 
 @dataclass(frozen=True)
@@ -93,12 +127,52 @@ class Schema:
     def _row_df(self, value) -> DataFrame:
         return self.spark.createDataFrame([(json.dumps(value),)], "j string")
 
+    def _bind(self, df: DataFrame, json_col: str):
+        """Parse the JSON column ONCE and project the accessor's
+        expensive derivations as columns — the document tag/object map,
+        plus each top-level schema property's sub-variant and tag (the
+        property set is known at compile time). Every check expression
+        then reads the shared columns instead of re-deriving variant
+        metadata."""
+        pv, tg, ob = "__jsv_pv", "__jsv_tag", "__jsv_obj"
+        out = (
+            df.withColumn(pv, F.try_parse_json(F.col(json_col)))
+            .withColumn(tg, _vtag(F.col(pv)))
+            .withColumn(
+                ob,
+                F.when(
+                    F.col(tg) == "object",
+                    F.try_variant_get(F.col(pv), "$", "map<string,variant>"),
+                ),
+            )
+        )
+        tmp = [pv, tg, ob]
+        fields: dict[str, VariantAccessor] = {}
+        props = self.raw.get("properties", {}) if isinstance(self.raw, dict) else {}
+        for i, name in enumerate(props):
+            fc, ft, fo = f"__jsv_f{i}", f"__jsv_ft{i}", f"__jsv_fo{i}"
+            out = (
+                out.withColumn(fc, F.try_element_at(F.col(ob), F.lit(name)))
+                .withColumn(ft, _vtag(F.col(fc)))
+                .withColumn(
+                    fo,
+                    F.when(
+                        F.col(ft) == "object",
+                        F.try_variant_get(F.col(fc), "$", "map<string,variant>"),
+                    ),
+                )
+            )
+            fields[name] = _BoundVariantAccessor(F.col(fc), F.col(ft), F.col(fo))
+            tmp += [fc, ft, fo]
+        acc = _BoundVariantAccessor(F.col(pv), F.col(tg), F.col(ob), fields)
+        return out, acc, tmp
+
     def is_valid(self, value) -> bool:
         """Fused boolean only — no per-keyword error materialization
         (the short-circuit fast path, keywords/mod.rs:30-32: "1 or 100
         errors does not change the answer but just the execution time")."""
-        acc = VariantAccessor(F.try_parse_json(F.col("j")))
-        row = self._row_df(value).select(
+        bound, acc, tmp = self._bind(self._row_df(value), "j")
+        row = bound.select(
             F.coalesce(self._fused(acc), F.lit(True)).alias("ok")
         ).first()
         return bool(row["ok"])
@@ -108,9 +182,9 @@ class Schema:
         one job (one flag column per compiled check)."""
         if not self._checks:
             return []
-        acc = VariantAccessor(F.try_parse_json(F.col("j")))
+        bound, acc, tmp = self._bind(self._row_df(value), "j")
         flags = [c.gated(acc).alias(f"f{i}") for i, c in enumerate(self._checks)]
-        row = self._row_df(value).select(*flags).first()
+        row = bound.select(*flags).first()
         return [
             ValidationError(c.message, c.keyword, c.path)
             for i, c in enumerate(self._checks)
@@ -127,15 +201,26 @@ class Schema:
     # -- batch surface (the scale path) ----------------------------------
     def valid_col(self, json_col: Column) -> Column:
         """The fused predicate as a Column over a JSON-string column —
-        compose it into any DataFrame plan."""
+        compose it into any DataFrame plan. NOTE: self-contained (parses
+        inline), so a validator with many checks re-derives variant
+        metadata per check; prefer ``with_valid``/``validate_many`` when
+        the DataFrame is at hand — they parse and tag once per row."""
         acc = VariantAccessor(F.try_parse_json(json_col))
         return F.coalesce(self._fused(acc), F.lit(True))
+
+    def with_valid(self, df: DataFrame, json_col: str, out_col: str = "valid") -> DataFrame:
+        """df + boolean ``out_col`` — the fused validator with the
+        parse/tag/object projections shared across all checks."""
+        bound, acc, tmp = self._bind(df, json_col)
+        return bound.withColumn(
+            out_col, F.coalesce(self._fused(acc), F.lit(True))
+        ).drop(*tmp)
 
     def validate_many(self, df: DataFrame, json_col: str = "j") -> DataFrame:
         """df + ``valid`` boolean + ``violations`` array<struct<keyword,
         path,message>> — the whole compiled validator applied to every
         row in one pass (no per-row Python; one plan, N documents)."""
-        acc = VariantAccessor(F.try_parse_json(F.col(json_col)))
+        bound, acc, tmp = self._bind(df, json_col)
         structs = [
             F.when(
                 ~c.gated(acc),
@@ -152,6 +237,8 @@ class Schema:
             if structs
             else F.array().cast("array<struct<keyword:string,path:string,message:string>>")
         )
-        return df.withColumn("violations", viol).withColumn(
-            "valid", F.size("violations") == 0
+        return (
+            bound.withColumn("violations", viol)
+            .withColumn("valid", F.size("violations") == 0)
+            .drop(*tmp)
         )

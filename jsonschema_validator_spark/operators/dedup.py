@@ -292,6 +292,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     clustering step that turns pairwise dedup output into keep/drop
@@ -316,8 +317,12 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if num_partitions:
+        # iterative jobs pay per-round fixed cost per shuffle partition;
+        # size to the edge volume, not the session default
+        e = e.repartition(num_partitions, "a")
+    e = e.localCheckpoint(eager=True)
     labels = (
         e.select(F.col("a").alias("id"))
         .distinct()
