@@ -1201,6 +1201,56 @@ SELECT id, component FROM nodes ORDER BY id
 """
 
 
+def q_decontamination_documents(spark, sf_dir):
+    """Train/eval contamination screen: word-8-gram collision between the
+    corpus (src0 + planted contaminated docs that embed src1 benchmark
+    texts verbatim between fresh boundary tokens) and the src1
+    benchmark. Clean src0 docs share no 8-gram with the benchmark
+    (verified: natural overlap is zero at every sf), so the output is
+    exactly the planted docs with their interior-gram collision counts —
+    string-equality grams, so Spark and the SQL oracle compute the
+    identical multiset."""
+    from jsonschema_validator_spark.operators.dedup import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    bench = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    planted = bench.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("planted prefix "), F.col("text"), F.lit(" planted suffix")).alias(
+            "text"
+        ),
+    )
+    return ngram_overlap(
+        corpus.unionByName(planted), bench, id_col="doc_id", text_col="text", k=8
+    ).orderBy("doc_id")
+
+
+_ORACLE_DECONTAMINATION = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT doc_id + 1000000, 'planted prefix ' || text || ' planted suffix'
+  FROM documents WHERE source = 'src1'),
+ct AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+bt AS (SELECT string_split(lower(text), ' ') AS t FROM documents WHERE source = 'src1'),
+cg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(t) - 8 + 1, 0) + 1),
+                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM ct),
+bg AS (
+  SELECT DISTINCT
+         UNNEST(list_transform(range(1, greatest(len(t) - 8 + 1, 0) + 1),
+                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM bt),
+ng AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams FROM cg GROUP BY doc_id),
+ov AS (SELECT doc_id, COUNT(*)::BIGINT AS n_overlap FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT ov.doc_id, n_overlap, n_grams FROM ov JOIN ng ON ov.doc_id = ng.doc_id
+ORDER BY ov.doc_id
+"""
+
+
 def q_schema_validate_props_events(spark, sf_dir):
     """Document-level Schema API over a JSON column at dataset scale:
     `Schema.create(...).valid_col` composes the compiled validator into a
@@ -1291,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_completeness_events": q_streaming_completeness_events,
         "schema_validate_props_events": q_schema_validate_props_events,
         "dedup_components_documents": q_dedup_components_documents,
+        "decontamination_documents": q_decontamination_documents,
     }
 
 
@@ -1333,4 +1384,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_completeness_events": _ORACLE_STREAMING_COMPLETENESS,
         "schema_validate_props_events": _ORACLE_SCHEMA_VALIDATE,
         "dedup_components_documents": _ORACLE_DEDUP_COMPONENTS,
+        "decontamination_documents": _ORACLE_DECONTAMINATION,
     }

@@ -359,3 +359,49 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination screen: for every corpus document, how
+    many of its word k-grams also appear in the benchmark set (the
+    standard n-gram-collision test for train/eval contamination).
+
+    Plan shape: both sides explode to (gram) rows JVM-side (split +
+    sequence/slice — no Python); the benchmark gram set is DISTINCT'd
+    and broadcast (eval suites are tiny next to a training corpus), so
+    the screen is one broadcast semi-ish join + one groupBy — no
+    shuffle of the corpus text itself, only matched gram rows reach the
+    aggregation. Grams are compared as strings, not hashes, so the
+    result is engine-portable (and SQL-oracle-able) with zero collision
+    risk. Output: (doc_id, n_overlap, n_grams) for contaminated docs
+    (n_overlap > 0)."""
+
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = F.split(F.lower(F.col(text_col)), " ")
+        # guard: Spark's sequence(1, 0) DESCENDS, so short texts must
+        # yield an empty gram list explicitly, not a degenerate window
+        g = F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - k + 1),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(id_col).alias("doc_id")] if keep_id else []
+        return df.select(*cols, F.explode(g).alias("gram"))
+
+    corpus_grams = grams(corpus, keep_id=True)
+    bench_grams = grams(benchmark, keep_id=False).distinct()
+    n_grams = corpus_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    overlap = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return overlap.join(n_grams, "doc_id").select("doc_id", "n_overlap", "n_grams")

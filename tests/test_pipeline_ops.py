@@ -330,3 +330,25 @@ def test_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_ngram_overlap_decontamination(spark):
+    """Planted contamination is caught with exact interior-gram counts;
+    clean docs and short (< k tokens) docs produce no rows."""
+    from jsonschema_validator_spark.operators.dedup import ngram_overlap
+
+    bench_text = " ".join(f"b{i}" for i in range(10))  # 10 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"c{i}" for i in range(20))),        # clean
+            (2, f"x y {bench_text} z w"),                      # contaminated
+            (3, "too short"),                                  # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in ngram_overlap(corpus, bench, k=4).collect()}
+    assert set(rows) == {2}
+    # doc 2 has 14 tokens -> 11 grams; windows fully inside the benchmark
+    # span start at positions 3..9 -> 7 matching grams
+    assert rows[2].n_grams == 11 and rows[2].n_overlap == 7
