@@ -46,9 +46,13 @@ def main() -> None:
     run_query(qs["keyword_verdicts_events"], spark, sf_dir)
     run_query(qs["dedup_minhash_documents"], spark, sf_dir)
 
+    # min of 2 runs per query: this host is a shared VM with multi-second
+    # throttling episodes (see BENCH/BASELINE.md); a single sample can be
+    # 5-10x the attainable time. Same estimator as the scaling bench.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        timings[name] = round(run_query(fn, spark, sf_dir), 3)
+        t = min(run_query(fn, spark, sf_dir), run_query(fn, spark, sf_dir))
+        timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
     print(
