@@ -117,6 +117,50 @@ def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int
     )
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    df: DataFrame, id_col: str, payload_col: str, max_side: int = 256
+) -> DataFrame:
+    """Image resize over Arrow batches (mapInPandas): cap the longer side
+    at ``max_side`` preserving aspect ratio. The pixel resample itself is
+    stubbed (no image libs in this container — a real deployment swaps
+    the body for PIL/libvips thumbnail); the deterministic fake keeps the
+    CONTRACT testable: output dims are the exact scaled dims the real
+    decoder would produce for the stub-decoded input dims, and the
+    payload is a stable binary derived from (input bytes, target dims) so
+    downstream exact-dedup/caching plumbing behaves as it would on real
+    thumbnails. Batch shape, schema, and partition flow are production
+    shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, payloads = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = _decode_image_stub(p)
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                ids.append(int(i))
+                ws.append(nw)
+                hs.append(nh)
+                # STUB resample: stable bytes keyed by content + dims
+                payloads.append(
+                    (p or b"")[: 64] + f":{nw}x{nh}".encode()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Audio decode — NOT available in this container. Stub that fails
     loudly at plan time so callers know to deploy with soundfile/ffmpeg."""

@@ -352,3 +352,27 @@ def test_ngram_overlap_decontamination(spark):
     # doc 2 has 14 tokens -> 11 grams; windows fully inside the benchmark
     # span start at positions 3..9 -> 7 matching grams
     assert rows[2].n_grams == 11 and rows[2].n_overlap == 7
+
+
+def test_resize_plumbing(spark, docs):
+    """Resize contract: longer side capped, aspect preserved (within
+    integer truncation), deterministic payloads, Arrow batch flow."""
+    from jsonschema_validator_spark.operators.multimodal import (
+        _decode_image_stub,
+        resize_images,
+    )
+
+    blobs = docs.limit(40).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = {r.doc_id: r for r in resize_images(blobs, "doc_id", "payload", max_side=64).collect()}
+    src = {r.doc_id: bytes(r.payload) for r in blobs.collect()}
+    assert set(out) == set(src)
+    for doc_id, payload in src.items():
+        meta = _decode_image_stub(payload)
+        r = out[doc_id]
+        assert max(r.width, r.height) <= 64
+        scale = min(1.0, 64 / max(meta["width"], meta["height"]))
+        assert r.width == max(1, int(meta["width"] * scale))
+        assert r.height == max(1, int(meta["height"] * scale))
+        assert bytes(r.payload).endswith(f":{r.width}x{r.height}".encode())
