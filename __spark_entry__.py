@@ -1112,7 +1112,10 @@ def q_streaming_completeness_events(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="stream_complete_")
     src_dir = f"{root}/in"
-    turns.unionByName(sentinel).coalesce(4).write.parquet(src_dir)
+    # repartition, not coalesce: coalesce would collapse the upstream
+    # window computation to 4 tasks; a shuffle keeps it wide and only
+    # the write narrows
+    turns.unionByName(sentinel).repartition(4).write.parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
     out = f"{root}/out"
