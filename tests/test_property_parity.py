@@ -299,3 +299,26 @@ def test_random_schema_value_parity(spark, seed):
             if g != w:
                 failures.append((schema, v, f"spark={g} python={w}"))
     assert not failures, failures[:5]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_schema_api_batch_parity(spark, seed):
+    """Same random (schema, value) parity, routed through the document
+    API's batch path (Schema.validate_many) — pins the bound-accessor
+    projections (api._bind) to the semantics of the plain variant path
+    on arbitrarily nested schemas."""
+    from jsonschema_validator_spark.api import Schema
+
+    r = random.Random(7000 + seed)
+    failures = []
+    for si in range(4):
+        schema = gen_schema(r)
+        values = [gen_value(r) for _ in range(10)]
+        s = Schema(schema, spark, draft="draft7")
+        df = spark.createDataFrame([(json.dumps(v),) for v in values], "j string")
+        got = [bool(row.valid) for row in s.validate_many(df).collect()]
+        want = [py_valid(schema, v) for v in values]
+        for v, g, w in zip(values, got, want):
+            if g != w:
+                failures.append((schema, v, f"api={g} python={w}"))
+    assert not failures, failures[:5]
