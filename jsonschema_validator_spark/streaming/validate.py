@@ -55,10 +55,25 @@ def stream_validate(
             # per-batch projection (e.g. derive the partition column from
             # the event timestamp) before the compiled suite runs
             batch_df = transform(batch_df)
+        # idempotent under replay: foreachBatch re-runs a batch if the
+        # driver dies between the sink write and the checkpoint commit;
+        # partitioning the sink by batch_id and dynamically overwriting
+        # makes the retry rewrite ITS OWN partition instead of appending
+        # a duplicate copy (exactly-once sink semantics)
         verdicts = suite.verdicts(batch_df).withColumn("batch_id", F.lit(batch_id))
-        verdicts.write.mode("append").parquet(f"{output_dir}/verdicts")
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/verdicts")
+        )
         violations = suite.violations(batch_df).withColumn("batch_id", F.lit(batch_id))
-        violations.write.mode("append").parquet(f"{output_dir}/violations")
+        (
+            violations.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/violations")
+        )
 
     writer = (
         src.writeStream.foreachBatch(process)

@@ -148,3 +148,41 @@ def test_conversation_completeness_stateful(spark, tmp_path):
     assert a.n_turns == 3 and a.has_root and a.dense
     assert b.n_turns == 2 and not b.has_root and not b.dense
     assert "Z" not in got  # still in flight — no verdict yet
+
+
+def test_foreachbatch_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (driver died between sink write and
+    checkpoint commit) must not duplicate sink rows: the per-batch
+    dynamic partition overwrite rewrites its own batch_id partition."""
+    from jsonschema_validator_spark.fixtures import generate_transcripts
+    from jsonschema_validator_spark.plans import CheckSuite
+    from jsonschema_validator_spark.specs import transcripts_spec
+    from jsonschema_validator_spark.streaming.validate import stream_validate
+
+    fx = generate_transcripts("tiny", dirty=False)
+    df = spark.createDataFrame(fx.table.to_pandas())
+    src = str(tmp_path / "in")
+    df.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    suite = CheckSuite(transcripts_spec()).build()
+    out = str(tmp_path / "out")
+
+    q = stream_validate(spark, src, schema, suite, out, trigger_available_now=True)
+    q.awaitTermination(300)
+    first = spark.read.parquet(f"{out}/verdicts").count()
+    assert first > 0
+
+    # simulate the replay: re-run batch 0's foreachBatch body directly
+    # (same batch_id), as Spark would after an uncommitted batch
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    verdicts = suite.verdicts(spark.read.parquet(src))
+    from pyspark.sql import functions as F2
+
+    (
+        verdicts.withColumn("batch_id", F2.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{out}/verdicts")
+    )
+    assert spark.read.parquet(f"{out}/verdicts").count() == first
