@@ -186,3 +186,44 @@ def test_foreachbatch_replay_idempotent(spark, tmp_path):
         .parquet(f"{out}/verdicts")
     )
     assert spark.read.parquet(f"{out}/verdicts").count() == first
+
+
+def test_stream_validate_incremental_restart(spark, tmp_path):
+    """Incremental ingest across restarts: files landed after a run are
+    picked up by the next run from the SAME checkpoint, already-processed
+    files are not re-validated, and the summed verdicts equal one batch
+    pass over everything."""
+    import numpy as np
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    fx = generate_transcripts("tiny", dirty=False)
+    tbl = fx.table
+    half = len(tbl) // 2
+    pq.write_table(tbl.slice(0, half), f"{d}/f1.parquet")
+
+    schema = spark.read.parquet(d).schema
+    suite = CheckSuite(transcripts_spec()).build()
+    out = str(tmp_path / "out")
+
+    q = stream_validate(spark, d, schema, suite, out)
+    q.awaitTermination(300)
+    batches_after_first = {
+        r.batch_id for r in spark.read.parquet(f"{out}/verdicts").select("batch_id").distinct().collect()
+    }
+
+    # second half lands; restart from the same checkpoint
+    pq.write_table(tbl.slice(half), f"{d}/f2.parquet")
+    q2 = stream_validate(spark, d, schema, suite, out)
+    q2.awaitTermination(300)
+
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    batches_total = {r.batch_id for r in verdicts.select("batch_id").distinct().collect()}
+    assert len(batches_total) == len(batches_after_first) + 1  # exactly one new batch
+
+    # summed rows_checked across batches equals the whole fixture
+    total = (
+        verdicts.groupBy().sum("rows_checked").collect()[0][0]
+        / verdicts.select("check").distinct().count()
+    )
+    assert int(total) == len(tbl)
