@@ -49,24 +49,31 @@ def main() -> None:
     # min of 2 runs per query: this host is a shared VM with multi-second
     # throttling episodes (see BENCH/BASELINE.md); a single sample can be
     # 5-10x the attainable time. Same estimator as the scaling bench.
+    # One failing query must not lose the other 37 measurements: record
+    # the error and keep going; a nonzero exit still flags the run.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
-        t = min(run_query(fn, spark, sf_dir), run_query(fn, spark, sf_dir))
-        timings[name] = round(t, 3)
+        try:
+            t = min(run_query(fn, spark, sf_dir), run_query(fn, spark, sf_dir))
+            timings[name] = round(t, 3)
+        except Exception as e:  # noqa: BLE001 - survive any query failure
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "check_suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "check_suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
