@@ -123,6 +123,22 @@ class Schema:
             raise SchemaError("Schema.create needs a SparkSession (none active)")
         return cls(raw_schema, spark, **kw)
 
+    @classmethod
+    def from_file(cls, path, spark: SparkSession | None = None, **kw) -> "Schema":
+        """Compile a schema document from disk; sibling files are
+        ``$ref``-able relative to it (file loader jailed to its directory
+        — the scope_builder.rs:33-41 loader contract, same wiring as
+        ``CheckSuite(spec_path=...)``)."""
+        from pathlib import Path
+
+        from .functions.loaders import file_loader
+
+        p = Path(path).resolve()
+        raw = json.loads(p.read_text())
+        kw.setdefault("base_uri", p.as_uri())
+        kw.setdefault("loader", file_loader(p.parent))
+        return cls.create(raw, spark, **kw)
+
     # -- single-document surface (reference parity) ----------------------
     def _row_df(self, value) -> DataFrame:
         return self.spark.createDataFrame([(json.dumps(value),)], "j string")

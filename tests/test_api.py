@@ -92,3 +92,27 @@ def test_validate_many_parses_once(spark, schema):
     df = spark.createDataFrame([('{"name":"x","age":1}',)], "j string")
     plan = schema.validate_many(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("parseJson") == 1, plan
+
+
+def test_schema_from_file_sibling_ref(spark, tmp_path):
+    """Schema.from_file compiles a spec whose $ref points at a sibling
+    file, jailed to the spec directory."""
+    import json as _json
+
+    (tmp_path / "common.json").write_text(
+        _json.dumps({"defs": {"name": {"type": "string", "minLength": 2}}})
+    )
+    (tmp_path / "main.json").write_text(
+        _json.dumps(
+            {
+                "type": "object",
+                "required": ["name"],
+                "properties": {"name": {"$ref": "common.json#/defs/name"}},
+            }
+        )
+    )
+    s = Schema.from_file(tmp_path / "main.json", spark)
+    assert s.is_valid({"name": "ok"})
+    assert not s.is_valid({"name": "x"})
+    errs = s.validation_errors({"name": "x"})
+    assert {e.keyword for e in errs} == {"minLength"}
