@@ -1204,6 +1204,37 @@ SELECT id, component FROM nodes ORDER BY id
 """
 
 
+def q_sample_documents(spark, sf_dir):
+    """Deterministic stratified sampling (the data-mixing primitive):
+    keep 80% of src0, 20% of src1, 50% of src2 by a pure function of
+    doc_id — stable across runs, partitionings, and engines (the mixer
+    is plain 64-bit arithmetic, reproduced verbatim in the SQL oracle;
+    Spark's xxhash64 would not be). Nested property: raising a rate
+    keeps every previously-sampled row."""
+    from jsonschema_validator_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_hash_sample(
+        docs, "doc_id", "source", {"src0": 0.8, "src1": 0.2, "src2": 0.5}
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+_ORACLE_SAMPLE = """
+WITH mixed AS (
+  SELECT doc_id, source,
+         ((doc_id % 2147483648) * 2654435761) AS h
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+keyed AS (
+  SELECT doc_id, source, xor(h, h >> 29) % 1000000 AS bucket FROM mixed)
+SELECT doc_id, source FROM keyed
+WHERE (source = 'src0' AND bucket < 800000)
+   OR (source = 'src1' AND bucket < 200000)
+   OR (source = 'src2' AND bucket < 500000)
+ORDER BY doc_id
+"""
+
+
 def q_decontamination_documents(spark, sf_dir):
     """Train/eval contamination screen: word-8-gram collision between the
     corpus (src0 + planted contaminated docs that embed src1 benchmark
@@ -1345,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_validate_props_events": q_schema_validate_props_events,
         "dedup_components_documents": q_dedup_components_documents,
         "decontamination_documents": q_decontamination_documents,
+        "sample_documents": q_sample_documents,
     }
 
 
@@ -1388,4 +1420,5 @@ def oracle_sql() -> dict[str, str]:
         "schema_validate_props_events": _ORACLE_SCHEMA_VALIDATE,
         "dedup_components_documents": _ORACLE_DEDUP_COMPONENTS,
         "decontamination_documents": _ORACLE_DECONTAMINATION,
+        "sample_documents": _ORACLE_SAMPLE,
     }

@@ -1,0 +1,59 @@
+"""Deterministic sampling for training-data mixing.
+
+`df.sample()` is seed-stable only for a fixed partitioning — repartition
+the input and the sample changes. Data-mixing pipelines need sampling
+that is a PURE FUNCTION of the row key: stable across runs, partition
+layouts, and engines, so a docs shard sampled at 20% today and
+resampled at 30% tomorrow yields a superset (nested samples). Both
+properties come from hashing the key into a fixed domain and taking a
+prefix:
+
+    keep(row)  <=>  mix(key) % DOMAIN < rate * DOMAIN
+
+`mix` is a documented integer mixer (Knuth multiplicative hashing by
+2654435761, the golden-ratio multiplier, then a xorshift) in pure
+Column algebra — portable to any engine with 64-bit arithmetic, which
+is what makes the result SQL-oracle-able (Spark's xxhash64 is not
+reproducible in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DOMAIN = 1_000_000
+
+
+def mix_key(key: Column) -> Column:
+    """Deterministic mixer of an integer key: fold to 31 bits, Knuth
+    multiplicative step (product < 2^63 — never overflows signed 64-bit,
+    so ANSI engines never throw), then a xorshift. Column algebra only;
+    reproducible verbatim in any SQL engine with 64-bit ints."""
+    k = F.pmod(key.cast("long"), F.lit(1 << 31))
+    h = k * F.lit(2654435761)  # < 2^31 * 2^32 = 2^63: safe
+    return h.bitwiseXOR(F.shiftright(h, 29))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep a deterministic, partitioning-independent `rate` fraction of
+    rows by integer key. Nested: hash_sample(r1) ⊆ hash_sample(r2) for
+    r1 <= r2 — growing a sample keeps everything already sampled."""
+    return df.filter(F.pmod(mix_key(F.col(key_col)), F.lit(DOMAIN)) < int(rate * DOMAIN))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: dict) -> DataFrame:
+    """Per-stratum deterministic rates (the data-mixing primitive:
+    'keep 80% of src0, 10% of src1, ...'). Strata with no configured
+    rate are dropped. The rate table is a broadcast join — no shuffle of
+    the data side; the filter stays a pure function of (key, stratum)."""
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, int(v * DOMAIN)) for k, v in sorted(rates.items())],
+        f"{strata_col} string, __threshold int",
+    )
+    return (
+        df.join(F.broadcast(rate_df), strata_col)
+        .filter(F.pmod(mix_key(F.col(key_col)), F.lit(DOMAIN)) < F.col("__threshold"))
+        .drop("__threshold")
+    )

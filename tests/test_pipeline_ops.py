@@ -376,3 +376,34 @@ def test_resize_plumbing(spark, docs):
         assert r.width == max(1, int(meta["width"] * scale))
         assert r.height == max(1, int(meta["height"] * scale))
         assert bytes(r.payload).endswith(f":{r.width}x{r.height}".encode())
+
+
+def test_hash_sample_properties(spark):
+    """Deterministic sampling: partitioning-independent, nested across
+    rates, approximately proportional."""
+    from jsonschema_validator_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    s20 = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    s50 = {r.k for r in hash_sample(df, "k", 0.5).collect()}
+    assert s20 <= s50  # nested: growing the rate keeps prior rows
+    assert abs(len(s20) / 20_000 - 0.2) < 0.02
+    assert abs(len(s50) / 20_000 - 0.5) < 0.02
+    # partitioning independence: same rows from a different layout
+    s20b = {r.k for r in hash_sample(df.repartition(13, "k"), "k", 0.2).collect()}
+    assert s20b == s20
+
+
+def test_stratified_hash_sample(spark):
+    from jsonschema_validator_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(0, 9_000).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS g"
+    )
+    out = stratified_hash_sample(df, "k", "g", {"a": 1.0, "b": 0.3}).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, set()).add(r.k)
+    assert len(by_g.get("a", ())) == 3_000  # rate 1.0 keeps everything
+    assert abs(len(by_g.get("b", ())) / 3_000 - 0.3) < 0.05
+    assert "c" not in by_g  # unconfigured stratum dropped
