@@ -1204,6 +1204,75 @@ SELECT id, component FROM nodes ORDER BY id
 """
 
 
+def q_curation_pipeline_documents(spark, sf_dir):
+    """End-to-end curation pipeline — the operators composing as a real
+    training-data job would chain them, in ONE Spark plan:
+    quality-score (text_profile) -> threshold filter -> exact-dedup
+    keep-min-id (fingerprint + window) -> deterministic 50% hash sample
+    -> per-language doc count + mean token count. Every stage is an
+    engine operator with its own green oracle; this query pins the
+    COMPOSITION (filters push through, one scan feeds the whole chain)."""
+    from jsonschema_validator_spark.operators.sampling import hash_sample
+    from jsonschema_validator_spark.operators.textstats import (
+        fingerprint,
+        text_profile,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    p = text_profile(F.col("text"))
+    scored = docs.select("doc_id", "text", "lang", p["quality"].alias("q"))
+    kept = scored.filter(F.col("q") >= 0.7)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    sampled = hash_sample(deduped, "doc_id", 0.5)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_CURATION = """
+WITH base AS (
+  SELECT doc_id, text, lang,
+         LENGTH(text) - LENGTH(replace(text, ' ', '')) AS n_spaces,
+         LENGTH(replace(text, ' ', '')) AS token_chars,
+         LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           / GREATEST(LENGTH(text), 1) AS punct_ratio
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN LENGTH(text) BETWEEN 20 AND 50000 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN punct_ratio < 0.3 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN token_chars / GREATEST(n_spaces + 1, 1) BETWEEN 2 AND 15
+                THEN 0.3 ELSE 0.0 END AS q
+  FROM base),
+kept AS (SELECT * FROM scored WHERE q >= 0.7),
+fp AS (
+  SELECT *, md5(LOWER(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS f
+  FROM kept),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+  WHERE rn = 1),
+mixed AS (
+  SELECT *, ((doc_id % 2147483648) * 2654435761) AS h FROM dedup),
+samp AS (
+  SELECT * FROM mixed WHERE xor(h, h >> 29) % 1000000 < 500000)
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(LEN(string_split(text, ' '))), 4) AS avg_tokens
+FROM samp GROUP BY lang ORDER BY lang
+"""
+
+
 def q_sample_documents(spark, sf_dir):
     """Deterministic stratified sampling (the data-mixing primitive):
     keep 80% of src0, 20% of src1, 50% of src2 by a pure function of
@@ -1377,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_documents": q_dedup_components_documents,
         "decontamination_documents": q_decontamination_documents,
         "sample_documents": q_sample_documents,
+        "curation_pipeline_documents": q_curation_pipeline_documents,
     }
 
 
@@ -1421,4 +1491,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_documents": _ORACLE_DEDUP_COMPONENTS,
         "decontamination_documents": _ORACLE_DECONTAMINATION,
         "sample_documents": _ORACLE_SAMPLE,
+        "curation_pipeline_documents": _ORACLE_CURATION,
     }
