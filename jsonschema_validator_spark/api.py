@@ -143,14 +143,35 @@ class Schema:
     def _row_df(self, value) -> DataFrame:
         return self.spark.createDataFrame([(json.dumps(value),)], "j string")
 
+    @staticmethod
+    def _tmp_prefix(df: DataFrame) -> str:
+        """Temp-column prefix guaranteed not to prefix-collide with any
+        existing column, so ``drop(*tmp)`` can never eat user data (a
+        fixed ``__jsv_`` prefix would silently replace-and-drop a user
+        column of the same name)."""
+        base = "__jsv_"
+        k = 0
+        cols = set(df.columns)
+        while any(c.startswith(base if k == 0 else f"__jsv{k}_") for c in cols):
+            k += 1
+        return base if k == 0 else f"__jsv{k}_"
+
     def _bind(self, df: DataFrame, json_col: str):
         """Parse the JSON column ONCE and project the accessor's
         expensive derivations as columns — the document tag/object map,
         plus each top-level schema property's sub-variant and tag (the
         property set is known at compile time). Every check expression
         then reads the shared columns instead of re-deriving variant
-        metadata."""
-        pv, tg, ob = "__jsv_pv", "__jsv_tag", "__jsv_obj"
+        metadata.
+
+        Also projects a parse-ok flag: a NON-NULL string that
+        ``try_parse_json`` cannot parse is a document that failed to
+        parse — never valid (the reference's ``Schema::create`` /
+        ``draft_version.rs`` contract: parse failure precedes keyword
+        evaluation). A NULL input is an ABSENT document and stays
+        vacuously valid."""
+        p = self._tmp_prefix(df)
+        pv, tg, ob, pok = p + "pv", p + "tag", p + "obj", p + "pok"
         out = (
             df.withColumn(pv, F.try_parse_json(F.col(json_col)))
             .withColumn(tg, _vtag(F.col(pv)))
@@ -161,12 +182,13 @@ class Schema:
                     F.try_variant_get(F.col(pv), "$", "map<string,variant>"),
                 ),
             )
+            .withColumn(pok, ~(F.col(json_col).isNotNull() & F.col(pv).isNull()))
         )
-        tmp = [pv, tg, ob]
+        tmp = [pv, tg, ob, pok]
         fields: dict[str, VariantAccessor] = {}
         props = self.raw.get("properties", {}) if isinstance(self.raw, dict) else {}
         for i, name in enumerate(props):
-            fc, ft, fo = f"__jsv_f{i}", f"__jsv_ft{i}", f"__jsv_fo{i}"
+            fc, ft, fo = f"{p}f{i}", f"{p}ft{i}", f"{p}fo{i}"
             out = (
                 out.withColumn(fc, F.try_element_at(F.col(ob), F.lit(name)))
                 .withColumn(ft, _vtag(F.col(fc)))
@@ -181,15 +203,15 @@ class Schema:
             fields[name] = _BoundVariantAccessor(F.col(fc), F.col(ft), F.col(fo))
             tmp += [fc, ft, fo]
         acc = _BoundVariantAccessor(F.col(pv), F.col(tg), F.col(ob), fields)
-        return out, acc, tmp
+        return out, acc, tmp, F.col(pok)
 
     def is_valid(self, value) -> bool:
         """Fused boolean only — no per-keyword error materialization
         (the short-circuit fast path, keywords/mod.rs:30-32: "1 or 100
         errors does not change the answer but just the execution time")."""
-        bound, acc, tmp = self._bind(self._row_df(value), "j")
+        bound, acc, tmp, pok = self._bind(self._row_df(value), "j")
         row = bound.select(
-            F.coalesce(self._fused(acc), F.lit(True)).alias("ok")
+            (pok & F.coalesce(self._fused(acc), F.lit(True))).alias("ok")
         ).first()
         return bool(row["ok"])
 
@@ -198,7 +220,7 @@ class Schema:
         one job (one flag column per compiled check)."""
         if not self._checks:
             return []
-        bound, acc, tmp = self._bind(self._row_df(value), "j")
+        bound, acc, tmp, _pok = self._bind(self._row_df(value), "j")
         flags = [c.gated(acc).alias(f"f{i}") for i, c in enumerate(self._checks)]
         row = bound.select(*flags).first()
         return [
@@ -220,26 +242,43 @@ class Schema:
         compose it into any DataFrame plan. NOTE: self-contained (parses
         inline), so a validator with many checks re-derives variant
         metadata per check; prefer ``with_valid``/``validate_many`` when
-        the DataFrame is at hand — they parse and tag once per row."""
+        the DataFrame is at hand — they parse and tag once per row.
+        Unparseable non-null input is invalid (parse precedes keywords);
+        null input is an absent document and vacuously valid."""
+        parse_fail = json_col.isNotNull() & F.try_parse_json(json_col).isNull()
         acc = VariantAccessor(F.try_parse_json(json_col))
-        return F.coalesce(self._fused(acc), F.lit(True))
+        return ~parse_fail & F.coalesce(self._fused(acc), F.lit(True))
 
     def with_valid(self, df: DataFrame, json_col: str, out_col: str = "valid") -> DataFrame:
         """df + boolean ``out_col`` — the fused validator with the
-        parse/tag/object projections shared across all checks."""
-        bound, acc, tmp = self._bind(df, json_col)
+        parse/tag/object projections shared across all checks.
+        Unparseable non-null JSON yields ``False`` (null stays
+        vacuously valid — absent document)."""
+        bound, acc, tmp, pok = self._bind(df, json_col)
         return bound.withColumn(
-            out_col, F.coalesce(self._fused(acc), F.lit(True))
+            out_col, pok & F.coalesce(self._fused(acc), F.lit(True))
         ).drop(*tmp)
 
     def validate_many(self, df: DataFrame, json_col: str = "j") -> DataFrame:
         """df + ``valid`` boolean + ``violations`` array<struct<keyword,
         path,message>> — the whole compiled validator applied to every
         row in one pass (no per-row Python; one plan, N documents)."""
-        bound, acc, tmp = self._bind(df, json_col)
+        bound, acc, tmp, pok = self._bind(df, json_col)
+        # parse failure precedes keyword evaluation: one synthetic
+        # "parse" violation, and no keyword violations are reported for
+        # a document that never parsed (they'd all be vacuous anyway)
         structs = [
             F.when(
-                ~c.gated(acc),
+                ~pok,
+                F.struct(
+                    F.lit("parse").alias("keyword"),
+                    F.lit("").alias("path"),
+                    F.lit("Invalid JSON document").alias("message"),
+                ),
+            )
+        ] + [
+            F.when(
+                pok & ~c.gated(acc),
                 F.struct(
                     F.lit(c.keyword).alias("keyword"),
                     F.lit(c.path).alias("path"),
@@ -248,11 +287,7 @@ class Schema:
             )
             for c in self._checks
         ]
-        viol = (
-            F.filter(F.array(*structs), lambda x: x.isNotNull())
-            if structs
-            else F.array().cast("array<struct<keyword:string,path:string,message:string>>")
-        )
+        viol = F.filter(F.array(*structs), lambda x: x.isNotNull())
         return (
             bound.withColumn("violations", viol)
             .withColumn("valid", F.size("violations") == 0)

@@ -73,15 +73,53 @@ def test_validate_many_batch(spark, schema):
         '{"name": "x"}',
         '{"age": -2}',
         "5",
+        '{"k":',  # malformed: parse failure can never be valid
+        None,  # absent document: vacuously valid
     ]
     df = spark.createDataFrame([(d,) for d in docs], "j string")
     out = schema.validate_many(df).collect()
-    assert [r.valid for r in out] == [True, False, False, False]
-    # row 2: minLength; row 3: required + minimum; row 4: type
+    assert [r.valid for r in out] == [True, False, False, False, False, True]
+    # row 2: minLength; row 3: required + minimum; row 4: type;
+    # row 5: the synthetic parse violation, alone (keyword checks are
+    # suppressed for a document that never parsed)
     kws = [sorted(v.keyword for v in r.violations) for r in out]
     assert kws[1] == ["minLength"]
     assert kws[2] == ["minimum", "required"]
     assert "type" in kws[3]
+    assert kws[4] == ["parse"]
+    assert kws[5] == []
+
+
+def test_malformed_json_never_valid(spark, schema):
+    """ADVICE r2 (medium): try_parse_json -> NULL used to make every
+    check vacuous and coalesce to valid=True. Parse failure must be
+    invalid on all three batch surfaces; SQL NULL stays vacuously valid
+    (absent document)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("bad", '{"k":'), ("null", None), ("ok", '{"name": "ada"}')],
+        "id string, j string",
+    )
+    wv = {r.id: r.valid for r in schema.with_valid(df, "j").collect()}
+    assert wv == {"bad": False, "null": True, "ok": True}
+    vc = {
+        r.id: r.v
+        for r in df.select("id", schema.valid_col(F.col("j")).alias("v")).collect()
+    }
+    assert vc == {"bad": False, "null": True, "ok": True}
+
+
+def test_bind_temp_names_do_not_clobber_user_columns(spark, schema):
+    """ADVICE r2 (low): a user column literally named __jsv_pv must
+    survive with_valid/validate_many unchanged."""
+    df = spark.createDataFrame(
+        [("keep-me", '{"name": "ada"}')], "__jsv_pv string, j string"
+    )
+    out = schema.with_valid(df, "j").collect()
+    assert out[0]["__jsv_pv"] == "keep-me" and out[0].valid
+    out2 = schema.validate_many(df).collect()
+    assert out2[0]["__jsv_pv"] == "keep-me"
 
 
 def test_validate_many_parses_once(spark, schema):
