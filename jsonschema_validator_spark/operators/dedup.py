@@ -287,32 +287,50 @@ def simhash_near_duplicates(
     return cand.filter(ham <= max_hamming).select("doc_a", "doc_b", ham.alias("hamming"))
 
 
+class ComponentsNotConverged(RuntimeError):
+    """``connected_components`` exhausted ``max_iter`` rounds before the
+    labels stabilized — the output would silently split components with
+    diameter > max_iter into multiple representatives, so it must never
+    be consumed as final keep/drop decisions."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
     num_partitions: int | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     clustering step that turns pairwise dedup output into keep/drop
     decisions (component representative = MIN id, deterministic).
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes the minimum label among itself and its neighbors; convergence
-    in O(component diameter) rounds. Dedup graphs are shallow (near-dup
-    clusters are dense, diameters of a few hops), so the round count
-    stays small; each round is one edge join + one groupBy — all
-    shuffle-based, no driver-side graph. ``localCheckpoint`` truncates
-    the lineage each round so the plan doesn't grow with iterations.
-    (For adversarial long-chain graphs at 10^12 scale, swap the
-    propagation body for large-star/small-star — same join/agg
-    primitives, O(log n) rounds; the dedup contract here never produces
-    such chains.)
+    Two selectable algorithms, both pure join/agg (no driver-side
+    graph), both raising :class:`ComponentsNotConverged` rather than
+    returning silently-wrong labels if ``max_iter`` rounds elapse first:
 
-    Input edges are undirected (either orientation); output is one row
-    per node appearing in any edge: (id, component) with component =
-    the smallest id reachable."""
+    - ``algorithm="label"`` — iterative min-label propagation: each
+      round every node takes the minimum label among itself and its
+      neighbors; O(component diameter) rounds. The right default for
+      dedup graphs, whose near-dup clusters are dense and a few hops
+      across.
+    - ``algorithm="star"`` — alternating large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      each round rewires strictly-larger / smaller neighbors to the
+      neighborhood minimum, halving component height — O(log n) rounds
+      regardless of diameter. The variant for adversarial long-chain
+      graphs at 10^12 scale, where O(diameter) propagation (and its
+      per-round driver action) would be the bottleneck.
+
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    doesn't grow with iterations. Input edges are undirected (either
+    orientation); output is one row per node appearing in any edge:
+    (id, component) with component = the smallest id reachable."""
+    if algorithm == "star":
+        return _components_star(edges, src, dst, max_iter, num_partitions)
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -329,6 +347,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         # neighbor minimum: for each node, the smallest label among its
         # neighbors; then fold in the node's own label
@@ -358,7 +377,93 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise ComponentsNotConverged(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter or use "
+            "algorithm='star' (O(log n) rounds)"
+        )
     return labels
+
+
+def _components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Large-star/small-star connected components: O(log n) rounds on
+    ANY graph shape (chains included), each round two join+groupBy
+    passes over the current edge set.
+
+    - large-star: every node u computes m = min(u, N(u)) and rewires
+      each strictly-larger neighbor v > u to m.
+    - small-star: with edges oriented u > v, every node u rewires its
+      smaller neighbors (and itself) to m = min neighbor.
+
+    The star graph (every node → its component min) is the fixed point;
+    convergence is detected with one agg action per round (count +
+    order-independent hash-sum of the edge set — monotone algorithm, so
+    an unchanged pair means the fixed point was reached)."""
+
+    def _canon(e: DataFrame) -> DataFrame:
+        out = e.filter(F.col("u") != F.col("v")).distinct()
+        if num_partitions:
+            out = out.repartition(num_partitions, "u")
+        return out.localCheckpoint(eager=True)
+
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node universe up front: self-loop-only nodes (a doc paired with
+    # itself) must still appear in the output as singleton components,
+    # but the star rounds drop self-loops
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = _canon(raw)
+    prev = (-1, None)
+    for _ in range(max_iter):
+        # large-star over both orientations
+        both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e = _canon(
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over edges oriented u > v
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(mins, "u")
+        e = _canon(
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-independent set fingerprint; bit_xor can't overflow
+            # under ANSI (sum of xxhash64 values can)
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        cur = (row["n"], row["h"])
+        if cur == prev:
+            # star fixed point: every edge is (node, component-min);
+            # nodes with no surviving edge are their own component
+            star = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+            return nodes.join(star, "id", "left").select(
+                "id", F.coalesce("component", "id").alias("component")
+            )
+        prev = cur
+    raise ComponentsNotConverged(
+        f"large-star/small-star did not converge in {max_iter} rounds — "
+        "O(log n) expected; raise max_iter"
+    )
 
 
 def ngram_overlap(
@@ -372,15 +477,16 @@ def ngram_overlap(
     many of its word k-grams also appear in the benchmark set (the
     standard n-gram-collision test for train/eval contamination).
 
-    Plan shape: both sides explode to (gram) rows JVM-side (split +
-    sequence/slice — no Python); the benchmark gram set is DISTINCT'd
-    and broadcast (eval suites are tiny next to a training corpus), so
-    the screen is one broadcast semi-ish join + one groupBy — no
-    shuffle of the corpus text itself, only matched gram rows reach the
-    aggregation. Grams are compared as strings, not hashes, so the
-    result is engine-portable (and SQL-oracle-able) with zero collision
-    risk. Output: (doc_id, n_overlap, n_grams) for contaminated docs
-    (n_overlap > 0)."""
+    Plan shape: ONE scan + ONE explode of the corpus (the heaviest
+    stage at 100 TB — round 2 scanned and exploded it twice, once for
+    the per-doc gram count and once for the overlap join); the
+    benchmark gram set is DISTINCT'd, tagged with a match marker, and
+    broadcast (eval suites are tiny next to a training corpus). A
+    broadcast LEFT join then lets a single groupBy(doc_id) compute both
+    ``n_grams = count(*)`` and ``n_overlap = count(marker)``. Grams are
+    compared as strings, not hashes, so the result is engine-portable
+    (and SQL-oracle-able) with zero collision risk. Output: (doc_id,
+    n_overlap, n_grams) for contaminated docs (n_overlap > 0)."""
 
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
         toks = F.split(F.lower(F.col(text_col)), " ")
@@ -396,12 +502,17 @@ def ngram_overlap(
         cols = [F.col(id_col).alias("doc_id")] if keep_id else []
         return df.select(*cols, F.explode(g).alias("gram"))
 
-    corpus_grams = grams(corpus, keep_id=True)
-    bench_grams = grams(benchmark, keep_id=False).distinct()
-    n_grams = corpus_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    overlap = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    bench_grams = grams(benchmark, keep_id=False).distinct().withColumn(
+        "__hit", F.lit(1)
     )
-    return overlap.join(n_grams, "doc_id").select("doc_id", "n_overlap", "n_grams")
+    return (
+        grams(corpus, keep_id=True)
+        .join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("__hit").alias("n_overlap"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("n_overlap") > 0)
+        .select("doc_id", "n_overlap", "n_grams")
+    )

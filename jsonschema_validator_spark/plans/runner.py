@@ -85,7 +85,18 @@ class CheckpointedRunner:
         path = os.path.join(self.manifest_dir, f"source-{self.suite.spec_hash}.json")
         if os.path.exists(path):
             with open(path) as f:
-                return json.load(f)["snapshot_id"]
+                pin = json.load(f)
+            if pin.get("ref") != ref:
+                # same spec, different table: silently reusing the old
+                # pin would read snap-<old-id> of the NEW ref (wrong
+                # version, or a missing path). Refuse loudly.
+                raise ValueError(
+                    f"manifest dir {self.manifest_dir} pins spec "
+                    f"{self.suite.spec_hash} to ref {pin.get('ref')!r}, but "
+                    f"{ref!r} was requested — use a fresh output_dir per "
+                    "(spec, table) run"
+                )
+            return pin["snapshot_id"]
         snap = current_snapshot_id(spark, ref)
         fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:

@@ -129,3 +129,23 @@ def test_snapshot_pinned_across_resume(spark, df, tmp_path):
     s2 = CheckSuite(transcripts_spec(psi_threshold=0.5)).build()
     r2 = CheckpointedRunner(s2, out)
     assert r2.pinned_snapshot(spark, ref) == 2
+
+
+def test_pinned_snapshot_refuses_different_ref(spark, df, tmp_path):
+    """ADVICE r2 (low): the pin file keys by spec_hash only — reusing a
+    manifest dir with the same spec against a DIFFERENT table ref must
+    raise, not silently serve the old ref's snapshot id."""
+    import pytest
+
+    root_a, root_b = tmp_path / "srcA", tmp_path / "srcB"
+    for root in (root_a, root_b):
+        (root / "snap-1").mkdir(parents=True)
+        df.limit(1).write.mode("overwrite").parquet(str(root / "snap-1"))
+        (root / "current").write_text("1")
+
+    runner = CheckpointedRunner(CheckSuite(transcripts_spec()).build(), str(tmp_path / "out4"))
+    assert runner.pinned_snapshot(spark, f"snapdir:{root_a}") == 1
+    # same ref: fine (resume path)
+    assert runner.pinned_snapshot(spark, f"snapdir:{root_a}") == 1
+    with pytest.raises(ValueError, match="pins spec"):
+        runner.pinned_snapshot(spark, f"snapdir:{root_b}")
