@@ -470,15 +470,29 @@ FROM documents GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 def q_drift_events_value(spark, sf_dir):
+    """KS/PSI drift per day vs the pooled distribution, with the
+    sample-size-aware KS decision rule (VERDICT r2 #8): ks_crit is the
+    two-sample asymptotic critical value c(alpha)*sqrt((n+m)/(n*m)) at
+    alpha=0.01, and ks_drifted is the verdict it implies — the engine
+    default (a flat ks_threshold remains an explicit override)."""
+    import math
+
     from jsonschema_validator_spark.operators.drift import ks_psi
 
     ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
     res = ks_psi(ev, F.col("value"), "day", buckets=20, lo=0.0, hi=500.0)
+    c = math.sqrt(-0.5 * math.log(0.01 / 2.0))
+    n = F.col("n_rows").cast("double")
+    m = F.col("n_base").cast("double")
+    crit = F.lit(c) * F.sqrt((n + m) / (n * m))
     return res.select(
         F.col("part").alias("day"),
         "n_rows",
+        "n_base",
         F.round("ks_stat", 6).alias("ks_stat"),
         F.round("psi", 6).alias("psi"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.col("ks_stat") > crit).alias("ks_drifted"),
     ).orderBy("day")
 
 
@@ -506,11 +520,19 @@ terms AS (
          (GREATEST(p, 1e-6) - GREATEST(q, 1e-6)) * LN(GREATEST(p, 1e-6) / GREATEST(q, 1e-6)) AS psi_term,
          ABS(SUM(p) OVER (PARTITION BY part ORDER BY bucket)
              - SUM(q) OVER (PARTITION BY part ORDER BY bucket)) AS ecdf_diff
-  FROM scored)
-SELECT part AS day, SUM(n)::BIGINT AS n_rows,
-       ROUND(MAX(ecdf_diff), 6) AS ks_stat,
-       ROUND(SUM(psi_term), 6) AS psi
-FROM terms GROUP BY part ORDER BY day
+  FROM scored),
+agg AS (
+  SELECT part AS day, SUM(n)::BIGINT AS n_rows,
+         (SELECT SUM(n)::BIGINT FROM hist) AS n_base,
+         MAX(ecdf_diff) AS ks_raw,
+         SUM(psi_term) AS psi_raw
+  FROM terms GROUP BY part)
+SELECT day, n_rows, n_base,
+       ROUND(ks_raw, 6) AS ks_stat,
+       ROUND(psi_raw, 6) AS psi,
+       ROUND(SQRT(-0.5 * LN(0.005)) * SQRT((n_rows + n_base)::DOUBLE / (n_rows::DOUBLE * n_base)), 6) AS ks_crit,
+       ks_raw > SQRT(-0.5 * LN(0.005)) * SQRT((n_rows + n_base)::DOUBLE / (n_rows::DOUBLE * n_base)) AS ks_drifted
+FROM agg ORDER BY day
 """
 
 

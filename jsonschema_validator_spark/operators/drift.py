@@ -70,7 +70,9 @@ def ks_psi(
 
     baseline_partition=None compares each partition against the GLOBAL
     distribution (all partitions pooled); otherwise against the named
-    partition. Returns (part, n_rows, ks_stat, psi)."""
+    partition. Returns (part, n_rows, n_base, ks_stat, psi) — n_base is
+    the baseline sample size, which the sample-size-aware KS decision
+    rule (``ks_critical_value``) needs."""
     hist = value_histogram(df, value, partition_col, buckets, lo, hi)
     return ks_psi_from_histogram(hist, buckets, baseline_partition, eps)
 
@@ -118,6 +120,7 @@ def ks_psi_from_histogram(
         "part",
         "bucket",
         "n",
+        "qn",
         p.alias("p"),
         q.alias("q"),
         ((p_s - q_s) * F.log(p_s / q_s)).alias("psi_term"),
@@ -125,6 +128,7 @@ def ks_psi_from_histogram(
     )
     return scored.groupBy("part").agg(
         F.sum("n").cast("long").alias("n_rows"),
+        F.sum("qn").cast("long").alias("n_base"),
         F.max("ecdf_diff").alias("ks_stat"),
         F.sum("psi_term").alias("psi"),
     )
@@ -141,7 +145,7 @@ def ks_psi_local(
     CheckSuite plan: the histogram is O(partitions x buckets) (tiny even
     at 10^12 input turns), so shipping it to the driver and skipping a
     dozen micro-stages is strictly cheaper than the distributed version.
-    Returns {part: (n_rows, ks_stat, psi)}."""
+    Returns {part: (n_rows, n_base, ks_stat, psi)}."""
     import numpy as np
 
     parts = sorted({r[0] for r in hist_rows})
@@ -153,6 +157,7 @@ def ks_psi_local(
     q_counts = (
         m.sum(axis=0) if baseline_partition is None else m[idx[baseline_partition]]
     )
+    n_base = int(q_counts.sum())
     q = q_counts / max(q_counts.sum(), 1.0)
     out = {}
     for p in parts:
@@ -162,7 +167,7 @@ def ks_psi_local(
         ps, qs = np.maximum(pr, eps), np.maximum(q, eps)
         psi = float(np.sum((ps - qs) * np.log(ps / qs)))
         ks = float(np.max(np.abs(np.cumsum(pr) - np.cumsum(q))))
-        out[p] = (int(tot), ks, psi)
+        out[p] = (int(tot), n_base, ks, psi)
     return out
 
 

@@ -522,14 +522,26 @@ class CheckSuite:
                 buckets,
                 driftA.get("baseline"),
             )
-            ks_t = driftA.get("ks_threshold", 0.15)
+            ks_t = driftA.get("ks_threshold")
+            alpha = driftA.get("ks_alpha", 0.01)
             psi_t = driftA.get("psi_threshold", 0.2)
             min_rows = driftA.get("min_rows", 200)
             label = f"drift({driftA.get('value', 'length(text)')})"
-            for day, (n_rows, ks, psi) in stats.items():
-                ok = bool(n_rows < min_rows or (ks <= ks_t and psi <= psi_t))
+            for day, (n_rows, n_base, ks, psi) in stats.items():
+                # default KS decision rule: the two-sample asymptotic
+                # critical value at ks_alpha — sample-size-aware, so a
+                # 10^6-row partition isn't judged by a flat threshold
+                # tuned for 10^3 rows. An explicit ks_threshold in the
+                # spec overrides (the round-2 flat behavior).
+                crit = (
+                    ks_t
+                    if ks_t is not None
+                    else drift_ops.ks_critical_value(max(n_rows, 1), max(n_base, 1), alpha)
+                )
+                ok = bool(n_rows < min_rows or (ks <= crit and psi <= psi_t))
                 out.append(
-                    (day, label, ok, 0, n_rows, {"ks_stat": ks, "psi": psi})
+                    (day, label, ok, 0, n_rows,
+                     {"ks_stat": ks, "psi": psi, "ks_crit": float(crit)})
                 )
         return out
 
@@ -940,23 +952,39 @@ class CheckSuite:
         raise MalformedSchemaError("#/dataset", kind, "unknown dataset check")
 
     def _drift_verdict_rows(self, res: DataFrame, d: dict) -> DataFrame:
-        """Shape ks_psi output (part, n_rows, ks_stat, psi) into verdict rows."""
-        ks_t = d.get("ks_threshold", 0.15)
+        """Shape ks_psi output (part, n_rows, n_base, ks_stat, psi) into
+        verdict rows. KS threshold defaults to the sample-size-aware
+        asymptotic critical value c(alpha)*sqrt((n+m)/(n*m)) computed as
+        a Column from the per-partition sample sizes; an explicit
+        ks_threshold in the spec overrides with the flat rule."""
+        import math as _math
+
+        ks_t = d.get("ks_threshold")
+        alpha = d.get("ks_alpha", 0.01)
         psi_t = d.get("psi_threshold", 0.2)
         # abstain (pass) below min_rows: PSI/KS over B buckets are pure
         # noise when n ~ B (E[PSI] ~ B/n); metrics still reported
         min_rows = d.get("min_rows", 200)
+        if ks_t is not None:
+            crit = F.lit(float(ks_t))
+        else:
+            c = _math.sqrt(-0.5 * _math.log(alpha / 2.0))
+            n = F.greatest(F.col("n_rows"), F.lit(1)).cast("double")
+            m = F.greatest(F.col("n_base"), F.lit(1)).cast("double")
+            crit = F.lit(c) * F.sqrt((n + m) / (n * m))
         return res.select(
             F.col("part").alias("day"),
             F.lit(f"drift({d.get('value', 'length(text)')})").alias("check"),
             (
                 (F.col("n_rows") < min_rows)
-                | ((F.col("ks_stat") <= ks_t) & (F.col("psi") <= psi_t))
+                | ((F.col("ks_stat") <= crit) & (F.col("psi") <= psi_t))
             ).alias("pass"),
             F.lit(0).cast("long").alias("violation_count"),
             F.col("n_rows").alias("rows_checked"),
             F.create_map(
-                F.lit("ks_stat"), F.col("ks_stat"), F.lit("psi"), F.col("psi")
+                F.lit("ks_stat"), F.col("ks_stat"),
+                F.lit("psi"), F.col("psi"),
+                F.lit("ks_crit"), crit,
             ).alias("metrics"),
         )
 

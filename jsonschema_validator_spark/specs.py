@@ -10,12 +10,26 @@ TOOLS = ["search", "python", "browser", "editor", "bash"]
 
 def transcripts_spec(
     drift_value: str = "length(text)",
-    ks_threshold: float = 0.15,
+    ks_threshold: float | None = None,
     psi_threshold: float = 0.2,
 ) -> dict:
     """The transcripts-table suite from BASELINE.json north_star: keyword
     checks (type/enum/required/pattern/min/max) over the input_hint
     columns + uniqueness, referential integrity, ordering, drift, stats."""
+    drift_check = {
+        "check": "drift",
+        "value": drift_value,
+        "buckets": 20,
+        # fixed grid bounds (text length contract is [1, 8000]):
+        # avoids a whole extra min/max scan before the histogram
+        "lo": 0.0,
+        "hi": 8200.0,
+        "psi_threshold": psi_threshold,
+    }
+    # default KS rule is the sample-size-aware asymptotic critical value
+    # (operators/drift.ks_critical_value); a flat threshold is opt-in
+    if ks_threshold is not None:
+        drift_check["ks_threshold"] = ks_threshold
     return {
         "name": "transcripts_v1",
         "draft": "draft7",
@@ -43,17 +57,7 @@ def transcripts_spec(
             {"check": "unique", "columns": ["conv_id", "turn_idx"]},
             {"check": "referential_root", "group": "conv_id", "order": "turn_idx"},
             {"check": "ordering", "group": "conv_id", "order": "turn_idx", "monotone": ["ts"]},
-            {
-                "check": "drift",
-                "value": drift_value,
-                "buckets": 20,
-                # fixed grid bounds (text length contract is [1, 8000]):
-                # avoids a whole extra min/max scan before the histogram
-                "lo": 0.0,
-                "hi": 8200.0,
-                "ks_threshold": ks_threshold,
-                "psi_threshold": psi_threshold,
-            },
+            drift_check,
             {"check": "stats", "columns": ["conv_id", "turn_idx", "role", "text", "tool"]},
         ],
     }
