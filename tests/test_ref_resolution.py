@@ -193,3 +193,132 @@ def test_remote_loader_matrix():
     bad.root = {"$ref": "missing.json"}
     with pytest.raises(RefResolutionError):
         compile_schema(bad.root, bad)
+
+
+# -- real HTTP loader against a live local server (VERDICT r2 #5) ----------
+
+
+@pytest.fixture()
+def http_suite():
+    """In-process http.server serving a two-document schema suite, with
+    a request log for cache assertions, a /slow endpoint for timeouts,
+    a /big endpoint for the size cap, and /notjson for parse errors."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    DOCS = {
+        "/specs/a.json": json.dumps({"defs": {"s": {"type": "string", "minLength": 2}}}),
+        "/specs/b.json": json.dumps({"$ref": "a.json#/defs/s"}),
+    }
+    requests: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            requests.append(self.path)
+            if self.path == "/slow":
+                import time as _t
+
+                _t.sleep(2.0)
+                body = b"{}"
+            elif self.path == "/big":
+                body = b"[" + b"1," * 3000 + b"1]"
+            elif self.path == "/notjson":
+                body = b"<html>not a schema</html>"
+            elif self.path in DOCS:
+                body = DOCS[self.path].encode()
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    yield base, requests
+    srv.shutdown()
+
+
+def test_http_loader_matrix_live(http_suite):
+    """The mocked-remote matrix against the REAL urllib loader hitting a
+    live local http.server: fragment into a remote doc, fetch-once
+    caching via Scope.registry, remote->sibling-remote delegation, and
+    404 as a compile-time RefResolutionError."""
+    from jsonschema_validator_spark.functions.loaders import http_loader
+
+    base, requests = http_suite
+    loader = http_loader(allowed_schemes=("http", "https"), timeout=5.0, retries=0)
+
+    scope = Scope(draft="draft7", base_uri=f"{base}/specs/root.json", loader=loader)
+    _, node = scope._lookup("a.json#/defs/s", "#")
+    assert node == {"type": "string", "minLength": 2}
+    scope._lookup("a.json#/defs/s", "#")  # second hit: registry, no fetch
+    assert requests.count("/specs/a.json") == 1
+
+    scope.root = {"$ref": "b.json"}
+    checks = compile_schema(scope.root, scope)
+    assert checks  # delegated remote sibling compiled to a real check
+
+    bad = Scope(draft="draft7", base_uri=f"{base}/specs/root.json", loader=loader)
+    bad.root = {"$ref": "missing.json"}
+    with pytest.raises(RefResolutionError):
+        compile_schema(bad.root, bad)
+    # 4xx fails fast: exactly one request despite retries being possible
+    assert requests.count("/specs/missing.json") == 1
+
+
+def test_http_loader_guards(http_suite):
+    """Timeout, size cap, scheme allow-list, non-JSON body, and
+    4xx-no-retry all surface as RefResolutionError."""
+    from jsonschema_validator_spark.functions.loaders import http_loader
+
+    base, requests = http_suite
+    fast = http_loader(allowed_schemes=("http",), timeout=0.3, retries=0)
+    with pytest.raises(RefResolutionError, match="fetch failed"):
+        fast(f"{base}/slow")
+    capped = http_loader(allowed_schemes=("http",), timeout=5.0, retries=0, max_bytes=100)
+    with pytest.raises(RefResolutionError, match="exceeds"):
+        capped(f"{base}/big")
+    https_only = http_loader()  # default allow-list is https only
+    with pytest.raises(RefResolutionError, match="allow-list"):
+        https_only(f"{base}/specs/a.json")
+    ok = http_loader(allowed_schemes=("http",), timeout=5.0, retries=0)
+    with pytest.raises(RefResolutionError, match="not JSON"):
+        ok(f"{base}/notjson")
+    n404 = requests.count("/specs/nope.json")
+    retrying = http_loader(allowed_schemes=("http",), timeout=5.0, retries=3, backoff=0.01)
+    with pytest.raises(RefResolutionError):
+        retrying(f"{base}/specs/nope.json")
+    assert requests.count("/specs/nope.json") == n404 + 1  # no retry on 404
+
+
+def test_http_loader_retries_transient(http_suite):
+    """Connection-refused (server gone) retries the configured number of
+    times, then fails as RefResolutionError."""
+    from jsonschema_validator_spark.functions.loaders import http_loader
+
+    loader = http_loader(allowed_schemes=("http",), timeout=0.5, retries=2, backoff=0.01)
+    with pytest.raises(RefResolutionError, match="fetch failed"):
+        loader("http://127.0.0.1:9/specs/a.json")  # port 9: discard, refused
+
+
+def test_default_loader_dispatches(http_suite, spec_dir):
+    """default_loader: file:// goes to the jailed file loader, http(s)
+    to the network loader — one hook for a mixed local/remote suite."""
+    from jsonschema_validator_spark.functions.loaders import default_loader
+
+    base, _ = http_suite
+    load = default_loader(root_dir=spec_dir, allowed_schemes=("http", "https"))
+    local = load((spec_dir / "common.json").as_uri())
+    assert local["defs"]["positive"]["minimum"] == 1
+    remote = load(f"{base}/specs/a.json")
+    assert remote["defs"]["s"]["minLength"] == 2
+    with pytest.raises(RefResolutionError):
+        load((spec_dir.parent / "escape.json").as_uri())  # still jailed
