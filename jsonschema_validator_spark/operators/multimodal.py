@@ -2,9 +2,11 @@
 columns with typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the media DECODE step is stubbed (the
-image/audio libraries are not in this container) behind
-``NotImplementedError`` / a deterministic fake, clearly marked.
+signatures — is real and tested. Decode is REAL for the formats the
+Python stdlib can parse in this container — WAV (``wave`` module),
+PPM/PGM (netpbm), uncompressed 24-bpp BMP — and falls back to a
+clearly-marked deterministic stub for everything else (JPEG/PNG/MP3/...
+need PIL/libvips/ffmpeg, absent here; a deployment swaps the fallback).
 
 Decode/feature-extract runs through ``mapInPandas`` (Arrow-batched,
 vectorized) — the correct shape for CPU-heavy per-item work at scale:
@@ -41,6 +43,116 @@ def binary_metadata(df: DataFrame, payload_col: str) -> DataFrame:
     )
 
 
+def decode_wav_bytes(payload: bytes | None) -> dict | None:
+    """REAL WAV decode via the stdlib ``wave`` module: container
+    metadata (channels, sample width, frame rate, frame count) plus the
+    exact int64 sum of all 16-bit PCM samples (proof the PCM data was
+    actually read, and an arithmetic-oracle-able value). Returns None
+    for anything that isn't a parseable RIFF/WAVE payload."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not payload:
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            n = w.getnframes()
+            meta = {
+                "n_channels": w.getnchannels(),
+                "sample_width": w.getsampwidth(),
+                "frame_rate": w.getframerate(),
+                "n_frames": n,
+            }
+            frames = w.readframes(n)
+    except (wave.Error, EOFError, OSError):
+        return None
+    meta["duration_ms"] = meta["n_frames"] * 1000.0 / meta["frame_rate"]
+    if meta["sample_width"] == 2:
+        arr = np.frombuffer(frames, dtype="<i2")
+        meta["sample_sum"] = int(arr.astype(np.int64).sum())
+    else:
+        meta["sample_sum"] = None
+    return meta
+
+
+def decode_image_bytes(payload: bytes | None) -> dict | None:
+    """REAL image decode for stdlib-parseable formats: binary netpbm
+    (P6 RGB / P5 grayscale) and uncompressed 24-bpp BMP. Returns kind,
+    dims, and the exact int64 sum of all pixel channel bytes (proof the
+    raster was read). None for anything else (the caller falls back to
+    the stub)."""
+    import numpy as np
+
+    if not payload:
+        return None
+    if payload[:2] in (b"P6", b"P5"):
+        try:
+            # netpbm header: magic, then 3 decimal tokens (width, height,
+            # maxval) separated by whitespace/comments, then one
+            # whitespace byte, then the raster
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":  # comment to EOL
+                    while pos < len(payload) and payload[pos] not in (10, 13):
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(payload[start:pos]))
+            pos += 1  # single whitespace after maxval
+            width, height, maxval = tokens
+            channels = 3 if payload[:2] == b"P6" else 1
+            if maxval > 255:
+                return None  # 2-byte samples: out of scope
+            raster = payload[pos : pos + width * height * channels]
+            if len(raster) != width * height * channels:
+                return None
+            arr = np.frombuffer(raster, dtype=np.uint8)
+            return {
+                "kind": "image/x-portable-pixmap" if channels == 3 else "image/x-portable-graymap",
+                "width": width,
+                "height": height,
+                "pixel_sum": int(arr.astype(np.int64).sum()),
+            }
+        except (ValueError, IndexError):
+            return None
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        import struct
+
+        try:
+            data_off, = struct.unpack_from("<I", payload, 10)
+            width, height = struct.unpack_from("<ii", payload, 18)
+            planes, bpp = struct.unpack_from("<HH", payload, 26)
+            compression, = struct.unpack_from("<I", payload, 30)
+        except struct.error:
+            return None
+        if planes != 1 or bpp != 24 or compression != 0 or width <= 0:
+            return None
+        bottom_up = height > 0
+        height = abs(height)
+        row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+        need = data_off + row_bytes * height
+        if len(payload) < need:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+        ).reshape(height, row_bytes)[:, : width * 3]
+        if bottom_up:
+            rows = rows[::-1]
+        return {
+            "kind": "image/bmp",
+            "width": width,
+            "height": height,
+            "pixel_sum": int(rows.astype(np.int64).sum()),
+        }
+    return None
+
+
 def _decode_image_stub(payload: bytes) -> dict:
     """STUB: real implementation would be PIL/libvips decode. This
     container has no image libraries, so we return a deterministic fake
@@ -62,6 +174,88 @@ def hash_bytes(payload: bytes) -> int:
     return zlib.crc32(payload or b"")
 
 
+def _decode_image(payload: bytes) -> dict:
+    """Real decode when the format is stdlib-parseable (PPM/PGM/BMP),
+    deterministic stub otherwise."""
+    real = decode_image_bytes(payload)
+    if real is not None:
+        return {
+            "kind": real["kind"],
+            "width": real["width"],
+            "height": real["height"],
+            "n_frames": 1,
+        }
+    return _decode_image_stub(payload)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_bytes long, kind string, n_channels long, "
+    "sample_width long, frame_rate long, n_frames long, "
+    "duration_ms double, sample_sum long"
+)
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, n_bytes long, kind string, width long, height long, pixel_sum long"
+)
+
+
+def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL audio decode for WAV payloads (stdlib ``wave``) over Arrow
+    batches: (doc_id, n_bytes, kind, n_channels, sample_width,
+    frame_rate, n_frames, duration_ms, sample_sum). Non-WAV payloads
+    yield kind='unsupported' with NULL metadata — this container has no
+    mp3/ogg/flac decoder (deploy with soundfile/ffmpeg and extend
+    ``decode_wav_bytes``'s dispatch for those)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_wav_bytes(p)
+                base = {"doc_id": int(i), "n_bytes": len(p) if p is not None else 0}
+                if meta is None:
+                    rows.append({**base, "kind": "unsupported"})
+                else:
+                    rows.append({**base, "kind": "audio/wav", **meta})
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "kind", "n_channels", "sample_width",
+                    "frame_rate", "n_frames", "duration_ms", "sample_sum",
+                ],
+            )
+            for c in ("n_channels", "sample_width", "frame_rate", "n_frames", "sample_sum"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+def decode_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL image decode for PPM/PGM/uncompressed-BMP payloads over
+    Arrow batches: (doc_id, n_bytes, kind, width, height, pixel_sum).
+    Other formats yield kind='unsupported' with NULL dims (JPEG/PNG need
+    PIL/libvips, absent in this container)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_image_bytes(p)
+                base = {"doc_id": int(i), "n_bytes": len(p) if p is not None else 0}
+                rows.append(
+                    {**base, "kind": "unsupported"} if meta is None else {**base, **meta}
+                )
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "kind", "width", "height", "pixel_sum"]
+            )
+            for c in ("width", "height", "pixel_sum"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
 def decode_features(df: DataFrame, id_col: str, payload_col: str, feat_dim: int = 8) -> DataFrame:
     """mapInPandas decode + feature-extract over Arrow batches.
 
@@ -73,7 +267,7 @@ def decode_features(df: DataFrame, id_col: str, payload_col: str, feat_dim: int 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            metas = [_decode_image_stub(p) for p in payloads]
+            metas = [_decode_image(p) for p in payloads]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -124,30 +318,51 @@ def resize_images(
     df: DataFrame, id_col: str, payload_col: str, max_side: int = 256
 ) -> DataFrame:
     """Image resize over Arrow batches (mapInPandas): cap the longer side
-    at ``max_side`` preserving aspect ratio. The pixel resample itself is
-    stubbed (no image libs in this container — a real deployment swaps
-    the body for PIL/libvips thumbnail); the deterministic fake keeps the
-    CONTRACT testable: output dims are the exact scaled dims the real
-    decoder would produce for the stub-decoded input dims, and the
-    payload is a stable binary derived from (input bytes, target dims) so
-    downstream exact-dedup/caching plumbing behaves as it would on real
-    thumbnails. Batch shape, schema, and partition flow are production
-    shape."""
+    at ``max_side`` preserving aspect ratio.
+
+    For P6 PPM payloads the resample is REAL: numpy nearest-neighbor
+    index sampling of the raster, re-emitted as valid P6 bytes. For
+    formats this container can't decode (JPEG/PNG — no PIL/libvips) the
+    pixel resample is stubbed: output dims are the exact scaled dims the
+    real decoder would produce for the stub-decoded input dims, and the
+    payload is a stable binary derived from (input bytes, target dims)
+    so downstream exact-dedup/caching plumbing behaves as it would on
+    real thumbnails. Batch shape, schema, and partition flow are
+    production shape either way."""
+    import numpy as np
+
+    def _resize_p6(p: bytes, meta: dict, nw: int, nh: int) -> bytes | None:
+        if meta.get("kind") != "image/x-portable-pixmap":
+            return None
+        full = decode_image_bytes(p)
+        if full is None:
+            return None
+        w, h = full["width"], full["height"]
+        # re-locate the raster (header length varies)
+        raster_off = len(p) - w * h * 3
+        arr = np.frombuffer(p, dtype=np.uint8, offset=raster_off).reshape(h, w, 3)
+        ys = (np.arange(nh) * h // nh).astype(np.int64)
+        xs = (np.arange(nw) * w // nw).astype(np.int64)
+        small = arr[ys][:, xs]
+        return b"P6\n%d %d\n255\n" % (nw, nh) + small.tobytes()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, ws, hs, payloads = [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                meta = _decode_image_stub(p)
+                meta = _decode_image(p)
                 w, h = meta["width"], meta["height"]
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 ids.append(int(i))
                 ws.append(nw)
                 hs.append(nh)
-                # STUB resample: stable bytes keyed by content + dims
+                real = _resize_p6(p, meta, nw, nh)
+                # fallback STUB resample: stable bytes keyed by content + dims
                 payloads.append(
-                    (p or b"")[: 64] + f":{nw}x{nh}".encode()
+                    real
+                    if real is not None
+                    else (p or b"")[:64] + f":{nw}x{nh}".encode()
                 )
             yield pd.DataFrame(
                 {
@@ -161,11 +376,3 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
 
 
-def decode_audio(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """Audio decode — NOT available in this container. Stub that fails
-    loudly at plan time so callers know to deploy with soundfile/ffmpeg."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/ffmpeg, not present in this "
-        "container; deploy with --py-files including an audio decoder and "
-        "swap this stub (see operators/multimodal.py)"
-    )

@@ -197,12 +197,16 @@ def test_multimodal_plumbing(spark, docs):
     assert plan.count() == 6  # ~44-60 bytes -> 1 frame each
 
 
-def test_audio_stub_raises(spark, docs):
+def test_audio_unsupported_formats_flagged(spark, docs):
+    """Non-WAV payloads decode to kind='unsupported' with NULL metadata
+    (round 2's decode_audio raised NotImplementedError; WAV is now a
+    real stdlib decode — see test_wav_decode_real)."""
     from jsonschema_validator_spark.operators.multimodal import decode_audio
 
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    with pytest.raises(NotImplementedError):
-        decode_audio(blobs, "doc_id", "payload")
+    out = decode_audio(blobs, "doc_id", "payload").collect()
+    assert len(out) == 6
+    assert all(r.kind == "unsupported" and r.n_frames is None for r in out)
 
 
 def test_row_parity_invariant(spark):
@@ -432,3 +436,98 @@ def test_stratified_hash_sample(spark):
     assert len(by_g.get("a", ())) == 3_000  # rate 1.0 keeps everything
     assert abs(len(by_g.get("b", ())) / 3_000 - 0.3) < 0.05
     assert "c" not in by_g  # unconfigured stratum dropped
+
+
+def test_wav_decode_real(spark):
+    """REAL stdlib WAV round trip: synth with the wave writer, decode
+    with decode_audio over Arrow batches — metadata AND exact PCM
+    sample sum; non-WAV payloads come back kind='unsupported'."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from jsonschema_validator_spark.operators.multimodal import decode_audio
+
+    def wav(n_ch, rate, samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    rows = [
+        (1, wav(1, 8000, [10, -3, 7, 0])),          # mono: 4 frames, sum 14
+        (2, wav(2, 16000, [1, 2, 3, 4, 5, 6])),     # stereo: 3 frames, sum 21
+        (3, b"not audio at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_audio(df, "doc_id", "payload").collect()}
+    assert got[1].kind == "audio/wav" and got[1].n_channels == 1
+    assert got[1].n_frames == 4 and got[1].sample_sum == 14
+    assert got[1].duration_ms == 0.5  # 4 frames @ 8kHz
+    assert got[2].n_channels == 2 and got[2].n_frames == 3 and got[2].sample_sum == 21
+    assert got[3].kind == "unsupported" and got[3].n_frames is None
+    assert got[4].kind == "unsupported" and got[4].n_bytes == 0
+
+
+def test_image_decode_real(spark):
+    """REAL stdlib image decode: P6 PPM (with a header comment), P5 PGM,
+    bottom-up 24bpp BMP with row padding — dims + exact pixel sums."""
+    import struct
+
+    from jsonschema_validator_spark.operators.multimodal import decode_images
+
+    ppm = b"P6\n# a comment\n3 2\n255\n" + bytes(range(18))  # sum 153
+    pgm = b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4])  # sum 10
+    # BMP 3x2, 24bpp, bottom-up; row stride 12 (9 data + 3 pad)
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for y in range(h):
+        row = bytes([(y * 10 + x) for x in range(w * 3)])
+        raster += row + b"\x00" * (stride - len(row))
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+    bmp_sum = sum(sum((y * 10 + x) for x in range(w * 3)) for y in range(h))
+    rows = [(1, ppm), (2, pgm), (3, bmp), (4, b"\x89PNG...")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_images(df, "doc_id", "payload").collect()}
+    assert (got[1].kind, got[1].width, got[1].height, got[1].pixel_sum) == (
+        "image/x-portable-pixmap", 3, 2, 153)
+    assert (got[2].kind, got[2].width, got[2].height, got[2].pixel_sum) == (
+        "image/x-portable-graymap", 2, 2, 10)
+    assert (got[3].kind, got[3].width, got[3].height, got[3].pixel_sum) == (
+        "image/bmp", 3, 2, bmp_sum)
+    assert got[4].kind == "unsupported" and got[4].width is None
+
+
+def test_resize_real_ppm(spark):
+    """P6 payloads get a REAL nearest-neighbor resample re-emitted as
+    valid P6 — decode(resize(x)) has the target dims and every output
+    pixel exists in the input."""
+    from jsonschema_validator_spark.operators.multimodal import (
+        decode_image_bytes,
+        resize_images,
+    )
+
+    w, h = 8, 4
+    raster = bytes([(3 * (y * w + x) + c) % 251 for y in range(h) for x in range(w) for c in range(3)])
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + raster
+    df = spark.createDataFrame([(1, ppm)], "doc_id long, payload binary")
+    out = resize_images(df, "doc_id", "payload", max_side=4).collect()[0]
+    assert (out.width, out.height) == (4, 2)
+    meta = decode_image_bytes(bytes(out.payload))
+    assert meta is not None and (meta["width"], meta["height"]) == (4, 2)
+    # nearest-neighbor: output row 0 == input row 0 sampled at x*2
+    got_px = bytes(out.payload)[-4 * 2 * 3 :]
+    expect_row0 = b"".join(
+        raster[(0 * w + x * 2) * 3 : (0 * w + x * 2) * 3 + 3] for x in range(4)
+    )
+    assert got_px[: len(expect_row0)] == expect_row0
