@@ -419,3 +419,27 @@ def _exact_near_duplicates(
     src = df.select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
     out = src.mapInPandas(block, schema=f"id_a {id_type}, id_b {id_type}, sim double")
     return out
+
+
+def topk_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    one row (n_queries, n_hits, recall) where n_hits counts
+    (query_id, neighbor_id) pairs of the truth set recovered by the
+    approximate set. Both inputs are (query_id, rank, neighbor_id, sim)
+    frames as produced by brute_force_topk / lsh_topk / ivf_topk. The
+    join moves only id pairs — O(k x Q) rows — so measuring recall on a
+    sample of queries is cheap at any corpus size."""
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        t.join(a, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("__hit").alias("n_hits"),
+        )
+        .select(
+            "n_queries",
+            "n_hits",
+            (F.col("n_hits") / (F.lit(k) * F.col("n_queries"))).alias("recall"),
+        )
+    )
