@@ -157,26 +157,125 @@ class Scope:
     # scope_builder.rs:33-41 get_or_fetch_with_result analog); fetched
     # documents are cached into the registry
     loader: object = None
+    # location-independent identifiers ("$id": "#anchor", draft6/7; "id"
+    # in draft4): full URI (with fragment) -> (subschema node, base URI
+    # in effect at that node). Populated by index_document.
+    anchors: dict[str, tuple] = field(default_factory=dict)
     _memo: dict[str, list[CheckExpr]] = field(default_factory=dict)
     _stack: list[str] = field(default_factory=list)
+    _indexed: set = field(default_factory=set)
+    _root_base: str | None = None
 
     def __post_init__(self):
         if self.draft not in DRAFTS:
             raise MalformedSchemaError("#", "$schema", f"unsupported draft {self.draft!r}")
 
-    # -- JSON-pointer / URI resolution ---------------------------------
-    def _lookup(self, ref: str, path: str):
+    # -- $id / id indexing ---------------------------------------------
+    @property
+    def id_keyword(self) -> str:
+        return "id" if self.draft == "draft4" else "$id"
+
+    def index_document(self, doc, base: str) -> str:
+        """Pre-pass over one schema document: register every embedded
+        schema that declares an absolute/relative ``$id`` (draft4:
+        ``id``) under its resolved URI in ``registry``, and every
+        fragment-only identifier ("#anchor") in ``anchors``. The walk is
+        schema-AWARE — it recurses only into positions the spec defines
+        as schemas, so an ``{"$id": ...}`` object inside ``enum``/
+        ``const`` data is NOT treated as an identifier (official suite
+        "id inside an enum is not a real identifier"). ``$id`` next to
+        ``$ref`` is ignored, per draft<=7 sibling rules.
+
+        Returns the document root's effective base URI."""
         from urllib.parse import urldefrag
 
+        idkw = self.id_keyword
+        SCHEMA_KEYS = (
+            "additionalItems", "additionalProperties", "contains",
+            "propertyNames", "not", "if", "then", "else",
+        )
+        MAP_KEYS = ("properties", "patternProperties", "definitions")
+        LIST_KEYS = ("allOf", "anyOf", "oneOf")
+
+        def rebase(node, b: str) -> str:
+            if isinstance(node.get("$ref"), str):
+                return b  # siblings of $ref (including $id) are ignored
+            iv = node.get(idkw)
+            if not (isinstance(iv, str) and iv and iv != "#"):
+                return b
+            nb = full_uri(b, iv)
+            u, frag = urldefrag(nb)
+            if frag:
+                self.anchors[nb] = (node, b)  # anchor: base unchanged
+                return b
+            self.registry.setdefault(u, node)
+            return u
+
+        def walk(node, b: str):
+            if not isinstance(node, dict):
+                return
+            b = rebase(node, b)
+            for k, v in node.items():
+                if k in SCHEMA_KEYS and isinstance(v, (dict, bool)):
+                    walk(v, b)
+                elif k in MAP_KEYS and isinstance(v, dict):
+                    for sub in v.values():
+                        walk(sub, b)
+                elif k in LIST_KEYS and isinstance(v, list):
+                    for sub in v:
+                        walk(sub, b)
+                elif k == "items":
+                    for sub in v if isinstance(v, list) else [v]:
+                        walk(sub, b)
+                elif k == "dependencies" and isinstance(v, dict):
+                    for sub in v.values():
+                        if isinstance(sub, (dict, bool)):
+                            walk(sub, b)
+
+        eff = base
+        if isinstance(doc, dict):
+            eff = rebase(doc, base)
+            walk(doc, base)
+        return eff
+
+    def _ensure_doc_indexed(self, uri: str, doc) -> None:
+        if uri not in self._indexed:
+            self._indexed.add(uri)
+            self.index_document(doc, uri)
+
+    # -- JSON-pointer / URI resolution ---------------------------------
+    def _lookup(self, ref: str, path: str):
+        """Resolve ``ref`` against the current base. Returns
+        ``(resolved_uri, node, effective_base)`` where effective_base is
+        the base URI in force AT the target node (document URI plus any
+        ``$id`` declarations crossed by the fragment pointer walk) — the
+        base the node's own relative $refs must resolve against."""
+        from urllib.parse import urldefrag
+
+        if self._root_base is None:
+            self._root_base = (
+                self.index_document(self.root, self.base_uri or "")
+                if self.root is not None
+                else (self.base_uri or "")
+            )
         base = self.base_uri or ""
         resolved = full_uri(base, ref)
         uri, frag = urldefrag(resolved)
-        base_doc, _ = urldefrag(base)
+        root_doc, _ = urldefrag(self._root_base)
+
+        # location-independent identifier ("#anchor", not a pointer)
+        if frag and not frag.startswith("/") and resolved in self.anchors:
+            node, eff = self.anchors[resolved]
+            return resolved, node, eff
+
         doc = None
-        if not uri or uri == base_doc:
-            doc = self.root
-        elif uri in self.registry:
+        if uri and uri in self.registry:
             doc = self.registry[uri]
+            self._ensure_doc_indexed(uri, doc)
+            eff = uri
+        elif not uri or uri == root_doc or uri == urldefrag(base)[0]:
+            doc = self.root
+            eff = self._root_base
         elif self.loader is not None:
             try:
                 doc = self.loader(uri)
@@ -187,14 +286,35 @@ class Scope:
                     f"loader failed for $ref {ref!r} at {path}: {e}"
                 ) from e
             self.registry[uri] = doc
+            self._ensure_doc_indexed(uri, doc)
+            eff = uri
         else:
             raise RefResolutionError(f"cannot resolve $ref {ref!r} at {path} (base {base!r})")
+
+        # the anchor may live in a document only indexed just now
+        if frag and not frag.startswith("/") and resolved in self.anchors:
+            node, eff = self.anchors[resolved]
+            return resolved, node, eff
+
         # JSON-pointer walk. Fragment tokens are percent-decoded FIRST
         # (RFC 3986 fragment encoding), then ~-unescaped (RFC 6901):
         # '#/definitions/percent%25field' -> token 'percent%field'.
+        # $id declarations crossed by the walk re-base the target.
         from urllib.parse import unquote
 
+        idkw = self.id_keyword
+
+        def bump(b: str, n) -> str:
+            if isinstance(n, dict) and not isinstance(n.get("$ref"), str):
+                iv = n.get(idkw)
+                if isinstance(iv, str) and iv and iv != "#":
+                    nb = full_uri(b, iv)
+                    if not urldefrag(nb)[1]:
+                        return urldefrag(nb)[0]
+            return b
+
         node = doc
+        eff = bump(eff, node)
         if frag:
             for part in frag.lstrip("/").split("/"):
                 part = unquote(part).replace("~1", "/").replace("~0", "~")
@@ -207,13 +327,16 @@ class Scope:
                         raise RefResolutionError(f"bad $ref pointer {ref!r} at {path}")
                 else:
                     raise RefResolutionError(f"bad $ref pointer {ref!r} at {path}")
-        return resolved, node
+                eff = bump(eff, node)
+        return resolved, node, eff
 
     def resolve_ref(self, ref: str, path: str) -> list[CheckExpr]:
         """Compile-time $ref inlining with memoization
         (scope_builder.rs:43-54) and bounded recursion for cyclic schemas
-        (SURVEY.md §1.4 — the reference loops forever on cycles)."""
-        key, node = self._lookup(ref, path)
+        (SURVEY.md §1.4 — the reference loops forever on cycles). The
+        target compiles under ITS base URI (document + crossed $ids),
+        not the referrer's, so its relative $refs resolve correctly."""
+        key, node, eff_base = self._lookup(ref, path)
         if key in self._memo:
             return self._memo[key]
         depth = self._stack.count(key)
@@ -223,9 +346,12 @@ class Scope:
             # bounded unrolling: beyond max depth, vacuously pass
             return []
         self._stack.append(key)
+        saved_base = self.base_uri
+        self.base_uri = eff_base
         try:
             checks = compile_schema(node, self, path=path)
         finally:
+            self.base_uri = saved_base
             self._stack.pop()
         if depth == 0 and key not in self._stack:
             self._memo[key] = checks
@@ -986,6 +1112,25 @@ def compile_schema(
         resolved = scope.resolve_ref(ref, path)
         return [CheckExpr(c.keyword, path, c.message, c.factory) for c in resolved]
 
+    # $id (draft4: id) establishes a new base URI for this schema's
+    # subtree (RFC 3986 resolution against the enclosing base); a
+    # fragment-only $id is a location-independent anchor and leaves the
+    # base unchanged. Restored on exit so siblings are unaffected.
+    saved_base = scope.base_uri
+    idval = schema.get(scope.id_keyword)
+    if isinstance(idval, str) and idval and idval != "#":
+        from urllib.parse import urldefrag
+
+        nb = full_uri(saved_base or "", idval)
+        if not urldefrag(nb)[1]:
+            scope.base_uri = urldefrag(nb)[0]
+    try:
+        return _compile_object_schema(schema, scope, path)
+    finally:
+        scope.base_uri = saved_base
+
+
+def _compile_object_schema(schema: dict, scope: Scope, path: str) -> list[CheckExpr]:
     checks: list[CheckExpr] = []
 
     def add(keyword: str, fac: Optional[Factory]):

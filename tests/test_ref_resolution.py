@@ -63,7 +63,7 @@ def test_scope_resolves_registry_uri_via_relative_ref():
     scope = Scope(draft="draft7", base_uri="memory://suite/main.json")
     scope.root = {"$ref": "common.json#/defs/s"}
     scope.registry["memory://suite/common.json"] = {"defs": {"s": {"type": "string"}}}
-    key, node = scope._lookup("common.json#/defs/s", "#")
+    key, node, _ = scope._lookup("common.json#/defs/s", "#")
     assert node == {"type": "string"}
 
 
@@ -177,7 +177,7 @@ def test_remote_loader_matrix():
     scope = Scope(draft="draft7", base_uri="https://ex.com/specs/root.json", loader=fake_fetch)
 
     # fragment into a remote doc
-    _, node = scope._lookup("a.json#/defs/s", "#")
+    _, node, _ = scope._lookup("a.json#/defs/s", "#")
     assert node == {"type": "string"}
     # fetch-once caching: second lookup hits the registry
     scope._lookup("a.json#/defs/s", "#")
@@ -257,7 +257,7 @@ def test_http_loader_matrix_live(http_suite):
     loader = http_loader(allowed_schemes=("http", "https"), timeout=5.0, retries=0)
 
     scope = Scope(draft="draft7", base_uri=f"{base}/specs/root.json", loader=loader)
-    _, node = scope._lookup("a.json#/defs/s", "#")
+    _, node, _ = scope._lookup("a.json#/defs/s", "#")
     assert node == {"type": "string", "minLength": 2}
     scope._lookup("a.json#/defs/s", "#")  # second hit: registry, no fetch
     assert requests.count("/specs/a.json") == 1
