@@ -531,3 +531,29 @@ def test_resize_real_ppm(spark):
         raster[(0 * w + x * 2) * 3 : (0 * w + x * 2) * 3 + 3] for x in range(4)
     )
     assert got_px[: len(expect_row0)] == expect_row0
+
+
+def test_duplicate_rows_window_vs_join_parity(spark):
+    """duplicate_rows (window) and duplicate_rows_join (agg+join) must
+    return the same rows and dup_counts — the join form is the skew-safe
+    per-row attribution path (see bench.py skew section for the measured
+    window-melt crossover on a Zipf-hot key)."""
+    from jsonschema_validator_spark.operators.uniqueness import (
+        duplicate_rows,
+        duplicate_rows_join,
+    )
+
+    df = spark.range(2000).select(
+        F.pmod(F.xxhash64("id"), F.lit(7)).alias("bucket"),
+        # skewed key: ~half the rows share one key, rest spread thin
+        F.when(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(2)) == 0, F.lit("whale"))
+        .otherwise(F.concat(F.lit("k"), F.pmod(F.xxhash64("id", F.lit(5)), F.lit(900))))
+        .alias("key"),
+        F.col("id").alias("payload"),
+    )
+    a = duplicate_rows(df, ["key"]).orderBy("payload").collect()
+    b = duplicate_rows_join(df, ["key"]).orderBy("payload").collect()
+    assert len(a) > 0
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    # column order contract: original columns then dup_count
+    assert duplicate_rows_join(df, ["key"]).columns == df.columns + ["dup_count"]
