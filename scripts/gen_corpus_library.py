@@ -308,6 +308,48 @@ DRAFT7 = [
     ),
 ]
 
+DRAFT6 = [
+    (
+        "draft6 ignores if/then/else (unknown keywords)",
+        {"if": {"type": "integer"}, "then": {"minimum": 100}, "else": {"maxLength": 1}},
+        [1, 150, "long string", None, [1, 2]],
+    ),
+    (
+        "draft6 const",
+        {"const": [1, "a"]},
+        [[1, "a"], [1, "a", 2], [1], "a", 1],
+    ),
+    (
+        "draft6 contains",
+        {"contains": {"minimum": 5}},
+        [[1, 6], [1, 2], [], "no-array-passes", [5]],
+    ),
+    (
+        "draft6 propertyNames",
+        {"propertyNames": {"pattern": "^[ab]"}},
+        [{"apple": 1, "bat": 2}, {"cat": 1}, {}, [1, 2], {"a": 1, "zz": 2}],
+    ),
+    (
+        "draft6 numeric exclusiveMinimum/Maximum",
+        {"exclusiveMinimum": 2, "exclusiveMaximum": 8},
+        [3, 2, 8, 7.5, 2.001, "s"],
+    ),
+    (
+        "draft6 boolean root schemas via items",
+        {"items": False},
+        [[], [1], "scalar"],
+    ),
+    (
+        "draft6 $id anchor",
+        {
+            "$id": "http://example.com/d6root.json",
+            "definitions": {"A": {"$id": "#neg", "maximum": 0}},
+            "properties": {"n": {"$ref": "#neg"}},
+        },
+        [{"n": -1}, {"n": 1}, {"n": 0}, {}],
+    ),
+]
+
 DRAFT4 = [
     (
         "draft4 id keyword with anchor",
@@ -407,10 +449,19 @@ def build(pairs, validator_cls, spec):
 
 
 def main():
-    from referencing.jsonschema import DRAFT4 as SPEC4, DRAFT7 as SPEC7
+    from referencing.jsonschema import (
+        DRAFT4 as SPEC4,
+        DRAFT6 as SPEC6,
+        DRAFT7 as SPEC7,
+    )
+    from jsonschema import Draft6Validator
 
     d7 = build(DRAFT7, Draft7Validator, SPEC7)
+    d6 = build(DRAFT6, Draft6Validator, SPEC6)
     d4 = build(DRAFT4, Draft4Validator, SPEC4)
+    (OUT / "draft6_library.json").write_text(json.dumps(d6, indent=1))
+    n6 = sum(len(g["tests"]) for g in d6)
+    print(f"draft6_library.json: {len(d6)} groups, {n6} cases")
     (OUT / "draft7_library.json").write_text(json.dumps(d7, indent=1))
     (OUT / "draft4_library.json").write_text(json.dumps(d4, indent=1))
     n7 = sum(len(g["tests"]) for g in d7)

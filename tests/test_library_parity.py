@@ -45,7 +45,18 @@ from pathlib import Path
 import pytest
 
 jsonschema = pytest.importorskip("jsonschema")
-from jsonschema import Draft4Validator, Draft7Validator, FormatChecker  # noqa: E402
+from jsonschema import (  # noqa: E402
+    Draft4Validator,
+    Draft6Validator,
+    Draft7Validator,
+    FormatChecker,
+)
+
+VALIDATOR_OF_DRAFT = {
+    "draft4": Draft4Validator,
+    "draft6": Draft6Validator,
+    "draft7": Draft7Validator,
+}
 
 CORPUS_DIR = Path(__file__).parent / "corpus"
 
@@ -86,6 +97,22 @@ def _weak_formats() -> set[str]:
     except Exception:
         weak.add("time")
     return weak
+
+
+def _crawled_registry(schema, draft: str):
+    """Pre-crawl embedded $id/id subresources so in-document identifier
+    refs resolve without network (same helper as
+    scripts/gen_corpus_library.py)."""
+    from referencing import Registry, Resource
+    from referencing.exceptions import NoInternalID
+    from referencing.jsonschema import DRAFT4, DRAFT6, DRAFT7
+
+    spec = {"draft4": DRAFT4, "draft6": DRAFT6, "draft7": DRAFT7}[draft]
+    res = Resource.from_contents(schema, default_specification=spec)
+    try:
+        return (res @ Registry()).crawl()
+    except NoInternalID:
+        return Registry()
 
 
 def _schema_formats(schema) -> set[str]:
@@ -143,13 +170,17 @@ def test_corpus_expected_values_match_library():
         warnings.simplefilter("ignore")
         for fname, draft in sorted(DRAFT_OF_FILE.items()):
             groups = json.loads((CORPUS_DIR / fname).read_text())
-            V = Draft4Validator if draft == "draft4" else Draft7Validator
+            V = VALIDATOR_OF_DRAFT[draft]
             for g in groups:
                 fc = FormatChecker() if g.get("format_validation") else None
                 if fc is not None and _schema_formats(g["schema"]) & weak:
                     skipped_b += len(g["tests"])
                     continue
-                v = V(g["schema"], format_checker=fc)
+                v = V(
+                    g["schema"],
+                    format_checker=fc,
+                    registry=_crawled_registry(g["schema"], draft),
+                )
                 for case in g["tests"]:
                     if _is_class_a(draft, g["schema"], case["data"]):
                         skipped_a += 1
