@@ -899,6 +899,165 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_repetition_documents(spark, sf_dir):
+    """Gopher-style repetition quality signal: duplicate-3-gram fraction
+    per document (operators/textstats.py ngram_repetition) — pure Column
+    algebra, one scan, no shuffle."""
+    from jsonschema_validator_spark.operators.textstats import ngram_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(ngram_repetition(F.col("text"), 3), 6).alias("dup3_frac")
+    ).orderBy("doc_id")
+
+
+_ORACLE_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+      THEN list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [] END AS grams
+  FROM t)
+SELECT doc_id,
+  ROUND(CASE WHEN len(grams) = 0 THEN 0.0
+        ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+        END, 6) AS dup3_frac
+FROM g ORDER BY doc_id
+"""
+
+
+def q_pii_scrub_documents(spark, sf_dir):
+    """PII detect + redact (operators/pii.py): the synthetic corpus has
+    no PII, so the query PLANTS addresses/IPs/SSNs as deterministic
+    functions of doc_id (same construction in the oracle) — counts and
+    post-scrub length are then exact arithmetic. Patterns are Java+RE2
+    compatible (no lookaround) so Spark and DuckDB run the SAME regex."""
+    from jsonschema_validator_spark.operators.pii import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from ip 10.0.0."),
+            F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    t = F.col("t")
+    return planted.select(
+        "doc_id", *pii_counts(t), F.length(scrub_pii(t)).alias("scrubbed_len")
+    ).orderBy("doc_id")
+
+
+_ORACLE_PII = r"""
+WITH p AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR || '@example.com from ip 10.0.0.'
+         || (doc_id % 250)::VARCHAR
+         || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+  len(regexp_extract_all(t, '\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b'))::INT AS n_ipv4,
+  len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::INT AS n_ssn,
+  len(regexp_extract_all(t, '\+[0-9]{1,2}[- ]?\([0-9]{3}\)[- ]?[0-9]{3}[- ]?[0-9]{4}'))::INT AS n_phone,
+  LENGTH(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b', '<IP>', 'g'),
+        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+      '\+[0-9]{1,2}[- ]?\([0-9]{3}\)[- ]?[0-9]{3}[- ]?[0-9]{4}', '<PHONE>', 'g')
+  ) AS scrubbed_len
+FROM p ORDER BY doc_id
+"""
+
+
+def q_packing_documents(spark, sf_dir):
+    """Greedy sequence packing (operators/packing.py): fill 500-token
+    training sequences per shard in doc_id order. Shard is arithmetic
+    (doc_id % 8) here so the recursive-CTE oracle reproduces the exact
+    layout; production uses the xxhash64 default. Per-bin rollup."""
+    from jsonschema_validator_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard_pre"),
+    )
+    packed = pack_sequences(
+        docs, "n_tok", budget=500, order_col="doc_id", shard_col="shard_pre"
+    )
+    return packing_stats(packed, "n_tok").orderBy("shard", "bin_idx")
+
+
+_ORACLE_PACKING = """
+WITH RECURSIVE d AS (
+  SELECT (doc_id % 8)::INT AS shard, doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), r AS (
+  SELECT shard, rn, n_tok, 0::BIGINT AS bin_idx, n_tok::BIGINT AS running
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.n_tok,
+    CASE WHEN r.running + d.n_tok > 500 THEN r.bin_idx + 1 ELSE r.bin_idx END,
+    CASE WHEN r.running + d.n_tok > 500 THEN d.n_tok::BIGINT
+         ELSE r.running + d.n_tok END
+  FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
+)
+SELECT shard, bin_idx, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS sum_tokens
+FROM r GROUP BY shard, bin_idx ORDER BY shard, bin_idx
+"""
+
+
+def q_sessionization_events(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): 30-min
+    inactivity splits a user's event stream; per-session rollup. One
+    shuffle by user_id serves the window and the rollup."""
+    from jsonschema_validator_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        session_stats(ev, entity="user_id", ts="ts", gap_seconds=1800)
+        .select("user_id", "session_idx", "n_events", "duration_secs")
+        .orderBy("user_id", "session_idx")
+    )
+
+
+_ORACLE_SESSIONS = """
+WITH x AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+), m AS (
+  SELECT user_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM x
+), s AS (
+  SELECT user_id, us,
+         (SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+       (MAX(us) - MIN(us)) / 1000000.0 AS duration_secs
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing: opaque binary + typed metadata
 # ---------------------------------------------------------------------------
@@ -1620,6 +1779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_embeddings": q_similarity_ivf_embeddings,
         "similarity_recall_embeddings": q_similarity_recall_embeddings,
         "token_stats_documents": q_token_stats_documents,
+        "repetition_documents": q_repetition_documents,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "packing_documents": q_packing_documents,
+        "sessionization_events": q_sessionization_events,
         "fingerprint_documents": q_fingerprint_documents,
         "multimodal_meta_documents": q_multimodal_meta_documents,
         "multimodal_decode_documents": q_multimodal_decode_documents,
@@ -1668,6 +1831,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_embeddings": _ORACLE_ANN_PLANTED,
         "similarity_recall_embeddings": _ORACLE_SIMILARITY_RECALL,
         "token_stats_documents": _ORACLE_TOKEN_STATS,
+        "repetition_documents": _ORACLE_REPETITION,
+        "pii_scrub_documents": _ORACLE_PII,
+        "packing_documents": _ORACLE_PACKING,
+        "sessionization_events": _ORACLE_SESSIONS,
         "fingerprint_documents": _ORACLE_FINGERPRINT,
         "multimodal_meta_documents": _ORACLE_MULTIMODAL,
         "multimodal_decode_documents": _ORACLE_MULTIMODAL_DECODE,

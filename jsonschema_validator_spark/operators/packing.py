@@ -1,0 +1,79 @@
+"""Sequence packing — fill fixed token-budget training sequences with
+documents (greedy first-fit in deterministic order), the standard step
+between curation and tokenized-batch writing in an LLM data pipeline.
+
+Scale shape: packing is sequential WITHIN a bin stream (a true
+recurrence — bin boundaries depend on every prior document) but
+trivially parallel ACROSS shards, so the operator shards by hash first
+(one shuffle), then runs the greedy scan per shard inside an
+Arrow-batched ``applyInPandas``. The per-shard scan is a plain integer
+recurrence over the token-count array (it cannot be vectorized, but it
+touches two ints per document — the Arrow transfer, not this loop, is
+the boundary cost). Shard count is the parallelism knob: 10^5 shards
+at 100 TB keeps every shard's group small and the state O(1).
+
+Semantics (pinned by the DuckDB recursive-CTE oracle
+``packing_documents`` and the pytest reference):
+- documents are processed in ascending ``order_col`` within a shard;
+- a document goes into the current bin unless adding it would exceed
+  ``budget`` AND the bin is non-empty; then it opens the next bin;
+- an oversize document (> budget tokens) occupies a bin alone."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    n_shards: int = 64,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Returns the input columns + ``shard`` + ``bin_idx`` (0-based per
+    shard). Deterministic: shard = xxhash64(order_col) % n_shards (or a
+    caller-supplied ``shard_col`` — e.g. an engine-portable arithmetic
+    shard when an external system must reproduce the layout), scan
+    order = ascending order_col."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema += ", shard int, bin_idx bigint"
+
+    budget_ = int(budget)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].to_numpy()
+        bins = []
+        bin_idx, running = 0, 0
+        for t in toks:
+            t = int(t)
+            if running > 0 and running + t > budget_:
+                bin_idx += 1
+                running = 0
+            running += t
+            bins.append(bin_idx)
+        pdf["bin_idx"] = bins
+        return pdf
+
+    if shard_col is not None:
+        sharded = df.withColumn("shard", F.col(shard_col).cast("int"))
+    else:
+        sharded = df.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast("int")
+        )
+    return sharded.groupBy("shard").applyInPandas(_pack, out_schema)
+
+
+def packing_stats(packed: DataFrame, token_col: str) -> DataFrame:
+    """Per-bin rollup: (shard, bin_idx, n_docs, sum_tokens)."""
+    return packed.groupBy("shard", "bin_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("sum_tokens"),
+    )

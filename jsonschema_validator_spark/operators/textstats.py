@@ -88,6 +88,23 @@ def language_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def ngram_repetition(text: Column, n: int = 3) -> Column:
+    """Duplicate-n-gram fraction — the Gopher-style repetition quality
+    signal (Rae et al. 2021 §A1.1, public paper): fraction of word
+    n-grams that are repeats of an earlier n-gram in the same document.
+    0.0 for documents shorter than n words. Pure Column algebra: one
+    tokenize, one transform over index sequence, one array_distinct —
+    no shuffle, no Python."""
+    toks = F.split(text, " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    dup_frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+    return F.when(k >= 1, dup_frac).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized content fingerprint: md5 of lowercased alphanumerics —
     stable across whitespace/punctuation edits (near-exact dedup key)."""

@@ -557,3 +557,99 @@ def test_duplicate_rows_window_vs_join_parity(spark):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     # column order contract: original columns then dup_count
     assert duplicate_rows_join(df, ["key"]).columns == df.columns + ["dup_count"]
+
+
+def test_ngram_repetition_exact(spark):
+    from jsonschema_validator_spark.operators.textstats import ngram_repetition
+
+    rows = [
+        (1, "a b a b a b"),   # grams: "a b a","b a b","a b a","b a b" -> 2/4 dup
+        (2, "x y z w"),        # 2 grams, distinct -> 0.0
+        (3, "one two"),        # shorter than n -> 0.0
+        (4, "q q q q q"),      # 3 identical grams -> 2/3 dup
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r.id: round(r.rep, 6)
+        for r in df.select("id", ngram_repetition(F.col("t"), 3).alias("rep")).collect()
+    }
+    assert got == {1: 0.5, 2: 0.0, 3: 0.0, 4: round(2 / 3, 6)}
+
+
+def test_pii_scrub_and_counts(spark):
+    from jsonschema_validator_spark.operators.pii import pii_report
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.co.uk or call +1 (555) 123-4567"),
+        (2, "server 192.168.0.255 ssn 123-45-6789 clean 999.999.999.999"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {r.id: r.asDict() for r in pii_report(df, "t").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed"] and "<PHONE>" in out[1]["scrubbed"]
+    assert "jo.doe" not in out[1]["scrubbed"]
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_ssn"] == 1  # 999.* is not an IP
+    assert "999.999.999.999" in out[2]["scrubbed"]
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_ssn"] == out[3]["n_phone"] == 0
+    assert out[3]["scrubbed"] == "nothing sensitive here"
+
+
+def test_pack_sequences_greedy_reference(spark):
+    from jsonschema_validator_spark.operators.packing import pack_sequences
+
+    # deterministic token counts incl. an oversize doc (budget 100)
+    rows = [(i, 10 + (i * 37) % 95) for i in range(50)] + [(50, 250)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    packed = {
+        r.doc_id: (r.shard, r.bin_idx)
+        for r in pack_sequences(df, "n_tok", 100, "doc_id", n_shards=4).collect()
+    }
+
+    # python reference with identical semantics, sharded the same way
+    import collections
+    by_shard = collections.defaultdict(list)
+    for doc_id, (shard, _) in sorted(packed.items()):
+        by_shard[shard].append(doc_id)
+    toks = dict(rows)
+    for shard, ids in by_shard.items():
+        bin_idx, running = 0, 0
+        for d in sorted(ids):
+            t = toks[d]
+            if running > 0 and running + t > 100:
+                bin_idx += 1
+                running = 0
+            running += t
+            assert packed[d] == (shard, bin_idx), (d, packed[d], (shard, bin_idx))
+    # oversize doc occupies a bin alone (no later doc shares its bin)
+    s50, b50 = packed[50]
+    sharers = [d for d, (s, b) in packed.items() if (s, b) == (s50, b50) and d != 50]
+    assert all(d < 50 for d in sharers) or not sharers
+
+
+def test_sessionize_gaps(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.sessions import session_stats, sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (7, base),
+        (7, base + dt.timedelta(seconds=10)),
+        (7, base + dt.timedelta(seconds=2000)),   # > 1800s gap -> new session
+        (7, base + dt.timedelta(seconds=2005)),
+        (8, base),                                 # other entity independent
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, int(r.ts.timestamp() - base.timestamp())): r.session_idx
+        for r in sessionize(df, "user_id", "ts", 1800).collect()
+    }
+    assert got == {(7, 0): 0, (7, 10): 0, (7, 2000): 1, (7, 2005): 1, (8, 0): 0}
+    stats = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_secs)
+        for r in session_stats(df, "user_id", "ts", 1800).collect()
+    }
+    assert stats[(7, 0)] == (2, 10.0)
+    assert stats[(7, 1)] == (2, 5.0)
+    assert stats[(8, 0)] == (1, 0.0)
