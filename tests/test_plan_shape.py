@@ -106,3 +106,30 @@ def test_ngram_overlap_single_corpus_scan(spark, tmp_path):
     # and the rewrite preserves results
     rows = out.collect()
     assert len(rows) == 1 and rows[0].n_overlap == 3 and rows[0].n_grams == 7
+
+
+def test_new_pipeline_ops_plan_shapes(spark):
+    """Round-3 operators stay in their designed physical shapes:
+    repetition/PII are single-scan projections with NO shuffle (drop the
+    presentation sort); sessionization's single user_id exchange feeds
+    BOTH windows and the per-session rollup (subset-clustering rule — no
+    second exchange before the aggregate)."""
+    from jsonschema_validator_spark.operators.pii import pii_report
+    from jsonschema_validator_spark.operators.sessions import session_stats
+    from jsonschema_validator_spark.operators.textstats import ngram_repetition
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(docs.select("doc_id", ngram_repetition(F.col("text")).alias("r")))
+    assert p.count("Scan parquet") == 1 and "Exchange" not in p, p
+
+    p = plan_of(pii_report(docs, "text"))
+    assert p.count("Scan parquet") == 1 and "Exchange" not in p, p
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan_of(session_stats(ev, "user_id", "ts", 1800))
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange") == 1, p  # one shuffle serves windows + rollup
+    # Catalyst prunes the scan to (ts, user_id): the JSON payload never
+    # enters the shuffle
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "props" not in m.group(1) and "value" not in m.group(1), p
