@@ -958,6 +958,48 @@ def _compile_combinators(schema, scope, path) -> list[tuple[str, Factory]]:
     return out
 
 
+# -- RFC 3986 / RFC 5321 grammar fragments (Java-regex dialect), built
+#    compositionally from the ABNF so the probes are spec-grade rather
+#    than approximations. IP-literal interiors ([...]) are permissive on
+#    IPv6 internals (full RFC 4291 is the separate `ipv6` probe).
+_PCT = r"%[0-9A-Fa-f]{2}"
+_UNRES = r"A-Za-z0-9\-._~"
+_SUB = r"!$&'()*+,;="
+_PCHAR = rf"(?:[{_UNRES}{_SUB}:@]|{_PCT})"
+_SEG = rf"{_PCHAR}*"
+_QF = rf"(?:[{_UNRES}{_SUB}:@/?]|{_PCT})*"  # query / fragment
+_USERINFO = rf"(?:[{_UNRES}{_SUB}:]|{_PCT})*"
+_REGNAME = rf"(?:[{_UNRES}{_SUB}]|{_PCT})*"
+_IPV4_RE = r"(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IPLIT = rf"\[(?:[0-9A-Fa-f:.]+|[vV][0-9A-Fa-f]+\.[{_UNRES}{_SUB}:]+)\]"
+_HOST = rf"(?:{_IPLIT}|{_IPV4_RE}|{_REGNAME})"
+_AUTH = rf"(?:{_USERINFO}@)?{_HOST}(?::\d*)?"
+_PATH_ABEMPTY = rf"(?:/{_SEG})*"
+_PATH_ABS = rf"/(?:{_PCHAR}+(?:/{_SEG})*)?"
+_PATH_ROOTLESS = rf"{_PCHAR}+(?:/{_SEG})*"
+_SEG_NZ_NC = rf"(?:[{_UNRES}{_SUB}@]|{_PCT})+"  # no ':' in first rel segment
+_PATH_NOSCHEME = rf"{_SEG_NZ_NC}(?:/{_SEG})*"
+_URI_RE = (
+    rf"^[A-Za-z][A-Za-z0-9+.\-]*:"
+    rf"(?://{_AUTH}{_PATH_ABEMPTY}|{_PATH_ABS}|{_PATH_ROOTLESS})?"
+    rf"(?:\?{_QF})?(?:\#{_QF})?$"
+)
+_RELATIVE_RE = (
+    rf"^(?://{_AUTH}{_PATH_ABEMPTY}|{_PATH_ABS}|{_PATH_NOSCHEME})?"
+    rf"(?:\?{_QF})?(?:\#{_QF})?$"
+)
+# RFC 5321 Mailbox: Dot-string / Quoted-string local part; LDH domain
+# labels or an address-literal
+_ATEXT = r"A-Za-z0-9!#$%&'*+/=?^_`{|}~\-"
+_DOT_STRING = rf"[{_ATEXT}]+(?:\.[{_ATEXT}]+)*"
+_QSTRING = r"\"(?:[ !#-\[\]-~]|\\[ -~])*\""
+_LDH = r"[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?"
+_EMAIL_RE = (
+    rf"^(?:{_DOT_STRING}|{_QSTRING})"
+    rf"@(?:{_LDH}(?:\.{_LDH})*|\[(?:{_IPV4_RE}|[Ii][Pp][vV]6:[0-9A-Fa-f:.]+)\])$"
+)
+
+
 # format (draft4 §7: optional) — opt-in probes, pure Column algebra
 _FORMAT_PROBES: dict[str, Factory] = {
     "date-time": lambda acc: F.try_to_timestamp(
@@ -965,7 +1007,9 @@ _FORMAT_PROBES: dict[str, Factory] = {
         F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"),
     ).isNotNull(),
     "date": lambda acc: F.try_to_timestamp(acc.as_string(), F.lit("yyyy-MM-dd")).isNotNull(),
-    "email": lambda acc: acc.as_string().rlike(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+    # RFC 5321 Mailbox (quoted local-parts and address-literals
+    # included — the official suite's predicted edge cases)
+    "email": lambda acc: acc.as_string().rlike(_EMAIL_RE),
     "ipv4": lambda acc: acc.as_string().rlike(
         r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
     ),
@@ -992,7 +1036,9 @@ _FORMAT_PROBES: dict[str, Factory] = {
     "hostname": lambda acc: acc.as_string().rlike(
         r"^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
     ),
-    "uri": lambda acc: acc.as_string().rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:\S*$"),
+    # full RFC 3986 URI grammar (scheme + hier-part + query + fragment,
+    # composed from the ABNF above), not a scheme-prefix approximation
+    "uri": lambda acc: acc.as_string().rlike(_URI_RE),
     # RFC 3339 full-time: HH:MM:SS with optional fraction, 'Z' or a
     # numeric offset; second 60 admitted (leap second, per the official
     # suite's required cases)
@@ -1005,13 +1051,11 @@ _FORMAT_PROBES: dict[str, Factory] = {
     "relative-json-pointer": lambda acc: acc.as_string().rlike(
         r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$"
     ),
-    # RFC 3986 URI-reference: relative refs allowed; reject whitespace,
-    # backslash, and malformed percent-escapes (the official suite's
-    # discriminating cases)
-    "uri-reference": lambda acc: acc.as_string().rlike(
-        r"^(%[0-9A-Fa-f]{2}|[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=])*$"
-    )
-    & ~acc.as_string().rlike(r"%(?![0-9A-Fa-f]{2})"),
+    # RFC 3986 URI-reference = URI / relative-ref, full grammar (the
+    # relative alternative enforces the no-colon rule on the first
+    # path segment)
+    "uri-reference": lambda acc: acc.as_string().rlike(_URI_RE)
+    | acc.as_string().rlike(_RELATIVE_RE),
     # RFC 6570: URI chars plus balanced non-nested {expr} blocks with a
     # non-empty varspec list
     "uri-template": lambda acc: acc.as_string().rlike(
