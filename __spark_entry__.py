@@ -1618,6 +1618,118 @@ FROM samp GROUP BY lang ORDER BY lang
 """
 
 
+def q_curation_pipeline_v2_documents(spark, sf_dir):
+    """Round-3 pipeline composition — the new operators chained the way
+    a production curation job would run them, in ONE Spark plan:
+    plant PII (deterministic; the corpus has none) -> scrub_pii ->
+    repetition filter (dup-3-gram < 0.5 on the scrubbed text) ->
+    exact-dedup keep-min-id (fingerprint) -> greedy 800-token packing
+    (shard = doc_id % 4 so the recursive-CTE oracle reproduces it) ->
+    per-shard rollup. Every stage has its own green oracle; this pins
+    the COMPOSITION."""
+    from jsonschema_validator_spark.operators.packing import pack_sequences
+    from jsonschema_validator_spark.operators.pii import scrub_pii
+    from jsonschema_validator_spark.operators.textstats import (
+        fingerprint,
+        ngram_repetition,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from ip 10.0.0."),
+            F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+        ).alias("t"),
+    )
+    scrubbed = planted.select("doc_id", scrub_pii(F.col("t")).alias("s"))
+    low_rep = scrubbed.filter(ngram_repetition(F.col("s"), 3) < 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        low_rep.withColumn("fp", fingerprint(F.col("s")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    with_tok = deduped.select(
+        "doc_id",
+        F.size(F.split(F.col("s"), " ")).alias("n_tok"),
+        F.pmod(F.col("doc_id"), F.lit(4)).alias("shard_pre"),
+    )
+    packed = pack_sequences(
+        with_tok, "n_tok", budget=800, order_col="doc_id", shard_col="shard_pre"
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            (F.max("bin_idx") + 1).alias("n_bins"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+_ORACLE_CURATION_V2 = r"""
+WITH RECURSIVE planted AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR || '@example.com from ip 10.0.0.'
+         || (doc_id % 250)::VARCHAR AS t
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b', '<IP>', 'g'),
+        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+      '\+[0-9]{1,2}[- ]?\([0-9]{3}\)[- ]?[0-9]{3}[- ]?[0-9]{4}', '<PHONE>', 'g') AS s
+  FROM planted),
+grams AS (
+  SELECT doc_id, s, string_split(s, ' ') AS w FROM scrubbed),
+rep AS (
+  SELECT doc_id, s,
+    CASE WHEN len(w) < 3 THEN 0.0
+         ELSE (len(g) - len(list_distinct(g)))::DOUBLE / len(g) END AS dup3
+  FROM (SELECT doc_id, s, w,
+          CASE WHEN len(w) >= 3
+            THEN list_transform(generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [] END AS g
+        FROM grams)),
+low_rep AS (SELECT doc_id, s FROM rep WHERE dup3 < 0.5),
+fp AS (
+  SELECT doc_id, s,
+         md5(LOWER(regexp_replace(s, '[^a-zA-Z0-9]', '', 'g'))) AS f
+  FROM low_rep),
+dedup AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+    FROM fp)
+  WHERE rn = 1),
+d AS (
+  SELECT (doc_id % 4)::INT AS shard, doc_id,
+         len(string_split(s, ' ')) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM dedup),
+r AS (
+  SELECT shard, rn, n_tok, 0::BIGINT AS bin_idx, n_tok::BIGINT AS running
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.n_tok,
+    CASE WHEN r.running + d.n_tok > 800 THEN r.bin_idx + 1 ELSE r.bin_idx END,
+    CASE WHEN r.running + d.n_tok > 800 THEN d.n_tok::BIGINT
+         ELSE r.running + d.n_tok END
+  FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
+SELECT shard, (MAX(bin_idx) + 1)::BIGINT AS n_bins, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tok)::BIGINT AS sum_tokens
+FROM r GROUP BY shard ORDER BY shard
+"""
+
+
 def q_sample_documents(spark, sf_dir):
     """Deterministic stratified sampling (the data-mixing primitive):
     keep 80% of src0, 20% of src1, 50% of src2 by a pure function of
@@ -1799,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_documents": q_decontamination_documents,
         "sample_documents": q_sample_documents,
         "curation_pipeline_documents": q_curation_pipeline_documents,
+        "curation_pipeline_v2_documents": q_curation_pipeline_v2_documents,
     }
 
 
@@ -1851,4 +1964,5 @@ def oracle_sql() -> dict[str, str]:
         "decontamination_documents": _ORACLE_DECONTAMINATION,
         "sample_documents": _ORACLE_SAMPLE,
         "curation_pipeline_documents": _ORACLE_CURATION,
+        "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,
     }
