@@ -308,6 +308,114 @@ DRAFT7 = [
     ),
 ]
 
+DRAFT7_EXTRA = [
+    (
+        "double negation",
+        {"not": {"not": {"type": "integer"}}},
+        [1, "1", None, 2.5, [1]],
+    ),
+    (
+        "oneOf with boolean subschemas",
+        {"oneOf": [True, {"type": "string"}]},
+        ["s", 1, None, [1]],
+    ),
+    (
+        "contains with minItems/maxItems interplay",
+        {"contains": {"type": "string"}, "minItems": 2, "maxItems": 4},
+        [["a", 1], [1, 2], ["a"], [1, 2, 3, "b"], [1, 2, 3, 4, "c"], "na"],
+    ),
+    (
+        "additionalProperties false closes the object",
+        {
+            "properties": {"a": True},
+            "patternProperties": {"^x": True},
+            "additionalProperties": False,
+        },
+        [{"a": 1}, {"x1": 2}, {"a": 1, "x2": 3}, {"b": 1}, {}],
+    ),
+    (
+        "items positional with contains over the whole array",
+        {
+            "items": [{"type": "integer"}, {"type": "integer"}],
+            "additionalItems": {"type": "string"},
+            "contains": {"const": 7},
+        },
+        [[7, 1, "a"], [1, 2, "a"], [1, 7], [7], [1, 2, 7]],
+    ),
+    (
+        "allOf with conflicting bounds is unsatisfiable for numbers",
+        {"allOf": [{"minimum": 10}, {"maximum": 5}]},
+        [7, 10, 5, "string passes", None],
+    ),
+    (
+        "if/then without else",
+        {"if": {"type": "string"}, "then": {"minLength": 3}},
+        ["abcd", "ab", 1, None],
+    ),
+    (
+        "ref to a boolean schema",
+        {"definitions": {"nope": False}, "properties": {"p": {"$ref": "#/definitions/nope"}}},
+        [{"p": 1}, {}, {"q": 1}],
+    ),
+    (
+        "deeply nested properties chain",
+        {
+            "properties": {
+                "a": {
+                    "properties": {
+                        "b": {
+                            "properties": {"c": {"type": "integer"}},
+                            "required": ["c"],
+                        }
+                    }
+                }
+            }
+        },
+        [
+            {"a": {"b": {"c": 1}}},
+            {"a": {"b": {"c": "x"}}},
+            {"a": {"b": {}}},
+            {"a": {}},
+            {},
+            {"a": {"b": 5}},
+        ],
+    ),
+    (
+        "dependencies chain with schema form",
+        {
+            "dependencies": {
+                "a": {"required": ["b"]},
+                "b": {"properties": {"c": {"type": "integer"}}},
+            }
+        },
+        [
+            {"a": 1, "b": 2},
+            {"a": 1},
+            {"b": 1, "c": 2},
+            {"b": 1, "c": "x"},
+            {"c": "free"},
+            {},
+        ],
+    ),
+    (
+        "uniqueItems across container types",
+        {"uniqueItems": True},
+        [
+            [{"a": 1}, {"a": 1}],
+            [{"a": 1}, {"a": 2}],
+            [[1], [1]],
+            [[1], [2]],
+            [1, "1", True, None],
+            [],
+        ],
+    ),
+    (
+        "enum of objects with property order differences",
+        {"enum": [{"x": 1, "y": 2}]},
+        [{"x": 1, "y": 2}, {"y": 2, "x": 1}, {"x": 1}, {"x": 1, "y": 2, "z": 3}],
+    ),
+]
+
 DRAFT6 = [
     (
         "draft6 ignores if/then/else (unknown keywords)",
@@ -456,7 +564,7 @@ def main():
     )
     from jsonschema import Draft6Validator
 
-    d7 = build(DRAFT7, Draft7Validator, SPEC7)
+    d7 = build(DRAFT7 + DRAFT7_EXTRA, Draft7Validator, SPEC7)
     d6 = build(DRAFT6, Draft6Validator, SPEC6)
     d4 = build(DRAFT4, Draft4Validator, SPEC4)
     (OUT / "draft6_library.json").write_text(json.dumps(d6, indent=1))
