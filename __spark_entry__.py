@@ -1645,11 +1645,16 @@ def q_curation_pipeline_v2_documents(spark, sf_dir):
             F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
         ).alias("t"),
     )
-    scrubbed = planted.select("doc_id", scrub_pii(F.col("t")).alias("s"))
-    low_rep = scrubbed.filter(ngram_repetition(F.col("s"), 3) < 0.5)
+    # repetition is filtered on the PRE-scrub text: semantically the
+    # redaction tokens carry no repetition signal, and physically this
+    # keeps the 4-regex scrub chain out of the n-gram slice expressions
+    # (projection collapse would otherwise inline and re-evaluate it
+    # once per slice)
+    low_rep = planted.filter(ngram_repetition(F.col("t"), 3) < 0.5)
+    scrubbed = low_rep.select("doc_id", scrub_pii(F.col("t")).alias("s"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     deduped = (
-        low_rep.withColumn("fp", fingerprint(F.col("s")))
+        scrubbed.withColumn("fp", fingerprint(F.col("s")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
@@ -1678,7 +1683,19 @@ WITH RECURSIVE planted AS (
     text || ' contact user' || doc_id::VARCHAR || '@example.com from ip 10.0.0.'
          || (doc_id % 250)::VARCHAR AS t
   FROM documents),
-scrubbed AS (
+grams AS (
+  SELECT doc_id, t, string_split(t, ' ') AS w FROM planted),
+rep AS (
+  SELECT doc_id, t,
+    CASE WHEN len(w) < 3 THEN 0.0
+         ELSE (len(g) - len(list_distinct(g)))::DOUBLE / len(g) END AS dup3
+  FROM (SELECT doc_id, t, w,
+          CASE WHEN len(w) >= 3
+            THEN list_transform(generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+            ELSE [] END AS g
+        FROM grams)),
+low_rep AS (
   SELECT doc_id,
     regexp_replace(
       regexp_replace(
@@ -1687,20 +1704,7 @@ scrubbed AS (
           '\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b', '<IP>', 'g'),
         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
       '\+[0-9]{1,2}[- ]?\([0-9]{3}\)[- ]?[0-9]{3}[- ]?[0-9]{4}', '<PHONE>', 'g') AS s
-  FROM planted),
-grams AS (
-  SELECT doc_id, s, string_split(s, ' ') AS w FROM scrubbed),
-rep AS (
-  SELECT doc_id, s,
-    CASE WHEN len(w) < 3 THEN 0.0
-         ELSE (len(g) - len(list_distinct(g)))::DOUBLE / len(g) END AS dup3
-  FROM (SELECT doc_id, s, w,
-          CASE WHEN len(w) >= 3
-            THEN list_transform(generate_series(1, len(w) - 2),
-                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-            ELSE [] END AS g
-        FROM grams)),
-low_rep AS (SELECT doc_id, s FROM rep WHERE dup3 < 0.5),
+  FROM rep WHERE dup3 < 0.5),
 fp AS (
   SELECT doc_id, s,
          md5(LOWER(regexp_replace(s, '[^a-zA-Z0-9]', '', 'g'))) AS f

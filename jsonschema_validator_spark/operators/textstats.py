@@ -92,15 +92,27 @@ def ngram_repetition(text: Column, n: int = 3) -> Column:
     """Duplicate-n-gram fraction — the Gopher-style repetition quality
     signal (Rae et al. 2021 §A1.1, public paper): fraction of word
     n-grams that are repeats of an earlier n-gram in the same document.
-    0.0 for documents shorter than n words. Pure Column algebra: one
-    tokenize, one transform over index sequence, one array_distinct —
-    no shuffle, no Python."""
+    0.0 for documents shorter than n words. Pure Column algebra, no
+    shuffle, no Python.
+
+    Construction note (measured 19.7s -> sub-second on 5k docs at
+    sf0.1): n-grams are built by zip_with over n SHIFTED SLICES of the
+    token array. The tempting alternative — transform over an index
+    sequence with F.get(toks, i + j) in the lambda — embeds the split()
+    expression inside the lambda via closure, so Spark re-evaluates the
+    tokenization (and anything upstream of it, e.g. a scrub chain) PER
+    ELEMENT: O(words^2) per document. slice/zip_with arguments are
+    plain per-row expressions, evaluated once."""
     toks = F.split(text, " ")
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-    )
+    width = F.greatest(k, F.lit(0))
+    grams = F.slice(toks, 1, width)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, width),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     dup_frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
     return F.when(k >= 1, dup_frac).otherwise(F.lit(0.0))
 

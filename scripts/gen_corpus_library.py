@@ -416,6 +416,48 @@ DRAFT7_EXTRA = [
     ),
 ]
 
+DRAFT4_EXTRA = [
+    (
+        "draft4 ref chain through definitions",
+        {
+            "definitions": {
+                "a": {"$ref": "#/definitions/b"},
+                "b": {"minimum": 3},
+            },
+            "properties": {"n": {"$ref": "#/definitions/a"}},
+        },
+        [{"n": 5}, {"n": 2}, {"n": "s"}, {}],
+    ),
+    (
+        "draft4 enum with heterogeneous values",
+        {"enum": [[1, 2], {"k": "v"}, "str", 17, None]},
+        [[1, 2], [2, 1], {"k": "v"}, {"k": "w"}, "str", 17, None, 18],
+    ),
+    (
+        "draft4 not with allOf",
+        {"not": {"allOf": [{"minimum": 0}, {"maximum": 10}]}},
+        [5, -1, 11, "string fails not(allOf pass-through)", None],
+    ),
+    (
+        "draft4 patternProperties with additionalProperties false",
+        {
+            "patternProperties": {"^a": {"type": "integer"}},
+            "additionalProperties": False,
+        },
+        [{"a1": 1}, {"a1": "x"}, {"b": 1}, {}],
+    ),
+    (
+        "draft4 multipleOf on floats avoiding dialect traps",
+        {"multipleOf": 0.5},
+        [1.5, 2, 1.25, 0.5, 3.75],
+    ),
+    (
+        "draft4 maxProperties/minProperties",
+        {"minProperties": 1, "maxProperties": 2},
+        [{}, {"a": 1}, {"a": 1, "b": 2}, {"a": 1, "b": 2, "c": 3}, "scalar"],
+    ),
+]
+
 DRAFT6 = [
     (
         "draft6 ignores if/then/else (unknown keywords)",
@@ -566,7 +608,7 @@ def main():
 
     d7 = build(DRAFT7 + DRAFT7_EXTRA, Draft7Validator, SPEC7)
     d6 = build(DRAFT6, Draft6Validator, SPEC6)
-    d4 = build(DRAFT4, Draft4Validator, SPEC4)
+    d4 = build(DRAFT4 + DRAFT4_EXTRA, Draft4Validator, SPEC4)
     (OUT / "draft6_library.json").write_text(json.dumps(d6, indent=1))
     n6 = sum(len(g["tests"]) for g in d6)
     print(f"draft6_library.json: {len(d6)} groups, {n6} cases")
