@@ -92,14 +92,15 @@ def jaccard_pairs(
 
 
 def shingles(text: Column, k: int = 5) -> Column:
-    """Word k-shingles as xxhash64 values: sliding windows over the token
-    array, hashed — all Column algebra (transform + slice + concat)."""
-    toks = F.split(text, " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")))
-    )
+    """Word k-shingles as xxhash64 values — all Column algebra. Windows
+    come from the shifted-slice zip_with builder (word_ngrams,
+    min_one=True keeps the whole-short-text shingle this always had);
+    the old index-sequence transform re-evaluated split() per element,
+    O(words^2) per row."""
+    from jsonschema_validator_spark.operators.textstats import word_ngrams
+
+    grams = word_ngrams(F.split(text, " "), k, min_one=True)
+    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
 def minhash_signature(sh: Column, n_hashes: int = 64, seed: int = 42) -> Column:
@@ -489,16 +490,12 @@ def ngram_overlap(
     n_overlap, n_grams) for contaminated docs (n_overlap > 0)."""
 
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        toks = F.split(F.lower(F.col(text_col)), " ")
-        # guard: Spark's sequence(1, 0) DESCENDS, so short texts must
-        # yield an empty gram list explicitly, not a degenerate window
-        g = F.when(
-            F.size(toks) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - k + 1),
-                lambda i: F.array_join(F.slice(toks, i, k), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        from jsonschema_validator_spark.operators.textstats import word_ngrams
+
+        # shifted-slice builder: empty for texts shorter than k tokens,
+        # and the token array is evaluated once per row (the old
+        # index-sequence transform re-evaluated split per element)
+        g = word_ngrams(F.split(F.lower(F.col(text_col)), " "), k)
         cols = [F.col(id_col).alias("doc_id")] if keep_id else []
         return df.select(*cols, F.explode(g).alias("gram"))
 

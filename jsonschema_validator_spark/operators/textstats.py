@@ -88,6 +88,31 @@ def language_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def word_ngrams(toks: Column, n: int, min_one: bool = False) -> Column:
+    """Array of n-token windows joined by spaces, built from n SHIFTED
+    SLICES via zip_with — the arguments evaluate once per row. Never
+    build n-grams with indexed gets inside a HOF lambda: a closure-
+    captured token array re-evaluates its whole upstream expression per
+    element, O(words^2) per row (measured 188s -> 4.1s on the curation
+    pipeline).
+
+    min_one=False: empty array when the text has fewer than n tokens.
+    min_one=True: one window containing the whole (short) text — the
+    MinHash-shingle convention. Implemented by clamping the width to 1:
+    the shifted slices run past the array, zip_with null-pads, and
+    concat_ws skips nulls, reproducing array_join(slice(toks, 1, n))."""
+    width = F.size(toks) - (n - 1)
+    width = F.greatest(width, F.lit(1 if min_one else 0))
+    grams = F.slice(toks, 1, width)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, width),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return grams
+
+
 def ngram_repetition(text: Column, n: int = 3) -> Column:
     """Duplicate-n-gram fraction — the Gopher-style repetition quality
     signal (Rae et al. 2021 §A1.1, public paper): fraction of word
@@ -105,14 +130,7 @@ def ngram_repetition(text: Column, n: int = 3) -> Column:
     plain per-row expressions, evaluated once."""
     toks = F.split(text, " ")
     k = F.size(toks) - (n - 1)
-    width = F.greatest(k, F.lit(0))
-    grams = F.slice(toks, 1, width)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(toks, j + 1, width),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
+    grams = word_ngrams(toks, n)
     dup_frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
     return F.when(k >= 1, dup_frac).otherwise(F.lit(0.0))
 
