@@ -197,6 +197,48 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 """
 
 
+def q_top_values_events(spark, sf_dir):
+    """Top-k frequent values (operators/stats.py top_values): one
+    groupBy; the rank window runs over the aggregated result only."""
+    from jsonschema_validator_spark.operators.stats import top_values
+
+    ev = _t(spark, sf_dir, "events")
+    return top_values(ev, "event_type", k=5).orderBy("rank")
+
+
+_ORACLE_TOP_VALUES = """
+WITH c AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
+r AS (SELECT event_type, n, SUM(n) OVER () AS total,
+             ROW_NUMBER() OVER (ORDER BY n DESC, event_type) AS rank
+      FROM c)
+SELECT rank::INT AS rank, event_type AS value, n,
+       ROUND(n / total::DOUBLE, 6) AS share
+FROM r WHERE rank <= 5 ORDER BY rank
+"""
+
+
+def q_fd_violations_lineitem(spark, sf_dir):
+    """Functional-dependency check (operators/stats.py fd_violations):
+    l_orderkey -> l_returnflag is not functional in this data (an order's
+    items can carry different return flags), so the violation report is
+    non-trivial; pure partial+final aggregation."""
+    from jsonschema_validator_spark.operators.stats import fd_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        fd_violations(li, "l_orderkey", "l_returnflag")
+        .orderBy("l_orderkey")
+    )
+
+
+_ORACLE_FD = """
+SELECT l_orderkey, COUNT(DISTINCT l_returnflag)::BIGINT AS n_dependent,
+       MIN(l_returnflag) AS dep_min, MAX(l_returnflag) AS dep_max
+FROM lineitem GROUP BY 1 HAVING COUNT(DISTINCT l_returnflag) > 1
+ORDER BY l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # ordering / density (SURVEY §2.4 monotone/dense row)
 # ---------------------------------------------------------------------------
@@ -1873,6 +1915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_keys_lineitem": q_unique_keys_lineitem,
         "unique_salted_lineitem": q_unique_salted_lineitem,
         "row_attribution_lineitem": q_row_attribution_lineitem,
+        "top_values_events": q_top_values_events,
+        "fd_violations_lineitem": q_fd_violations_lineitem,
         "ri_childless_orders": q_ri_childless_orders,
         "ri_orphan_lineitems": q_ri_orphan_lineitems,
         "density_lineitem": q_density_lineitem,
@@ -1926,6 +1970,8 @@ def oracle_sql() -> dict[str, str]:
         "unique_keys_lineitem": _ORACLE_UNIQUE,
         "unique_salted_lineitem": _ORACLE_UNIQUE,
         "row_attribution_lineitem": _ORACLE_ROW_ATTRIBUTION,
+        "top_values_events": _ORACLE_TOP_VALUES,
+        "fd_violations_lineitem": _ORACLE_FD,
         "ri_childless_orders": _ORACLE_CHILDLESS,
         "ri_orphan_lineitems": _ORACLE_ORPHANS,
         "density_lineitem": _ORACLE_DENSITY,

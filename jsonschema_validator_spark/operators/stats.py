@@ -150,3 +150,46 @@ def length_histogram(
     return df.select(*([partition_col] if partition_col else []), b).groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def top_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of a column with counts and share —
+    the classic data-quality "what dominates this column" check.
+    One groupBy (partial+final agg) + a rank over the tiny aggregated
+    result (cardinality(col) rows, not input rows), so the window never
+    sees raw data. Ties break by value for determinism."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    # total from the aggregated result (one scan total, no second action);
+    # the global window runs over cardinality(col) rows, not input rows
+    w_all = Window.partitionBy()
+    w = Window.orderBy(F.desc("n"), F.col(col))
+    return (
+        counts.withColumn("total", F.sum("n").over(w_all))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.col(col).alias("value"),
+            F.col("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+def fd_violations(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
+    """Functional-dependency check: determinant -> dependent should be
+    single-valued; report determinant values that map to more than one
+    distinct dependent (count + the min/max dependent as witnesses).
+    Pure aggregation — partial+final, skew-safe (see BENCH/BASELINE.md
+    skew section: map-side combine collapses hot keys)."""
+    return (
+        df.groupBy(determinant)
+        .agg(
+            F.count_distinct(F.col(dependent)).alias("n_dependent"),
+            F.min(dependent).alias("dep_min"),
+            F.max(dependent).alias("dep_max"),
+        )
+        .filter(F.col("n_dependent") > 1)
+    )
