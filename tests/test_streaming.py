@@ -227,3 +227,85 @@ def test_stream_validate_incremental_restart(spark, tmp_path):
         / verdicts.select("check").distinct().count()
     )
     assert int(total) == len(tbl)
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Cross-implementation pin: Spark's built-in streaming
+    session_window aggregation must produce the same per-session event
+    counts as the batch gap-based sessionize operator on the same
+    bounded input — two independent implementations of the same
+    30-min-inactivity gap semantics.
+
+    Append mode only emits sessions the WATERMARK has passed, so a
+    bounded stream would hold back its trailing sessions forever; a
+    far-future sentinel user in a second file (maxFilesPerTrigger=1
+    makes it a later micro-batch) advances the watermark past every
+    real session. The sentinel is excluded from both sides."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.sessions import session_stats
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # user 1: two sessions (gap 45 min); user 2: one session (gaps
+    # under 30 min); user 3: three singleton sessions
+    for s in (0, 10, 60, 2700 + 60, 2700 + 120):
+        rows.append((1, base + dt.timedelta(seconds=s)))
+    for s in (0, 1700, 3300):
+        rows.append((2, base + dt.timedelta(seconds=s)))
+    for s in (0, 4000, 8000):
+        rows.append((3, base + dt.timedelta(seconds=s)))
+
+    def write(path, data):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in data], pa.int64()),
+                "ts": pa.array([r[1] for r in data], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    write(f"{src}/part-000.parquet", rows)
+    sentinel = [(999, base + dt.timedelta(days=2))]
+    write(f"{src}/part-001.parquet", sentinel)
+
+    batch = spark.read.parquet(src).filter("user_id != 999")
+    batch_sessions = sorted(
+        (r.user_id, r.n_events)
+        for r in session_stats(batch, "user_id", "ts", 1800).collect()
+    )
+    assert batch_sessions == sorted(
+        [(1, 3), (1, 2), (2, 3), (3, 1), (3, 1), (3, 1)]
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "sessions_out")
+    stream = stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    q = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).filter("user_id != 999")
+    stream_sessions = sorted(
+        (r.user_id, r.n_events) for r in got.select("user_id", "n_events").collect()
+    )
+    assert stream_sessions == batch_sessions, (stream_sessions, batch_sessions)
