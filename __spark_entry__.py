@@ -240,6 +240,152 @@ ORDER BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
+# conversation structure (operators/conversation.py): the north-rule
+# transcript table needs SEQUENCE checks beyond per-row keywords —
+# which consecutive role transitions are legal, and per-conversation
+# rollups. Exercised here on the events stream (user_id as the
+# conversation key, event_type as the role).
+# ---------------------------------------------------------------------------
+
+# every (prev -> cur) pair is legal except these three contract breaks
+_BAD_TRANSITIONS = [("signup", "signup"), ("error", "purchase"), ("signup", "purchase")]
+_EVENT_ROLES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_role_transitions_events(spark, sf_dir):
+    """Allowed-transition screen (operators/conversation.py
+    transition_violations): lag window over (user, event order), payload
+    pruned before the shuffle; violations aggregated per edge."""
+    from jsonschema_validator_spark.operators.conversation import transition_violations
+
+    allowed = [(None, r) for r in _EVENT_ROLES] + [
+        (p, c)
+        for p in _EVENT_ROLES
+        for c in _EVENT_ROLES
+        if (p, c) not in _BAD_TRANSITIONS
+    ]
+    ev = _t(spark, sf_dir, "events")
+    v = transition_violations(
+        ev, allowed=allowed, group="user_id", order="event_id", role="event_type"
+    )
+    return (
+        v.groupBy("prev_role", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("prev_role", F.col("event_type").alias("role"), "n")
+        .orderBy("prev_role", "role")
+    )
+
+
+_ORACLE_ROLE_TRANSITIONS = """
+WITH x AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events
+)
+SELECT prev AS prev_role, event_type AS role, COUNT(*)::BIGINT AS n
+FROM x
+WHERE (prev = 'signup' AND event_type = 'signup')
+   OR (prev = 'error'  AND event_type = 'purchase')
+   OR (prev = 'signup' AND event_type = 'purchase')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_conversation_stats_events(spark, sf_dir):
+    """Per-conversation rollup (operators/conversation.py
+    conversation_stats): one algebraic groupBy (skew-immune map-side
+    combine) + a payload-pruned gap window joined on the same key."""
+    from jsonschema_validator_spark.operators.conversation import conversation_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = conversation_stats(
+        ev, group="user_id", order="event_id", role="event_type", ts="ts",
+        roles=_EVENT_ROLES,
+    )
+    return out.select(
+        "user_id", "n_turns", "n_roles", "first_turn", "last_turn",
+        F.round("duration_secs", 6).alias("duration_secs"),
+        *[f"n_{r}" for r in _EVENT_ROLES],
+        F.round("max_gap_secs", 6).alias("max_gap_secs"),
+    ).orderBy("user_id")
+
+
+_ORACLE_CONVERSATION_STATS = """
+WITH g AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events
+), gap AS (
+  SELECT user_id, MAX(us - prev) / 1000000.0 AS mg
+  FROM (SELECT user_id, us,
+               lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+        FROM g)
+  WHERE prev IS NOT NULL GROUP BY 1
+), agg AS (
+  SELECT user_id,
+         COUNT(*)::BIGINT AS n_turns,
+         COUNT(DISTINCT event_type)::BIGINT AS n_roles,
+         MIN(event_id) AS first_turn,
+         MAX(event_id) AS last_turn,
+         ROUND((MAX(us) - MIN(us)) / 1000000.0, 6) AS duration_secs,
+         SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+         SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+         SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+         SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS n_view
+  FROM g GROUP BY user_id
+)
+SELECT agg.*, ROUND(gap.mg, 6) AS max_gap_secs
+FROM agg LEFT JOIN gap USING (user_id)
+ORDER BY user_id
+"""
+
+
+def q_schema_validate_2020_events(spark, sf_dir):
+    """draft2020-12 Schema API over the props JSON column: the `k` key is
+    NOT matched by patternProperties(^j), so it reaches
+    unevaluatedProperties — the annotation-dependent keyword runs
+    against real data, not a vacuous branch (cf. keywords.py
+    _compile_unevaluated)."""
+    from jsonschema_validator_spark.api import Schema
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "patternProperties": {"^j": True},
+            "unevaluatedProperties": {"type": "integer", "maximum": 40},
+        },
+        spark,
+        draft="draft2020-12",
+    )
+    return (
+        s.with_valid(ev, "props", out_col="ok")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("ok").cast("long")).alias("n_valid"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_SCHEMA_VALIDATE_2020 = """
+SELECT event_type,
+       SUM(CASE WHEN props IS NULL THEN 1                  -- absent is vacuous
+                WHEN NOT json_valid(props) THEN 0          -- unparseable -> invalid
+                WHEN json_type(props) != 'OBJECT' THEN 0   -- type: object
+                -- unevaluatedProperties: every key not starting with 'j'
+                -- must be an integer <= 40 (the only key is 'k')
+                WHEN json_type(json_extract(props, '$.k'))
+                     NOT IN ('INTEGER', 'BIGINT', 'UBIGINT') THEN 0
+                WHEN CAST(json_extract(props, '$.k') AS BIGINT) <= 40 THEN 1
+                ELSE 0 END)::BIGINT AS n_valid,
+       COUNT(*)::BIGINT AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # ordering / density (SURVEY §2.4 monotone/dense row)
 # ---------------------------------------------------------------------------
 
@@ -1917,6 +2063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_attribution_lineitem": q_row_attribution_lineitem,
         "top_values_events": q_top_values_events,
         "fd_violations_lineitem": q_fd_violations_lineitem,
+        "role_transitions_events": q_role_transitions_events,
+        "conversation_stats_events": q_conversation_stats_events,
+        "schema_validate_2020_events": q_schema_validate_2020_events,
         "ri_childless_orders": q_ri_childless_orders,
         "ri_orphan_lineitems": q_ri_orphan_lineitems,
         "density_lineitem": q_density_lineitem,
@@ -1972,6 +2121,9 @@ def oracle_sql() -> dict[str, str]:
         "row_attribution_lineitem": _ORACLE_ROW_ATTRIBUTION,
         "top_values_events": _ORACLE_TOP_VALUES,
         "fd_violations_lineitem": _ORACLE_FD,
+        "role_transitions_events": _ORACLE_ROLE_TRANSITIONS,
+        "conversation_stats_events": _ORACLE_CONVERSATION_STATS,
+        "schema_validate_2020_events": _ORACLE_SCHEMA_VALIDATE_2020,
         "ri_childless_orders": _ORACLE_CHILDLESS,
         "ri_orphan_lineitems": _ORACLE_ORPHANS,
         "density_lineitem": _ORACLE_DENSITY,

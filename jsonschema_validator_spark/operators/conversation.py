@@ -1,0 +1,122 @@
+"""Conversation-structure checks over transcript-shaped tables.
+
+The north-rule input is a multi-turn transcript table
+(conv_id, turn_idx, role, text, tool, ts). Beyond per-row keyword
+checks and per-key uniqueness/ordering (operators/uniqueness.py,
+operators/ordering.py), a validation engine needs STRUCTURAL checks on
+the sequence of turns inside each conversation:
+
+- `transition_violations`: which consecutive (prev_role -> role) steps
+  break an allowed-transition contract (e.g. a `tool` turn must follow
+  an `assistant` turn; `system` only at turn 0). One shuffle on the
+  conversation key; the window carries only (group, order, role) — the
+  text payload never enters the exchange.
+- `conversation_stats`: per-conversation rollup (turn count, distinct
+  roles, duration, largest inter-turn gap, per-role counts) as a pure
+  partial+final aggregation — map-side combine keeps a Zipf-hot
+  conversation from melting a reducer, per the skew finding in
+  BENCH/BASELINE.md (plain agg is skew-immune; windows are what melt).
+
+Scale: both operators shuffle once by the group key. At 10^12 turns the
+window in `transition_violations` sorts per-conversation slices; whale
+conversations are bounded (input contract: <= ~10^6 turns per conv, cf.
+specs.transcripts_spec maximum), so no single task receives unbounded
+data. For per-row attribution at adversarial skew, the agg+join pattern
+of operators/uniqueness.duplicate_rows_join applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# transition contract for the transcripts fixture (specs.ROLES):
+# system may only open; user starts or follows assistant/tool;
+# assistant follows user/tool/system; tool follows assistant.
+DEFAULT_ALLOWED = [
+    (None, "system"), (None, "user"),
+    ("system", "user"), ("system", "assistant"),
+    ("user", "assistant"),
+    ("assistant", "user"), ("assistant", "tool"), ("assistant", "assistant"),
+    ("tool", "assistant"), ("tool", "tool"),
+]
+
+
+def _edge(prev: Column, cur: Column) -> Column:
+    # encode an edge as one comparable string; chr(1) can't occur in roles
+    return F.concat_ws("\x01", F.coalesce(prev, F.lit("\x02")), cur)
+
+
+def transition_violations(
+    df: DataFrame,
+    allowed: list[tuple[str | None, str]] | None = None,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+) -> DataFrame:
+    """Rows whose (previous role -> role) step is not in ``allowed``
+    (None = conversation start). Returns (group, order, prev_role,
+    role) for each violating turn.
+
+    The projection BEFORE the window prunes every payload column out of
+    the shuffle — only three small columns cross the exchange."""
+    allowed = DEFAULT_ALLOWED if allowed is None else allowed
+    edges = [((p if p is not None else "\x02") + "\x01" + c) for p, c in allowed]
+    w = Window.partitionBy(group).orderBy(order)
+    slim = df.select(group, order, role)
+    prev = F.lag(role).over(w)
+    return (
+        slim.withColumn("__prev", prev)
+        .where(~_edge(F.col("__prev"), F.col(role)).isin(edges))
+        .select(
+            F.col(group),
+            F.col(order),
+            F.col("__prev").alias("prev_role"),
+            F.col(role),
+        )
+    )
+
+
+def conversation_stats(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+    roles: list[str] | None = None,
+) -> DataFrame:
+    """Per-conversation rollup: turn count, distinct roles, span,
+    largest inter-turn gap, and per-role turn counts.
+
+    Everything is a single groupBy with algebraic/mergeable aggregates
+    (map-side partial agg => skew-immune). The max inter-turn gap uses
+    sorted collect-free arithmetic: max(ts) - min(ts) bounds the span;
+    the true max gap needs adjacency, so it is computed from a window —
+    but on a pre-projected (group, ts) frame, keeping the shuffle
+    payload at 16 bytes/row."""
+    roles = ["system", "user", "assistant", "tool"] if roles is None else roles
+    # exact integer microseconds (parquet TIMESTAMP_NTZ casts through
+    # timestamp — same idiom as operators/sessions.py); divide once at
+    # the end so both engines round identically
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = Window.partitionBy(group).orderBy(us)
+    gaps = (
+        df.select(group, us.alias("__us"))
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(Window.partitionBy(group).orderBy("__us")))
+        .groupBy(group)
+        .agg((F.max("__gap") / 1_000_000.0).alias("max_gap_secs"))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct(role).alias("n_roles"),
+        F.min(order).alias("first_turn"),
+        F.max(order).alias("last_turn"),
+        ((F.max(us) - F.min(us)) / 1_000_000.0).alias("duration_secs"),
+    ]
+    aggs += [
+        F.sum(F.when(F.col(role) == r, 1).otherwise(0)).alias(f"n_{r}") for r in roles
+    ]
+    base = df.groupBy(group).agg(*aggs)
+    # one exchange per side, both hash-partitioned by `group` => the
+    # join co-locates without a third shuffle
+    return base.join(gaps, group, "left")

@@ -598,17 +598,48 @@ def build(pairs, validator_cls, spec):
     return groups
 
 
+def modern_pairs(draft: str):
+    """Curated modern-dialect cases (the same inputs
+    tests/test_modern_drafts.py checks live) plus an independently-seeded
+    random batch — verdicts stamped by the library at generation time."""
+    import random
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tests.test_modern_drafts import CURATED, UNEVALUATED, _gen_schema, _gen_value
+
+    pairs = [
+        (f"curated: {json.dumps(schema)[:70]}", schema, instances)
+        for d, schema, instances in CURATED + UNEVALUATED
+        if d == draft
+    ]
+    # different seeds than the runtime test so the corpus adds coverage
+    r = random.Random(77_2020 if draft == "draft2020-12" else 77_2019)
+    for i in range(25):
+        schema = _gen_schema(r, draft)
+        pairs.append((f"generated #{i}", schema, [_gen_value(r) for _ in range(8)]))
+    return pairs
+
+
 def main():
     from referencing.jsonschema import (
         DRAFT4 as SPEC4,
         DRAFT6 as SPEC6,
         DRAFT7 as SPEC7,
+        DRAFT201909 as SPEC19,
+        DRAFT202012 as SPEC20,
     )
-    from jsonschema import Draft6Validator
+    from jsonschema import Draft6Validator, Draft201909Validator, Draft202012Validator
 
     d7 = build(DRAFT7 + DRAFT7_EXTRA, Draft7Validator, SPEC7)
     d6 = build(DRAFT6, Draft6Validator, SPEC6)
     d4 = build(DRAFT4 + DRAFT4_EXTRA, Draft4Validator, SPEC4)
+    d19 = build(modern_pairs("draft2019-09"), Draft201909Validator, SPEC19)
+    d20 = build(modern_pairs("draft2020-12"), Draft202012Validator, SPEC20)
+    for name, groups in (("draft2019_library.json", d19), ("draft2020_library.json", d20)):
+        (OUT / name).write_text(json.dumps(groups, indent=1))
+        n = sum(len(g["tests"]) for g in groups)
+        print(f"{name}: {len(groups)} groups, {n} cases")
     (OUT / "draft6_library.json").write_text(json.dumps(d6, indent=1))
     n6 = sum(len(g["tests"]) for g in d6)
     print(f"draft6_library.json: {len(d6)} groups, {n6} cases")

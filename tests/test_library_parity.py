@@ -49,6 +49,8 @@ from jsonschema import (  # noqa: E402
     Draft4Validator,
     Draft6Validator,
     Draft7Validator,
+    Draft201909Validator,
+    Draft202012Validator,
     FormatChecker,
 )
 
@@ -56,6 +58,8 @@ VALIDATOR_OF_DRAFT = {
     "draft4": Draft4Validator,
     "draft6": Draft6Validator,
     "draft7": Draft7Validator,
+    "draft2019-09": Draft201909Validator,
+    "draft2020-12": Draft202012Validator,
 }
 
 CORPUS_DIR = Path(__file__).parent / "corpus"
@@ -105,9 +109,15 @@ def _crawled_registry(schema, draft: str):
     scripts/gen_corpus_library.py)."""
     from referencing import Registry, Resource
     from referencing.exceptions import NoInternalID
-    from referencing.jsonschema import DRAFT4, DRAFT6, DRAFT7
+    from referencing.jsonschema import DRAFT4, DRAFT6, DRAFT7, DRAFT201909, DRAFT202012
 
-    spec = {"draft4": DRAFT4, "draft6": DRAFT6, "draft7": DRAFT7}[draft]
+    spec = {
+        "draft4": DRAFT4,
+        "draft6": DRAFT6,
+        "draft7": DRAFT7,
+        "draft2019-09": DRAFT201909,
+        "draft2020-12": DRAFT202012,
+    }[draft]
     res = Resource.from_contents(schema, default_specification=spec)
     try:
         return (res @ Registry()).crawl()

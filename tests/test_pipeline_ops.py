@@ -653,3 +653,56 @@ def test_sessionize_gaps(spark):
     assert stats[(7, 0)] == (2, 10.0)
     assert stats[(7, 1)] == (2, 5.0)
     assert stats[(8, 0)] == (1, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# conversation structure (operators/conversation.py)
+# ---------------------------------------------------------------------------
+
+def _conv_df(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        # conv A: legal system->user->assistant->tool->assistant
+        ("A", 0, "system", dt(2026, 1, 1, 0, 0, 0)),
+        ("A", 1, "user", dt(2026, 1, 1, 0, 0, 10)),
+        ("A", 2, "assistant", dt(2026, 1, 1, 0, 1, 10)),
+        ("A", 3, "tool", dt(2026, 1, 1, 0, 1, 15)),
+        ("A", 4, "assistant", dt(2026, 1, 1, 0, 2, 0)),
+        # conv B: user->user (illegal), tool opening turn (illegal)
+        ("B", 0, "tool", dt(2026, 1, 1, 1, 0, 0)),
+        ("B", 1, "user", dt(2026, 1, 1, 1, 0, 30)),
+        ("B", 2, "user", dt(2026, 1, 1, 1, 2, 30)),
+        # conv C: single turn
+        ("C", 0, "user", dt(2026, 1, 1, 2, 0, 0)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+
+
+def test_transition_violations(spark):
+    from jsonschema_validator_spark.operators.conversation import transition_violations
+
+    out = transition_violations(_conv_df(spark)).collect()
+    got = {(r.conv_id, r.turn_idx): (r.prev_role, r.role) for r in out}
+    # B breaks the contract three times: tool can't open, tool->user is
+    # not an allowed edge, user->user is not an allowed edge
+    assert got[("B", 0)] == (None, "tool")
+    assert got[("B", 1)] == ("tool", "user")
+    assert got[("B", 2)] == ("user", "user")
+    assert len(got) == 3  # every turn of A and C is legal
+
+
+def test_conversation_stats(spark):
+    from jsonschema_validator_spark.operators.conversation import conversation_stats
+
+    out = {r.conv_id: r for r in conversation_stats(_conv_df(spark)).collect()}
+    a = out["A"]
+    assert a.n_turns == 5 and a.n_roles == 4
+    assert (a.first_turn, a.last_turn) == (0, 4)
+    assert a.duration_secs == 120.0
+    assert a.max_gap_secs == 60.0  # user -> assistant gap
+    assert (a.n_system, a.n_user, a.n_assistant, a.n_tool) == (1, 1, 2, 1)
+    c = out["C"]
+    assert c.n_turns == 1 and c.max_gap_secs is None and c.duration_secs == 0.0
