@@ -108,7 +108,11 @@ def conversation_stats(
     )
     aggs = [
         F.count(F.lit(1)).alias("n_turns"),
-        F.countDistinct(role).alias("n_roles"),
+        # NOT countDistinct: distinct-agg expands to a second full-row
+        # shuffle on (group, role). collect_set's partial buffer is
+        # bounded by role cardinality (a handful), merges map-side, and
+        # keeps the rollup at ONE exchange.
+        F.size(F.collect_set(role)).cast("long").alias("n_roles"),
         F.min(order).alias("first_turn"),
         F.max(order).alias("last_turn"),
         ((F.max(us) - F.min(us)) / 1_000_000.0).alias("duration_secs"),

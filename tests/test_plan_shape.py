@@ -133,3 +133,41 @@ def test_new_pipeline_ops_plan_shapes(spark):
     # enters the shuffle
     m = re.search(r"ReadSchema: ([^\n]*)", p)
     assert m and "props" not in m.group(1) and "value" not in m.group(1), p
+
+
+def test_conversation_ops_plan_shapes(spark):
+    """Conversation-structure operators (operators/conversation.py):
+    transition_violations shuffles ONCE on the group key and the scan is
+    pruned to (group, order, role) — the text/JSON payload never enters
+    the exchange; conversation_stats reuses the group-key partitioning
+    for the rollup + gap-window join without a third exchange for the
+    join itself (both sides hash-partition on user_id)."""
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_stats,
+        transition_violations,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan_of(
+        transition_violations(
+            ev, allowed=[(None, "click")], group="user_id", order="event_id",
+            role="event_type",
+        )
+    )
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 1, p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "props" not in m.group(1) and "value" not in m.group(1), p
+
+    p = plan_of(
+        conversation_stats(
+            ev, group="user_id", order="event_id", role="event_type", ts="ts",
+            roles=["click"],
+        )
+    )
+    # two aggregation branches (rollup + gap window) over one table: at
+    # most one exchange per branch, and the final join adds none beyond
+    # them (co-partitioned on user_id)
+    assert p.count("Scan parquet") <= 2, p
+    assert p.count("Exchange") <= 3, p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "props" not in m.group(1), p
