@@ -91,11 +91,32 @@ class Schema:
     compile-once/validate-many contract of the reference's scope cache
     (/root/reference/src/types/scope_builder.rs:43-54)."""
 
+    #: $schema URI -> dialect (draft-version detection, the
+    #: draft_version.rs analog; trailing '#' and http/https both accepted)
+    _DIALECTS = {
+        "json-schema.org/draft-04/schema": "draft4",
+        "json-schema.org/draft-06/schema": "draft6",
+        "json-schema.org/draft-07/schema": "draft7",
+        "json-schema.org/draft/2019-09/schema": "draft2019-09",
+        "json-schema.org/draft/2020-12/schema": "draft2020-12",
+    }
+
+    @classmethod
+    def detect_draft(cls, raw_schema) -> str | None:
+        """Dialect from the document's ``$schema``, or None."""
+        if not isinstance(raw_schema, dict):
+            return None
+        uri = raw_schema.get("$schema")
+        if not isinstance(uri, str):
+            return None
+        key = uri.rstrip("#").removeprefix("https://").removeprefix("http://")
+        return cls._DIALECTS.get(key)
+
     def __init__(
         self,
         raw_schema,
         spark: SparkSession,
-        draft: str = "draft7",
+        draft: str | None = None,
         validate_formats: bool = False,
         base_uri: str = "",
         loader=None,
@@ -103,6 +124,10 @@ class Schema:
     ):
         self.spark = spark
         self.raw = raw_schema
+        # explicit draft wins; else the document's $schema; else draft7
+        # (the reference's fixed default, scope_builder.rs:22-31)
+        draft = draft or self.detect_draft(raw_schema) or "draft7"
+        self.draft = draft
         scope = Scope(draft=draft, base_uri=base_uri, loader=loader)
         if registry:
             scope.registry.update(registry)

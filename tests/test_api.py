@@ -154,3 +154,32 @@ def test_schema_from_file_sibling_ref(spark, tmp_path):
     assert not s.is_valid({"name": "x"})
     errs = s.validation_errors({"name": "x"})
     assert {e.keyword for e in errs} == {"minLength"}
+
+
+def test_schema_draft_autodetect(spark):
+    """$schema dialect detection: explicit draft wins; document $schema
+    is honored (2020-12 prefixItems only means positional there); no
+    $schema falls back to draft7."""
+    from jsonschema_validator_spark.api import Schema
+
+    s20 = Schema.create(
+        {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "prefixItems": [{"type": "integer"}]},
+        spark,
+    )
+    assert s20.draft == "draft2020-12"
+    assert s20.is_valid([1, "anything"]) and not s20.is_valid(["a"])
+
+    s7 = Schema.create({"properties": {"a": {"type": "integer"}}}, spark)
+    assert s7.draft == "draft7"
+
+    s4 = Schema.create(
+        {"$schema": "http://json-schema.org/draft-04/schema#"}, spark
+    )
+    assert s4.draft == "draft4"
+
+    forced = Schema.create(
+        {"$schema": "https://json-schema.org/draft/2020-12/schema"},
+        spark, draft="draft7",
+    )
+    assert forced.draft == "draft7"
