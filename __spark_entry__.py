@@ -385,6 +385,113 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# per-tool argument schemas for the dispatch query: event_type plays the
+# `tool` column of the north-rule transcript table, props the argument
+# payload. Five different keyword families so the CASE chain exercises
+# distinct compiled predicates per branch.
+_TOOL_SCHEMAS = {
+    "click": {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "maximum": 49}},
+    },
+    "view": {"type": "object", "properties": {"k": {"multipleOf": 3}}},
+    "purchase": {"type": "object", "properties": {"k": {"minimum": 10}}},
+    "signup": {
+        "type": "object",
+        "properties": {"k": {"enum": [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]}},
+    },
+    # valid iff NOT (k <= 10): `not` over an applicator branch
+    "error": {"type": "object", "not": {"properties": {"k": {"maximum": 10}}}},
+}
+
+
+def q_tool_dispatch_events(spark, sf_dir):
+    """Discriminated-union validation (api.SchemaRegistry): row i's
+    payload is validated against the schema its key column selects —
+    the per-tool argument-schema shape of agent transcripts. One shared
+    parse + CASE dispatch; the plan is a pure projection over the scan
+    (no exchange before the final rollup)."""
+    from jsonschema_validator_spark.api import SchemaRegistry
+
+    ev = _t(spark, sf_dir, "events")
+    reg = SchemaRegistry.create(_TOOL_SCHEMAS, spark, draft="draft7")
+    return (
+        reg.with_valid(ev, "event_type", "props", out_col="ok")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("ok").cast("long")).alias("n_valid"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_TOOL_DISPATCH = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       SUM(CASE event_type
+           WHEN 'click'    THEN CASE WHEN k <= 49 THEN 1 ELSE 0 END
+           WHEN 'view'     THEN CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END
+           WHEN 'purchase' THEN CASE WHEN k >= 10 THEN 1 ELSE 0 END
+           WHEN 'signup'   THEN CASE WHEN k IN (1,2,3,5,8,13,21,34,55,89) THEN 1 ELSE 0 END
+           WHEN 'error'    THEN CASE WHEN k > 10 THEN 1 ELSE 0 END
+           END)::BIGINT AS n_valid,
+       COUNT(*)::BIGINT AS n_rows
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_conversation_dedup_events(spark, sf_dir):
+    """Conversation-level exact dedup (operators/conversation.py
+    conversation_fingerprint + duplicate_conversations): order-stable
+    per-conversation content fingerprints, then a keep/drop verdict per
+    conversation. Planted duplicates (every user_id % 50 == 3
+    conversation relabeled +1_000_000, same turns in the same order)
+    follow the planted-copy oracle pattern — the duplicate groups are
+    guaranteed non-vacuous and exactly predictable, and EVERY
+    conversation's fingerprint value is hash-compared cross-engine."""
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_fingerprint,
+        duplicate_conversations,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.where(F.col("user_id") % 50 == 3).withColumn(
+        "user_id", F.col("user_id") + F.lit(1000000)
+    )
+    allc = ev.unionByName(planted)
+    content = F.concat(F.col("event_type"), F.lit("/"), F.col("props"))
+    fp = conversation_fingerprint(allc, content, group="user_id", order="event_id")
+    return (
+        duplicate_conversations(fp, group="user_id")
+        .select("user_id", "fingerprint", "n_convs", "keep")
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_CONVERSATION_DEDUP = """
+WITH all_ev AS (
+  SELECT user_id, event_id, event_type, props FROM events
+  UNION ALL
+  SELECT user_id + 1000000, event_id, event_type, props
+  FROM events WHERE user_id % 50 = 3
+), fp AS (
+  SELECT user_id,
+         md5(string_agg(md5(event_id::VARCHAR || ':' || event_type || '/' || props),
+                        '|' ORDER BY event_id)) AS fingerprint
+  FROM all_ev GROUP BY user_id
+), g AS (
+  SELECT fingerprint, MIN(user_id) AS keep_id, COUNT(*)::BIGINT AS n_convs
+  FROM fp GROUP BY 1
+)
+SELECT fp.user_id, fp.fingerprint, g.n_convs, fp.user_id = g.keep_id AS keep
+FROM fp JOIN g USING (fingerprint) ORDER BY fp.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # ordering / density (SURVEY §2.4 monotone/dense row)
 # ---------------------------------------------------------------------------
@@ -2066,6 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions_events": q_role_transitions_events,
         "conversation_stats_events": q_conversation_stats_events,
         "schema_validate_2020_events": q_schema_validate_2020_events,
+        "tool_dispatch_events": q_tool_dispatch_events,
+        "conversation_dedup_events": q_conversation_dedup_events,
         "ri_childless_orders": q_ri_childless_orders,
         "ri_orphan_lineitems": q_ri_orphan_lineitems,
         "density_lineitem": q_density_lineitem,
@@ -2124,6 +2233,8 @@ def oracle_sql() -> dict[str, str]:
         "role_transitions_events": _ORACLE_ROLE_TRANSITIONS,
         "conversation_stats_events": _ORACLE_CONVERSATION_STATS,
         "schema_validate_2020_events": _ORACLE_SCHEMA_VALIDATE_2020,
+        "tool_dispatch_events": _ORACLE_TOOL_DISPATCH,
+        "conversation_dedup_events": _ORACLE_CONVERSATION_DEDUP,
         "ri_childless_orders": _ORACLE_CHILDLESS,
         "ri_orphan_lineitems": _ORACLE_ORPHANS,
         "density_lineitem": _ORACLE_DENSITY,

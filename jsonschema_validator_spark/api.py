@@ -66,6 +66,71 @@ class _BoundVariantAccessor(VariantAccessor):
         return self._fields.get(name) or super().get_field(name)
 
 
+def _tmp_prefix(df: DataFrame) -> str:
+    """Temp-column prefix guaranteed not to prefix-collide with any
+    existing column, so ``drop(*tmp)`` can never eat user data (a
+    fixed ``__jsv_`` prefix would silently replace-and-drop a user
+    column of the same name)."""
+    base = "__jsv_"
+    k = 0
+    cols = set(df.columns)
+    while any(c.startswith(base if k == 0 else f"__jsv{k}_") for c in cols):
+        k += 1
+    return base if k == 0 else f"__jsv{k}_"
+
+
+def _bind_variant(df: DataFrame, json_col: str, prop_names: list[str]):
+    """Parse the JSON column ONCE and project the accessor's expensive
+    derivations as columns — the document tag/object map, plus each
+    named top-level property's sub-variant and tag (the property set is
+    known at compile time). Every check expression then reads the
+    shared columns instead of re-deriving variant metadata.
+
+    Also projects a parse-ok flag: a NON-NULL string that
+    ``try_parse_json`` cannot parse is a document that failed to
+    parse — never valid (the reference's ``Schema::create`` /
+    ``draft_version.rs`` contract: parse failure precedes keyword
+    evaluation). A NULL input is an ABSENT document and stays
+    vacuously valid.
+
+    Shared by ``Schema`` (its own top-level properties) and
+    ``SchemaRegistry`` (the union of every member schema's top-level
+    properties — one parse serves every dispatch branch)."""
+    p = _tmp_prefix(df)
+    pv, tg, ob, pok = p + "pv", p + "tag", p + "obj", p + "pok"
+    out = (
+        df.withColumn(pv, F.try_parse_json(F.col(json_col)))
+        .withColumn(tg, _vtag(F.col(pv)))
+        .withColumn(
+            ob,
+            F.when(
+                F.col(tg) == "object",
+                F.try_variant_get(F.col(pv), "$", "map<string,variant>"),
+            ),
+        )
+        .withColumn(pok, ~(F.col(json_col).isNotNull() & F.col(pv).isNull()))
+    )
+    tmp = [pv, tg, ob, pok]
+    fields: dict[str, VariantAccessor] = {}
+    for i, name in enumerate(prop_names):
+        fc, ft, fo = f"{p}f{i}", f"{p}ft{i}", f"{p}fo{i}"
+        out = (
+            out.withColumn(fc, F.try_element_at(F.col(ob), F.lit(name)))
+            .withColumn(ft, _vtag(F.col(fc)))
+            .withColumn(
+                fo,
+                F.when(
+                    F.col(ft) == "object",
+                    F.try_variant_get(F.col(fc), "$", "map<string,variant>"),
+                ),
+            )
+        )
+        fields[name] = _BoundVariantAccessor(F.col(fc), F.col(ft), F.col(fo))
+        tmp += [fc, ft, fo]
+    acc = _BoundVariantAccessor(F.col(pv), F.col(tg), F.col(ob), fields)
+    return out, acc, tmp, F.col(pok)
+
+
 @dataclass(frozen=True)
 class ValidationError:
     """Mirror of the reference's error value
@@ -174,61 +239,11 @@ class Schema:
         existing column, so ``drop(*tmp)`` can never eat user data (a
         fixed ``__jsv_`` prefix would silently replace-and-drop a user
         column of the same name)."""
-        base = "__jsv_"
-        k = 0
-        cols = set(df.columns)
-        while any(c.startswith(base if k == 0 else f"__jsv{k}_") for c in cols):
-            k += 1
-        return base if k == 0 else f"__jsv{k}_"
+        return _tmp_prefix(df)
 
     def _bind(self, df: DataFrame, json_col: str):
-        """Parse the JSON column ONCE and project the accessor's
-        expensive derivations as columns — the document tag/object map,
-        plus each top-level schema property's sub-variant and tag (the
-        property set is known at compile time). Every check expression
-        then reads the shared columns instead of re-deriving variant
-        metadata.
-
-        Also projects a parse-ok flag: a NON-NULL string that
-        ``try_parse_json`` cannot parse is a document that failed to
-        parse — never valid (the reference's ``Schema::create`` /
-        ``draft_version.rs`` contract: parse failure precedes keyword
-        evaluation). A NULL input is an ABSENT document and stays
-        vacuously valid."""
-        p = self._tmp_prefix(df)
-        pv, tg, ob, pok = p + "pv", p + "tag", p + "obj", p + "pok"
-        out = (
-            df.withColumn(pv, F.try_parse_json(F.col(json_col)))
-            .withColumn(tg, _vtag(F.col(pv)))
-            .withColumn(
-                ob,
-                F.when(
-                    F.col(tg) == "object",
-                    F.try_variant_get(F.col(pv), "$", "map<string,variant>"),
-                ),
-            )
-            .withColumn(pok, ~(F.col(json_col).isNotNull() & F.col(pv).isNull()))
-        )
-        tmp = [pv, tg, ob, pok]
-        fields: dict[str, VariantAccessor] = {}
         props = self.raw.get("properties", {}) if isinstance(self.raw, dict) else {}
-        for i, name in enumerate(props):
-            fc, ft, fo = f"{p}f{i}", f"{p}ft{i}", f"{p}fo{i}"
-            out = (
-                out.withColumn(fc, F.try_element_at(F.col(ob), F.lit(name)))
-                .withColumn(ft, _vtag(F.col(fc)))
-                .withColumn(
-                    fo,
-                    F.when(
-                        F.col(ft) == "object",
-                        F.try_variant_get(F.col(fc), "$", "map<string,variant>"),
-                    ),
-                )
-            )
-            fields[name] = _BoundVariantAccessor(F.col(fc), F.col(ft), F.col(fo))
-            tmp += [fc, ft, fo]
-        acc = _BoundVariantAccessor(F.col(pv), F.col(tg), F.col(ob), fields)
-        return out, acc, tmp, F.col(pok)
+        return _bind_variant(df, json_col, list(props))
 
     def is_valid(self, value) -> bool:
         """Fused boolean only — no per-keyword error materialization
@@ -318,3 +333,81 @@ class Schema:
             .withColumn("valid", F.size("violations") == 0)
             .drop(*tmp)
         )
+
+
+class SchemaRegistry:
+    """Per-key schema dispatch — the discriminated-union shape of agent
+    transcripts, where each tool call's argument payload has its own
+    schema and the ``tool`` column selects which one applies.
+
+    The reference validates one document against one schema; a
+    transcript table needs `validate row i against schemas[key_i]`.
+    Compiling one ``Schema`` per key and running K separate
+    ``with_valid`` passes would parse the JSON column K times; this
+    class compiles every member schema once, binds the parse/tag/object
+    projection ONCE (over the union of all member schemas' top-level
+    properties), and dispatches with a single CASE chain — one pass,
+    one parse, zero shuffles, whatever K is.
+
+    Scale: the dispatch is a pure projection (no exchange in the plan);
+    K only widens the whole-stage-codegen expression, it never adds a
+    scan or a job.
+    """
+
+    def __init__(self, schemas: dict[str, Schema], unknown_key_valid: bool = False):
+        if not schemas:
+            raise SchemaError("SchemaRegistry needs at least one (key, schema) pair")
+        self.schemas = dict(schemas)
+        #: verdict for rows whose key matches no registered schema
+        #: (False = closed-world: an unknown tool is itself a violation)
+        self.unknown_key_valid = unknown_key_valid
+
+    @classmethod
+    def create(
+        cls,
+        raw_schemas: dict[str, dict],
+        spark: SparkSession | None = None,
+        unknown_key_valid: bool = False,
+        **kw,
+    ) -> "SchemaRegistry":
+        """Compile a ``{key: raw_schema}`` map. ``**kw`` (draft,
+        validate_formats, loader, ...) is passed to every
+        ``Schema.create``."""
+        spark = spark or SparkSession.getActiveSession()
+        return cls(
+            {k: Schema.create(s, spark, **kw) for k, s in raw_schemas.items()},
+            unknown_key_valid=unknown_key_valid,
+        )
+
+    def _prop_union(self) -> list[str]:
+        seen: dict[str, None] = {}
+        for s in self.schemas.values():
+            if isinstance(s.raw, dict):
+                for name in s.raw.get("properties", {}):
+                    seen.setdefault(name)
+        return list(seen)
+
+    def valid_branch(self, acc, key_col: Column) -> Column:
+        """The CASE dispatch over a bound accessor (parse-ok NOT
+        included — callers gate on it)."""
+        branch = None
+        for k, s in self.schemas.items():
+            pred = F.coalesce(s._fused(acc), F.lit(True))
+            branch = (
+                F.when(key_col == F.lit(k), pred)
+                if branch is None
+                else branch.when(key_col == F.lit(k), pred)
+            )
+        return branch.otherwise(F.lit(self.unknown_key_valid))
+
+    def with_valid(
+        self, df: DataFrame, key_col: str, json_col: str, out_col: str = "valid"
+    ) -> DataFrame:
+        """df + boolean ``out_col``: row i is validated against
+        ``schemas[df[key_col]_i]``. A NULL key counts as unknown; a
+        non-null payload that fails to parse is invalid regardless of
+        key (parse precedes keyword evaluation, as in ``Schema``)."""
+        bound, acc, tmp, pok = _bind_variant(df, json_col, self._prop_union())
+        return bound.withColumn(
+            out_col, pok & self.valid_branch(acc, F.col(key_col))
+        ).drop(*tmp)

@@ -124,3 +124,80 @@ def conversation_stats(
     # one exchange per side, both hash-partitioned by `group` => the
     # join co-locates without a third shuffle
     return base.join(gaps, group, "left")
+
+
+def conversation_fingerprint(
+    df: DataFrame,
+    content: Column,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    algebraic: bool = False,
+) -> DataFrame:
+    """Order-stable per-conversation content fingerprint — the
+    conversation-granularity analog of the per-document fingerprint
+    (operators/textstats.py): two transcripts are duplicates iff every
+    turn's content matches AT ITS POSITION. This is the north-rule
+    row invariant ("per-turn text equality under stable turn ordering")
+    turned into a single comparable value per conversation.
+
+    Parity mode (default): each turn is pre-hashed to md5(order ':'
+    content) BEFORE the group — the shuffle carries 32 bytes/turn, not
+    the text payload — then the per-turn hashes are concatenated in
+    `order` order and hashed again. Exactly reproducible in ANSI SQL
+    (md5(string_agg(md5(..), '|' ORDER BY order))), which is what the
+    DuckDB oracle pins. The collect_list buffer is 32B x turns; bounded
+    by the input contract's per-conversation turn cap.
+
+    Algebraic mode (``algebraic=True``): fingerprint := sum of
+    xxhash64(order, content) — position-sensitive because the turn
+    index is hashed in, yet commutative, so it is a pure algebraic
+    aggregate with map-side partial combine: no per-group buffer at
+    all, whale conversations cost O(1) reducer memory. This is the
+    10^12-turn default; it is Spark-specific (xxhash64), so the pytest
+    suite pins that both modes induce the SAME duplicate-group
+    partition, and the cross-engine oracle runs against parity mode.
+
+    Returns (group, fingerprint string, n_turns).
+    """
+    turn = F.md5(F.concat(F.col(order).cast("string"), F.lit(":"), content))
+    if algebraic:
+        # decimal accumulator: sum over decimal(20,0) widens to
+        # decimal(30,0) — no ANSI long overflow even at 10^9 turns/conv
+        fp = F.sum(
+            F.xxhash64(F.col(order).cast("string"), content).cast("decimal(20,0)")
+        ).cast("string")
+        return df.groupBy(group).agg(
+            fp.alias("fingerprint"), F.count(F.lit(1)).alias("n_turns")
+        )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(order).alias("o"), turn.alias("h")))
+    )
+    fp = F.md5(F.concat_ws("|", F.transform(arr, lambda x: x["h"])))
+    return df.groupBy(group).agg(
+        fp.alias("fingerprint"), F.count(F.lit(1)).alias("n_turns")
+    )
+
+
+def duplicate_conversations(fp: DataFrame, group: str = "conv_id") -> DataFrame:
+    """Keep/drop decision over a fingerprint frame: for each
+    conversation, how many share its fingerprint and whether this one
+    is the canonical survivor (lowest group key wins — deterministic,
+    partitioning-independent).
+
+    agg + equi-join on the fingerprint, NOT a window over it: the same
+    skew argument as uniqueness.duplicate_rows_join — a degenerate
+    fingerprint shared by millions of conversations melts a window's
+    single per-key sort task, while the agg combines map-side and AQE
+    splits a skewed join key."""
+    g = fp.groupBy("fingerprint").agg(
+        F.min(group).alias("__keep_id"), F.count(F.lit(1)).alias("n_convs")
+    )
+    return (
+        fp.join(g, "fingerprint")
+        .select(
+            F.col(group),
+            "fingerprint",
+            "n_convs",
+            (F.col(group) == F.col("__keep_id")).alias("keep"),
+        )
+    )

@@ -183,3 +183,73 @@ def test_schema_draft_autodetect(spark):
         spark, draft="draft7",
     )
     assert forced.draft == "draft7"
+
+
+# ---------------------------------------------------------------------------
+# SchemaRegistry: per-key dispatch (the tool-call argument-schema shape)
+# ---------------------------------------------------------------------------
+
+def _registry(spark, **kw):
+    from jsonschema_validator_spark.api import SchemaRegistry
+
+    return SchemaRegistry.create(
+        {
+            "add": {
+                "type": "object",
+                "required": ["x"],
+                "properties": {"x": {"type": "integer"}},
+            },
+            "say": {"type": "object", "properties": {"msg": {"minLength": 3}}},
+        },
+        spark,
+        **kw,
+    )
+
+
+def test_registry_dispatches_per_key(spark):
+    df = spark.createDataFrame(
+        [
+            ("add", '{"x": 1}', True),       # valid for add
+            ("add", '{"x": "one"}', False),  # wrong type for add's x
+            ("add", '{"msg": "hi"}', False), # add requires x
+            ("say", '{"msg": "hi"}', False), # too short for say
+            ("say", '{"msg": "hey"}', True),
+            ("say", '{"x": "one"}', True),   # say ignores x
+        ],
+        "tool string, payload string, expect boolean",
+    )
+    out = _registry(spark).with_valid(df, "tool", "payload", out_col="ok")
+    assert out.columns == ["tool", "payload", "expect", "ok"]  # tmp cols dropped
+    assert all(r.ok == r.expect for r in out.collect())
+
+
+def test_registry_unknown_and_null_key(spark):
+    df = spark.createDataFrame(
+        [("nope", '{"x": 1}'), (None, '{"x": 1}')], "tool string, payload string"
+    )
+    closed = _registry(spark).with_valid(df, "tool", "payload", out_col="ok")
+    assert [r.ok for r in closed.collect()] == [False, False]
+    open_ = _registry(spark, unknown_key_valid=True).with_valid(
+        df, "tool", "payload", out_col="ok"
+    )
+    assert [r.ok for r in open_.collect()] == [True, True]
+
+
+def test_registry_parse_failure_precedes_dispatch(spark):
+    df = spark.createDataFrame(
+        [("add", '{"x":'), ("nope", "{bad"), ("add", None)],
+        "tool string, payload string",
+    )
+    reg = _registry(spark, unknown_key_valid=True)
+    out = reg.with_valid(df, "tool", "payload", out_col="ok")
+    # malformed payload is invalid even for unknown keys; NULL payload
+    # is an absent document and stays vacuously valid
+    assert [r.ok for r in out.collect()] == [False, False, True]
+
+
+def test_registry_empty_raises(spark):
+    from jsonschema_validator_spark.api import SchemaRegistry
+    from jsonschema_validator_spark.errors import SchemaError
+
+    with pytest.raises(SchemaError):
+        SchemaRegistry({})

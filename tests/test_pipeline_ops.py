@@ -706,3 +706,69 @@ def test_conversation_stats(spark):
     assert (a.n_system, a.n_user, a.n_assistant, a.n_tool) == (1, 1, 2, 1)
     c = out["C"]
     assert c.n_turns == 1 and c.max_gap_secs is None and c.duration_secs == 0.0
+
+
+def _fp_df(spark):
+    # D is a turn-for-turn copy of A (same texts at the same positions);
+    # E has A's texts with two positions SWAPPED — same multiset of
+    # turns, different order, so it must NOT share A's fingerprint
+    rows = [
+        ("A", 0, "hello"), ("A", 1, "hi there"), ("A", 2, "bye"),
+        ("D", 0, "hello"), ("D", 1, "hi there"), ("D", 2, "bye"),
+        ("E", 0, "hello"), ("E", 1, "bye"), ("E", 2, "hi there"),
+        ("F", 0, "solo"),
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def test_conversation_fingerprint_modes_agree_on_groups(spark):
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_fingerprint,
+    )
+
+    df = _fp_df(spark)
+    for algebraic in (False, True):
+        fp = {
+            r.conv_id: r.fingerprint
+            for r in conversation_fingerprint(
+                df, F.col("text"), algebraic=algebraic
+            ).collect()
+        }
+        # exact copy shares the fingerprint; reorder and solo do not
+        assert fp["A"] == fp["D"], f"algebraic={algebraic}"
+        assert fp["A"] != fp["E"], f"order-insensitive! algebraic={algebraic}"
+        assert len({fp["A"], fp["E"], fp["F"]}) == 3
+
+
+def test_conversation_fingerprint_partitioning_independent(spark):
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_fingerprint,
+    )
+
+    df = _fp_df(spark)
+    base = {
+        r.conv_id: r.fingerprint
+        for r in conversation_fingerprint(df, F.col("text")).collect()
+    }
+    # shuffled row order + different partitioning must not change any
+    # fingerprint (array_sort restores turn order inside the group)
+    scrambled = df.orderBy(F.col("text")).repartition(7)
+    got = {
+        r.conv_id: r.fingerprint
+        for r in conversation_fingerprint(scrambled, F.col("text")).collect()
+    }
+    assert got == base
+
+
+def test_duplicate_conversations_keep_drop(spark):
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_fingerprint,
+        duplicate_conversations,
+    )
+
+    fp = conversation_fingerprint(_fp_df(spark), F.col("text"))
+    out = {r.conv_id: r for r in duplicate_conversations(fp).collect()}
+    assert out["A"].keep and not out["D"].keep  # lowest key is canonical
+    assert out["A"].n_convs == out["D"].n_convs == 2
+    assert out["E"].keep and out["E"].n_convs == 1
+    assert out["F"].keep and out["F"].n_convs == 1
