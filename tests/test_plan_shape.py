@@ -171,3 +171,57 @@ def test_conversation_ops_plan_shapes(spark):
     assert p.count("Exchange") <= 3, p
     m = re.search(r"ReadSchema: ([^\n]*)", p)
     assert m and "props" not in m.group(1), p
+
+
+def test_registry_dispatch_plan_shape(spark):
+    """SchemaRegistry.with_valid is a pure projection: one scan, ZERO
+    exchanges, ONE try_parse_json site however many member schemas the
+    CASE chain dispatches over (the shared _bind_variant projection)."""
+    from jsonschema_validator_spark.api import SchemaRegistry
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    reg = SchemaRegistry.create(
+        {
+            "click": {"type": "object", "required": ["k"]},
+            "view": {"type": "object", "properties": {"k": {"minimum": 3}}},
+            "error": {"type": "object", "properties": {"k": {"multipleOf": 2}}},
+        },
+        spark,
+        draft="draft7",
+    )
+    out = reg.with_valid(ev, "event_type", "props", out_col="ok")
+    p = plan_of(out)
+    assert p.count("Scan parquet") == 1 and "Exchange" not in p, p
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("try_parse_json") == 1, analyzed.count("try_parse_json")
+
+
+def test_conversation_fingerprint_plan_shapes(spark):
+    """Parity-mode fingerprint pre-hashes each turn BEFORE the exchange
+    (the shuffle carries 32-byte hashes, never the content payload);
+    algebraic mode is a partial+final HashAggregate over a plain sum —
+    no object-buffer aggregate anywhere in its plan."""
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_fingerprint,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    content = F.concat(F.col("event_type"), F.lit("/"), F.col("props"))
+
+    p = plan_of(
+        conversation_fingerprint(ev, content, group="user_id", order="event_id")
+    )
+    assert p.count("Exchange") == 1, p
+    # collect_list needs ObjectHashAggregate; the partial side below the
+    # exchange must already hold md5 digests, so the raw props column is
+    # absent from the exchange's input schema
+    m = re.search(r"Exchange hashpartitioning[^\n]*", p)
+    assert m and "props" not in m.group(0), m.group(0) if m else p
+
+    p = plan_of(
+        conversation_fingerprint(
+            ev, content, group="user_id", order="event_id", algebraic=True
+        )
+    )
+    assert p.count("Exchange") == 1 and "ObjectHashAggregate" not in p, p
+    assert p.count("HashAggregate") == 2, p  # partial below, final above
