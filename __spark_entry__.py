@@ -860,6 +860,158 @@ FROM agg ORDER BY day
 """
 
 
+def q_drift_matrix_events(spark, sf_dir):
+    """ALL-PAIRS drift (operators/drift.py drift_matrix): KS + PSI for
+    every unordered partition pair, here event_type x event_type (10
+    pairs). One histogram scan; the pairwise stage runs entirely on the
+    aggregated (partitions x buckets) relation, so the quadratic factor
+    never touches input rows. Same sample-size-aware KS decision rule
+    as drift_events_value."""
+    import math
+
+    from jsonschema_validator_spark.operators.drift import drift_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    res = drift_matrix(ev, F.col("value"), "event_type", buckets=20, lo=0.0, hi=500.0)
+    c = math.sqrt(-0.5 * math.log(0.01 / 2.0))
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    crit = F.lit(c) * F.sqrt((n + m) / (n * m))
+    return res.select(
+        "part_a",
+        "part_b",
+        "n_a",
+        "n_b",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("psi", 6).alias("psi"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.col("ks_stat") > crit).alias("ks_drifted"),
+    ).orderBy("part_a", "part_b")
+
+
+_ORACLE_DRIFT_MATRIX = """
+WITH hist AS (
+  SELECT event_type AS part,
+         LEAST(19, GREATEST(0, CAST(FLOOR(value / 25.0) AS INT))) AS bucket,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+parts AS (SELECT DISTINCT part FROM hist),
+grid AS (SELECT p.part, b.bucket FROM parts p
+         CROSS JOIN (SELECT UNNEST(RANGE(20))::INT AS bucket) b),
+dense AS (SELECT g.part, g.bucket, COALESCE(h.n, 0) AS n
+          FROM grid g LEFT JOIN hist h ON g.part = h.part AND g.bucket = h.bucket),
+pairs AS (SELECT a.part AS part_a, b.part AS part_b, a.bucket, a.n AS na, b.n AS nb
+          FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.part < b.part),
+scored AS (SELECT part_a, part_b, bucket, na, nb,
+                  na::DOUBLE / SUM(na) OVER w AS p,
+                  nb::DOUBLE / SUM(nb) OVER w AS q
+           FROM pairs WINDOW w AS (PARTITION BY part_a, part_b)),
+terms AS (SELECT part_a, part_b, na, nb,
+                 (GREATEST(p, 1e-6) - GREATEST(q, 1e-6))
+                   * LN(GREATEST(p, 1e-6) / GREATEST(q, 1e-6)) AS psi_term,
+                 ABS(SUM(p) OVER wc - SUM(q) OVER wc) AS ecdf_diff
+          FROM scored WINDOW wc AS (PARTITION BY part_a, part_b ORDER BY bucket)),
+agg AS (SELECT part_a, part_b, SUM(na)::BIGINT AS n_a, SUM(nb)::BIGINT AS n_b,
+               MAX(ecdf_diff) AS ks_raw, SUM(psi_term) AS psi_raw
+        FROM terms GROUP BY 1, 2)
+SELECT part_a, part_b, n_a, n_b,
+       ROUND(ks_raw, 6) AS ks_stat,
+       ROUND(psi_raw, 6) AS psi,
+       ROUND(SQRT(-0.5 * LN(0.005)) * SQRT((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b)), 6) AS ks_crit,
+       ks_raw > SQRT(-0.5 * LN(0.005)) * SQRT((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b)) AS ks_drifted
+FROM agg ORDER BY part_a, part_b
+"""
+
+
+def q_json_profile_events(spark, sf_dir):
+    """Schema PROFILING (operators/profile.py json_key_profile): per
+    top-level key of a JSON column — presence, per-type-tag counts,
+    integer bounds, max string length; the inverse of validation
+    (infer the schema the population follows) and the schema-drift
+    signal. The profiled column is built deterministically from events
+    (event_id % 4 selects among four shapes) so all seven type tags and
+    the min/max/strlen stats decide real rows; both engines construct
+    the identical JSON text."""
+    from jsonschema_validator_spark.operators.profile import json_key_profile
+
+    ev = _t(spark, sf_dir, "events")
+    m4 = F.col("event_id") % 4
+    doc = (
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit('{"a": '),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(', "b": "'),
+                F.col("event_type"),
+                F.lit('"}'),
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.concat(
+                F.lit('{"a": true, "c": [1, 2, '),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit("]}"),
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.concat(F.lit('{"a": null, "b": "'), F.col("event_type"), F.lit('x"}')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"d": {"e": '), (F.col("event_id") % 5).cast("string"), F.lit("}}")
+            )
+        )
+    )
+    prof = json_key_profile(ev.select(doc.alias("doc")), "doc")
+    # coalesce nullable bounds to -1: keeps both engines' result columns
+    # integer-typed (a NULL-bearing int column round-trips as float64
+    # through pandas, breaking the value-hash compare)
+    return prof.select(
+        "key",
+        "n_present",
+        *[f"n_{t}" for t in ("null", "boolean", "integer", "number", "string", "array", "object")],
+        F.coalesce("min_int", F.lit(-1)).alias("min_int"),
+        F.coalesce("max_int", F.lit(-1)).alias("max_int"),
+        F.coalesce("max_strlen", F.lit(-1)).cast("long").alias("max_strlen"),
+    ).orderBy("key")
+
+
+_ORACLE_JSON_PROFILE = """
+WITH j AS (
+  SELECT CASE event_id % 4
+         WHEN 0 THEN '{"a": ' || (event_id % 100)::VARCHAR || ', "b": "' || event_type || '"}'
+         WHEN 1 THEN '{"a": true, "c": [1, 2, ' || (event_id % 7)::VARCHAR || ']}'
+         WHEN 2 THEN '{"a": null, "b": "' || event_type || 'x"}'
+         ELSE '{"d": {"e": ' || (event_id % 5)::VARCHAR || '}}'
+         END AS doc
+  FROM events),
+kv AS (
+  SELECT UNNEST(json_keys(doc)) AS key, doc FROM j),
+ty AS (
+  SELECT key,
+         json_type(json_extract(doc, '$."' || key || '"')) AS jt,
+         json_extract(doc, '$."' || key || '"') AS v,
+         json_extract_string(doc, '$."' || key || '"') AS vs
+  FROM kv)
+SELECT key,
+       COUNT(*)::BIGINT AS n_present,
+       SUM(CASE WHEN jt IS NULL OR jt = 'NULL' THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       SUM(CASE WHEN jt = 'BOOLEAN' THEN 1 ELSE 0 END)::BIGINT AS n_boolean,
+       SUM(CASE WHEN jt IN ('BIGINT', 'UBIGINT') THEN 1 ELSE 0 END)::BIGINT AS n_integer,
+       SUM(CASE WHEN jt = 'DOUBLE' THEN 1 ELSE 0 END)::BIGINT AS n_number,
+       SUM(CASE WHEN jt = 'VARCHAR' THEN 1 ELSE 0 END)::BIGINT AS n_string,
+       SUM(CASE WHEN jt = 'ARRAY' THEN 1 ELSE 0 END)::BIGINT AS n_array,
+       SUM(CASE WHEN jt = 'OBJECT' THEN 1 ELSE 0 END)::BIGINT AS n_object,
+       COALESCE(MIN(CASE WHEN jt IN ('BIGINT', 'UBIGINT') THEN CAST(v AS BIGINT) END), -1) AS min_int,
+       COALESCE(MAX(CASE WHEN jt IN ('BIGINT', 'UBIGINT') THEN CAST(v AS BIGINT) END), -1) AS max_int,
+       COALESCE(MAX(CASE WHEN jt = 'VARCHAR' THEN LENGTH(vs) END), -1)::BIGINT AS max_strlen
+FROM ty GROUP BY key ORDER BY key
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup (training-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -2188,6 +2340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_probes_events": q_format_probes_events,
         "length_histogram_documents": q_length_histogram_documents,
         "drift_events_value": q_drift_events_value,
+        "drift_matrix_events": q_drift_matrix_events,
+        "json_profile_events": q_json_profile_events,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2248,6 +2402,8 @@ def oracle_sql() -> dict[str, str]:
         "format_probes_events": _ORACLE_FORMAT_PROBES,
         "length_histogram_documents": _ORACLE_LENGTH_HIST,
         "drift_events_value": _ORACLE_DRIFT,
+        "drift_matrix_events": _ORACLE_DRIFT_MATRIX,
+        "json_profile_events": _ORACLE_JSON_PROFILE,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,
         "dedup_minhash_documents": _ORACLE_DEDUP_MINHASH,

@@ -134,6 +134,75 @@ def ks_psi_from_histogram(
     )
 
 
+def drift_matrix(
+    df: DataFrame,
+    value: Column | str,
+    partition_col: str,
+    buckets: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+    hist: DataFrame | None = None,
+) -> DataFrame:
+    """ALL-PAIRS drift matrix: KS + PSI for every unordered partition
+    pair (part_a < part_b), not just partition-vs-baseline — the check
+    that finds a day whose distribution quietly diverged from every
+    OTHER day, which baseline-pooled comparison dilutes.
+
+    Scale shape: the input is scanned ONCE (the same
+    ``value_histogram`` pass ``ks_psi`` uses, or a caller-supplied
+    histogram from the fused suite); everything pairwise happens on the
+    aggregated (partitions x buckets) relation, so the quadratic factor
+    is P^2*B rows — independent of input size. At 10^12 turns with
+    P=365 days and B=20 that is ~2.7M tiny rows, a trivially
+    broadcastable self-join.
+
+    Returns (part_a, part_b, n_a, n_b, ks_stat, psi) with psi computed
+    symmetrically-smoothed the same way as ``ks_psi_from_histogram``
+    (PSI is directional a->b: p=part_a, q=part_b)."""
+    if hist is None:
+        hist = value_histogram(df, value, partition_col, buckets, lo, hi)
+    spark = hist.sparkSession
+
+    # densify on the shared grid so ECDFs align bucket-for-bucket
+    parts = hist.select("part").distinct()
+    grid = parts.crossJoin(
+        spark.range(buckets).select(F.col("id").cast("int").alias("bucket"))
+    )
+    dense = grid.join(hist, ["part", "bucket"], "left").fillna(0, subset=["n"])
+
+    a = dense.select(
+        F.col("part").alias("part_a"), "bucket", F.col("n").alias("na")
+    )
+    b = dense.select(
+        F.col("part").alias("part_b"), "bucket", F.col("n").alias("nb")
+    )
+    # the histogram side is tiny post-aggregation: broadcast one side so
+    # the pair join never shuffles the (already small) relation twice
+    pairs = a.join(F.broadcast(b), "bucket").where(F.col("part_a") < F.col("part_b"))
+
+    w_pair = Window.partitionBy("part_a", "part_b")
+    w_cum = Window.partitionBy("part_a", "part_b").orderBy("bucket")
+    p = F.col("na") / F.sum("na").over(w_pair)
+    q = F.col("nb") / F.sum("nb").over(w_pair)
+    p_s = F.greatest(p, F.lit(eps))
+    q_s = F.greatest(q, F.lit(eps))
+    scored = pairs.select(
+        "part_a",
+        "part_b",
+        "na",
+        "nb",
+        ((p_s - q_s) * F.log(p_s / q_s)).alias("psi_term"),
+        F.abs(F.sum(p).over(w_cum) - F.sum(q).over(w_cum)).alias("ecdf_diff"),
+    )
+    return scored.groupBy("part_a", "part_b").agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.max("ecdf_diff").alias("ks_stat"),
+        F.sum("psi_term").alias("psi"),
+    )
+
+
 def ks_psi_local(
     hist_rows,
     buckets: int,

@@ -1,0 +1,104 @@
+"""JSON key profiling + schema inference over a JSON-string column.
+
+The engine's validators answer "does this payload match the schema?";
+this module answers the prior question "what schema does this payload
+population actually follow?" — the per-key type/stat profile a data
+owner reads before writing a spec, and the drift signal when a
+producer silently adds keys or changes a type (schema drift, as
+opposed to the value drift of operators/drift.py).
+
+Design: one scan — parse to variant once, explode the top-level object
+map, and aggregate per key with pure algebraic aggregates (per-tag
+conditional counts, numeric min/max, max string length). The exploded
+relation shuffles (key, tag, long, int) — the values themselves never
+leave the map side except as 8-byte extracts. groupBy(key) is
+skew-tolerant the same way every other algebraic rollup here is:
+partial aggregation combines map-side, so one universal key ("id" on
+every row) is fine.
+
+`infer_schema` then turns the (tiny, post-aggregation) profile into a
+draft-07 schema document: observed types per key, required = keys
+present in every parsed document, integer bounds where every observed
+value was integral. The loop closes in tests: a schema inferred from a
+population validates that population clean through api.Schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.accessors import _vtag
+
+#: tag vocabulary of functions.accessors._vtag, fixed column order
+TAGS = ("null", "boolean", "integer", "number", "string", "array", "object")
+
+
+def json_key_profile(df: DataFrame, json_col: Column | str) -> DataFrame:
+    """Per-top-level-key profile of a JSON object column.
+
+    Returns one row per key: ``n_present`` (documents carrying the
+    key), per-type-tag counts (``n_null`` .. ``n_object``, the _vtag
+    vocabulary — integral floats count as integer, per corpus
+    semantics), ``min_int``/``max_int`` over integer-tagged values and
+    ``max_strlen`` over string-tagged values. Non-object and
+    unparseable documents contribute nothing (they are
+    ``malformed_json_check``'s department)."""
+    json_col = F.col(json_col) if isinstance(json_col, str) else json_col
+    obj = F.try_variant_get(F.try_parse_json(json_col), "$", "map<string,variant>")
+    kv = df.select(F.explode(obj).alias("key", "v"))
+    tag = _vtag(F.col("v"))
+    # extract ONCE into slim typed columns so the shuffle carries
+    # (key, tag, 8B, 4B) instead of the variant payload
+    slim = kv.select(
+        "key",
+        tag.alias("tag"),
+        F.when(tag == "integer", F.try_variant_get(F.col("v"), "$", "long")).alias(
+            "iv"
+        ),
+        F.when(
+            tag == "string", F.length(F.try_variant_get(F.col("v"), "$", "string"))
+        ).alias("slen"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_present")]
+    aggs += [
+        F.sum((F.col("tag") == t).cast("long")).alias(f"n_{t}") for t in TAGS
+    ]
+    aggs += [
+        F.min("iv").alias("min_int"),
+        F.max("iv").alias("max_int"),
+        F.max("slen").alias("max_strlen"),
+    ]
+    return slim.groupBy("key").agg(*aggs)
+
+
+def infer_schema(profile_rows, n_docs: int) -> dict:
+    """Draft-07 schema from a collected profile (driver-side over the
+    post-aggregation relation — O(distinct keys), not O(rows)).
+
+    ``n_docs`` is the number of parsed object documents; a key present
+    in all of them becomes ``required``. Integer-only keys get observed
+    [minimum, maximum] bounds; string-only keys get maxLength. Mixed
+    observed types become a type union — the widest schema the
+    population satisfies, so inferred-then-validate round-trips clean.
+    """
+    props: dict[str, dict] = {}
+    required: list[str] = []
+    for r in profile_rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        types = [t for t in TAGS if d[f"n_{t}"]]
+        node: dict = {}
+        if types:
+            node["type"] = types[0] if len(types) == 1 else types
+        if types == ["integer"] and d["min_int"] is not None:
+            node["minimum"] = d["min_int"]
+            node["maximum"] = d["max_int"]
+        if types == ["string"] and d["max_strlen"] is not None:
+            node["maxLength"] = d["max_strlen"]
+        props[d["key"]] = node
+        if d["n_present"] == n_docs:
+            required.append(d["key"])
+    out: dict = {"type": "object", "properties": props}
+    if required:
+        out["required"] = sorted(required)
+    return out

@@ -772,3 +772,101 @@ def test_duplicate_conversations_keep_drop(spark):
     assert out["A"].n_convs == out["D"].n_convs == 2
     assert out["E"].keep and out["E"].n_convs == 1
     assert out["F"].keep and out["F"].n_convs == 1
+
+
+# ---------------------------------------------------------------------------
+# JSON key profiling + schema inference (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+def test_json_key_profile(spark):
+    from jsonschema_validator_spark.operators.profile import json_key_profile
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 5, "s": "xy"}',),
+            ('{"a": 7.0, "s": "longer"}',),   # integral float tags integer
+            ('{"a": null, "b": [1], "o": {"k": 1}}',),
+            ('{"a": true, "f": 1.5}',),
+            ("not json",),                     # unparseable: contributes nothing
+            (None,),
+        ],
+        "doc string",
+    )
+    prof = {r.key: r for r in json_key_profile(df, "doc").collect()}
+    a = prof["a"]
+    assert a.n_present == 4
+    assert (a.n_integer, a.n_null, a.n_boolean) == (2, 1, 1)
+    assert (a.min_int, a.max_int) == (5, 7)
+    s = prof["s"]
+    assert s.n_present == 2 and s.n_string == 2 and s.max_strlen == 6
+    assert prof["b"].n_array == 1 and prof["o"].n_object == 1
+    assert prof["f"].n_number == 1 and prof["f"].min_int is None
+    assert set(prof) == {"a", "s", "b", "o", "f"}
+
+
+def test_infer_schema_round_trip(spark):
+    """The loop closes: a schema inferred from a population validates
+    that population clean — and rejects a document outside the
+    observed bounds."""
+    from jsonschema_validator_spark.api import Schema
+    from jsonschema_validator_spark.operators.profile import (
+        infer_schema,
+        json_key_profile,
+    )
+
+    docs = [
+        {"id": 3, "name": "ada"},
+        {"id": 9, "name": "grace", "tags": ["x"]},
+        {"id": 4, "name": "alan"},
+    ]
+    import json as _json
+
+    df = spark.createDataFrame([(_json.dumps(d),) for d in docs], "doc string")
+    rows = json_key_profile(df, "doc").collect()
+    schema = infer_schema(rows, n_docs=len(docs))
+    assert schema["required"] == ["id", "name"]
+    assert schema["properties"]["id"] == {"type": "integer", "minimum": 3, "maximum": 9}
+    assert schema["properties"]["tags"] == {"type": "array"}
+    s = Schema.create(schema, spark, draft="draft7")
+    assert all(s.is_valid(d) for d in docs)
+    assert not s.is_valid({"id": 99, "name": "out of observed range"})
+    assert not s.is_valid({"name": "missing required id"})
+
+
+# ---------------------------------------------------------------------------
+# all-pairs drift matrix (operators/drift.py drift_matrix)
+# ---------------------------------------------------------------------------
+
+def test_drift_matrix(spark):
+    from jsonschema_validator_spark.operators.drift import drift_matrix, ks_psi
+
+    # p1 and p2 identical uniform; p3 shifted hard to the top bucket
+    rows = (
+        [("p1", float(i % 10)) for i in range(200)]
+        + [("p2", float(i % 10)) for i in range(200)]
+        + [("p3", 9.0)] * 200
+    )
+    df = spark.createDataFrame(rows, "part string, v double")
+    out = {
+        (r.part_a, r.part_b): r
+        for r in drift_matrix(
+            df, F.col("v"), "part", buckets=10, lo=0.0, hi=10.0
+        ).collect()
+    }
+    assert set(out) == {("p1", "p2"), ("p1", "p3"), ("p2", "p3")}
+    same = out[("p1", "p2")]
+    assert same.ks_stat == 0.0 and abs(same.psi) < 1e-12
+    assert same.n_a == same.n_b == 200
+    assert out[("p1", "p3")].ks_stat > 0.8 and out[("p1", "p3")].psi > 1.0
+
+    # pairwise statistic agrees with the baseline-vs-partition form:
+    # ks_psi(part=p1, baseline=p3) must equal matrix pair (p1, p3)
+    base = {
+        r.part: r
+        for r in ks_psi(
+            df, F.col("v"), "part", buckets=10, baseline_partition="p3",
+            lo=0.0, hi=10.0,
+        ).collect()
+    }
+    assert abs(base["p1"].ks_stat - out[("p1", "p3")].ks_stat) < 1e-12
+    assert abs(base["p1"].psi - out[("p1", "p3")].psi) < 1e-12
