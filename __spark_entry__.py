@@ -1954,6 +1954,58 @@ FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_streaming_transitions_events(spark, sf_dir):
+    """Stateful streaming twin of role_transitions_events
+    (streaming/stateful.py transition_screen): the allowed-transition
+    screen running on a bounded file stream with per-conversation
+    (last_turn, last_role) state, so micro-batch-spanning edges are
+    screened exactly like within-batch edges. The violation rollup must
+    equal the batch window form — the oracle IS the batch oracle."""
+    import tempfile
+
+    from jsonschema_validator_spark.streaming.stateful import transition_screen
+
+    allowed = [(None, r) for r in _EVENT_ROLES] + [
+        (p, c)
+        for p in _EVENT_ROLES
+        for c in _EVENT_ROLES
+        if (p, c) not in _BAD_TRANSITIONS
+    ]
+    ev = _t(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_trans_")
+    src_dir = f"{root}/in"
+    turns.repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = f"{root}/out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            transition_screen(stream, allowed)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_role", "role")
+    )
+
+
 def q_dedup_components_documents(spark, sf_dir):
     """Connected components over a near-dup pair graph (the clustering
     step after pairwise dedup: component representative = MIN id =
@@ -2366,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_events": q_freshness_events,
         "streaming_verdicts_events": q_streaming_verdicts_events,
         "streaming_completeness_events": q_streaming_completeness_events,
+        "streaming_transitions_events": q_streaming_transitions_events,
         "schema_validate_props_events": q_schema_validate_props_events,
         "dedup_components_documents": q_dedup_components_documents,
         "decontamination_documents": q_decontamination_documents,
@@ -2428,6 +2481,8 @@ def oracle_sql() -> dict[str, str]:
         "freshness_events": _ORACLE_FRESHNESS,
         "streaming_verdicts_events": _ORACLE_VERDICTS_EVENTS,
         "streaming_completeness_events": _ORACLE_STREAMING_COMPLETENESS,
+        # the streaming screen must reproduce the batch window form
+        "streaming_transitions_events": _ORACLE_ROLE_TRANSITIONS,
         "schema_validate_props_events": _ORACLE_SCHEMA_VALIDATE,
         "dedup_components_documents": _ORACLE_DEDUP_COMPONENTS,
         "decontamination_documents": _ORACLE_DECONTAMINATION,

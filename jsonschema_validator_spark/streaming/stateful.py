@@ -68,6 +68,84 @@ def _step(
     yield  # pragma: no cover — make this a generator
 
 
+TRANSITION_OUTPUT = (
+    "conv_id string, turn_idx long, prev_role string, role string"
+)
+TRANSITION_STATE = "last_turn long, last_role string"
+
+
+def _transition_step(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    allowed: frozenset,
+) -> Iterable[pd.DataFrame]:
+    (conv_id,) = key
+    last_turn, last_role = state.get if state.exists else (None, None)
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf = pdf.sort_values("turn_idx", ignore_index=True)
+    prev = pdf["role"].shift(1)
+    if last_role is not None:
+        prev.iloc[0] = last_role
+    edges = prev.fillna("\x02") + "\x01" + pdf["role"]
+    bad = pdf[~edges.isin(allowed)]
+    state.update((int(pdf["turn_idx"].iloc[-1]), str(pdf["role"].iloc[-1])))
+    if len(bad):
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "turn_idx": bad["turn_idx"].astype("int64"),
+                "prev_role": prev[bad.index].where(prev[bad.index].notna(), None),
+                "role": bad["role"],
+            }
+        )
+
+
+def transition_screen(
+    stream_df: DataFrame,
+    allowed: list[tuple[str | None, str]],
+) -> DataFrame:
+    """Streaming allowed-transition screen — the stateful twin of the
+    batch ``operators/conversation.transition_violations``: per
+    conversation, every (previous role -> role) step outside ``allowed``
+    is emitted as a violation row AS TURNS ARRIVE, with the last
+    (turn, role) carried in ``applyInPandasWithState`` state so edges
+    spanning micro-batch boundaries are screened exactly like
+    within-batch edges (pinned output-identical to the batch operator
+    in tests/test_streaming.py).
+
+    Input columns: ``conv_id string, turn_idx numeric, role string``.
+    Contract: each conversation's turns arrive in ``turn_idx`` order
+    ACROSS batches (within a batch the step sorts); out-of-order
+    cross-batch arrival is the caller's watermark/reorder department.
+    State is one (long, string) tuple per conversation ever seen — for
+    unbounded streams compose with an event-time timeout purge (the
+    ``conversation_completeness`` pattern); kept timeout-free here so a
+    quiet conversation can never fake a fresh conversation-start edge.
+    """
+    edges = frozenset(
+        (p if p is not None else "\x02") + "\x01" + c for p, c in allowed
+    )
+
+    def fn(key, pdfs, state):
+        return _transition_step(key, pdfs, state, edges)
+
+    return (
+        stream_df.select("conv_id", "turn_idx", "role")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITION_OUTPUT,
+            stateStructType=TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def conversation_completeness(
     stream_df: DataFrame,
     idle_timeout: str = "1 hour",

@@ -309,3 +309,74 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
         (r.user_id, r.n_events) for r in got.select("user_id", "n_events").collect()
     )
     assert stream_sessions == batch_sessions, (stream_sessions, batch_sessions)
+
+
+def test_transition_screen_stateful_cross_batch(spark, tmp_path):
+    """The streaming transition screen must flag edges that SPAN
+    micro-batch boundaries via carried (last_turn, last_role) state:
+    conversation X's illegal user->user edge is split across two files
+    consumed one per trigger (maxFilesPerTrigger=1), so only state can
+    see it. Output must equal the batch operator on the union."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_spark.operators.conversation import (
+        DEFAULT_ALLOWED,
+        transition_violations,
+    )
+    from jsonschema_validator_spark.streaming.stateful import transition_screen
+
+    batch1 = pd.DataFrame(
+        {
+            "conv_id": ["X", "X", "Y"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user", "user", "tool"],  # X in-batch user->user; Y opens with tool
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "conv_id": ["X", "Y"],
+            "turn_idx": [2, 1],
+            "role": ["user", "assistant"],  # X cross-batch user->user; Y legal
+        }
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int64()), ("role", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(batch1, schema=schema), src / "a_batch1.parquet")
+    pq.write_table(pa.Table.from_pandas(batch2, schema=schema), src / "b_batch2.parquet")
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx long, role string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        transition_screen(stream, DEFAULT_ALLOWED)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.turn_idx): (r.prev_role, r.role)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("X", 1)] == ("user", "user")      # within batch 1
+    assert got[("X", 2)] == ("user", "user")      # SPANS the batch boundary
+    assert got[("Y", 0)] == (None, "tool")        # illegal opening turn
+    assert len(got) == 3
+
+    batch = spark.createDataFrame(pd.concat([batch1, batch2]))
+    want = {
+        (r.conv_id, r.turn_idx): (r.prev_role, r.role)
+        for r in transition_violations(batch).collect()
+    }
+    assert got == want
