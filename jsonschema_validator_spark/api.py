@@ -411,3 +411,67 @@ class SchemaRegistry:
         return bound.withColumn(
             out_col, pok & self.valid_branch(acc, F.col(key_col))
         ).drop(*tmp)
+
+    def validate_many(self, df: DataFrame, key_col: str, json_col: str) -> DataFrame:
+        """df + ``valid`` boolean + ``violations`` array<struct<keyword,
+        path,message>> — ``Schema.validate_many`` with per-key dispatch:
+        each row's violations come from the schema its key selects.
+        Parse failure yields the single synthetic "parse" violation; an
+        unknown (or NULL) key yields a "dispatch" violation under the
+        closed world, or no violations when ``unknown_key_valid``."""
+        bound, acc, tmp, pok = _bind_variant(df, json_col, self._prop_union())
+        empty = F.array().cast(
+            "array<struct<keyword:string,path:string,message:string>>"
+        )
+
+        def _viol_array(schema: Schema) -> Column:
+            if not schema._checks:
+                return empty
+            structs = [
+                F.when(
+                    ~c.gated(acc),
+                    F.struct(
+                        F.lit(c.keyword).alias("keyword"),
+                        F.lit(c.path).alias("path"),
+                        F.lit(c.message).alias("message"),
+                    ),
+                )
+                for c in schema._checks
+            ]
+            return F.filter(F.array(*structs), lambda x: x.isNotNull())
+
+        key = F.col(key_col)
+        branch = None
+        for k, s in self.schemas.items():
+            arr = _viol_array(s)
+            branch = (
+                F.when(key == F.lit(k), arr)
+                if branch is None
+                else branch.when(key == F.lit(k), arr)
+            )
+        unknown = (
+            empty
+            if self.unknown_key_valid
+            else F.array(
+                F.struct(
+                    F.lit("dispatch").alias("keyword"),
+                    F.lit("").alias("path"),
+                    F.lit("No schema registered for key").alias("message"),
+                )
+            )
+        )
+        viol = F.when(
+            ~pok,
+            F.array(
+                F.struct(
+                    F.lit("parse").alias("keyword"),
+                    F.lit("").alias("path"),
+                    F.lit("Invalid JSON document").alias("message"),
+                )
+            ),
+        ).otherwise(branch.otherwise(unknown))
+        return (
+            bound.withColumn("violations", viol)
+            .withColumn("valid", F.size("violations") == 0)
+            .drop(*tmp)
+        )

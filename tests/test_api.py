@@ -253,3 +253,49 @@ def test_registry_empty_raises(spark):
 
     with pytest.raises(SchemaError):
         SchemaRegistry({})
+
+
+def test_registry_validate_many(spark):
+    df = spark.createDataFrame(
+        [
+            ("add", '{"x": 1}'),       # clean
+            ("add", '{"msg": "hi"}'),  # missing required x
+            ("say", '{"msg": "no"}'),  # minLength 3
+            ("nope", '{"x": 1}'),      # unknown key -> dispatch violation
+            ("add", '{"x":'),          # parse failure
+            (None, None),              # null key + absent payload
+        ],
+        "tool string, payload string",
+    )
+    out = _registry(spark).validate_many(df, "tool", "payload").collect()
+    kw = [[v["keyword"] for v in r.violations] for r in out]
+    assert [r.valid for r in out] == [True, False, False, False, False, False]
+    assert kw[0] == []
+    assert "required" in kw[1]
+    assert "minLength" in kw[2]
+    assert kw[3] == ["dispatch"]
+    assert kw[4] == ["parse"]
+    assert kw[5] == ["dispatch"]  # null key, absent payload: still unknown key
+
+    # open-world: unknown keys are clean, parse failure still isn't
+    open_ = _registry(spark, unknown_key_valid=True).validate_many(
+        df, "tool", "payload"
+    ).collect()
+    assert [r.valid for r in open_] == [True, False, False, True, False, True]
+
+    # dispatch agrees with the per-schema batch API on matching rows
+    from jsonschema_validator_spark.api import Schema
+
+    add = Schema.create(
+        {"type": "object", "required": ["x"], "properties": {"x": {"type": "integer"}}},
+        spark,
+    )
+    sub = spark.createDataFrame(
+        [('{"x": 1}',), ('{"msg": "hi"}',)], "payload string"
+    )
+    want = [
+        (r.valid, [v["keyword"] for v in r.violations])
+        for r in add.validate_many(sub, "payload").collect()
+    ]
+    got = [(out[0].valid, kw[0]), (out[1].valid, kw[1])]
+    assert got == want
