@@ -1012,6 +1012,78 @@ FROM ty GROUP BY key ORDER BY key
 """
 
 
+def q_schema_drift_events(spark, sf_dir):
+    """SCHEMA drift between partitions (operators/profile.py
+    schema_drift): the producer-changed-the-payload signal — keys that
+    appeared/vanished and type-mix movement per key — complementing
+    VALUE drift (KS/PSI). The error partition's payload is
+    deterministically rewritten (k becomes a string; an extra key
+    appears) so 'common with disjoint type mix' (type_l1 = 2) and
+    'added' (type_l1 = 1) both decide real rows. Comparison runs on the
+    post-aggregation profile only."""
+    from jsonschema_validator_spark.operators.profile import (
+        json_key_profile,
+        schema_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    doc = F.when(
+        F.col("event_type") == "error",
+        F.concat(F.lit('{"k": "'), F.col("event_type"), F.lit('", "extra": 1}')),
+    ).otherwise(F.col("props"))
+    prof = json_key_profile(
+        ev.select(F.col("event_type").alias("et"), doc.alias("doc")),
+        "doc",
+        partition_col="et",
+    )
+    return (
+        schema_drift(prof, "click", "error")
+        .select("key", "n_a", "n_b", "status", F.round("type_l1", 6).alias("type_l1"))
+        .orderBy("key")
+    )
+
+
+_ORACLE_SCHEMA_DRIFT = """
+WITH j AS (
+  SELECT event_type AS part,
+         CASE WHEN event_type = 'error'
+              THEN '{"k": "' || event_type || '", "extra": 1}'
+              ELSE props END AS doc
+  FROM events),
+kv AS (SELECT part, UNNEST(json_keys(doc)) AS key, doc FROM j),
+ty AS (SELECT part, key,
+              json_type(json_extract(doc, '$."' || key || '"')) AS jt
+       FROM kv),
+prof AS (
+  SELECT part, key, COUNT(*)::BIGINT AS n_present,
+         SUM(CASE WHEN jt IS NULL OR jt = 'NULL' THEN 1 ELSE 0 END)::DOUBLE AS t_null,
+         SUM(CASE WHEN jt = 'BOOLEAN' THEN 1 ELSE 0 END)::DOUBLE AS t_boolean,
+         SUM(CASE WHEN jt IN ('BIGINT', 'UBIGINT') THEN 1 ELSE 0 END)::DOUBLE AS t_integer,
+         SUM(CASE WHEN jt = 'DOUBLE' THEN 1 ELSE 0 END)::DOUBLE AS t_number,
+         SUM(CASE WHEN jt = 'VARCHAR' THEN 1 ELSE 0 END)::DOUBLE AS t_string,
+         SUM(CASE WHEN jt = 'ARRAY' THEN 1 ELSE 0 END)::DOUBLE AS t_array,
+         SUM(CASE WHEN jt = 'OBJECT' THEN 1 ELSE 0 END)::DOUBLE AS t_object
+  FROM ty GROUP BY 1, 2),
+a AS (SELECT * FROM prof WHERE part = 'click'),
+b AS (SELECT * FROM prof WHERE part = 'error'),
+m AS (
+  SELECT COALESCE(a.key, b.key) AS key,
+         COALESCE(a.n_present, 0) AS n_a, COALESCE(b.n_present, 0) AS n_b,
+         CASE WHEN COALESCE(a.n_present, 0) > 0 AND COALESCE(b.n_present, 0) > 0 THEN 'common'
+              WHEN COALESCE(b.n_present, 0) > 0 THEN 'added' ELSE 'removed' END AS status,
+         ABS(COALESCE(a.t_null / a.n_present, 0) - COALESCE(b.t_null / b.n_present, 0))
+       + ABS(COALESCE(a.t_boolean / a.n_present, 0) - COALESCE(b.t_boolean / b.n_present, 0))
+       + ABS(COALESCE(a.t_integer / a.n_present, 0) - COALESCE(b.t_integer / b.n_present, 0))
+       + ABS(COALESCE(a.t_number / a.n_present, 0) - COALESCE(b.t_number / b.n_present, 0))
+       + ABS(COALESCE(a.t_string / a.n_present, 0) - COALESCE(b.t_string / b.n_present, 0))
+       + ABS(COALESCE(a.t_array / a.n_present, 0) - COALESCE(b.t_array / b.n_present, 0))
+       + ABS(COALESCE(a.t_object / a.n_present, 0) - COALESCE(b.t_object / b.n_present, 0)) AS l1
+  FROM a FULL OUTER JOIN b ON a.key = b.key)
+SELECT key, n_a, n_b, status, ROUND(l1, 6) AS type_l1
+FROM m ORDER BY key
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup (training-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -2394,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_value": q_drift_events_value,
         "drift_matrix_events": q_drift_matrix_events,
         "json_profile_events": q_json_profile_events,
+        "schema_drift_events": q_schema_drift_events,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2457,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_events_value": _ORACLE_DRIFT,
         "drift_matrix_events": _ORACLE_DRIFT_MATRIX,
         "json_profile_events": _ORACLE_JSON_PROFILE,
+        "schema_drift_events": _ORACLE_SCHEMA_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,
         "dedup_minhash_documents": _ORACLE_DEDUP_MINHASH,

@@ -34,23 +34,28 @@ from ..functions.accessors import _vtag
 TAGS = ("null", "boolean", "integer", "number", "string", "array", "object")
 
 
-def json_key_profile(df: DataFrame, json_col: Column | str) -> DataFrame:
+def json_key_profile(
+    df: DataFrame, json_col: Column | str, partition_col: str | None = None
+) -> DataFrame:
     """Per-top-level-key profile of a JSON object column.
 
-    Returns one row per key: ``n_present`` (documents carrying the
-    key), per-type-tag counts (``n_null`` .. ``n_object``, the _vtag
-    vocabulary — integral floats count as integer, per corpus
-    semantics), ``min_int``/``max_int`` over integer-tagged values and
-    ``max_strlen`` over string-tagged values. Non-object and
-    unparseable documents contribute nothing (they are
-    ``malformed_json_check``'s department)."""
+    Returns one row per key (per partition when ``partition_col`` is
+    given): ``n_present`` (documents carrying the key), per-type-tag
+    counts (``n_null`` .. ``n_object``, the _vtag vocabulary — integral
+    floats count as integer, per corpus semantics), ``min_int``/
+    ``max_int`` over integer-tagged values and ``max_strlen`` over
+    string-tagged values. Non-object and unparseable documents
+    contribute nothing (they are ``malformed_json_check``'s
+    department)."""
     json_col = F.col(json_col) if isinstance(json_col, str) else json_col
     obj = F.try_variant_get(F.try_parse_json(json_col), "$", "map<string,variant>")
-    kv = df.select(F.explode(obj).alias("key", "v"))
+    keep = [F.col(partition_col).alias("part")] if partition_col else []
+    kv = df.select(*keep, F.explode(obj).alias("key", "v"))
     tag = _vtag(F.col("v"))
     # extract ONCE into slim typed columns so the shuffle carries
     # (key, tag, 8B, 4B) instead of the variant payload
     slim = kv.select(
+        *(["part"] if partition_col else []),
         "key",
         tag.alias("tag"),
         F.when(tag == "integer", F.try_variant_get(F.col("v"), "$", "long")).alias(
@@ -69,7 +74,53 @@ def json_key_profile(df: DataFrame, json_col: Column | str) -> DataFrame:
         F.max("iv").alias("max_int"),
         F.max("slen").alias("max_strlen"),
     ]
-    return slim.groupBy("key").agg(*aggs)
+    group = (["part"] if partition_col else []) + ["key"]
+    return slim.groupBy(*group).agg(*aggs)
+
+
+def schema_drift(profile: DataFrame, part_a: str, part_b: str) -> DataFrame:
+    """SCHEMA drift between two partitions of a partitioned profile
+    (``json_key_profile(..., partition_col=...)``): which keys appeared
+    or vanished, and how far each common key's type mix moved.
+
+    Per key: ``n_a``/``n_b`` presence counts (0 when absent),
+    ``status`` ('added' = only in b, 'removed' = only in a, 'common'),
+    and ``type_l1`` — the L1 distance between the two per-key type-tag
+    distributions (0 = identical mix, 2 = disjoint; an absent side
+    counts as the zero distribution, so added/removed keys score 1.0
+    per present tag mass). Runs entirely on the post-aggregation
+    profile relation — O(keys), no input re-scan."""
+    def side(part: str, suffix: str) -> DataFrame:
+        cols = [F.col("n_present").alias(f"n{suffix}")] + [
+            F.col(f"n_{t}").alias(f"{t}{suffix}") for t in TAGS
+        ]
+        return profile.filter(F.col("part") == part).select("key", *cols)
+
+    j = side(part_a, "_a").join(side(part_b, "_b"), "key", "full_outer")
+    na = F.coalesce(F.col("n_a"), F.lit(0))
+    nb = F.coalesce(F.col("n_b"), F.lit(0))
+    l1 = None
+    for t in TAGS:
+        fa = F.when(na > 0, F.coalesce(F.col(f"{t}_a"), F.lit(0)) / na).otherwise(
+            F.lit(0.0)
+        )
+        fb = F.when(nb > 0, F.coalesce(F.col(f"{t}_b"), F.lit(0)) / nb).otherwise(
+            F.lit(0.0)
+        )
+        term = F.abs(fa - fb)
+        l1 = term if l1 is None else l1 + term
+    status = (
+        F.when((na > 0) & (nb > 0), F.lit("common"))
+        .when(nb > 0, F.lit("added"))
+        .otherwise(F.lit("removed"))
+    )
+    return j.select(
+        "key",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        status.alias("status"),
+        l1.alias("type_l1"),
+    )
 
 
 def infer_schema(profile_rows, n_docs: int) -> dict:

@@ -870,3 +870,28 @@ def test_drift_matrix(spark):
     }
     assert abs(base["p1"].ks_stat - out[("p1", "p3")].ks_stat) < 1e-12
     assert abs(base["p1"].psi - out[("p1", "p3")].psi) < 1e-12
+
+
+def test_schema_drift(spark):
+    from jsonschema_validator_spark.operators.profile import (
+        json_key_profile,
+        schema_drift,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("p1", '{"k": 1, "gone": true}'),
+            ("p1", '{"k": 2}'),
+            ("p2", '{"k": "now a string", "new": [1]}'),
+            ("p2", '{"k": 3}'),
+        ],
+        "part string, doc string",
+    )
+    prof = json_key_profile(df, "doc", partition_col="part")
+    out = {r.key: r for r in schema_drift(prof, "p1", "p2").collect()}
+    assert out["gone"].status == "removed" and out["gone"].type_l1 == 1.0
+    assert out["new"].status == "added" and out["new"].n_a == 0
+    k = out["k"]
+    assert k.status == "common" and (k.n_a, k.n_b) == (2, 2)
+    # p1: all integer; p2: half integer, half string -> |1-.5| + |0-.5|
+    assert abs(k.type_l1 - 1.0) < 1e-12
