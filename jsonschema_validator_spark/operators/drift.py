@@ -77,6 +77,41 @@ def ks_psi(
     return ks_psi_from_histogram(hist, buckets, baseline_partition, eps)
 
 
+def _pin_dense_histogram(hist: DataFrame, buckets: int) -> DataFrame:
+    """Materialize the (part, bucket, n) histogram once as a DENSE local
+    relation (every part x every bucket, n>=0). The histogram fans out
+    into THREE downstream branches (the parts grid, the densify join,
+    the baseline aggregate); left inlined, Catalyst re-derives it per
+    branch — including re-SCANNING the raw input (measured: 6 parquet
+    scans in the final plan of ks_psi over a parquet source; exchange
+    reuse did not collapse them). The relation is O(partitions x
+    buckets) by construction — bounded and tiny at any input size — so
+    pinning it on the driver guarantees exactly ONE scan of the input
+    however many branches read it (the same bounded-merge pattern as the
+    fused pass A/B in plans/check_suite.py). Densifying here (a dict
+    fill over P x B) also deletes the crossJoin(parts, range(buckets))
+    grid + two left joins the lazy plan needed, so the downstream plan
+    is local-relation -> window -> agg only. NOTE: this makes the drift
+    operators EAGER — construction triggers the histogram job."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = hist.sparkSession
+    counts: dict = {}
+    for part, bucket, n in hist.collect():
+        key = (part, int(bucket))
+        counts[key] = counts.get(key, 0) + int(n)
+    parts = sorted({p for (p, _) in counts}, key=lambda p: (p is None, str(p)))
+    rows = [(p, b, counts.get((p, b), 0)) for p in parts for b in range(buckets)]
+    schema = StructType(
+        [
+            hist.schema["part"],
+            StructField("bucket", IntegerType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def ks_psi_from_histogram(
     hist: DataFrame,
     buckets: int,
@@ -87,22 +122,14 @@ def ks_psi_from_histogram(
     fused-pass entry point: CheckSuite computes one day x bucket relation
     for flags/stats/drift in a single scan and feeds it here, so drift
     costs no extra pass over the input."""
-    spark = hist.sparkSession
+    dense = _pin_dense_histogram(hist, buckets)
 
-    # densify: every (partition, bucket) pair present with n>=0 so ECDFs
-    # align on the shared grid
-    parts = hist.select("part").distinct()
-    grid = parts.crossJoin(
-        spark.range(buckets).select(F.col("id").cast("int").alias("bucket"))
-    )
-    dense = grid.join(hist, ["part", "bucket"], "left").fillna(0, subset=["n"])
-
-    # baseline distribution per bucket
+    # baseline distribution per bucket (dense already covers the grid)
     if baseline_partition is None:
-        base = hist.groupBy("bucket").agg(F.sum("n").alias("qn"))
+        base = dense.groupBy("bucket").agg(F.sum("n").alias("qn"))
     else:
         base = (
-            hist.filter(F.col("part") == baseline_partition)
+            dense.filter(F.col("part") == baseline_partition)
             .groupBy("bucket")
             .agg(F.sum("n").alias("qn"))
         )
@@ -162,14 +189,7 @@ def drift_matrix(
     (PSI is directional a->b: p=part_a, q=part_b)."""
     if hist is None:
         hist = value_histogram(df, value, partition_col, buckets, lo, hi)
-    spark = hist.sparkSession
-
-    # densify on the shared grid so ECDFs align bucket-for-bucket
-    parts = hist.select("part").distinct()
-    grid = parts.crossJoin(
-        spark.range(buckets).select(F.col("id").cast("int").alias("bucket"))
-    )
-    dense = grid.join(hist, ["part", "bucket"], "left").fillna(0, subset=["n"])
+    dense = _pin_dense_histogram(hist, buckets)
 
     a = dense.select(
         F.col("part").alias("part_a"), "bucket", F.col("n").alias("na")

@@ -225,3 +225,38 @@ def test_conversation_fingerprint_plan_shapes(spark):
     )
     assert p.count("Exchange") == 1 and "ObjectHashAggregate" not in p, p
     assert p.count("HashAggregate") == 2, p  # partial below, final above
+
+
+def test_profile_and_drift_matrix_plan_shapes(spark):
+    """json_key_profile shuffles only the slim (key, tag, long, int)
+    projection — the variant payload stays map-side; drift_matrix scans
+    the input exactly ONCE (the histogram pass) and its pairwise stage
+    broadcasts the aggregated side rather than shuffling it again."""
+    from jsonschema_validator_spark.operators.drift import drift_matrix
+    from jsonschema_validator_spark.operators.profile import json_key_profile
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan_of(json_key_profile(ev, "props"))
+    assert p.count("Scan parquet") == 1, p
+    m = re.search(r"Exchange hashpartitioning[^\n]*", p)
+    # the exchange input is the partial-aggregate row, not raw variants
+    assert m and "variant" not in m.group(0).lower(), m.group(0) if m else p
+    # scan pruned to the JSON column only
+    rs = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert rs and "value" not in rs.group(1) and "user_id" not in rs.group(1), p
+
+    # the histogram is pinned once (bounded P x B driver materialization,
+    # see drift._pin_histogram): the returned pairwise plan reads the
+    # LOCAL relation — zero re-scans of the raw input, however many
+    # branches consume the histogram
+    p = plan_of(
+        drift_matrix(ev, F.col("value"), "event_type", buckets=10, lo=0.0, hi=500.0)
+    )
+    assert "Scan parquet" not in p, p
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+    from jsonschema_validator_spark.operators.drift import ks_psi
+
+    p = plan_of(ks_psi(ev, F.col("value"), "event_type", buckets=10, lo=0.0, hi=500.0))
+    assert "Scan parquet" not in p, p
