@@ -2428,6 +2428,176 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_violation_triage_events(spark, sf_dir):
+    """Violation triage (api.violation_summary): validate every props
+    document, then roll the violations array up to one row per
+    (keyword, path) with counts + a deterministic example — the report
+    a validation run gets read through. One validate pass, one bounded
+    explode, one exchange whose key cardinality is O(compiled checks)."""
+    from jsonschema_validator_spark.api import Schema, violation_summary
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k", "m"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 80, "multipleOf": 7}
+            },
+        },
+        spark,
+        draft="draft7",
+    )
+    return violation_summary(s.validate_many(ev, "props"), "event_id").orderBy(
+        "keyword", "path"
+    )
+
+
+_ORACLE_VIOLATION_TRIAGE = """
+WITH v AS (
+  SELECT event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         json_extract(props, '$.m') IS NOT NULL AS has_m,
+         json_extract(props, '$.k') IS NOT NULL AS has_k
+  FROM events WHERE props IS NOT NULL AND json_valid(props)
+), viol AS (
+  SELECT 'maximum' AS keyword, '#k' AS path,
+         'maximum violated' AS example_message, event_id
+  FROM v WHERE has_k AND k > 80
+  UNION ALL
+  SELECT 'multipleOf', '#k', 'multipleOf violated', event_id
+  FROM v WHERE has_k AND k % 7 <> 0
+  UNION ALL
+  SELECT 'required', '#', 'required property missing', event_id
+  FROM v WHERE NOT has_k OR NOT has_m
+)
+SELECT keyword, path,
+       COUNT(*)::BIGINT AS n_violations,
+       COUNT(DISTINCT event_id)::BIGINT AS n_docs,
+       MIN(example_message) AS example_message,
+       MIN(event_id) AS example_id
+FROM viol GROUP BY 1, 2 ORDER BY keyword, path
+"""
+
+
+def q_volume_anomaly_events(spark, sf_dir):
+    """Robust per-day volume anomaly (operators/anomaly.volume_anomaly):
+    median/MAD band over the per-day counts — one scan, O(days) series
+    pinned at the driver, exact arithmetic there."""
+    from jsonschema_validator_spark.operators.anomaly import volume_anomaly
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    out = volume_anomaly(ev, "day", k=3.0)
+    return out.select(
+        "part",
+        F.col("n").cast("long").alias("n"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "is_anomaly",
+    ).orderBy("part")
+
+
+_ORACLE_VOLUME_ANOMALY = """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS part, COUNT(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+m AS (SELECT MEDIAN(n::DOUBLE) AS med FROM c),
+d AS (SELECT part, n, med, ABS(n - med) AS dev FROM c, m),
+m2 AS (SELECT MEDIAN(dev) AS mad FROM d)
+SELECT part, n, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+       (ABS(n - med) > 3.0 * mad) AS is_anomaly
+FROM d, m2 ORDER BY part
+"""
+
+
+def q_cardinality_drift_events(spark, sf_dir):
+    """Day-over-day distinct-user cardinality screen
+    (operators/anomaly.cardinality_drift, exact mode): catches the
+    ingest that keeps volume flat while cardinality collapses."""
+    from jsonschema_validator_spark.operators.anomaly import cardinality_drift
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    out = cardinality_drift(ev, "user_id", "day", threshold=0.05)
+    # coalesce the first row's NULLs to sentinels so the comparator sees
+    # uniform integer/double columns (pandas would float-ify a nullable
+    # int column on the oracle side)
+    return out.select(
+        "part",
+        "n_distinct",
+        F.coalesce("prev_distinct", F.lit(0)).cast("long").alias("prev_distinct"),
+        F.round(F.coalesce("rel_change", F.lit(0.0)), 6).alias("rel_change"),
+        "ok",
+    ).orderBy("part")
+
+
+_ORACLE_CARDINALITY_DRIFT = """
+WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS part,
+                  COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+           FROM events GROUP BY 1),
+l AS (SELECT part, n_distinct,
+             LAG(n_distinct) OVER (ORDER BY part) AS prev_distinct
+      FROM c)
+SELECT part, n_distinct,
+       COALESCE(prev_distinct, 0)::BIGINT AS prev_distinct,
+       COALESCE(ROUND((n_distinct - prev_distinct)
+                      / CAST(prev_distinct AS DOUBLE), 6), 0.0) AS rel_change,
+       (prev_distinct IS NULL
+        OR ABS((n_distinct - prev_distinct) / CAST(prev_distinct AS DOUBLE))
+           <= 0.05) AS ok
+FROM l ORDER BY part
+"""
+
+
+def q_conversation_schema_events(spark, sf_dir):
+    """Conversation-level STRUCTURE validated by the keyword engine
+    itself (operators/conversation.conversation_documents + draft
+    2020-12 array vocabulary): each conversation becomes one JSON array
+    of its ordered roles; prefixItems pins the opening turn, items/enum
+    the role alphabet, minItems the length floor, contains the
+    at-least-one-purchase rule. One shuffle (the assembly groupBy); the
+    validator is a pure projection on top."""
+    from jsonschema_validator_spark.api import Schema
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_documents,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    docs = conversation_documents(
+        ev, group="user_id", order="event_id", role="event_type"
+    )
+    s = Schema.create(
+        {
+            "type": "array",
+            "minItems": 60,
+            "prefixItems": [{"enum": ["view", "click"]}],
+            "items": {"enum": _EVENT_ROLES},
+            "contains": {"const": "purchase"},
+        },
+        spark,
+        draft="draft2020-12",
+    )
+    return (
+        s.with_valid(docs, "doc", out_col="ok")
+        .select("user_id", "n_turns", "ok")
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_CONVERSATION_SCHEMA = """
+WITH c AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_turns,
+         arg_min(event_type, event_id) AS first_role,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         SUM(CASE WHEN event_type NOT IN
+             ('click', 'error', 'purchase', 'signup', 'view')
+             THEN 1 ELSE 0 END) AS n_bad_role
+  FROM events GROUP BY 1)
+SELECT user_id, CAST(n_turns AS INTEGER) AS n_turns,
+       (n_turns >= 60 AND first_role IN ('view', 'click')
+        AND n_purchase > 0 AND n_bad_role = 0) AS ok
+FROM c ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2467,6 +2637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_matrix_events": q_drift_matrix_events,
         "json_profile_events": q_json_profile_events,
         "schema_drift_events": q_schema_drift_events,
+        "violation_triage_events": q_violation_triage_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
+        "cardinality_drift_events": q_cardinality_drift_events,
+        "conversation_schema_events": q_conversation_schema_events,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2530,6 +2704,10 @@ def oracle_sql() -> dict[str, str]:
         "drift_events_value": _ORACLE_DRIFT,
         "drift_matrix_events": _ORACLE_DRIFT_MATRIX,
         "json_profile_events": _ORACLE_JSON_PROFILE,
+        "violation_triage_events": _ORACLE_VIOLATION_TRIAGE,
+        "volume_anomaly_events": _ORACLE_VOLUME_ANOMALY,
+        "cardinality_drift_events": _ORACLE_CARDINALITY_DRIFT,
+        "conversation_schema_events": _ORACLE_CONVERSATION_SCHEMA,
         "schema_drift_events": _ORACLE_SCHEMA_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,

@@ -475,3 +475,38 @@ class SchemaRegistry:
             .withColumn("valid", F.size("violations") == 0)
             .drop(*tmp)
         )
+
+
+def violation_summary(
+    validated: DataFrame, id_col: str, violations_col: str = "violations"
+) -> DataFrame:
+    """Triage rollup over a ``validate_many`` result (``Schema`` or
+    ``SchemaRegistry`` — both emit the same violations array): one row
+    per (keyword, path) with total violation count, distinct-document
+    count, one deterministic example message and the smallest offending
+    document id — the "what is failing, where, show me one" report a
+    validation run gets read through.
+
+    Scale shape: an explode of a bounded per-row array (|compiled
+    checks| entries at most), map-side partial aggregation, then ONE
+    exchange keyed by (keyword, path) whose cardinality is O(compiled
+    checks) — independent of row count. ``n_docs`` uses count_distinct
+    on the exploded id, which expands the partial-agg state to the
+    distinct ids per key; bounded here by the output cardinality times
+    documents, so at extreme scale swap for approx_count_distinct —
+    the exactness is what the small-scale oracle checks.
+    """
+    v = validated.select(
+        F.col(id_col).alias("__jsv_doc_id"), F.explode(violations_col).alias("v")
+    )
+    return (
+        v.groupBy(
+            F.col("v.keyword").alias("keyword"), F.col("v.path").alias("path")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_violations"),
+            F.count_distinct("__jsv_doc_id").alias("n_docs"),
+            F.min("v.message").alias("example_message"),
+            F.min("__jsv_doc_id").alias("example_id"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Time-series anomaly screens over per-partition aggregates: robust
+volume anomalies (median/MAD) and day-over-day distinct-cardinality
+drift (SURVEY.md §2.4 volume/freshness row, extended: the reference's
+corpus defines per-document verdicts; a production table additionally
+needs "did today LOOK like yesterday" screens over partition-level
+aggregates).
+
+Scale shape shared by both operators: exactly ONE distributed pass over
+the input (a groupBy(partition) aggregate with map-side combine); the
+resulting series is O(partitions) rows — bounded and tiny at any input
+size (365 rows for a year of days at 10^12 turns) — so it is pinned at
+the driver and the order-sensitive math (median, MAD, lag) is computed
+in exact plain arithmetic there, the same bounded-merge pattern as
+drift._pin_dense_histogram and the fused pass A/B merges in
+plans/check_suite.py. This deliberately avoids the
+single-partition global window a lazy lag()-over-days plan would need
+(Window.orderBy without partitionBy funnels every row through one
+task — harmless at O(P) rows but a smell worth not normalizing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _median(xs: list[float]) -> float:
+    """Interpolating median — matches DuckDB/ANSI MEDIAN on numerics."""
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return float(s[mid]) if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def _part_sorted(rows):
+    return sorted(rows, key=lambda r: (r[0] is None, str(r[0])))
+
+
+def volume_anomaly(
+    df: DataFrame,
+    partition_col: str,
+    k: float = 3.0,
+    value: Column | None = None,
+) -> DataFrame:
+    """Robust per-partition volume anomaly: flag partitions whose row
+    count deviates from the median by more than ``k`` median-absolute-
+    deviations. MAD is the standard robust scale estimator — unlike the
+    mean/stddev z-score, one bad day cannot drag the threshold toward
+    itself (breakdown point 50% vs 0%).
+
+    ``value=None`` screens row counts; pass an aggregatable Column
+    (e.g. ``F.sum("tokens")``) to screen any additive per-partition
+    volume instead.
+
+    Returns (part, n, med, mad, is_anomaly) sorted by part. ``mad == 0``
+    (at least half the partitions share the exact count) degenerates to
+    "any deviation from the median is an anomaly" — deterministic and
+    the strictest reading, documented rather than hidden.
+    """
+    agg = (value if value is not None else F.count(F.lit(1))).cast("double")
+    rows = (
+        df.groupBy(F.col(partition_col).alias("part"))
+        .agg(agg.alias("n"))
+        .collect()
+    )
+    series = _part_sorted([(r["part"], float(r["n"])) for r in rows])
+    counts = [n for _, n in series]
+    med = _median(counts) if counts else 0.0
+    mad = _median([abs(c - med) for c in counts]) if counts else 0.0
+    out = [
+        (part, n, med, mad, bool(abs(n - med) > k * mad)) for part, n in series
+    ]
+    schema = StructType(
+        [
+            df.select(F.col(partition_col).alias("part")).schema["part"],
+            StructField("n", DoubleType(), False),
+            StructField("med", DoubleType(), False),
+            StructField("mad", DoubleType(), False),
+            StructField("is_anomaly", BooleanType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
+def cardinality_drift(
+    df: DataFrame,
+    key: Column | str,
+    partition_col: str,
+    threshold: float = 0.5,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Partition-over-partition distinct-cardinality screen: per
+    partition, the distinct count of ``key``, the previous partition's
+    count (partitions ordered by their natural sort), the relative
+    change, and an ok flag (|rel_change| <= threshold; the first
+    partition is vacuously ok).
+
+    The check that catches "the ingest started writing one synthetic
+    user_id for every row" — volume stays flat, cardinality collapses.
+
+    ``approx=True`` swaps exact ``count_distinct`` (two-stage shuffle
+    keyed by (partition, key)) for ``approx_count_distinct`` — single
+    pass, mergeable HLL registers, the 100 TB default; exact is the
+    oracle-friendly small-scale setting.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    d = (
+        F.approx_count_distinct(key, rsd) if approx else F.count_distinct(key)
+    ).alias("n_distinct")
+    rows = _part_sorted(
+        [
+            (r["part"], int(r["n_distinct"]))
+            for r in df.groupBy(F.col(partition_col).alias("part")).agg(d).collect()
+        ]
+    )
+    out = []
+    prev: int | None = None
+    for part, n in rows:
+        # raw IEEE division (identical in any engine recomputing it);
+        # presentation rounding is the caller's, not the operator's
+        rel = None if prev in (None, 0) else (n - prev) / prev
+        ok = rel is None or abs(rel) <= threshold
+        out.append((part, n, prev, rel, ok))
+        prev = n
+    schema = StructType(
+        [
+            df.select(F.col(partition_col).alias("part")).schema["part"],
+            StructField("n_distinct", LongType(), False),
+            StructField("prev_distinct", LongType(), True),
+            StructField("rel_change", DoubleType(), True),
+            StructField("ok", BooleanType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)

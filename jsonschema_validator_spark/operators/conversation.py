@@ -201,3 +201,40 @@ def duplicate_conversations(fp: DataFrame, group: str = "conv_id") -> DataFrame:
             (F.col(group) == F.col("__keep_id")).alias("keep"),
         )
     )
+
+
+def conversation_documents(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+) -> DataFrame:
+    """Assemble each conversation into ONE JSON document — the ordered
+    array of its role strings — so the keyword engine validates
+    conversation-level STRUCTURE with ordinary schema keywords instead
+    of bespoke operators: ``prefixItems`` pins the opening turn,
+    ``items``/``enum`` the role alphabet, ``minItems``/``maxItems`` the
+    length contract, ``contains`` the "at least one assistant turn"
+    kind of rule (draft 2020-12 array vocabulary).
+
+    Returns (group, n_turns, doc) with ``doc`` a JSON array string —
+    feed it straight to ``Schema.with_valid(out, "doc")``.
+
+    Scale shape: one shuffle on the conversation key (partial
+    collect_list is map-side combined); ordering happens INSIDE each
+    row via sort_array over (order, role) structs — no window, no
+    per-conversation sort task. Only (group, order, role) enter the
+    exchange; text/payload columns are pruned out. Per-conversation
+    size is bounded by the input contract (<= ~10^6 turns), the same
+    bound every grouped operator here relies on.
+    """
+    pair = F.struct(F.col(order).alias("o"), F.col(role).alias("r"))
+    return (
+        df.groupBy(F.col(group).alias(group))
+        .agg(F.sort_array(F.collect_list(pair)).alias("pairs"))
+        .select(
+            group,
+            F.size("pairs").alias("n_turns"),
+            F.to_json(F.transform("pairs", lambda p: p["r"])).alias("doc"),
+        )
+    )

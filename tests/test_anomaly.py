@@ -1,0 +1,124 @@
+"""Tests for the anomaly screens (operators/anomaly.py), the violation
+triage rollup (api.violation_summary) and conversation-document
+assembly (operators/conversation.conversation_documents)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_volume_anomaly_median_mad(spark):
+    from jsonschema_validator_spark.operators.anomaly import volume_anomaly
+
+    # days with counts 4,4,4,4,20 -> med=4, deviations (0,0,0,0,16),
+    # mad=0 -> strict mode: any deviation from median flags
+    rows = [(f"d{d}", i) for d in range(4) for i in range(4)]
+    rows += [("d4", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "day string, x int")
+    out = {r["part"]: r for r in volume_anomaly(df, "day", k=3.0).collect()}
+    assert len(out) == 5
+    assert out["d4"]["is_anomaly"] and out["d4"]["n"] == 20.0
+    assert not any(out[f"d{d}"]["is_anomaly"] for d in range(4))
+    assert out["d0"]["med"] == 4.0 and out["d0"]["mad"] == 0.0
+
+
+def test_volume_anomaly_nonzero_mad_and_custom_value(spark):
+    from jsonschema_validator_spark.operators.anomaly import volume_anomaly
+
+    # per-day token sums 10,12,14,16,100 -> med=14, devs 4,2,0,2,86,
+    # mad=2 -> k=3 band is 14±6: only the 100 day flags
+    sums = {"a": 10, "b": 12, "c": 14, "d": 16, "e": 100}
+    rows = [(day, s) for day, s in sums.items()]
+    df = spark.createDataFrame(rows, "day string, tokens int")
+    out = {
+        r["part"]: r
+        for r in volume_anomaly(df, "day", k=3.0, value=F.sum("tokens")).collect()
+    }
+    assert out["e"]["is_anomaly"] and out["e"]["mad"] == 2.0
+    assert [out[d]["is_anomaly"] for d in "abcd"] == [False] * 4
+
+
+def test_cardinality_drift_exact_and_approx(spark):
+    from jsonschema_validator_spark.operators.anomaly import cardinality_drift
+
+    # distinct users per day: 10, 10, 1 (collapse), first day vacuous
+    rows = [("d1", u) for u in range(10)]
+    rows += [("d2", u) for u in range(10) for _ in (0, 1)]
+    rows += [("d3", 7)] * 30
+    df = spark.createDataFrame(rows, "day string, user_id int")
+    out = cardinality_drift(df, "user_id", "day", threshold=0.5).collect()
+    got = [(r["part"], r["n_distinct"], r["prev_distinct"], r["ok"]) for r in out]
+    assert got == [("d1", 10, None, True), ("d2", 10, 10, True), ("d3", 1, 10, False)]
+    assert out[2]["rel_change"] == -0.9
+    # approx mode keeps the schema and flags the same collapse
+    a = cardinality_drift(df, "user_id", "day", threshold=0.5, approx=True).collect()
+    assert [r["ok"] for r in a] == [True, True, False]
+
+
+def test_violation_summary_rollup(spark):
+    from jsonschema_validator_spark.api import Schema, violation_summary
+
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "maximum": 5}},
+        },
+        spark,
+        draft="draft7",
+    )
+    rows = [
+        (1, json.dumps({"k": 1})),     # valid
+        (2, json.dumps({"k": 9})),     # maximum
+        (3, json.dumps({"k": 10})),    # maximum
+        (4, json.dumps({})),           # required
+        (5, json.dumps({"k": 9})),     # maximum (dup doc value, distinct id)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, doc string")
+    out = {
+        (r["keyword"], r["path"]): r
+        for r in violation_summary(s.validate_many(df, "doc"), "doc_id").collect()
+    }
+    mx = out[("maximum", "#k")]
+    assert (mx["n_violations"], mx["n_docs"], mx["example_id"]) == (3, 3, 2)
+    rq = out[("required", "#")]
+    assert (rq["n_violations"], rq["n_docs"], rq["example_id"]) == (1, 1, 4)
+    assert len(out) == 2
+
+
+def test_conversation_documents_assembly_and_validation(spark):
+    from jsonschema_validator_spark.api import Schema
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_documents,
+    )
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+        ("c2", 1, "assistant"), ("c2", 0, "assistant"),  # opens wrong
+        ("c3", 0, "user"),  # too short, no assistant turn
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    docs = conversation_documents(df)
+    got = {r["conv_id"]: r for r in docs.collect()}
+    assert json.loads(got["c1"]["doc"]) == ["user", "assistant", "user"]
+    assert json.loads(got["c2"]["doc"]) == ["assistant", "assistant"]
+    assert got["c1"]["n_turns"] == 3
+
+    s = Schema.create(
+        {
+            "type": "array",
+            "minItems": 2,
+            "prefixItems": [{"const": "user"}],
+            "items": {"enum": ["user", "assistant"]},
+            "contains": {"const": "assistant"},
+        },
+        spark,
+        draft="draft2020-12",
+    )
+    ok = {
+        r["conv_id"]: r["ok"]
+        for r in s.with_valid(docs, "doc", out_col="ok").collect()
+    }
+    assert ok == {"c1": True, "c2": False, "c3": False}
