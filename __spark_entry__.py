@@ -2598,6 +2598,91 @@ FROM c ORDER BY user_id
 """
 
 
+def q_entropy_documents(spark, sf_dir):
+    """Per-document word-distribution Shannon entropy
+    (operators/textstats.word_entropy): the degenerate-text quality
+    signal. Zero shuffles — run-length counting over the sorted token
+    array inside one F.aggregate, H = log2(N) - (sum c*log2 c)/N."""
+    from jsonschema_validator_spark.operators.textstats import word_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.round(word_entropy(F.col("text")), 6).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_ENTROPY = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT doc_id, w, COUNT(*)::DOUBLE AS c FROM w GROUP BY 1, 2),
+e AS (SELECT doc_id, SUM(c) AS n, SUM(c * log2(c)) AS s FROM c GROUP BY 1)
+SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+       ROUND(log2(n) - s / n, 6) AS entropy
+FROM e ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob_documents(spark, sf_dir):
+    """CCNet-style unigram LM quality proxy
+    (operators/textstats.unigram_logprob): per-document mean log2
+    P(word) under the corpus unigram MLE. One explode feeds both the
+    O(vocab) unigram table (broadcast back onto the words) and the
+    per-doc partial+final rollup; total T rides as a broadcast 1-row
+    relation — one declarative plan, no driver action."""
+    from jsonschema_validator_spark.operators.textstats import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logp", 6).alias("mean_logp")
+    ).orderBy("doc_id")
+
+
+_ORACLE_UNIGRAM_LOGPROB = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+u AS (SELECT w, COUNT(*)::DOUBLE AS c FROM w GROUP BY 1),
+t AS (SELECT SUM(c) AS t FROM u)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       ROUND(AVG(log2(c)) - log2(MIN(t.t)), 6) AS mean_logp
+FROM w JOIN u USING (w) CROSS JOIN t
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_incremental_dedup_documents(spark, sf_dir):
+    """Snapshot-incremental dedup (operators/dedup.incremental_dedup):
+    yesterday's corpus is present only as a fingerprint snapshot
+    (doc_id % 5 == 0 simulates it); every new document is labelled
+    kept / dup_of_corpus / dup_in_batch. Fingerprints in-scan, one
+    equi-join against the snapshot, agg+join (not a window) for the
+    in-batch keep decision."""
+    from jsonschema_validator_spark.operators.dedup import incremental_dedup
+    from jsonschema_validator_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 5 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    return incremental_dedup(docs, seen).orderBy("doc_id")
+
+
+_ORACLE_INCREMENTAL_DEDUP = """
+WITH f AS (
+  SELECT doc_id,
+         md5(LOWER(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+  FROM documents
+),
+seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 = 0),
+k AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY 1)
+SELECT f.doc_id, f.fp,
+       CASE WHEN f.fp IN (SELECT fp FROM seen) THEN 'dup_of_corpus'
+            WHEN f.doc_id <> k.keep_id THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM f JOIN k USING (fp) ORDER BY f.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2641,6 +2726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly_events": q_volume_anomaly_events,
         "cardinality_drift_events": q_cardinality_drift_events,
         "conversation_schema_events": q_conversation_schema_events,
+        "entropy_documents": q_entropy_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2708,6 +2796,9 @@ def oracle_sql() -> dict[str, str]:
         "volume_anomaly_events": _ORACLE_VOLUME_ANOMALY,
         "cardinality_drift_events": _ORACLE_CARDINALITY_DRIFT,
         "conversation_schema_events": _ORACLE_CONVERSATION_SCHEMA,
+        "entropy_documents": _ORACLE_ENTROPY,
+        "unigram_logprob_documents": _ORACLE_UNIGRAM_LOGPROB,
+        "incremental_dedup_documents": _ORACLE_INCREMENTAL_DEDUP,
         "schema_drift_events": _ORACLE_SCHEMA_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,

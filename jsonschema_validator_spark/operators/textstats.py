@@ -135,6 +135,88 @@ def ngram_repetition(text: Column, n: int = 3) -> Column:
     return F.when(k >= 1, dup_frac).otherwise(F.lit(0.0))
 
 
+def word_entropy(text: Column) -> Column:
+    """Shannon entropy (bits) of the within-document word distribution —
+    the "is this text degenerate" quality signal: near-0 for one word
+    repeated, high for diverse vocabulary. Uses the algebraic identity
+    H = log2(N) - (sum_w c_w*log2(c_w)) / N so one sequential pass over
+    the SORTED token array suffices (run-length counting inside a
+    single F.aggregate with a struct accumulator).
+
+    Scale shape: ZERO shuffles and zero Python — per-row O(w log w)
+    JVM-side array_sort plus one O(w) aggregate. The tempting
+    alternative (explode -> groupBy(doc_id, word) -> groupBy(doc_id))
+    costs two exchanges that carry every word of the corpus; this costs
+    none. NULL text -> NULL; empty-ish text (one token) -> 0.0.
+    """
+    toks = F.array_sort(F.split(text, " "))
+    n = F.size(toks)
+
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0.0).alias("run"), F.lit(0.0).alias("s")
+    )
+
+    def _close(run: Column, s: Column) -> Column:
+        # fold a finished run into the sum: s += run * log2(run)
+        return F.when(run > 0, s + run * F.log2(run)).otherwise(s)
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1.0)).alias("run"),
+            F.when(same, acc["s"]).otherwise(_close(acc["run"], acc["s"])).alias("s"),
+        )
+
+    s = F.aggregate(toks, zero, step, lambda acc: _close(acc["run"], acc["s"]))
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        F.log2(n.cast("double")) - s / n
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean log2-probability of its words under the
+    corpus-wide unigram MLE distribution — the CCNet-style (Wenzek et
+    al. 2020, public paper) cheap language-model quality proxy:
+    documents of improbable words (noise, boilerplate, wrong language)
+    score low; no OOV smoothing is needed because the model is fit on
+    the same corpus it scores (pass a precomputed unigram table to
+    score against a different corpus).
+
+    Returns (id_col, n_tokens, mean_logp) with
+    mean_logp = (1/N) * sum_i log2(c_{w_i} / T).
+
+    Scale shape: one explode feeding BOTH the unigram aggregate and the
+    scoring join; the unigram table is O(vocab) rows of (word, count)
+    — broadcast onto the exploded words (no shuffle of the big side);
+    the per-document rollup is partial+final aggregation carrying
+    (doc_id, double). The corpus total T rides in as a broadcast 1-row
+    relation so the whole thing stays one declarative plan (no driver
+    action).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
+    )
+    uni = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = uni.agg(F.sum("__c").cast("double").alias("__t"))
+    return (
+        words.join(F.broadcast(uni), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log2("__c")).alias("__mean_log_c"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__mean_log_c") - F.log2("__t")).alias("mean_logp"),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized content fingerprint: md5 of lowercased alphanumerics —
     stable across whitespace/punctuation edits (near-exact dedup key)."""

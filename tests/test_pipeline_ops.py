@@ -895,3 +895,75 @@ def test_schema_drift(spark):
     assert k.status == "common" and (k.n_a, k.n_b) == (2, 2)
     # p1: all integer; p2: half integer, half string -> |1-.5| + |0-.5|
     assert abs(k.type_l1 - 1.0) < 1e-12
+
+
+def test_word_entropy_exact(spark):
+    import math
+
+    from jsonschema_validator_spark.operators.textstats import word_entropy
+
+    rows = [
+        (0, "a a a a"),                 # one word -> 0 bits
+        (1, "a b c d"),                 # uniform over 4 -> 2 bits
+        (2, "a a b b"),                 # uniform over 2 -> 1 bit
+        (3, "a a a b"),                 # H(3/4, 1/4)
+        (4, None),                      # NULL -> NULL
+        (5, "solo"),                    # single token -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", word_entropy(F.col("text")).alias("h")
+        ).collect()
+    }
+    h31 = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert got[0] == 0.0 and got[2] == 1.0 and got[5] == 0.0
+    assert abs(got[1] - 2.0) < 1e-12 and abs(got[3] - h31) < 1e-12
+    assert got[4] is None
+
+
+def test_unigram_logprob_reference(spark):
+    import math
+
+    from jsonschema_validator_spark.operators.textstats import unigram_logprob
+
+    # corpus: a a a b  (T=4, P(a)=3/4, P(b)=1/4)
+    df = spark.createDataFrame(
+        [(0, "a a a"), (1, "b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+        for r in unigram_logprob(df).collect()
+    }
+    assert got[0][0] == 3 and abs(got[0][1] - math.log2(0.75)) < 1e-12
+    assert got[1][0] == 1 and abs(got[1][1] - math.log2(0.25)) < 1e-12
+
+
+def test_incremental_dedup_statuses(spark):
+    from jsonschema_validator_spark.operators.dedup import incremental_dedup
+    from jsonschema_validator_spark.operators.textstats import fingerprint
+
+    new = spark.createDataFrame(
+        [
+            (10, "seen before!"),     # in corpus snapshot
+            (11, "Seen, before"),     # normalized-equal to corpus too
+            (12, "fresh text"),       # kept
+            (13, "fresh text"),       # dup within batch of 12
+            (14, "another one"),      # kept
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([("seen before",)], "t string").select(
+        fingerprint(F.col("t")).alias("fp")
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in incremental_dedup(new, seen).collect()
+    }
+    assert got == {
+        10: "dup_of_corpus",
+        11: "dup_of_corpus",
+        12: "kept",
+        13: "dup_in_batch",
+        14: "kept",
+    }
