@@ -2683,6 +2683,80 @@ FROM f JOIN k USING (fp) ORDER BY f.doc_id
 """
 
 
+def q_topk_per_group_documents(spark, sf_dir):
+    """Per-group top-k selection ("keep the k biggest docs per lang"),
+    SALTED two-stage aggregate mode (operators/stats.top_k_per_group):
+    each salt bucket keeps a local top-k (sort_array + slice), the merge
+    sees k*B structs per group instead of the whale's raw rows — the
+    skew-safe alternative to a row_number window (pinned identical to
+    the window mode in pytest)."""
+    from jsonschema_validator_spark.operators.stats import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_k_per_group(
+        docs, "lang", "n_chars", "doc_id", k=3, salt_buckets=8
+    ).orderBy("lang", "rank")
+
+
+_ORACLE_TOPK_PER_GROUP = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id DESC) AS rank
+  FROM documents
+)
+SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
+FROM r WHERE rank <= 3 ORDER BY lang, rank
+"""
+
+
+def q_asof_purchase_events(spark, sf_dir):
+    """As-of join (operators/asof.asof_join): every click attached to
+    the user's most recent purchase at-or-before it — one union, one
+    sort-exchange on the key, last(ignorenulls) carry-forward; the
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the semantics are
+    pinned against an independent implementation, not recomputed SQL.
+    The right side is pre-reduced to one row per (user, ts) so both
+    engines tie-break identically; unmatched clicks coalesce to -1."""
+    from jsonschema_validator_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .withColumnRenamed("ts", "purchase_ts")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="purchase_ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("purchase_ts"), F.lit(-1)
+        ).alias("lag_seconds"),
+    ).orderBy("event_id")
+
+
+_ORACLE_ASOF_PURCHASE = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id,
+       COALESCE(r.purchase_id, -1) AS purchase_id,
+       COALESCE(date_diff('second', r.purchase_ts, l.ts), -1)::BIGINT
+         AS lag_seconds
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.purchase_ts
+ORDER BY l.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2729,6 +2803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_documents": q_entropy_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        "topk_per_group_documents": q_topk_per_group_documents,
+        "asof_purchase_events": q_asof_purchase_events,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2799,6 +2875,8 @@ def oracle_sql() -> dict[str, str]:
         "entropy_documents": _ORACLE_ENTROPY,
         "unigram_logprob_documents": _ORACLE_UNIGRAM_LOGPROB,
         "incremental_dedup_documents": _ORACLE_INCREMENTAL_DEDUP,
+        "topk_per_group_documents": _ORACLE_TOPK_PER_GROUP,
+        "asof_purchase_events": _ORACLE_ASOF_PURCHASE,
         "schema_drift_events": _ORACLE_SCHEMA_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,

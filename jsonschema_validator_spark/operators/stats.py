@@ -193,3 +193,65 @@ def fd_violations(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
         )
         .filter(F.col("n_dependent") > 1)
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group: str,
+    value: str,
+    id_col: str,
+    k: int,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Top-k rows per group by ``value`` (descending; ties break by
+    descending ``id_col`` for determinism) — the "keep the k best
+    documents per language" selection step.
+
+    ``salt_buckets=None``: the window form (row_number over a per-group
+    sort) — one exchange, but a whale group sorts in ONE task, the
+    exact spot the skew study showed windows melt.
+
+    ``salt_buckets=B``: the skew-safe two-stage aggregate. Stage 1
+    groups by (group, salt(id)) and keeps each bucket's local top-k
+    (sort_array + slice over a collect_list bounded by the bucket,
+    which is whale/B rows); stage 2 merges the B candidate lists per
+    group — k*B tiny structs, never raw rows. Correct because every
+    global top-k row is necessarily in its own bucket's local top-k.
+    Both modes return identical rows (pinned in pytest).
+
+    Returns (group, rank, id_col, value).
+    """
+    pair = F.struct(F.col(value).alias("v"), F.col(id_col).alias("i"))
+    if salt_buckets is None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group).orderBy(F.desc(value), F.desc(id_col))
+        ranked = df.withColumn("__rank", F.row_number().over(w))
+        return ranked.filter(F.col("__rank") <= k).select(
+            group,
+            F.col("__rank").alias("rank"),
+            id_col,
+            value,
+        )
+    local = (
+        df.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .groupBy(group, "__salt")
+        .agg(
+            F.slice(F.sort_array(F.collect_list(pair), asc=False), 1, k).alias(
+                "__top"
+            )
+        )
+    )
+    merged = local.groupBy(group).agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__top")), asc=False), 1, k
+        ).alias("__top")
+    )
+    return merged.select(group, F.posexplode("__top").alias("__pos", "__p")).select(
+        group,
+        (F.col("__pos") + 1).alias("rank"),
+        F.col("__p.i").alias(id_col),
+        F.col("__p.v").alias(value),
+    )

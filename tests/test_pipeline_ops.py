@@ -967,3 +967,71 @@ def test_incremental_dedup_statuses(spark):
         13: "dup_in_batch",
         14: "kept",
     }
+
+
+def test_top_k_per_group_window_vs_salted_parity(spark):
+    from jsonschema_validator_spark.operators.stats import top_k_per_group
+
+    # 3 groups, one whale group, planted ties on value (id desc breaks)
+    rows = [("g0", i, i % 7) for i in range(200)]
+    rows += [("g1", 1000 + i, 5) for i in range(10)]   # all-tied group
+    rows += [("g2", 2000, 9)]                          # fewer rows than k
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    win = top_k_per_group(df, "g", "v", "id", k=4).collect()
+    sal = top_k_per_group(df, "g", "v", "id", k=4, salt_buckets=8).collect()
+    key = lambda r: (r["g"], r["rank"], r["id"], r["v"])
+    assert sorted(map(key, win)) == sorted(map(key, sal))
+    got = {(r["g"], r["rank"]): (r["id"], r["v"]) for r in sal}
+    assert got[("g1", 1)] == (1009, 5)  # tie -> highest id first
+    assert got[("g2", 1)] == (2000, 9) and ("g2", 2) not in got
+    # g0: v=6 ids are 6,13,...,195; top by (v desc, id desc)
+    assert got[("g0", 1)] == (195, 6) and got[("g0", 2)] == (188, 6)
+
+
+def test_asof_join_reference_semantics(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [
+            (1, "u1", t(10)),   # after r@5 -> price 100
+            (2, "u1", t(5)),    # exactly at r@5 -> inclusive
+            (3, "u1", t(4)),    # before any -> unmatched
+            (4, "u2", t(30)),   # other key -> its own series
+            (5, "u3", t(10)),   # key with no right rows at all
+            (6, "u1", None),    # NULL left time -> unmatched
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t(5), 100),
+            ("u1", t(9), 200),
+            ("u2", t(1), 300),
+            ("u2", None, 999),  # NULL right time -> dropped
+        ],
+        "user_id string, rts timestamp, price long",
+    )
+    out = {
+        r["event_id"]: (r["price"], r["rts"])
+        for r in asof_join(left, right, "user_id", "ts", "rts").collect()
+    }
+    assert len(out) == 6  # left join: no rows drop
+    assert out[1] == (200, t(9))
+    assert out[2] == (100, t(5))
+    assert out[3] == (None, None)
+    assert out[4] == (300, t(1))
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)
+
+
+def test_asof_join_rejects_column_clash(spark):
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, "u", 2)], "a long, user_id string, ts long")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, "user_id", "ts", "ts")
