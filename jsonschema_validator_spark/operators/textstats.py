@@ -175,31 +175,46 @@ def word_entropy(text: Column) -> Column:
 
 
 def unigram_logprob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unigram: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean log2-probability of its words under the
     corpus-wide unigram MLE distribution — the CCNet-style (Wenzek et
     al. 2020, public paper) cheap language-model quality proxy:
     documents of improbable words (noise, boilerplate, wrong language)
     score low; no OOV smoothing is needed because the model is fit on
-    the same corpus it scores (pass a precomputed unigram table to
-    score against a different corpus).
+    the same corpus it scores. Pass ``unigram`` — a persisted
+    (word, count) DataFrame from a previous run or a REFERENCE corpus —
+    to skip the fit pass; OOV words then drop out of the mean (inner
+    join), the standard convention when scoring against a fixed model.
 
     Returns (id_col, n_tokens, mean_logp) with
     mean_logp = (1/N) * sum_i log2(c_{w_i} / T).
 
-    Scale shape: one explode feeding BOTH the unigram aggregate and the
-    scoring join; the unigram table is O(vocab) rows of (word, count)
-    — broadcast onto the exploded words (no shuffle of the big side);
-    the per-document rollup is partial+final aggregation carrying
-    (doc_id, double). The corpus total T rides in as a broadcast 1-row
-    relation so the whole thing stays one declarative plan (no driver
-    action).
+    Scale shape: the pruned (id, text) projection is scanned TWICE —
+    once to fit the unigram table, once to score — which is fundamental
+    to any corpus-statistic score (the model must exist before scoring;
+    CCNet itself is fit-then-score). What never happens twice is the
+    expensive part: no exploded words cross an exchange — the fit pass
+    collapses to the O(vocab) table via partial+final agg, the scoring
+    pass joins that table BROADCAST onto the exploded words and
+    combines map-side down to one (doc_id, double) partial per doc
+    (docs are contiguous in scan partitions). The corpus total T rides
+    in as a broadcast 1-row relation so the whole thing stays one
+    declarative plan (no driver action). To amortize the fit across
+    runs, persist ``uni`` and pass it back — the parameter exists for
+    scoring against a reference corpus.
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
     )
-    uni = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    if unigram is not None:
+        w, c = unigram.columns[:2]
+        uni = unigram.select(F.col(w).alias("__w"), F.col(c).alias("__c"))
+    else:
+        uni = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
     total = uni.agg(F.sum("__c").cast("double").alias("__t"))
     return (
         words.join(F.broadcast(uni), "__w")

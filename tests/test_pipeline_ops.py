@@ -1035,3 +1035,16 @@ def test_asof_join_rejects_column_clash(spark):
     df = spark.createDataFrame([(1, "u", 2)], "a long, user_id string, ts long")
     with _pytest.raises(ValueError, match="collide"):
         asof_join(df, df, "user_id", "ts", "ts")
+
+
+def test_unigram_logprob_precomputed_model(spark):
+    import math
+
+    from jsonschema_validator_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame([(0, "a b zz")], "doc_id long, text string")
+    model = spark.createDataFrame([("a", 3), ("b", 1)], "word string, cnt long")
+    r = unigram_logprob(df, unigram=model).first()
+    # zz is OOV -> drops out; mean over {a: log2(3/4), b: log2(1/4)}
+    want = (math.log2(0.75) + math.log2(0.25)) / 2
+    assert r["n_tokens"] == 2 and abs(r["mean_logp"] - want) < 1e-12
