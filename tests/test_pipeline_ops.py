@@ -1048,3 +1048,36 @@ def test_unigram_logprob_precomputed_model(spark):
     # zz is OOV -> drops out; mean over {a: log2(3/4), b: log2(1/4)}
     want = (math.log2(0.75) + math.log2(0.25)) / 2
     assert r["n_tokens"] == 2 and abs(r["mean_logp"] - want) < 1e-12
+
+
+def test_chunk_documents_reference(spark):
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 toks
+            (1, "a b"),                            # shorter than one chunk
+            (2, "x1 x2 x3 x4 x5 x6 x7"),           # exactly stride+overlap+... 7 toks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=6, overlap=2)  # stride 4
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk"])
+        for r in out.collect()
+    }
+    # doc 0: ceil((10-2)/4)=2 chunks: [t0..t5], [t4..t9]
+    assert got[(0, 0)] == (6, "t0 t1 t2 t3 t4 t5")
+    assert got[(0, 1)] == (6, "t4 t5 t6 t7 t8 t9")
+    assert (0, 2) not in got
+    # doc 1: one short chunk
+    assert got[(1, 0)] == (2, "a b")
+    # doc 2: ceil((7-2)/4)=2 chunks, second is short: [x1..x6], [x5..x7]
+    assert got[(2, 0)] == (6, "x1 x2 x3 x4 x5 x6")
+    assert got[(2, 1)] == (3, "x5 x6 x7")
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    assert got[(0, 0)][1].split()[-2:] == got[(0, 1)][1].split()[:2]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
