@@ -496,17 +496,25 @@ def violation_summary(
     documents, so at extreme scale swap for approx_count_distinct —
     the exactness is what the small-scale oracle checks.
     """
+    # explode_OUTER, then drop the null element on the generated
+    # attribute: plain explode lets Catalyst infer `size(violations)>0`
+    # and push it below the shared parse/bind projections, where the
+    # inlined predicate re-parses the JSON variant per temp reference —
+    # measured 104s -> ~12s at sf0.1 (the naive-variant-predicate trap,
+    # this time introduced by an optimizer rule rather than user code)
     v = validated.select(
-        F.col(id_col).alias("__jsv_doc_id"), F.explode(violations_col).alias("v")
+        F.col(id_col).alias("__jsv_doc_id"),
+        F.explode_outer(violations_col).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    fields = v.select(
+        "__jsv_doc_id",
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.path").alias("path"),
+        F.col("v.message").alias("message"),
     )
-    return (
-        v.groupBy(
-            F.col("v.keyword").alias("keyword"), F.col("v.path").alias("path")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_violations"),
-            F.count_distinct("__jsv_doc_id").alias("n_docs"),
-            F.min("v.message").alias("example_message"),
-            F.min("__jsv_doc_id").alias("example_id"),
-        )
+    return fields.groupBy("keyword", "path").agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.count_distinct("__jsv_doc_id").alias("n_docs"),
+        F.min("message").alias("example_message"),
+        F.min("__jsv_doc_id").alias("example_id"),
     )
