@@ -2782,6 +2782,42 @@ FROM g ORDER BY doc_id, chunk_idx
 """
 
 
+def q_key_skew_lineitem(spark, sf_dir):
+    """Join-key skew pre-flight (operators/stats.key_skew_profile):
+    distribution statistics of l_orderkey — one partial+final agg over
+    the input, every statistic computed on the O(keys) relation."""
+    from jsonschema_validator_spark.operators.stats import key_skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = key_skew_profile(li, "l_orderkey")
+    return out.select(
+        "n_rows",
+        "n_keys",
+        F.round("top1_share", 6).alias("top1_share"),
+        F.round("top10_share", 6).alias("top10_share"),
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+        F.round("entropy_norm", 6).alias("entropy_norm"),
+    )
+
+
+_ORACLE_KEY_SKEW = """
+WITH c AS (
+  SELECT l_orderkey AS k, COUNT(*)::DOUBLE AS c FROM lineitem GROUP BY 1
+), r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rnk FROM c
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*)::BIGINT AS n_keys,
+       ROUND(MAX(CASE WHEN rnk = 1 THEN c END) / SUM(c), 6) AS top1_share,
+       ROUND(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) / SUM(c), 6)
+         AS top10_share,
+       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits,
+       ROUND((log2(SUM(c)) - SUM(c * log2(c)) / SUM(c))
+             / log2(COUNT(*)), 6) AS entropy_norm
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2831,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group_documents": q_topk_per_group_documents,
         "asof_purchase_events": q_asof_purchase_events,
         "chunk_documents": q_chunk_documents,
+        "key_skew_lineitem": q_key_skew_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2904,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group_documents": _ORACLE_TOPK_PER_GROUP,
         "asof_purchase_events": _ORACLE_ASOF_PURCHASE,
         "chunk_documents": _ORACLE_CHUNK,
+        "key_skew_lineitem": _ORACLE_KEY_SKEW,
         "schema_drift_events": _ORACLE_SCHEMA_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,

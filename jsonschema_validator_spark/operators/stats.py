@@ -255,3 +255,55 @@ def top_k_per_group(
         F.col("__p.i").alias(id_col),
         F.col("__p.v").alias(value),
     )
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the "should I salt / can I
+    broadcast / will AQE need to split this" pre-flight at 100 TB:
+    one row of (n_rows, n_keys, top1_share, top10_share, entropy_bits,
+    entropy_norm) for the distribution of ``key``.
+
+    entropy_bits is the Shannon entropy of the key distribution
+    (H = log2 N - sum(c*log2 c)/N, the same algebraic identity as
+    textstats.word_entropy); entropy_norm divides by log2(n_keys) —
+    1.0 means perfectly uniform, ->0 means one whale owns the table.
+    top1/top10 share are the mass of the heaviest keys (ties broken by
+    key value for determinism).
+
+    Scale shape: ONE partial+final aggregation over the input (the
+    groupBy(key) count), then all statistics — including the top-10
+    rank — computed over the O(distinct keys) aggregated relation; the
+    global window never sees raw rows (same bound as top_values).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy(F.desc("__c"), F.col("__k"))
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    return ranked.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.max(F.when(F.col("__r") == 1, F.col("__c"))) / F.sum("__c")).alias(
+            "top1_share"
+        ),
+        (
+            F.sum(F.when(F.col("__r") <= 10, F.col("__c")).otherwise(F.lit(0)))
+            / F.sum("__c")
+        ).alias("top10_share"),
+        (
+            F.log2(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c")
+        ).alias("entropy_bits"),
+        F.when(
+            F.count(F.lit(1)) > 1,
+            (
+                F.log2(F.sum("__c"))
+                - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c")
+            )
+            / F.log2(F.count(F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy_norm"),
+    )

@@ -1081,3 +1081,27 @@ def test_chunk_documents_reference(spark):
     assert got[(0, 0)][1].split()[-2:] == got[(0, 1)][1].split()[:2]
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_key_skew_profile_reference(spark):
+    import math
+
+    from jsonschema_validator_spark.operators.stats import key_skew_profile
+
+    # whale key owns 12 of 16 rows; 4 singleton keys
+    rows = [("whale",)] * 12 + [(f"k{i}",) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").first()
+    assert (r["n_rows"], r["n_keys"]) == (16, 5)
+    assert abs(r["top1_share"] - 12 / 16) < 1e-12
+    assert r["top10_share"] == 1.0  # only 5 keys
+    want_h = math.log2(16) - (12 * math.log2(12)) / 16  # singletons: c*log2(1)=0
+    assert abs(r["entropy_bits"] - want_h) < 1e-12
+    assert abs(r["entropy_norm"] - want_h / math.log2(5)) < 1e-12
+    # uniform distribution -> entropy_norm 1.0
+    u = spark.createDataFrame([(f"k{i}",) for i in range(8)], "k string")
+    ru = key_skew_profile(u, "k").first()
+    assert abs(ru["entropy_norm"] - 1.0) < 1e-12 and ru["top1_share"] == 0.125
+    # single key -> entropy 0, norm 0 (guarded division)
+    s = key_skew_profile(spark.createDataFrame([("a",)] * 3, "k string"), "k").first()
+    assert s["entropy_bits"] == 0.0 and s["entropy_norm"] == 0.0
