@@ -40,7 +40,14 @@ def _median(xs: list[float]) -> float:
 
 
 def _part_sorted(rows):
-    return sorted(rows, key=lambda r: (r[0] is None, str(r[0])))
+    """Natural order of the partition key (None first): numeric keys
+    sort numerically — str() would put hour 10 before hour 2 and hand
+    every row the WRONG previous partition. Falls back to string order
+    only for genuinely mixed-type keys."""
+    try:
+        return sorted(rows, key=lambda r: (r[0] is None, r[0]))
+    except TypeError:
+        return sorted(rows, key=lambda r: (r[0] is None, str(r[0])))
 
 
 def volume_anomaly(
@@ -64,7 +71,12 @@ def volume_anomaly(
     "any deviation from the median is an anomaly" — deterministic and
     the strictest reading, documented rather than hidden.
     """
-    agg = (value if value is not None else F.count(F.lit(1))).cast("double")
+    # a custom aggregate can be NULL for a partition (e.g. sum of an
+    # all-NULL column) — that IS a zero-volume partition, not a crash
+    agg = F.coalesce(
+        (value if value is not None else F.count(F.lit(1))).cast("double"),
+        F.lit(0.0),
+    )
     rows = (
         df.groupBy(F.col(partition_col).alias("part"))
         .agg(agg.alias("n"))
@@ -101,7 +113,9 @@ def cardinality_drift(
     partition, the distinct count of ``key``, the previous partition's
     count (partitions ordered by their natural sort), the relative
     change, and an ok flag (|rel_change| <= threshold; the first
-    partition is vacuously ok).
+    partition is vacuously ok; after a ZERO-distinct partition
+    rel_change is undefined (NULL) and ok is true only if the next
+    partition is also zero — a 0 -> nonzero recovery flags).
 
     The check that catches "the ingest started writing one synthetic
     user_id for every row" — volume stays flat, cardinality collapses.
@@ -127,7 +141,14 @@ def cardinality_drift(
         # raw IEEE division (identical in any engine recomputing it);
         # presentation rounding is the caller's, not the operator's
         rel = None if prev in (None, 0) else (n - prev) / prev
-        ok = rel is None or abs(rel) <= threshold
+        if prev is None:
+            ok = True  # first partition is vacuously ok
+        elif prev == 0:
+            # rel undefined after a dead partition, but a 0 -> nonzero
+            # recovery is still a change worth flagging
+            ok = n == 0
+        else:
+            ok = abs(rel) <= threshold
         out.append((part, n, prev, rel, ok))
         prev = n
     schema = StructType(

@@ -47,7 +47,9 @@ def asof_join(
     Ties at equal time are INCLUSIVE: a right row at exactly
     ``left_time`` matches (right sorts before left at the same
     timestamp). Left rows with NULL time match nothing; right rows with
-    NULL time are dropped (can never match).
+    NULL time are dropped (can never match). NULL join keys follow SQL
+    equi-join semantics: they never match each other — right NULL-key
+    rows are dropped, left NULL-key rows pass through unmatched.
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys]
@@ -57,8 +59,20 @@ def asof_join(
             f"right payload columns collide with left: {sorted(clash)} — "
             "alias the right side's columns first"
         )
+    reserved = {"__t", "__side", "__rv", "__m"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"left contains reserved asof_join columns: {sorted(reserved)} — "
+            "rename them first"
+        )
 
-    r2 = right.filter(F.col(right_time).isNotNull()).select(
+    # SQL equi-join semantics: a NULL key matches nothing, so right rows
+    # with any NULL key are dropped (a left NULL-key row then sits alone
+    # in its window partition and stays unmatched, as a LEFT join would)
+    right_key_ok = F.lit(True)
+    for k in keys:
+        right_key_ok = right_key_ok & F.col(k).isNotNull()
+    r2 = right.filter(right_key_ok & F.col(right_time).isNotNull()).select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),

@@ -557,12 +557,17 @@ def incremental_dedup(
     seen = seen_fps.select(F.col(seen_fps.columns[0]).alias("fp")).distinct()
     hit = tagged.join(seen.withColumn("__seen", F.lit(1)), "fp", "left")
     keep = tagged.groupBy("fp").agg(F.min(id_col).alias("__keep_id"))
+    # LEFT join so a NULL fingerprint (NULL text) cannot drop the row —
+    # NULL never equi-matches, so such rows keep a NULL __keep_id and
+    # are classified 'kept' explicitly (NULL content is not a duplicate
+    # of anything, including other NULLs)
     return (
-        hit.join(keep, "fp")
+        hit.join(keep, "fp", "left")
         .select(
             id_col,
             "fp",
-            F.when(F.col("__seen").isNotNull(), F.lit("dup_of_corpus"))
+            F.when(F.col("fp").isNull(), F.lit("kept"))
+            .when(F.col("__seen").isNotNull(), F.lit("dup_of_corpus"))
             .when(F.col(id_col) != F.col("__keep_id"), F.lit("dup_in_batch"))
             .otherwise(F.lit("kept"))
             .alias("status"),

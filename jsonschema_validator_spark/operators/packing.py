@@ -92,7 +92,10 @@ def chunk_documents(
     document shorter than one chunk yields exactly one chunk).
 
     Returns (id_col, chunk_idx, n_chunk_tokens, chunk) — one output row
-    per window, chunk re-joined on single spaces.
+    per window, chunk re-joined on single spaces. NULL-text documents
+    yield no chunks (they are filtered, not emitted as phantom empty
+    windows); empty-string text yields one empty chunk, mirroring
+    split semantics.
 
     Scale shape: pure Column algebra, ZERO shuffles — tokens are
     projected to a materialized column FIRST so the transform lambda
@@ -119,7 +122,8 @@ def chunk_documents(
         lambda i: F.slice(F.col("__toks"), i * stride + 1, chunk_tokens),
     )
     return (
-        df.withColumn("__toks", toks)
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__toks", toks)
         .select(F.col(id_col), F.posexplode(windows).alias("chunk_idx", "__w"))
         .select(
             id_col,

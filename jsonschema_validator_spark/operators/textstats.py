@@ -179,6 +179,7 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     unigram: DataFrame | None = None,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document mean log2-probability of its words under the
     corpus-wide unigram MLE distribution — the CCNet-style (Wenzek et
@@ -191,7 +192,12 @@ def unigram_logprob(
     join), the standard convention when scoring against a fixed model.
 
     Returns (id_col, n_tokens, mean_logp) with
-    mean_logp = (1/N) * sum_i log2(c_{w_i} / T).
+    mean_logp = (1/N) * sum_i log2(c_{w_i} / T), the mean taken over
+    the words the model knows. A document whose words are ALL out of
+    vocabulary still gets its row, with mean_logp NULL ("no evidence"
+    — callers filtering for quality should treat NULL as rejectable).
+    Documents with NULL text produce no words and are absent from the
+    output, like every explode-based operator here.
 
     Scale shape: the pruned (id, text) projection is scanned TWICE —
     once to fit the unigram table, once to score — which is fundamental
@@ -205,7 +211,12 @@ def unigram_logprob(
     in as a broadcast 1-row relation so the whole thing stays one
     declarative plan (no driver action). To amortize the fit across
     runs, persist ``uni`` and pass it back — the parameter exists for
-    scoring against a reference corpus.
+    scoring against a reference corpus. ``broadcast_vocab=True`` is
+    right for natural-language vocabularies (~10^7 rows); for
+    adversarial corpora whose distinct-token count rivals the corpus
+    itself, pass False and let AQE pick the join (a forced broadcast
+    has an 8 GB cliff). Broadcasting also neutralizes the Zipf skew a
+    shuffled join on the word key would suffer.
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
@@ -216,12 +227,13 @@ def unigram_logprob(
     else:
         uni = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
     total = uni.agg(F.sum("__c").cast("double").alias("__t"))
+    uni = F.broadcast(uni) if broadcast_vocab else uni
     return (
-        words.join(F.broadcast(uni), "__w")
+        words.join(uni, "__w", "left")  # left: OOV words keep their row
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(F.log2("__c")).alias("__mean_log_c"),
+            F.avg(F.log2("__c")).alias("__mean_log_c"),  # avg skips OOV NULLs
         )
         .join(F.broadcast(total))
         .select(

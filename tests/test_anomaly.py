@@ -122,3 +122,40 @@ def test_conversation_documents_assembly_and_validation(spark):
         for r in s.with_valid(docs, "doc", out_col="ok").collect()
     }
     assert ok == {"c1": True, "c2": False, "c3": False}
+
+
+def test_part_sorted_numeric_keys_natural_order(spark):
+    from jsonschema_validator_spark.operators.anomaly import cardinality_drift
+
+    # hours 0..11, each hour h has h+1 distinct users -> with NUMERIC
+    # ordering every step is a small relative change; string ordering
+    # would put hour 10 after hour 1 and misassign every prev
+    rows = [(h, u) for h in range(12) for u in range(h + 1)]
+    df = spark.createDataFrame(rows, "hour int, user_id int")
+    out = cardinality_drift(df, "user_id", "hour", threshold=2.0).collect()
+    assert [r["part"] for r in out] == list(range(12))
+    assert [r["prev_distinct"] for r in out] == [None] + list(range(1, 12))
+
+
+def test_cardinality_drift_zero_prev_recovery_flags(spark):
+    from jsonschema_validator_spark.operators.anomaly import cardinality_drift
+
+    rows = [("a", 1), ("a", 2)]          # 2 distinct
+    rows += [("b", None)]                # 0 distinct (all NULL keys)
+    rows += [("c", i) for i in range(5)]  # recovery to 5
+    df = spark.createDataFrame(rows, "day string, user_id int")
+    out = {r["part"]: r for r in cardinality_drift(df, "user_id", "day", 0.5).collect()}
+    assert out["b"]["n_distinct"] == 0 and not out["b"]["ok"]  # collapse flags
+    assert out["c"]["prev_distinct"] == 0 and out["c"]["rel_change"] is None
+    assert not out["c"]["ok"]  # 0 -> nonzero recovery flags too
+
+
+def test_volume_anomaly_null_aggregate_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.anomaly import volume_anomaly
+
+    rows = [("d1", 10), ("d2", 10), ("d3", None)]
+    df = spark.createDataFrame(rows, "day string, tokens int")
+    out = {r["part"]: r for r in volume_anomaly(df, "day", value=F.sum("tokens")).collect()}
+    assert out["d3"]["n"] == 0.0 and out["d3"]["is_anomaly"]

@@ -1105,3 +1105,53 @@ def test_key_skew_profile_reference(spark):
     # single key -> entropy 0, norm 0 (guarded division)
     s = key_skew_profile(spark.createDataFrame([("a",)] * 3, "k string"), "k").first()
     assert s["entropy_bits"] == 0.0 and s["entropy_norm"] == 0.0
+
+
+def test_incremental_dedup_null_text_kept(spark):
+    from jsonschema_validator_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    seen = spark.createDataFrame([("deadbeef",)], "fp string")
+    got = {r["doc_id"]: r["status"] for r in incremental_dedup(new, seen).collect()}
+    # NULL content is not a duplicate of anything, including other NULLs
+    assert got == {1: "kept", 2: "kept", 3: "kept"}
+
+
+def test_unigram_logprob_all_oov_doc_keeps_row(spark):
+    from jsonschema_validator_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame([(0, "a a"), (1, "zz qq")], "doc_id long, text string")
+    model = spark.createDataFrame([("a", 4)], "w string, c long")
+    got = {r["doc_id"]: r for r in unigram_logprob(df, unigram=model).collect()}
+    assert got[1]["n_tokens"] == 2 and got[1]["mean_logp"] is None
+    assert got[0]["mean_logp"] is not None
+
+
+def test_chunk_documents_null_text_yields_no_rows(spark):
+    from jsonschema_validator_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(0, None), (1, "a b c")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=2, overlap=0).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_asof_join_null_keys_never_match(spark):
+    from jsonschema_validator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, None, 10)], "event_id long, k string, ts long")
+    right = spark.createDataFrame([(None, 5, 99)], "k string, rts long, price long")
+    out = asof_join(left, right, "k", "ts", "rts").collect()
+    assert len(out) == 1 and out[0]["price"] is None
+
+
+def test_asof_join_rejects_reserved_left_columns(spark):
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "u", 2, 3)], "id long, k string, ts long, __t long")
+    right = spark.createDataFrame([("u", 1, 9)], "k string, rts long, price long")
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, "k", "ts", "rts")
