@@ -62,8 +62,15 @@ def _step(
         mx = int(t.max()) if mx is None else max(mx, int(t.max()))
         last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
     state.update((n, mn, mx, last_ms))
-    # fire once the watermark passes last activity + idle_timeout
-    state.setTimeoutTimestamp(last_ms + idle_ms)
+    # fire once the watermark passes last activity + idle_timeout.
+    # Clamp to just past the CURRENT watermark: when late-but-in-window
+    # rows arrive after the watermark has already passed last+idle
+    # (batch-timing dependent), Spark rejects a timestamp <= watermark
+    # outright — the clamp means "this conversation is already idle,
+    # time it out at the next batch", which is the same verdict one
+    # batch earlier rather than a query-killing exception.
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last_ms + idle_ms, wm + 1))
     return
     yield  # pragma: no cover — make this a generator
 
