@@ -2818,6 +2818,46 @@ FROM r
 """
 
 
+def q_embedding_drift_embeddings(spark, sf_dir):
+    """Embedding-space drift (operators/drift.embedding_centroid_drift):
+    pairwise cosine distance between per-label centroid vectors — one
+    scan, one (part, idx)-keyed exchange, pairwise math on the
+    O(partitions x dim) aggregated relation."""
+    from jsonschema_validator_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_centroid_drift(emb, "label")
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_a",
+        "n_b",
+        F.round("cos_dist", 6).alias("cos_dist"),
+    ).orderBy("part_a", "part_b")
+
+
+_ORACLE_EMBEDDING_DRIFT = """
+WITH e AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS idx,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+c AS (
+  SELECT label, idx, AVG(val) AS m, COUNT(*)::BIGINT AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT a.label AS part_a, b.label AS part_b,
+       MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+       ROUND(1.0 - SUM(a.m * b.m)
+             / (SQRT(SUM(a.m * a.m)) * SQRT(SUM(b.m * b.m))), 6) AS cos_dist
+FROM c a JOIN c b ON a.idx = b.idx AND a.label < b.label
+GROUP BY 1, 2 ORDER BY part_a, part_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2868,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_events": q_asof_purchase_events,
         "chunk_documents": q_chunk_documents,
         "key_skew_lineitem": q_key_skew_lineitem,
+        "embedding_drift_embeddings": q_embedding_drift_embeddings,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2942,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_events": _ORACLE_ASOF_PURCHASE,
         "chunk_documents": _ORACLE_CHUNK,
         "key_skew_lineitem": _ORACLE_KEY_SKEW,
+        "embedding_drift_embeddings": _ORACLE_EMBEDDING_DRIFT,
         "schema_drift_events": _ORACLE_SCHEMA_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,

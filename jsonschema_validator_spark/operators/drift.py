@@ -265,3 +265,56 @@ def ks_critical_value(n: int, m: int, alpha: float = 0.01) -> float:
     (implemented directly — no scipy; SURVEY.md §7 M4)."""
     c = math.sqrt(-0.5 * math.log(alpha / 2.0))
     return c * math.sqrt((n + m) / (n * m))
+
+
+def embedding_centroid_drift(
+    df: DataFrame, part_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-SPACE drift: cosine distance between every pair of
+    per-partition centroid vectors — the ML-ops complement to the
+    value-level KS/PSI above (an upstream encoder change or a topic
+    shift moves the centroid even when scalar column stats look flat).
+
+    Returns (part_a, part_b, n_a, n_b, cos_dist) for each unordered
+    partition pair, part_a < part_b; cos_dist = 1 - cosine similarity
+    of the mean vectors.
+
+    Scale shape: ONE scan with posexplode of the vector (rows x dim
+    slim (part, idx, val) triples, map-side partially averaged), one
+    exchange keyed (part, idx) whose post-agg cardinality is
+    O(partitions x dim); the centroid re-assembly and the P^2 pairwise
+    cosine run entirely on that aggregated relation (365 days x 64
+    dims = 23k rows regardless of input size). No driver math, no
+    Python — the dot products are zip_with/aggregate Column algebra.
+    """
+    exploded = df.select(
+        F.col(part_col).alias("part"),
+        F.posexplode(F.col(vec_col)).alias("idx", "val"),
+    )
+    comps = exploded.groupBy("part", "idx").agg(
+        F.avg("val").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    cent = comps.groupBy("part").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("idx", "m"))), lambda s: s["m"]
+        ).alias("centroid"),
+        F.max("n").alias("n"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    ca, cb = F.col("a.centroid"), F.col("b.centroid")
+    return (
+        a.join(b, F.col("a.part") < F.col("b.part"))
+        .select(
+            F.col("a.part").alias("part_a"),
+            F.col("b.part").alias("part_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            (
+                F.lit(1.0)
+                - dot(ca, cb) / (F.sqrt(dot(ca, ca)) * F.sqrt(dot(cb, cb)))
+            ).alias("cos_dist"),
+        )
+    )

@@ -1155,3 +1155,23 @@ def test_asof_join_rejects_reserved_left_columns(spark):
     right = spark.createDataFrame([("u", 1, 9)], "k string, rts long, price long")
     with _pytest.raises(ValueError, match="reserved"):
         asof_join(left, right, "k", "ts", "rts")
+
+
+def test_embedding_centroid_drift_reference(spark):
+    from jsonschema_validator_spark.operators.drift import embedding_centroid_drift
+
+    rows = [
+        ("a", [1.0, 0.0]), ("a", [1.0, 0.0]),       # centroid (1, 0)
+        ("b", [0.0, 2.0]),                           # centroid (0, 2) -> orthogonal
+        ("c", [2.0, 0.0]), ("c", [4.0, 0.0]),        # centroid (3, 0) -> parallel to a
+    ]
+    df = spark.createDataFrame(rows, "part string, embedding array<float>")
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in embedding_centroid_drift(df, "part").collect()
+    }
+    assert abs(got[("a", "b")]["cos_dist"] - 1.0) < 1e-9   # orthogonal
+    assert abs(got[("a", "c")]["cos_dist"] - 0.0) < 1e-9   # parallel
+    assert abs(got[("b", "c")]["cos_dist"] - 1.0) < 1e-9
+    assert got[("a", "c")]["n_a"] == 2 and got[("a", "c")]["n_b"] == 2
+    assert len(got) == 3
