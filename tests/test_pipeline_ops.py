@@ -1045,9 +1045,10 @@ def test_unigram_logprob_precomputed_model(spark):
     df = spark.createDataFrame([(0, "a b zz")], "doc_id long, text string")
     model = spark.createDataFrame([("a", 3), ("b", 1)], "word string, cnt long")
     r = unigram_logprob(df, unigram=model).first()
-    # zz is OOV -> drops out; mean over {a: log2(3/4), b: log2(1/4)}
+    # n_tokens counts ALL words; OOV zz drops out of the MEAN only:
+    # mean over {a: log2(3/4), b: log2(1/4)}
     want = (math.log2(0.75) + math.log2(0.25)) / 2
-    assert r["n_tokens"] == 2 and abs(r["mean_logp"] - want) < 1e-12
+    assert r["n_tokens"] == 3 and abs(r["mean_logp"] - want) < 1e-12
 
 
 def test_chunk_documents_reference(spark):
