@@ -286,3 +286,45 @@ def test_violation_summary_no_reinlined_parse(spark):
     lines = p.splitlines()
     scan_idx = next(i for i, l in enumerate(lines) if "Scan parquet" in l)
     assert "Filter" not in lines[scan_idx - 1], lines[scan_idx - 1]
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed on the join key with the same bucket count
+    must equi-join with ZERO Exchange nodes — the co-located join is
+    the point of paying the bucketed layout at write time. An unbucketed
+    control join of the same data shows the Exchanges the layout saved."""
+    from jsonschema_validator_spark.sources.tables import write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "jsv_li_b", "l_orderkey", 8, sort_cols="l_orderkey")
+    write_bucketed(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "jsv_od_b",
+        "l_orderkey",
+        8,
+        sort_cols="l_orderkey",
+    )
+    try:
+        # disable auto-broadcast so the join strategy is the bucketed SMJ,
+        # not a broadcast that would trivially have no shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("jsv_li_b")
+        b = spark.table("jsv_od_b")
+        joined = a.join(b, "l_orderkey")
+        p = plan_of(joined)
+        assert "Exchange" not in p, p
+        control = li.join(
+            od.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        )
+        assert "Exchange" in plan_of(control)
+        # same rows either way
+        assert joined.count() == control.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS jsv_li_b")
+        spark.sql("DROP TABLE IF EXISTS jsv_od_b")
