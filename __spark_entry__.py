@@ -2858,6 +2858,47 @@ GROUP BY 1, 2 ORDER BY part_a, part_b
 """
 
 
+def q_streaming_volume_anomaly_events(spark, sf_dir):
+    """Streaming ingest path of the volume screen: per-batch ADDITIVE
+    day counts land via foreachBatch (stream_counts — same
+    batch_id-partitioned exactly-once sink as the verdicts stream, no
+    unbounded streaming state), then the median/MAD screen
+    (volume_anomaly_from_counts) runs over the summed sink. The oracle
+    is the BATCH volume-anomaly SQL — stream and batch must agree
+    exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from jsonschema_validator_spark.operators.anomaly import (
+        volume_anomaly_from_counts,
+    )
+    from jsonschema_validator_spark.streaming.validate import stream_counts
+
+    out = tempfile.mkdtemp(prefix="stream_volume_")
+    src_dir = os.path.join(out, "incoming")
+    os.makedirs(src_dir)
+    src_file = f"{sf_dir}/events.parquet"
+    try:
+        os.link(src_file, os.path.join(src_dir, "events.parquet"))
+    except OSError:
+        shutil.copy(src_file, os.path.join(src_dir, "events.parquet"))
+    schema = spark.read.parquet(src_file).schema
+    q = stream_counts(
+        spark, src_dir, schema, out, part_expr=lambda df: _day("ts")
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(f"{out}/counts").select("part", "n")
+    res = volume_anomaly_from_counts(sink, k=3.0)
+    return res.select(
+        "part",
+        F.col("n").cast("long").alias("n"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "is_anomaly",
+    ).orderBy("part")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2909,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "key_skew_lineitem": q_key_skew_lineitem,
         "embedding_drift_embeddings": q_embedding_drift_embeddings,
+        "streaming_volume_anomaly_events": q_streaming_volume_anomaly_events,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
@@ -2984,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _ORACLE_CHUNK,
         "key_skew_lineitem": _ORACLE_KEY_SKEW,
         "embedding_drift_embeddings": _ORACLE_EMBEDDING_DRIFT,
+        "streaming_volume_anomaly_events": _ORACLE_VOLUME_ANOMALY,
         "schema_drift_events": _ORACLE_SCHEMA_DRIFT,
         "dedup_exact_documents": _ORACLE_DEDUP_EXACT,
         "dedup_jaccard_documents": _ORACLE_JACCARD,

@@ -77,11 +77,21 @@ def volume_anomaly(
         (value if value is not None else F.count(F.lit(1))).cast("double"),
         F.lit(0.0),
     )
-    rows = (
-        df.groupBy(F.col(partition_col).alias("part"))
-        .agg(agg.alias("n"))
-        .collect()
+    counts_df = df.groupBy(F.col(partition_col).alias("part")).agg(
+        agg.alias("n")
     )
+    return volume_anomaly_from_counts(counts_df, k=k)
+
+
+def volume_anomaly_from_counts(counts_df: DataFrame, k: float = 3.0) -> DataFrame:
+    """The median/MAD screen over an ALREADY-aggregated (part, n)
+    relation — the entry point when the counts were maintained
+    elsewhere (the streaming ingest path: ``stream_counts`` appends
+    per-batch additive counts, a batch read sums them per part, this
+    screens the result). Same output contract as ``volume_anomaly``."""
+    rows = counts_df.groupBy("part").agg(
+        F.coalesce(F.sum(F.col("n").cast("double")), F.lit(0.0)).alias("n")
+    ).collect()
     series = _part_sorted([(r["part"], float(r["n"])) for r in rows])
     counts = [n for _, n in series]
     med = _median(counts) if counts else 0.0
@@ -91,14 +101,14 @@ def volume_anomaly(
     ]
     schema = StructType(
         [
-            df.select(F.col(partition_col).alias("part")).schema["part"],
+            counts_df.select("part").schema["part"],
             StructField("n", DoubleType(), False),
             StructField("med", DoubleType(), False),
             StructField("mad", DoubleType(), False),
             StructField("is_anomaly", BooleanType(), False),
         ]
     )
-    return df.sparkSession.createDataFrame(out, schema)
+    return counts_df.sparkSession.createDataFrame(out, schema)
 
 
 def cardinality_drift(

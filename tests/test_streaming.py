@@ -380,3 +380,77 @@ def test_transition_screen_stateful_cross_batch(spark, tmp_path):
         for r in transition_violations(batch).collect()
     }
     assert got == want
+
+
+def test_stream_counts_additive_across_batches(spark, tmp_path):
+    """stream_counts with maxFilesPerTrigger-style multi-batch input:
+    two files land, each becomes its own micro-batch; the per-batch
+    appended counts SUM to the one-shot batch counts, and the MAD
+    screen over the sink equals the screen over the raw batch df."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.anomaly import (
+        volume_anomaly,
+        volume_anomaly_from_counts,
+    )
+    from jsonschema_validator_spark.streaming import stream_counts
+
+    d = tmp_path / "in"; d.mkdir()
+    # day A rows split ACROSS the two files -> only additivity makes
+    # the summed sink match the batch count
+    f1 = pd.DataFrame({"day": ["A"] * 3 + ["B"] * 4, "x": range(7)})
+    f2 = pd.DataFrame({"day": ["A"] * 2 + ["C"] * 20, "x": range(22)})
+    pq.write_table(pa.Table.from_pandas(f1), str(d / "f1.parquet"))
+    pq.write_table(pa.Table.from_pandas(f2), str(d / "f2.parquet"))
+
+    out = str(tmp_path / "out")
+    schema = spark.read.parquet(str(d)).schema
+    # one file per trigger: force two micro-batches
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+
+    from pyspark.sql import DataFrame
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy(F.col("day").alias("part"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out}/counts")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{out}/_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sink = spark.read.parquet(f"{out}/counts")
+    assert sink.select("batch_id").distinct().count() == 2  # really two batches
+    got = {
+        r["part"]: (r["n"], r["is_anomaly"])
+        for r in volume_anomaly_from_counts(sink.select("part", "n")).collect()
+    }
+    batch_df = spark.read.parquet(str(d))
+    want = {
+        r["part"]: (r["n"], r["is_anomaly"])
+        for r in volume_anomaly(batch_df, "day").collect()
+    }
+    assert got == want and got["A"][0] == 5.0 and got["C"][1]
+
+    # the packaged helper produces the same sink shape in one call
+    out2 = str(tmp_path / "out2")
+    q2 = stream_counts(spark, str(d), schema, out2, part_expr=lambda df: F.col("day"))
+    q2.awaitTermination()
+    s2 = spark.read.parquet(f"{out2}/counts").groupBy("part").agg(F.sum("n").alias("n"))
+    assert {r["part"]: r["n"] for r in s2.collect()} == {"A": 5, "B": 4, "C": 20}
