@@ -2899,6 +2899,108 @@ def q_streaming_volume_anomaly_events(spark, sf_dir):
     ).orderBy("part")
 
 
+def q_split_groups_events(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.
+    split_by_group): the split is a pure function of the GROUP key
+    (user_id, standing in for conv_id), so no conversation ever
+    straddles train and eval — the per-split membership is pinned by
+    grouping on (split, user) before the rollup, which the value-hash
+    oracle reproduces with the same portable 64-bit mixer arithmetic.
+    Zero shuffles for the assignment itself (a projection); the rollup
+    is one partial+final agg."""
+    from jsonschema_validator_spark.operators.sampling import split_by_group
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    s = split_by_group(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("split")
+    )
+
+
+_ORACLE_SPLIT_GROUPS = """
+WITH mixed AS (
+  SELECT event_id, user_id, ((user_id % 2147483648) * 2654435761) AS h
+  FROM events),
+keyed AS (
+  SELECT event_id, user_id, xor(h, h >> 29) % 1000000 AS bucket FROM mixed),
+assigned AS (
+  SELECT event_id, user_id,
+         CASE WHEN bucket < 800000 THEN 'train'
+              WHEN bucket < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM keyed)
+SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_rows,
+       SUM(event_id)::BIGINT AS sum_event_id
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+def q_range_join_events(spark, sf_dir):
+    """Granule-bucketed interval-containment join (operators/asof.
+    range_join): clicks inside the 1-hour window opened by each of the
+    same user's purchases. The equi-join key is (user_id, hour-granule)
+    — a raw `t BETWEEN s AND e` theta-join sort-merges on user_id alone
+    and generates |clicks_u| x |windows_u| candidates per user before
+    filtering (per-key quadratic); bucketing makes candidates temporal
+    neighbors only, and the plan is a plain shuffled equi-join AQE can
+    skew-split (pinned: no nested-loop/cartesian node). Oracle is
+    DuckDB's native BETWEEN join."""
+    from jsonschema_validator_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    out = range_join(
+        clicks,
+        windows,
+        on="user_id",
+        point_time="ts",
+        start="w_start",
+        end="w_end",
+        granule_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "window_id",
+        F.floor(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("w_start").cast("timestamp"))
+            )
+            / F.lit(1_000_000)
+        ).alias("lag_seconds"),
+    ).orderBy("event_id", "window_id")
+
+
+_ORACLE_RANGE_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+w AS (
+  SELECT event_id AS window_id, user_id, ts AS w_start,
+         ts + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, w.window_id,
+       (epoch_us(c.ts) - epoch_us(w.w_start)) // 1000000 AS lag_seconds
+FROM clicks c
+JOIN w ON c.user_id = w.user_id AND c.ts BETWEEN w.w_start AND w.w_end
+ORDER BY c.event_id, w.window_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2982,6 +3084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "curation_pipeline_documents": q_curation_pipeline_documents,
         "curation_pipeline_v2_documents": q_curation_pipeline_v2_documents,
+        "split_groups_events": q_split_groups_events,
+        "range_join_events": q_range_join_events,
     }
 
 
@@ -3060,4 +3164,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": _ORACLE_SAMPLE,
         "curation_pipeline_documents": _ORACLE_CURATION,
         "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,
+        "split_groups_events": _ORACLE_SPLIT_GROUPS,
+        "range_join_events": _ORACLE_RANGE_JOIN,
     }

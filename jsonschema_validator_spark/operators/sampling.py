@@ -42,6 +42,34 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     return df.filter(F.pmod(mix_key(F.col(key_col)), F.lit(DOMAIN)) < int(rate * DOMAIN))
 
 
+def split_by_group(
+    df: DataFrame, group_col: str, fractions: dict[str, float] | None = None
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the GROUP key (conversation / user / document family),
+    so every row of a group lands in the same split — a row-level random
+    split would leak near-identical turns of one conversation across
+    train and eval. Cumulative thresholds over the mixer domain give
+    exact expected fractions; determinism across runs / partitionings /
+    engines comes from `mix_key` (same contract as `hash_sample`).
+
+    Adds a `split` column; rows are never dropped (fractions must sum
+    to 1 within integer rounding — the last split absorbs the
+    remainder). Zero shuffles: a projection on the scan.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = F.pmod(mix_key(F.col(group_col)), F.lit(DOMAIN))
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        branch = expr if expr is not None else F
+        expr = branch.when(bucket < int(cum * DOMAIN), F.lit(name))
+    expr = expr.otherwise(F.lit(items[-1][0]))
+    return df.withColumn("split", expr)
+
+
 def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: dict) -> DataFrame:
     """Per-stratum deterministic rates (the data-mixing primitive:
     'keep 80% of src0, 10% of src1, ...'). Strata with no configured

@@ -1176,3 +1176,113 @@ def test_embedding_centroid_drift_reference(spark):
     assert abs(got[("b", "c")]["cos_dist"] - 1.0) < 1e-9
     assert got[("a", "c")]["n_a"] == 2 and got[("a", "c")]["n_b"] == 2
     assert len(got) == 3
+
+
+def test_split_by_group_leakage_free_and_deterministic(spark):
+    from jsonschema_validator_spark.operators.sampling import split_by_group
+
+    df = spark.range(5000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 500).alias("grp")
+    )
+    s = split_by_group(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # no group in two splits (the leakage guard is the whole point)
+    leaks = (
+        s.groupBy("grp")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaks == 0
+    # every row keeps a split; fractions roughly honored at 500 groups
+    by = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(by.values()) == 5000
+    assert by["train"] > by["val"] and by["train"] > by["test"]
+    # pure function of the key: invariant under repartitioning
+    a = sorted((r["row_id"], r["split"]) for r in s.collect())
+    b = sorted(
+        (r["row_id"], r["split"])
+        for r in split_by_group(
+            df.repartition(7, "row_id"), "grp", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    )
+    assert a == b
+
+
+def test_range_join_matches_theta_join(spark):
+    from jsonschema_validator_spark.operators.asof import range_join
+
+    # intervals spanning multiple granules, boundary ties, overlaps,
+    # NULL keys/bounds, inverted bounds
+    pts = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 00:30:00"),
+            (2, "u1", "2024-01-01 02:00:00"),   # == interval end: inclusive
+            (3, "u1", "2024-01-01 02:00:01"),   # just past end
+            (4, "u2", "2024-01-01 00:30:00"),   # wrong key
+            (5, None, "2024-01-01 00:30:00"),   # NULL key -> no match
+            (6, "u1", None),                     # NULL time -> no match
+        ],
+        "pid int, k string, t string",
+    ).withColumn("t", F.col("t").cast("timestamp_ntz"))
+    ivs = spark.createDataFrame(
+        [
+            (10, "u1", "2024-01-01 00:00:00", "2024-01-01 02:00:00"),  # 3 granules
+            (11, "u1", "2024-01-01 00:15:00", "2024-01-01 00:45:00"),  # overlaps 10
+            (12, "u1", "2024-01-01 05:00:00", "2024-01-01 04:00:00"),  # inverted
+            (13, None, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),  # NULL key
+        ],
+        "iid int, k string, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp_ntz")).withColumn(
+        "e", F.col("e").cast("timestamp_ntz")
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, ivs, on="k", point_time="t", start="s", end="e",
+            granule_seconds=3600,
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.alias("p")
+        .join(
+            ivs.alias("i"),
+            (F.col("p.k") == F.col("i.k"))
+            & F.col("p.t").between(F.col("i.s"), F.col("i.e")),
+        )
+        .collect()
+    )
+    assert got == want == [(1, 10), (1, 11), (2, 10)]
+    # the whole point of the construction: equi-join, not nested-loop
+    plan = range_join(
+        pts, ivs, on="k", point_time="t", start="s", end="e", granule_seconds=3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_guards(spark):
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 00:30:00")], "pid int, k string, t string"
+    ).withColumn("t", F.col("t").cast("timestamp_ntz"))
+    ivs = spark.createDataFrame(
+        [(10, "u1", "2024-01-01 00:00:00", "2024-03-01 00:00:00")],
+        "iid int, k string, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp_ntz")).withColumn(
+        "e", F.col("e").cast("timestamp_ntz")
+    )
+    # distributed span guard fires (60 days of 1s granules >> max_granules)
+    with _pytest.raises(Exception, match="max_granules"):
+        range_join(
+            pts, ivs, on="k", point_time="t", start="s", end="e",
+            granule_seconds=1, max_granules=1000,
+        ).collect()
+    # payload collision rejected up front
+    with _pytest.raises(ValueError, match="collide"):
+        range_join(
+            pts.withColumn("iid", F.lit(1)), ivs,
+            on="k", point_time="t", start="s", end="e",
+        )
