@@ -3001,6 +3001,112 @@ ORDER BY c.event_id, w.window_id
 """
 
 
+def q_winsorized_stats_events(spark, sf_dir):
+    """Robust per-type value moments (operators/stats.winsorized_stats):
+    mean/stddev after clamping to the exact [p05, p95] of each
+    event_type — bounded single-row influence, unlike the raw mean a
+    poisoned ingest value can drag arbitrarily. Pass 1 (exact
+    percentile agg, O(groups) result broadcast back) + pass 2 (one
+    partial+final agg of the clamped value); oracle pins the exact
+    quantile_cont interpolation and both clamp counts."""
+    from jsonschema_validator_spark.operators.stats import winsorized_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = winsorized_stats(ev, "value", "event_type", lower=0.05, upper=0.95)
+    return out.select(
+        "event_type",
+        "n",
+        "n_low",
+        "n_high",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        F.round("w_mean", 4).alias("w_mean"),
+        F.round("w_std", 4).alias("w_std"),
+    ).orderBy("event_type")
+
+
+_ORACLE_WINSORIZED = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+c AS (
+  SELECT e.event_type, e.value, b.lo, b.hi,
+         LEAST(GREATEST(e.value, b.lo), b.hi) AS w
+  FROM events e JOIN b USING (event_type) WHERE e.value IS NOT NULL)
+SELECT event_type, COUNT(*) AS n,
+       SUM(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+       SUM(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_high,
+       ROUND(MAX(lo), 4) AS lo, ROUND(MAX(hi), 4) AS hi,
+       ROUND(AVG(w), 4) AS w_mean, ROUND(stddev_samp(w), 4) AS w_std
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_boilerplate_documents(spark, sf_dir):
+    """Corpus-frequency boilerplate-line removal (operators/cleaning.
+    remove_boilerplate_lines), the C4/RefinedWeb-style cleanup: lines
+    recurring in >= 5 distinct documents drop, each document's
+    surviving lines reassemble in order. Header/footer boilerplate is
+    PLANTED by deterministic arithmetic both engines reproduce (the raw
+    corpus is single-line). The frequency shuffle carries (line_hash,
+    doc_id) — 16 bytes, never text; the tiny boilerplate relation
+    anti-joins back broadcast; reassembly is the one doc-keyed
+    exchange, ordered inside each row via sort_array (no window)."""
+    from jsonschema_validator_spark.operators.cleaning import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    built = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("SUBSCRIBE NOW\n"), F.col("text"), F.lit("\nALL RIGHTS RESERVED")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("cookie notice\n"), F.col("text")),
+        )
+        .otherwise(F.col("text")),
+    )
+    out = remove_boilerplate_lines(built, "doc_id", "text", min_docs=5)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_kept",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+_ORACLE_BOILERPLATE = """
+WITH built AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'SUBSCRIBE NOW' || chr(10) || text || chr(10) || 'ALL RIGHTS RESERVED'
+              WHEN doc_id % 3 = 1 THEN 'cookie notice' || chr(10) || text
+              ELSE text END AS text
+  FROM documents),
+d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM built),
+e AS (SELECT doc_id, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS pos FROM d),
+freq AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM e GROUP BY line),
+kept AS (SELECT e.doc_id, e.line, e.pos
+         FROM e JOIN freq USING (line) WHERE freq.n_docs < 5),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id, md5(COALESCE(reb.clean_text, '')) AS clean_md5,
+       COALESCE(reb.n_kept, 0)::BIGINT AS n_kept,
+       (len(string_split(b.text, chr(10))) - COALESCE(reb.n_kept, 0))::BIGINT
+         AS n_removed
+FROM built b LEFT JOIN reb USING (doc_id) ORDER BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3086,6 +3192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2_documents": q_curation_pipeline_v2_documents,
         "split_groups_events": q_split_groups_events,
         "range_join_events": q_range_join_events,
+        "winsorized_stats_events": q_winsorized_stats_events,
+        "boilerplate_documents": q_boilerplate_documents,
     }
 
 
@@ -3166,4 +3274,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,
         "split_groups_events": _ORACLE_SPLIT_GROUPS,
         "range_join_events": _ORACLE_RANGE_JOIN,
+        "winsorized_stats_events": _ORACLE_WINSORIZED,
+        "boilerplate_documents": _ORACLE_BOILERPLATE,
     }

@@ -1,0 +1,106 @@
+"""Corpus-frequency text cleaning: boilerplate-line removal.
+
+Web-scale training corpora carry per-site boilerplate (cookie banners,
+nav menus, "all rights reserved" footers) repeated across thousands of
+pages; C4/RefinedWeb-style pipelines drop any LINE that recurs in many
+distinct documents. This is line-level dedup ACROSS the corpus —
+distinct from within-document repetition (textstats.ngram_repetition)
+and whole-document dedup (operators/dedup).
+
+Scale shape (100 TB):
+- Frequency pass: lines are keyed by a 64-bit hash, so shuffle 1
+  carries (hash, doc_id) pairs — never line text — with map-side
+  partial distinct collapsing each document's repeats.
+- The boilerplate relation (lines in >= min_docs distinct docs) is at
+  most corpus_lines / min_docs rows — small by construction — and
+  joins back to the exploded lines as a broadcast LEFT ANTI join (AQE
+  picks broadcast from its actual size; no driver collect).
+- Reassembly is one groupBy(doc_id) carrying surviving line text — the
+  unavoidable doc-keyed exchange; ordering is restored inside each row
+  via sort_array over (pos, line) structs, not a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def line_frequency(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """(line_hash, n_docs): distinct-document frequency of every line.
+    The shuffle carries 16 bytes per (line, doc) pair, not the text."""
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.col(text_col), sep)).alias("line"),
+    )
+    return lines.groupBy(F.xxhash64("line").alias("line_hash")).agg(
+        F.count_distinct("__doc").alias("n_docs")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop every line that occurs in >= ``min_docs`` DISTINCT documents
+    and reassemble each document's remaining lines in original order.
+
+    Output: all input columns except ``text_col``, plus ``clean_text``
+    (surviving lines joined by ``sep``; empty string when every line
+    was boilerplate), ``n_lines`` and ``n_removed``. Hash-keyed
+    equality: two distinct lines colliding in xxhash64 would be
+    conflated (~2^-64 per pair — the standard trade documented across
+    the dedup operators). NULL text passes through with clean_text NULL
+    and zero counts (nothing to scrub — rows never drop).
+    """
+    reserved = {"__pos", "__line", "__lh", "n_docs", "line_hash"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input contains reserved cleaning columns: {sorted(reserved)}"
+        )
+    boiler = line_frequency(df, id_col, text_col, sep).filter(
+        F.col("n_docs") >= min_docs
+    )
+    exploded = df.select(
+        *df.columns,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__lh", F.xxhash64("__line"))
+    kept = exploded.join(
+        boiler, exploded["__lh"] == boiler["line_hash"], "left_anti"
+    )
+    carry = [c for c in df.columns if c not in (id_col, text_col)]
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    # left join from the input: a document whose every line was
+    # boilerplate (or whose text is NULL) must still appear
+    base = df.select(
+        id_col,
+        *carry,
+        F.when(
+            F.col(text_col).isNotNull(), F.size(F.split(F.col(text_col), sep))
+        ).alias("__total"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        *carry,
+        F.when(
+            F.col("__total").isNotNull(), F.coalesce("clean_text", F.lit(""))
+        ).alias("clean_text"),
+        F.coalesce("__n_kept", F.lit(0)).alias("n_kept"),
+        (F.coalesce("__total", F.lit(0)) - F.coalesce("__n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+    )

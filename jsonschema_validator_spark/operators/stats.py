@@ -307,3 +307,52 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("entropy_norm"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_by: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Robust per-group moments: clamp the value to its group's exact
+    [p_lower, p_upper] quantiles, then mean/stddev of the clamped
+    series. Plain mean/stddev have breakdown point 0 — one corrupted
+    ingest value (a 1e308 sentinel, a sign flip) drags the screen's
+    threshold arbitrarily; winsorizing bounds any single row's
+    influence, the same motivation as the median/MAD volume screen
+    (operators/anomaly.py) but for value-level checks where a trimmed
+    MEAN is the contract.
+
+    Two passes by construction (exact quantiles need a full pass before
+    clamping): pass 1 is one groupBy(group) percentile agg — the
+    resulting per-group bounds relation is O(groups) and broadcast back
+    onto the rows — pass 2 one partial+final agg of the clamped value.
+    At 100 TB swap pass 1 to approx_percentile for a single-digit-%
+    error at a fraction of the sort cost; the contract query pins the
+    exact path against quantile_cont.
+
+    Output per group: n, n_low / n_high (rows clamped at each edge),
+    lo / hi (the bounds), w_mean / w_std (winsorized moments,
+    population-std sample flavor: stddev_samp).
+    """
+    v = F.col(value_col)
+    bounds = df.filter(v.isNotNull()).groupBy(group_by).agg(
+        F.percentile(value_col, F.lit(float(lower))).alias("lo"),
+        F.percentile(value_col, F.lit(float(upper))).alias("hi"),
+    )
+    j = df.filter(v.isNotNull()).join(F.broadcast(bounds), group_by)
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy(group_by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("lo")).cast("long")).alias("n_low"),
+            F.sum((v > F.col("hi")).cast("long")).alias("n_high"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.avg(clamped).alias("w_mean"),
+            F.stddev_samp(clamped).alias("w_std"),
+        )
+    )

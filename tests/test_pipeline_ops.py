@@ -1286,3 +1286,52 @@ def test_range_join_guards(spark):
             pts.withColumn("iid", F.lit(1)), ivs,
             on="k", point_time="t", start="s", end="e",
         )
+
+
+def test_remove_boilerplate_lines(spark):
+    from jsonschema_validator_spark.operators.cleaning import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "HDR\nalpha\nrepeat\nrepeat\nFTR"),  # dup content line kept twice
+        (2, "HDR\nbeta\nFTR"),
+        (3, "HDR\ngamma\nFTR"),
+        (4, "HDR\nFTR"),                          # all boilerplate -> empty
+        (5, None),                                # NULL text passes through
+        (6, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_docs=3).collect()
+    }
+    assert got[1]["clean_text"] == "alpha\nrepeat\nrepeat"  # order + dups kept
+    assert got[1]["n_kept"] == 3 and got[1]["n_removed"] == 2
+    assert got[2]["clean_text"] == "beta"
+    assert got[4]["clean_text"] == "" and got[4]["n_kept"] == 0
+    assert got[4]["n_removed"] == 2
+    assert got[5]["clean_text"] is None and got[5]["n_kept"] == 0
+    assert got[6]["clean_text"] == "delta" and got[6]["n_removed"] == 0
+    assert len(got) == 6  # rows never drop
+
+
+def test_winsorized_stats_reference(spark):
+    import statistics
+
+    from jsonschema_validator_spark.operators.stats import winsorized_stats
+
+    vals = [float(v) for v in range(1, 100)] + [10_000.0]  # one poison value
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", None)], "grp string, v double"
+    )
+    r = winsorized_stats(df, "v", "grp", lower=0.05, upper=0.95).collect()[0]
+    # exact quantile_cont interpolation on n=100: p05 = 5.95, p95 = 95.05
+    assert abs(r["lo"] - 5.95) < 1e-9 and abs(r["hi"] - 95.05) < 1e-9
+    clamped = [min(max(v, r["lo"]), r["hi"]) for v in vals]
+    assert abs(r["w_mean"] - statistics.fmean(clamped)) < 1e-9
+    assert abs(r["w_std"] - statistics.stdev(clamped)) < 1e-6
+    assert r["n"] == 100 and r["n_low"] == 5 and r["n_high"] == 5
+    # the poison value moved the raw mean by ~99 but the winsorized mean
+    # stays within the clamp bound
+    assert r["w_mean"] < 52
