@@ -3107,6 +3107,146 @@ FROM built b LEFT JOIN reb USING (doc_id) ORDER BY b.doc_id
 """
 
 
+def q_merge_upsert_documents(spark, sf_dir):
+    """Snapshot MERGE (operators/merge.merge_upsert): a deterministic
+    change set — deletes for doc_id % 11 == 0, text rewrites for the
+    remaining doc_id % 7 == 0, inserts at doc_id + 1,000,000 for
+    doc_id % 13 == 0 — applied to the documents snapshot as ONE
+    full-outer equi-join (AQE broadcasts the small change side). The
+    oracle replays lakehouse MERGE semantics as anti-join + union;
+    full merged content is pinned row-by-row via md5."""
+    from jsonschema_validator_spark.operators.merge import merge_upsert
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    deletes = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "text", "source", F.lit("delete").alias("op")
+    )
+    updates = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0))
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPDATED "), F.col("doc_id").cast("string")).alias("text"),
+            "source",
+            F.lit("upsert").alias("op"),
+        )
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("NEW "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("srcNEW").alias("source"),
+        F.lit("upsert").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    merged = merge_upsert(docs, changes, "doc_id")
+    return merged.select(
+        "doc_id", F.md5("text").alias("text_md5"), "source"
+    ).orderBy("doc_id")
+
+
+_ORACLE_MERGE_UPSERT = """
+WITH base AS (SELECT doc_id, text, source FROM documents),
+changes AS (
+  SELECT doc_id, text, source, 'delete' AS op FROM base WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, 'UPDATED ' || doc_id::VARCHAR, source, 'upsert'
+  FROM base WHERE doc_id % 7 = 0 AND doc_id % 11 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'NEW ' || doc_id::VARCHAR, 'srcNEW', 'upsert'
+  FROM base WHERE doc_id % 13 = 0),
+merged AS (
+  SELECT b.doc_id, b.text, b.source FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = b.doc_id)
+  UNION ALL
+  SELECT doc_id, text, source FROM changes WHERE op = 'upsert')
+SELECT doc_id, md5(text) AS text_md5, source FROM merged ORDER BY doc_id
+"""
+
+
+def q_tfidf_documents(spark, sf_dir):
+    """Per-source characteristic terms (operators/textstats.
+    tfidf_top_terms): top-3 terms per source by smoothed TF-IDF — the
+    'is this crawl source drifting off-topic' profile. One corpus
+    explode feeds both the (source, term) frequency and the
+    distinct-document term frequency; N rides as a broadcast 1-row
+    relation; the rank window runs on the aggregated O(sources x
+    vocab) relation only."""
+    from jsonschema_validator_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = tfidf_top_terms(docs, "doc_id", "text", "source", k=3)
+    return out.select(
+        F.col("grp").alias("source"),
+        "rank",
+        "term",
+        "tf",
+        "df",
+        F.round("tfidf", 6).alias("tfidf"),
+    ).orderBy("source", "rank")
+
+
+_ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+t2 AS (SELECT * FROM toks WHERE term != ''),
+n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+dft AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df_t FROM t2 GROUP BY term),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM t2 GROUP BY source, term),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, dft.df_t,
+         tf.tf * (ln((n.n_docs + 1.0) / (dft.df_t + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT source, term, tf, df_t,
+         tfidf,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT source, rank::INT AS rank, term, tf, df_t::BIGINT AS df,
+       ROUND(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 3 ORDER BY source, rank
+"""
+
+
+def q_temperature_sample_documents(spark, sf_dir):
+    """Inverse-sqrt source balancing (operators/sampling.
+    temperature_sample): each source keeps rate min(1, 2/sqrt(n)) so
+    head sources flatten while tail sources survive whole. The rates
+    derive from in-plan counts (O(sources) relation broadcast back);
+    every float step is IEEE-exactly-rounded, so the oracle reproduces
+    the exact kept set, pinned per source by count and id-sum."""
+    from jsonschema_validator_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_sample(docs, "doc_id", "source", k=2.0)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_TEMPERATURE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+thresh AS (
+  SELECT source, FLOOR(LEAST(1.0, 2.0 / sqrt(n)) * 1000000)::BIGINT AS t
+  FROM counts),
+mixed AS (
+  SELECT d.doc_id, d.source, t.t,
+         ((d.doc_id % 2147483648) * 2654435761) AS h
+  FROM documents d JOIN thresh t USING (source)),
+kept AS (
+  SELECT doc_id, source FROM mixed
+  WHERE xor(h, h >> 29) % 1000000 < t)
+SELECT source, COUNT(*) AS n_sampled, SUM(doc_id)::BIGINT AS sum_ids
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3194,6 +3334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "winsorized_stats_events": q_winsorized_stats_events,
         "boilerplate_documents": q_boilerplate_documents,
+        "merge_upsert_documents": q_merge_upsert_documents,
+        "tfidf_documents": q_tfidf_documents,
+        "temperature_sample_documents": q_temperature_sample_documents,
     }
 
 
@@ -3276,4 +3419,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": _ORACLE_RANGE_JOIN,
         "winsorized_stats_events": _ORACLE_WINSORIZED,
         "boilerplate_documents": _ORACLE_BOILERPLATE,
+        "merge_upsert_documents": _ORACLE_MERGE_UPSERT,
+        "tfidf_documents": _ORACLE_TFIDF,
+        "temperature_sample_documents": _ORACLE_TEMPERATURE,
     }

@@ -85,3 +85,34 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: 
         .filter(F.pmod(mix_key(F.col(key_col)), F.lit(DOMAIN)) < F.col("__threshold"))
         .drop("__threshold")
     )
+
+
+def temperature_sample(
+    df: DataFrame, key_col: str, strata_col: str, k: float = 4.0
+) -> DataFrame:
+    """Inverse-sqrt source balancing (the unnormalized form of
+    temperature-based data mixing): each stratum keeps rate
+    min(1, k / sqrt(n_stratum)), so a 100x-larger source is sampled
+    only 10x as much — flattening the head without starving the tail.
+    Small strata (n <= k^2) pass through whole.
+
+    The rates derive from the per-stratum counts INSIDE the plan (one
+    partial+final count agg, O(strata) result broadcast back onto the
+    rows) — no driver action. Every arithmetic step (sqrt, divide,
+    multiply, floor) is IEEE-exactly-rounded, so the kept set is a pure
+    engine-portable function of (key, stratum counts), reproducible
+    verbatim in the SQL oracle; row membership itself comes from the
+    same `mix_key` mixer as hash_sample."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    thresh = counts.select(
+        strata_col,
+        F.floor(
+            F.least(F.lit(1.0), F.lit(float(k)) / F.sqrt(F.col("__n")))
+            * F.lit(DOMAIN)
+        ).alias("__threshold"),
+    )
+    return (
+        df.join(F.broadcast(thresh), strata_col)
+        .filter(F.pmod(mix_key(F.col(key_col)), F.lit(DOMAIN)) < F.col("__threshold"))
+        .drop("__threshold")
+    )

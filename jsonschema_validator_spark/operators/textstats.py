@@ -4,7 +4,7 @@ Column algebra (regex/length/aggregate built-ins), no per-row Python."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -315,3 +315,52 @@ def text_quality_report(df: DataFrame, text_col: str, group_by: str | None = Non
         F.round(F.avg(quality_score(t)), 4).alias("avg_quality"),
     ]
     return (df.groupBy(group_by) if group_by else df.groupBy()).agg(*aggs)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per group by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, N = distinct documents, df = distinct
+    documents containing the term) — the "what is this source/domain
+    about" profile used to spot a crawl source drifting off-topic.
+
+    One explode of the corpus feeds BOTH aggregates (term frequency per
+    (group, term) and document frequency per term); N rides as a
+    broadcast 1-row relation so no driver action interrupts the plan.
+    The rank window runs on the aggregated O(groups x vocab) relation —
+    never the raw token stream (per the skew study: windows over raw
+    rows melt on hot groups; windows over post-agg relations are fine).
+    Ties break by term ascending for deterministic output.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    n_docs = df.select(
+        F.count_distinct(id_col).cast("double").alias("__n")
+    )
+    df_t = toks.groupBy("term").agg(
+        F.count_distinct("__doc").cast("double").alias("df_t")
+    )
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n") + 1.0) / (F.col("df_t") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("grp", "rank", "term", "tf", F.col("df_t").cast("long").alias("df"), "tfidf")
+    )

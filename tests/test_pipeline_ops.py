@@ -1335,3 +1335,84 @@ def test_winsorized_stats_reference(spark):
     # the poison value moved the raw mean by ~99 but the winsorized mean
     # stays within the clamp bound
     assert r["w_mean"] < 52
+
+
+def test_merge_upsert_semantics(spark):
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "nullkey")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "upsert"),     # update
+            (3, None, "delete"),    # delete
+            (9, "I", "upsert"),     # insert
+            (None, "x", "upsert"),  # NULL key: dropped (SQL semantics)
+        ],
+        "k int, v string, op string",
+    )
+    got = sorted(
+        ((r["k"], r["v"]) for r in merge_upsert(base, changes, "k").collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == [(1, "a"), (2, "B"), (9, "I"), (None, "nullkey")]
+
+    # unknown op fails the job loudly, never drops rows silently
+    bad = spark.createDataFrame([(1, "z", "replace")], "k int, v string, op string")
+    with _pytest.raises(Exception, match="unknown op"):
+        merge_upsert(base, bad, "k").collect()
+
+    # schema contract enforced up front
+    with _pytest.raises(ValueError, match="missing base columns"):
+        merge_upsert(base, changes.drop("v"), "k")
+
+
+def test_tfidf_top_terms_reference(spark):
+    import math
+
+    from jsonschema_validator_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "g1", "apple apple banana"),
+            (2, "g1", "apple cherry"),
+            (3, "g2", "banana banana banana"),
+        ],
+        "doc int, grp string, text string",
+    )
+    rows = {
+        (r["grp"], r["term"]): r
+        for r in tfidf_top_terms(df, "doc", "text", "grp", k=10).collect()
+    }
+    # N=3; apple df=2 tf(g1)=3; banana df=2 tf(g2)=3; cherry df=1 tf(g1)=1
+    idf2 = math.log(4.0 / 3.0) + 1.0
+    idf1 = math.log(4.0 / 2.0) + 1.0
+    assert abs(rows[("g1", "apple")]["tfidf"] - 3 * idf2) < 1e-9
+    assert abs(rows[("g1", "cherry")]["tfidf"] - 1 * idf1) < 1e-9
+    assert abs(rows[("g2", "banana")]["tfidf"] - 3 * idf2) < 1e-9
+    # rank 1 in g1 is apple (3*idf2 > 1*idf1)
+    assert rows[("g1", "apple")]["rank"] == 1
+    assert rows[("g1", "apple")]["df"] == 2
+
+
+def test_temperature_sample_rates(spark):
+    from jsonschema_validator_spark.operators.sampling import temperature_sample
+
+    df = spark.range(10_400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 10_000, F.lit("big")).otherwise(F.lit("small")).alias("s"),
+    )
+    out = temperature_sample(df, "k", "s", k=4.0)
+    by = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # small stratum (400 rows, rate min(1, 4/20)=0.2): ~80 kept
+    # big stratum (10k rows, rate 4/100=0.04): ~400 kept — flattened 25x
+    assert by["small"] < 400  # genuinely sampled
+    assert 0.5 * 0.04 * 10_000 < by["big"] < 1.5 * 0.04 * 10_000
+    assert 0.5 * 0.2 * 400 < by["small"] < 1.5 * 0.2 * 400
+    # deterministic under repartitioning
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in temperature_sample(df.repartition(13), "k", "s", k=4.0).collect())
+    assert a == b
