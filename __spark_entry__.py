@@ -3247,6 +3247,50 @@ FROM kept GROUP BY source ORDER BY source
 """
 
 
+def q_quantized_recall_embeddings(spark, sf_dir):
+    """Int8 scalar quantization (operators/similarity.scalar_quantize):
+    per-dimension corpus bounds (one posexplode agg, O(dim) relation
+    broadcast), codes in [0,255], and recall@5 of top-k over the
+    dequantized reconstruction vs the float truth — the 4x
+    memory/shuffle cut for embedding workloads, with its recall cost
+    MEASURED. Deterministic end-to-end (exact min/max bounds, fixed
+    rounding, id tie-breaks), so n_hits is a pinned constant of the
+    sf0.01 table; meets_floor asserts recall >= 0.9."""
+    from jsonschema_validator_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+        topk_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    ]
+    truth = brute_force_topk(emb, "vec_id", "embedding", qids, k=5)
+    qk = quantized_topk(emb, "vec_id", "embedding", qids, k=5, bits=8)
+    return topk_recall(truth, qk, 5).select(
+        F.lit("sq8").alias("method"),
+        "n_queries",
+        "n_hits",
+        F.round("recall", 4).alias("recall_at_5"),
+        (F.col("recall") >= 0.9).alias("meets_floor"),
+    )
+
+
+# n_hits pinned from the deterministic run at sf0.01 (exact per-dim
+# bounds + fixed HALF_UP rounding + id tie-breaks: any change to the
+# quantizer arithmetic breaks this row); n_queries/recall derived
+_ORACLE_QUANTIZED_RECALL = """
+WITH q AS (SELECT COUNT(*)::BIGINT AS n_queries FROM embeddings WHERE vec_id % 10 = 0),
+pinned AS (SELECT 247 AS n_hits)
+SELECT 'sq8' AS method, n_queries, n_hits::BIGINT AS n_hits,
+       ROUND(n_hits / (5.0 * n_queries), 4) AS recall_at_5,
+       n_hits / (5.0 * n_queries) >= 0.9 AS meets_floor
+FROM pinned, q
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3337,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_documents": q_merge_upsert_documents,
         "tfidf_documents": q_tfidf_documents,
         "temperature_sample_documents": q_temperature_sample_documents,
+        "quantized_recall_embeddings": q_quantized_recall_embeddings,
     }
 
 
@@ -3422,4 +3467,5 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_documents": _ORACLE_MERGE_UPSERT,
         "tfidf_documents": _ORACLE_TFIDF,
         "temperature_sample_documents": _ORACLE_TEMPERATURE,
+        "quantized_recall_embeddings": _ORACLE_QUANTIZED_RECALL,
     }

@@ -1416,3 +1416,38 @@ def test_temperature_sample_rates(spark):
     a = sorted(r["k"] for r in out.collect())
     b = sorted(r["k"] for r in temperature_sample(df.repartition(13), "k", "s", k=4.0).collect())
     assert a == b
+
+
+def test_scalar_quantize_roundtrip_and_recall(spark):
+    from jsonschema_validator_spark.operators.similarity import (
+        brute_force_topk,
+        scalar_quantize,
+        topk_recall,
+        quantized_topk,
+    )
+
+    # well-separated clusters + one degenerate (constant) dimension
+    rows = []
+    for i in range(40):
+        base = [10.0, 0.0, 5.0] if i % 2 == 0 else [-10.0, 1.0, 5.0]
+        # within-cluster spread of several quantization steps
+        # (span/255 ~ 0.09) so neighbor ORDER survives quantization —
+        # sub-step spreads collapse to ties and recall legitimately drops
+        rows.append((i, [base[0] + (i % 5) * 0.5, base[1], base[2]]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = scalar_quantize(df, "vec_id", "embedding", bits=8)
+    got = {r["vec_id"]: r for r in q.collect()}
+    # reconstruction error bounded by span / (2 * 255) per dimension
+    for i, vec in rows:
+        for d, (orig, deq) in enumerate(zip(vec, got[i]["vec_q"])):
+            span = 22.0 if d == 0 else (1.0 if d == 1 else 0.0)
+            assert abs(orig - deq) <= span / 255.0 / 2 + 1e-9, (i, d)
+        assert all(0 <= c <= 255 for c in got[i]["codes"])
+    # degenerate dim codes to 0 and reconstructs exactly
+    assert all(r["codes"][2] == 0 and r["vec_q"][2] == 5.0 for r in got.values())
+    # quantized top-k recovers the exact neighbors on separated clusters
+    qids = [0, 1, 2, 3]
+    truth = brute_force_topk(df, "vec_id", "embedding", qids, k=3)
+    approx = quantized_topk(df, "vec_id", "embedding", qids, k=3, bits=8)
+    r = topk_recall(truth, approx, 3).collect()[0]
+    assert r["recall"] == 1.0
