@@ -3291,6 +3291,81 @@ FROM pinned, q
 """
 
 
+def q_rollup_quality_documents(spark, sf_dir):
+    """Hierarchical quality rollup via grouping sets: one scan emits
+    (source, lang), per-source, and grand-total aggregates — the
+    drill-down table a curation dashboard reads — instead of three
+    separate scans + union. Catalyst expands ROLLUP into a single
+    Expand + one partial+final agg; grouping_id disambiguates a real
+    NULL key from a rollup subtotal exactly as SQL GROUPING() does."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.min("n_chars").cast("double"), 4).alias("min_chars"),
+            F.round(F.max("n_chars").cast("double"), 4).alias("max_chars"),
+        )
+        .orderBy("gid", "source", "lang")
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT source, lang,
+       (CASE WHEN GROUPING(source) = 1 THEN 2 ELSE 0 END
+        + CASE WHEN GROUPING(lang) = 1 THEN 1 ELSE 0 END)::BIGINT AS gid,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(MIN(n_chars)::DOUBLE, 4) AS min_chars,
+       ROUND(MAX(n_chars)::DOUBLE, 4) AS max_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+ORDER BY gid, source, lang
+"""
+
+
+def q_correlation_events(spark, sf_dir):
+    """Cross-column correlation screen (operators/stats.
+    correlation_matrix): Pearson corr between the value column, the
+    JSON payload's k field, and the payload length, per event_type —
+    the drift no per-column stat catches (each marginal can stay flat
+    while a join bug decouples columns that move together). One
+    partial+final agg pass computes every pair; corr is algebraic so
+    the pass is skew-immune under map-side combine."""
+    from jsonschema_validator_spark.operators.stats import correlation_matrix
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("k"),
+        F.length("props").cast("double").alias("plen"),
+    )
+    out = correlation_matrix(ev, ["v", "k", "plen"], group_by="event_type")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("corr__v__k", 4).alias("corr_v_k"),
+        F.round("corr__v__plen", 4).alias("corr_v_plen"),
+        F.round("corr__k__plen", 4).alias("corr_k_plen"),
+    ).orderBy("event_type")
+
+
+_ORACLE_CORRELATION = """
+WITH t AS (
+  SELECT event_type, value AS v,
+         TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+         LEN(props)::DOUBLE AS plen
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(corr(v, k), 4) AS corr_v_k,
+       ROUND(corr(v, plen), 4) AS corr_v_plen,
+       ROUND(corr(k, plen), 4) AS corr_k_plen
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3382,6 +3457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_documents": q_tfidf_documents,
         "temperature_sample_documents": q_temperature_sample_documents,
         "quantized_recall_embeddings": q_quantized_recall_embeddings,
+        "rollup_quality_documents": q_rollup_quality_documents,
+        "correlation_events": q_correlation_events,
     }
 
 
@@ -3468,4 +3545,6 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_documents": _ORACLE_TFIDF,
         "temperature_sample_documents": _ORACLE_TEMPERATURE,
         "quantized_recall_embeddings": _ORACLE_QUANTIZED_RECALL,
+        "rollup_quality_documents": _ORACLE_ROLLUP,
+        "correlation_events": _ORACLE_CORRELATION,
     }

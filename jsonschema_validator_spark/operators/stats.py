@@ -356,3 +356,55 @@ def winsorized_stats(
             F.stddev_samp(clamped).alias("w_std"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], group_by: str | None = None
+) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns, optionally per
+    partition — the cross-COLUMN drift screen: per-column stats stay
+    flat when an upstream join bug decouples columns that always moved
+    together (price vs quantity, value vs payload size); the
+    correlation structure is what breaks.
+
+    ONE partial+final aggregation pass computes all C(n,2) pairs —
+    corr is algebraic (sums of x, y, xy, x^2, y^2), so Catalyst's
+    map-side combine makes this skew-immune like the other stat aggs;
+    no column pair ever leaves the reducer as raw rows. Output one row
+    per group: n plus corr__<a>__<b> for each pair (NULL when either
+    side is constant)."""
+    # NOT F.corr: under ANSI mode (Spark 4 default) a constant column
+    # makes corr's internal divide-by-zero ABORT the job — and a screen
+    # that dies on exactly the broken-column condition it exists to
+    # catch is useless. Algebraic sums + CASE-guarded division return
+    # NULL for degenerate pairs instead; pairwise-NULL semantics match
+    # SQL corr (a row counts for a pair iff both sides are non-null).
+    aggs = [F.count(F.lit(1)).alias("n")]
+    finals = [F.col("n")]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            x = F.when(both, F.col(a).cast("double"))
+            y = F.when(both, F.col(b).cast("double"))
+            p = f"__{a}__{b}"
+            aggs += [
+                F.count(x).cast("double").alias(f"n{p}"),
+                F.sum(x).alias(f"sx{p}"),
+                F.sum(y).alias(f"sy{p}"),
+                F.sum(x * y).alias(f"sxy{p}"),
+                F.sum(x * x).alias(f"sxx{p}"),
+                F.sum(y * y).alias(f"syy{p}"),
+            ]
+            np_, sx, sy = F.col(f"n{p}"), F.col(f"sx{p}"), F.col(f"sy{p}")
+            cov = np_ * F.col(f"sxy{p}") - sx * sy
+            vx = np_ * F.col(f"sxx{p}") - sx * sx
+            vy = np_ * F.col(f"syy{p}") - sy * sy
+            finals.append(
+                F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias(
+                    f"corr__{a}__{b}"
+                )
+            )
+    grouped = df.groupBy(group_by) if group_by else df.groupBy()
+    agged = grouped.agg(*aggs)
+    keys = [group_by] if group_by else []
+    return agged.select(*keys, *finals)

@@ -1451,3 +1451,28 @@ def test_scalar_quantize_roundtrip_and_recall(spark):
     approx = quantized_topk(df, "vec_id", "embedding", qids, k=3, bits=8)
     r = topk_recall(truth, approx, 3).collect()[0]
     assert r["recall"] == 1.0
+
+
+def test_correlation_matrix_reference(spark):
+    import statistics
+
+    from jsonschema_validator_spark.operators.stats import correlation_matrix
+
+    xs = [float(i) for i in range(50)]
+    ys = [2.0 * x + 3.0 for x in xs]            # perfectly correlated
+    zs = [float((i * 37) % 50) for i in range(50)]  # decorrelated-ish
+    df = spark.createDataFrame(
+        [("g", x, y, z) for x, y, z in zip(xs, ys, zs)] + [("g", 1.0, None, 2.0)],
+        "grp string, x double, y double, z double",
+    )
+    r = correlation_matrix(df, ["x", "y", "z"], group_by="grp").collect()[0]
+    assert abs(r["corr__x__y"] - 1.0) < 1e-9
+    # pairwise NULL handling: the NULL-y row is excluded from corr(x,y)
+    # but its (x, z) values DO count toward corr(x,z)
+    ref = statistics.correlation(xs + [1.0], zs + [2.0])
+    assert abs(r["corr__x__z"] - ref) < 1e-6
+    assert r["n"] == 51
+    # constant column -> NULL corr, not a crash
+    df2 = spark.createDataFrame([("g", 1.0, 5.0), ("g", 2.0, 5.0)], "grp string, a double, b double")
+    r2 = correlation_matrix(df2, ["a", "b"], group_by="grp").collect()[0]
+    assert r2["corr__a__b"] is None or r2["corr__a__b"] != r2["corr__a__b"]
