@@ -3366,6 +3366,55 @@ FROM t GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_zorder_events(spark, sf_dir):
+    """Morton/Z-order key (operators/zorder.morton_key): the 2-D
+    clustering code behind multi-dimensional data skipping — bit
+    interleave of (user_id, floor(value)) so range-sorting on the code
+    makes every file a compact rectangle in both dimensions (pytest
+    measures the pruning win against a 1-D sort with real parquet
+    footers). Pure integer shift/mask Column algebra, reproduced
+    bit-for-bit by the SQL oracle; top-50 rows by (code, id) pin the
+    interleave exactly."""
+    from jsonschema_validator_spark.operators.zorder import morton_key
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    z = ev.select(
+        "event_id",
+        morton_key(
+            F.col("user_id").bitwiseAND(F.lit(0xFFFF)).cast("int"),
+            F.least(F.floor("value").cast("int"), F.lit(0xFFFF)),
+        ).alias("zkey"),
+    )
+    return z.orderBy("zkey", "event_id").limit(50)
+
+
+_ORACLE_ZORDER = """
+WITH b AS (
+  SELECT event_id,
+         (user_id & 65535)::BIGINT AS x,
+         LEAST(FLOOR(value)::BIGINT, 65535) AS y
+  FROM events WHERE value IS NOT NULL),
+s1 AS (
+  SELECT event_id,
+         ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y
+  FROM b),
+s2 AS (
+  SELECT event_id,
+         ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y
+  FROM s1),
+s3 AS (
+  SELECT event_id,
+         ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y
+  FROM s2),
+s4 AS (
+  SELECT event_id,
+         ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y
+  FROM s3)
+SELECT event_id, (x | (y << 1))::BIGINT AS zkey
+FROM s4 ORDER BY zkey, event_id LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3459,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_recall_embeddings": q_quantized_recall_embeddings,
         "rollup_quality_documents": q_rollup_quality_documents,
         "correlation_events": q_correlation_events,
+        "zorder_events": q_zorder_events,
     }
 
 
@@ -3547,4 +3597,5 @@ def oracle_sql() -> dict[str, str]:
         "quantized_recall_embeddings": _ORACLE_QUANTIZED_RECALL,
         "rollup_quality_documents": _ORACLE_ROLLUP,
         "correlation_events": _ORACLE_CORRELATION,
+        "zorder_events": _ORACLE_ZORDER,
     }

@@ -124,3 +124,72 @@ def write_bucketed(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/incremental sink needs: per-batch exactly-once writes
+    (streaming/validate.py) and per-partition dynamic overwrites
+    (plans/runner.py) accumulate files far below the scan-efficient
+    size, and at 100 TB a scan's task count (and the driver's listing
+    cost) is file-bound. Rewrites the directory into
+    ceil(total_bytes / target) files via ONE AQE-coalesced shuffle
+    (repartition — round-robin balances skewed input files; coalesce
+    would chain-collapse without rebalancing), optionally re-sorting
+    within files to restore min/max locality (pair with
+    zorder.morton_key to preserve 2-D clustering through compaction).
+
+    The swap is atomic at the directory level: write to a sibling tmp
+    dir, rename old -> .bak, tmp -> path, drop .bak. A crash mid-swap
+    leaves either the old or the new directory intact, never a mix —
+    the same temp+rename discipline as the runner's manifest. (On
+    Iceberg this whole function is `rewrite_data_files`; this is the
+    plain-parquet stand-in.)
+
+    Returns {files_before, files_after, bytes, rows}.
+    """
+    import math
+    import shutil
+
+    def _data_files(d: str) -> list[str]:
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    out = df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    bak = path.rstrip("/") + ".__compact_bak"
+    out.write.mode("overwrite").parquet(tmp)
+    # verify before swapping: a compaction that loses rows must abort
+    new_rows = spark.read.parquet(tmp).count()
+    if new_rows != rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_parquet: row count changed {rows} -> {new_rows}; aborting"
+        )
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes": total,
+        "rows": rows,
+    }

@@ -1476,3 +1476,104 @@ def test_correlation_matrix_reference(spark):
     df2 = spark.createDataFrame([("g", 1.0, 5.0), ("g", 2.0, 5.0)], "grp string, a double, b double")
     r2 = correlation_matrix(df2, ["a", "b"], group_by="grp").collect()[0]
     assert r2["corr__a__b"] is None or r2["corr__a__b"] != r2["corr__a__b"]
+
+
+def test_morton_key_reference(spark):
+    from jsonschema_validator_spark.operators.zorder import morton_key
+
+    def py_morton(x, y):
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    pairs = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 256)]
+    df = spark.createDataFrame(pairs, "x int, y int")
+    got = [
+        r["z"] for r in df.select(morton_key(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    ]
+    assert got == [py_morton(x, y) for x, y in pairs]
+
+
+def test_zorder_write_prunes_2d_boxes(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_spark.operators.zorder import zorder_write
+
+    # uniform 2-D grid; compare file-footprint pruning for a 2-D box
+    # query under z-order vs a 1-D (x-sorted) layout
+    n = 1 << 14
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(1 << 12)).cast("int").alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1 << 12)).cast("int").alias("y"),
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(df, zdir, F.col("x"), F.col("y"), n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def files_hit(d, lo, hi):
+        import os as _os
+
+        hit = total = 0
+        for root, _, fs in _os.walk(d):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                total += 1
+                md = pq.read_metadata(_os.path.join(root, f))
+                xmin = ymin = 1 << 30
+                xmax = ymax = -1
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema
+                        st = c.statistics
+                        if name == "x":
+                            xmin, xmax = min(xmin, st.min), max(xmax, st.max)
+                        elif name == "y":
+                            ymin, ymax = min(ymin, st.min), max(ymax, st.max)
+                if xmin <= hi and xmax >= lo and ymin <= hi and ymax >= lo:
+                    hit += 1
+        return hit, total
+
+    lo, hi = 0, (1 << 12) // 4 - 1  # the bottom-left 1/16 of the space
+    z_hit, z_total = files_hit(zdir, lo, hi)
+    l_hit, l_total = files_hit(ldir, lo, hi)
+    assert z_total == l_total == 16
+    # 1-D layout: every x-slice file spans all y -> y-predicate prunes
+    # nothing and the x-range still hits ~1/4 of files; z-order confines
+    # the box to a corner of the code range
+    assert z_hit < l_hit, (z_hit, l_hit)
+    assert z_hit <= 4  # the box is 1/16 of the area
+
+    # row parity: clustering is a layout change only
+    assert spark.read.parquet(zdir).count() == n
+
+
+def test_compact_parquet(spark, tmp_path):
+    from jsonschema_validator_spark.sources.tables import compact_parquet
+
+    p = str(tmp_path / "frag")
+    df = spark.range(20_000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(97)).alias("k")
+    )
+    df.repartition(64).write.mode("overwrite").parquet(p)  # fragmented
+    before_sum = spark.read.parquet(p).agg(F.sum("id")).collect()[0][0]
+
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1  # tiny table fits one target file
+    assert stats["rows"] == 20_000
+
+    after = spark.read.parquet(p)
+    assert after.count() == 20_000
+    assert after.agg(F.sum("id")).collect()[0][0] == before_sum
+    assert set(after.columns) == {"id", "k"}
