@@ -3415,6 +3415,72 @@ FROM s4 ORDER BY zkey, event_id LIMIT 50
 """
 
 
+def q_streaming_dedup_events(spark, sf_dir):
+    """Streaming exact dedup (streaming/validate.streaming_dedup =
+    dropDuplicatesWithinWatermark): the events file arrives TWICE as
+    two separate files with maxFilesPerTrigger=1, so every duplicate
+    crosses a micro-batch boundary and must be suppressed by the
+    operator's keyed state, not by within-batch dedup. The watermark
+    horizon is set beyond the table's time span, making the streaming
+    result exactly the batch DISTINCT — which is the oracle. Sink
+    totals (row count + id sum) pin set equality, not just cardinality."""
+    import os
+    import shutil
+    import tempfile
+
+    from jsonschema_validator_spark.streaming.validate import streaming_dedup
+
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    src = f"{sf_dir}/events.parquet"
+    for name in ("a.parquet", "b.parquet"):
+        try:
+            os.link(src, f"{src_dir}/{name}")
+        except OSError:
+            shutil.copy(src, f"{src_dir}/{name}")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # horizon >> table span: state never evicts, so the stream result
+    # is exact dedup (production sets this to the real lateness bound
+    # and accepts horizon-scoped dedup — the only option with bounded
+    # state on an unbounded stream)
+    dd = streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="87600 hours")
+    out = f"{root}/out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dd.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sink = spark.read.parquet(out)
+    return sink.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_id").alias("n_ids"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+
+_ORACLE_STREAMING_DEDUP = """
+WITH d AS (SELECT DISTINCT event_id FROM events)
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids,
+       SUM(event_id)::BIGINT AS sum_ids
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3509,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_quality_documents": q_rollup_quality_documents,
         "correlation_events": q_correlation_events,
         "zorder_events": q_zorder_events,
+        "streaming_dedup_events": q_streaming_dedup_events,
     }
 
 
@@ -3598,4 +3665,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_quality_documents": _ORACLE_ROLLUP,
         "correlation_events": _ORACLE_CORRELATION,
         "zorder_events": _ORACLE_ZORDER,
+        "streaming_dedup_events": _ORACLE_STREAMING_DEDUP,
     }
