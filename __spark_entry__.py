@@ -3481,6 +3481,74 @@ FROM d
 """
 
 
+def q_quality_funnel_documents(spark, sf_dir):
+    """Per-source quality-gate funnel (operators/textstats.
+    quality_funnel): length floor, duplicate-3-gram ceiling, and
+    word-entropy floor as conditional sums in ONE partial+final pass —
+    N gates cost one scan, not N. Each gate's signal reuses an already
+    independently-oracled Column (token split, ngram_repetition,
+    word_entropy), and the oracle recomputes the same three signals
+    per document before the conditional rollup."""
+    from jsonschema_validator_spark.operators.textstats import (
+        ngram_repetition,
+        quality_funnel,
+        word_entropy,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gates = {
+        "length": F.size(F.split("text", " ")) >= 20,
+        "repetition": ngram_repetition(F.col("text")) <= 0.1,
+        "entropy": word_entropy(F.col("text")) >= 4.0,
+    }
+    out = quality_funnel(docs, "source", gates)
+    return out.select(
+        "source",
+        "n",
+        "pass_length",
+        "pass_repetition",
+        "pass_entropy",
+        "pass_all",
+        F.round("keep_rate", 6).alias("keep_rate"),
+    ).orderBy("source")
+
+
+_ORACLE_QUALITY_FUNNEL = """
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, source, len(w) AS n_tok,
+    CASE WHEN len(w) >= 3
+      THEN list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [] END AS grams
+  FROM t),
+rep AS (
+  SELECT doc_id, source, n_tok,
+    CASE WHEN len(grams) = 0 THEN 0.0
+         ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+         END AS dup3
+  FROM g),
+wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT doc_id, w, COUNT(*)::DOUBLE AS c FROM wrd GROUP BY 1, 2),
+ent AS (SELECT doc_id, log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS entropy
+        FROM cnt GROUP BY 1),
+j AS (
+  SELECT r.source,
+         (r.n_tok >= 20) AS g_len,
+         (r.dup3 <= 0.1) AS g_rep,
+         (e.entropy >= 4.0) AS g_ent
+  FROM rep r JOIN ent e USING (doc_id))
+SELECT source, COUNT(*) AS n,
+       SUM(CASE WHEN g_len THEN 1 ELSE 0 END)::BIGINT AS pass_length,
+       SUM(CASE WHEN g_rep THEN 1 ELSE 0 END)::BIGINT AS pass_repetition,
+       SUM(CASE WHEN g_ent THEN 1 ELSE 0 END)::BIGINT AS pass_entropy,
+       SUM(CASE WHEN g_len AND g_rep AND g_ent THEN 1 ELSE 0 END)::BIGINT AS pass_all,
+       ROUND(SUM(CASE WHEN g_len AND g_rep AND g_ent THEN 1 ELSE 0 END)
+             / COUNT(*)::DOUBLE, 6) AS keep_rate
+FROM j GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3576,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_events": q_correlation_events,
         "zorder_events": q_zorder_events,
         "streaming_dedup_events": q_streaming_dedup_events,
+        "quality_funnel_documents": q_quality_funnel_documents,
     }
 
 
@@ -3666,4 +3735,5 @@ def oracle_sql() -> dict[str, str]:
         "correlation_events": _ORACLE_CORRELATION,
         "zorder_events": _ORACLE_ZORDER,
         "streaming_dedup_events": _ORACLE_STREAMING_DEDUP,
+        "quality_funnel_documents": _ORACLE_QUALITY_FUNNEL,
     }

@@ -1577,3 +1577,25 @@ def test_compact_parquet(spark, tmp_path):
     assert after.count() == 20_000
     assert after.agg(F.sum("id")).collect()[0][0] == before_sum
     assert set(after.columns) == {"id", "k"}
+
+
+def test_quality_funnel_reference(spark):
+    from jsonschema_validator_spark.operators.textstats import quality_funnel
+
+    df = spark.createDataFrame(
+        [
+            ("a", 10, True),
+            ("a", 30, True),
+            ("a", 40, False),
+            ("a", None, None),   # NULL gate result counts as FAIL
+            ("b", 50, True),
+        ],
+        "grp string, x int, flag boolean",
+    )
+    gates = {"big": F.col("x") >= 25, "flag": F.col("flag")}
+    got = {r["grp"]: r for r in quality_funnel(df, "grp", gates).collect()}
+    a = got["a"]
+    assert (a["n"], a["pass_big"], a["pass_flag"], a["pass_all"]) == (4, 2, 2, 1)
+    assert abs(a["keep_rate"] - 0.25) < 1e-12
+    b = got["b"]
+    assert (b["n"], b["pass_big"], b["pass_flag"], b["pass_all"]) == (1, 1, 1, 1)
