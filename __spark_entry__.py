@@ -3549,6 +3549,85 @@ FROM j GROUP BY source ORDER BY source
 """
 
 
+def q_export_manifest_documents(spark, sf_dir):
+    """Deterministic export sharding (sources/export.shard_of): the
+    per-shard manifest a training job checks before consuming — shard
+    membership is a pure function of doc_id through the engine-portable
+    mixer, so the oracle recomputes the exact same assignment (the
+    writer itself — partitioned parquet + _manifest.json, within-shard
+    curriculum sort — is pinned by pytest; this query pins the
+    MEMBERSHIP arithmetic and the manifest aggregates)."""
+    from jsonschema_validator_spark.sources.export import shard_of
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        docs.withColumn("shard", shard_of(F.col("doc_id"), 8))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+_ORACLE_EXPORT_MANIFEST = """
+WITH mixed AS (
+  SELECT doc_id, n_chars, ((doc_id % 2147483648) * 2654435761) AS h
+  FROM documents),
+sharded AS (
+  SELECT doc_id, n_chars,
+         (xor(h, h >> 29) % 1000000) % 8 AS shard
+  FROM mixed)
+SELECT shard, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+def q_source_overlap_documents(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct document fingerprints they SHARE — the "source B is
+    a re-crawl of source A" screen that per-source dedup rates hide.
+    Planted: src5 re-publishes every src1 document (ids shifted), so
+    the (src1, src5) cell is exactly |src1| plus whatever natural
+    overlap exists. Shuffle carries (16-byte fingerprint, source)
+    pairs only; the pairwise join runs on the DISTINCT (fp, source)
+    relation — already collapsed to O(distinct contents x sources) —
+    never on raw rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    replant = docs.filter(F.col("source") == "src1").select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.lit("src5").alias("source"),
+        "text",
+    )
+    corpus = docs.unionByName(replant)
+    fp = corpus.select(F.md5("text").alias("h"), "source").distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+_ORACLE_SOURCE_OVERLAP = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, 'src5', text FROM documents WHERE source = 'src1'),
+fp AS (SELECT DISTINCT md5(text) AS h, source FROM corpus)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3645,6 +3724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "streaming_dedup_events": q_streaming_dedup_events,
         "quality_funnel_documents": q_quality_funnel_documents,
+        "export_manifest_documents": q_export_manifest_documents,
+        "source_overlap_documents": q_source_overlap_documents,
     }
 
 
@@ -3736,4 +3817,6 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _ORACLE_ZORDER,
         "streaming_dedup_events": _ORACLE_STREAMING_DEDUP,
         "quality_funnel_documents": _ORACLE_QUALITY_FUNNEL,
+        "export_manifest_documents": _ORACLE_EXPORT_MANIFEST,
+        "source_overlap_documents": _ORACLE_SOURCE_OVERLAP,
     }

@@ -1599,3 +1599,43 @@ def test_quality_funnel_reference(spark):
     assert abs(a["keep_rate"] - 0.25) < 1e-12
     b = got["b"]
     assert (b["n"], b["pass_big"], b["pass_flag"], b["pass_all"]) == (1, 1, 1, 1)
+
+
+def test_export_shards_writer(spark, tmp_path):
+    import json
+    import os
+
+    from jsonschema_validator_spark.sources.export import export_shards, shard_of
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17).alias("len")
+    )
+    p = str(tmp_path / "shards")
+    manifest = export_shards(df, p, "doc_id", n_shards=4, order_by=["len"])
+    assert manifest["rows"] == 2_000
+    assert sorted(manifest["shards"]) == ["0", "1", "2", "3"]
+    assert sum(manifest["shards"].values()) == 2_000
+    # manifest on disk matches the returned one
+    with open(os.path.join(p, "_manifest.json")) as f:
+        assert json.load(f) == manifest
+    back = spark.read.parquet(p)
+    assert back.count() == 2_000
+    # membership is the deterministic mixer, not task scheduling
+    expect = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", shard_of(F.col("doc_id"), 4).alias("s")).collect()
+    }
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got == expect
+    # within-shard curriculum order holds inside each data file
+    for shard_dir in os.listdir(p):
+        if not shard_dir.startswith("shard="):
+            continue
+        for fn in os.listdir(os.path.join(p, shard_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(p, shard_dir, fn), columns=["len"])
+            vals = t.column("len").to_pylist()
+            assert vals == sorted(vals), shard_dir
