@@ -3628,6 +3628,90 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_bigram_logprob_documents(spark, sf_dir):
+    """Bigram-transition LM quality score (operators/textstats.
+    bigram_logprob): mean log2 P(w_i | w_{i-1}) under the corpus
+    bigram MLE — separates word-salad (plausible unigrams, improbable
+    transitions) from real text, the order-sensitive complement of
+    unigram_logprob. One exploded-bigram relation feeds both model
+    tables (bigram counts; prefix counts derived from the aggregate,
+    never a second corpus pass), broadcast back for Zipf-immune
+    scoring."""
+    from jsonschema_validator_spark.operators.textstats import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_bigrams", F.round("mean_logp", 6).alias("mean_logp")
+    ).orderBy("doc_id")
+
+
+_ORACLE_BIGRAM_LOGPROB = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1])
+           ELSE [] END) AS g
+  FROM t),
+bic AS (SELECT g, COUNT(*) AS cb FROM g GROUP BY g),
+pref AS (
+  SELECT string_split(g, ' ')[1] AS a, SUM(cb) AS ca FROM bic GROUP BY 1),
+sc AS (
+  SELECT gg.doc_id, bic.cb, pref.ca
+  FROM g gg
+  JOIN bic USING (g)
+  JOIN pref ON string_split(gg.g, ' ')[1] = pref.a)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(log2(cb / ca::DOUBLE)), 6) AS mean_logp
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_label_coherence_embeddings(spark, sf_dir):
+    """Per-label embedding coherence (operators/similarity.
+    label_coherence): member count, centroid norm, mean/min cosine of
+    members to their own label centroid — the 'are these labels real
+    clusters' screen over the embeddings table's label column. One
+    posexplode collapses to the O(labels x dim) centroid relation;
+    centroids broadcast back; cosines reduce map-side — O(n), never
+    pairwise."""
+    from jsonschema_validator_spark.operators.similarity import label_coherence
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = label_coherence(emb, "vec_id", "embedding", "label")
+    return out.select(
+        "label",
+        "n",
+        F.round("centroid_norm", 6).alias("centroid_norm"),
+        F.round("avg_cos", 6).alias("avg_cos"),
+        F.round("min_cos", 6).alias("min_cos"),
+    ).orderBy("label")
+
+
+_ORACLE_LABEL_COHERENCE = """
+WITH x AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings),
+c AS (SELECT label, i, AVG(v) AS cv FROM x GROUP BY 1, 2),
+norms AS (SELECT label, sqrt(SUM(cv * cv)) AS centroid_norm FROM c GROUP BY 1),
+j AS (
+  SELECT x.vec_id, x.label,
+         SUM(x.v * c.cv) AS dot, SUM(x.v * x.v) AS na, SUM(c.cv * c.cv) AS nb
+  FROM x JOIN c ON x.label = c.label AND x.i = c.i
+  GROUP BY 1, 2),
+s AS (SELECT label, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos FROM j)
+SELECT s.label, COUNT(*) AS n,
+       ROUND(MAX(norms.centroid_norm), 6) AS centroid_norm,
+       ROUND(AVG(cos), 6) AS avg_cos,
+       ROUND(MIN(cos), 6) AS min_cos
+FROM s JOIN norms ON s.label = norms.label
+GROUP BY s.label ORDER BY s.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3726,6 +3810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel_documents": q_quality_funnel_documents,
         "export_manifest_documents": q_export_manifest_documents,
         "source_overlap_documents": q_source_overlap_documents,
+        "bigram_logprob_documents": q_bigram_logprob_documents,
+        "label_coherence_embeddings": q_label_coherence_embeddings,
     }
 
 
@@ -3819,4 +3905,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_funnel_documents": _ORACLE_QUALITY_FUNNEL,
         "export_manifest_documents": _ORACLE_EXPORT_MANIFEST,
         "source_overlap_documents": _ORACLE_SOURCE_OVERLAP,
+        "bigram_logprob_documents": _ORACLE_BIGRAM_LOGPROB,
+        "label_coherence_embeddings": _ORACLE_LABEL_COHERENCE,
     }

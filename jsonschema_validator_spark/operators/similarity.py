@@ -20,11 +20,14 @@ from pyspark.sql import functions as F
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns in Column algebra."""
+    """Cosine similarity of two array<double> columns in Column algebra.
+    A zero-norm side yields NULL (try_divide), not a job abort: ANSI
+    mode (Spark 4 default) raises DIVIDE_BY_ZERO even for doubles, and
+    one degenerate vector must not kill a corpus-wide scan."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def _as_double(col: Column) -> Column:
@@ -515,3 +518,53 @@ def quantized_topk(
     guessed, by topk_recall against the float truth)."""
     q = scalar_quantize(df, id_col, vec_col, bits=bits)
     return brute_force_topk(q, id_col, "vec_q", query_ids, k=k)
+
+
+def label_coherence(df: DataFrame, id_col: str, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label embedding-space quality report: member count, centroid
+    L2 norm, and the mean/min cosine of members to their OWN label
+    centroid — the "are these labels real clusters" screen (a label
+    whose members barely correlate with their centroid is noise or a
+    mixed class; a centroid norm near zero means the class points in
+    no consistent direction).
+
+    Scale shape: one posexplode scan collapses to the O(labels x dim)
+    centroid relation (partial+final avg — skew-immune); centroids
+    re-assemble to arrays in-row (sort_array, no window) and join back
+    BROADCAST; member cosines reduce map-side per label. No pairwise
+    anything — coherence-to-centroid is O(n) where mean pairwise
+    similarity is O(n^2) for the same signal (up to a monotone
+    transform under normalized vectors).
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__i", "__v"),
+    )
+    cent = (
+        ex.groupBy("label", "__i")
+        .agg(F.avg("__v").alias("__c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__i", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+    )
+    joined = df.select(
+        F.col(id_col), F.col(label_col).alias("label"), _as_double(F.col(vec_col)).alias("__e")
+    ).join(F.broadcast(cent), "label")
+    cos = cosine(F.col("__e"), F.col("__cent"))
+    norm = F.sqrt(
+        F.aggregate("__cent", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        joined.select("label", cos.alias("__cos"), norm.alias("__norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__norm").alias("centroid_norm"),
+            F.avg("__cos").alias("avg_cos"),
+            F.min("__cos").alias("min_cos"),
+        )
+    )

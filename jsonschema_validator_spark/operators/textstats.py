@@ -410,3 +410,46 @@ def quality_funnel(
     )
     out = cells.groupBy(group_col).agg(*aggs)
     return out.withColumn("keep_rate", F.col("pass_all") / F.col("n"))
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean log2 P(w_i | w_{i-1}) under the corpus bigram
+    MLE — the order-sensitive sibling of `unigram_logprob`: word-salad
+    documents (shuffled or concatenated boilerplate) keep a plausible
+    unigram profile but improbable TRANSITIONS, so the bigram score
+    separates them where the unigram score cannot.
+
+    P(b | a) = c(a b) / c(a ·), both counts from ONE exploded bigram
+    relation (c(a ·) = sum of bigram counts by prefix, derived from the
+    O(bigram-vocab) aggregate — never a second corpus pass). Scoring
+    joins both model tables BROADCAST onto the exploded bigrams
+    (Zipf-skew-immune, like the unigram path) and collapses map-side to
+    one partial per doc. Documents with < 2 words have no bigrams and
+    are absent, matching the explode-based operator convention.
+
+    Returns (id_col, n_bigrams, mean_logp), mean_logp <= 0.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col("__toks"), 2)).alias("__g"),
+    ).withColumn("__a", F.substring_index("__g", " ", 1))
+    bic = bi.groupBy("__g").agg(F.count(F.lit(1)).alias("__cb"))
+    pref = (
+        bic.withColumn("__a", F.substring_index("__g", " ", 1))
+        .groupBy("__a")
+        .agg(F.sum("__cb").alias("__ca"))
+    )
+    return (
+        bi.join(F.broadcast(bic), "__g")
+        .join(F.broadcast(pref), "__a")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log2(F.col("__cb") / F.col("__ca"))).alias("mean_logp"),
+        )
+    )

@@ -1639,3 +1639,37 @@ def test_export_shards_writer(spark, tmp_path):
             t = pq.read_table(os.path.join(p, shard_dir, fn), columns=["len"])
             vals = t.column("len").to_pylist()
             assert vals == sorted(vals), shard_dir
+
+
+def test_bigram_logprob_reference(spark):
+    from jsonschema_validator_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a"), (3, None)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df, "text", "doc_id").collect()}
+    # corpus bigrams: "a b" x2, "b a", "b c"; c(a.) = 2, c(b.) = 2
+    # doc1: log2(2/2), log2(1/2), log2(2/2), log2(1/2) -> mean -0.5
+    assert out[1]["n_bigrams"] == 4
+    assert abs(out[1]["mean_logp"] - (-0.5)) < 1e-12
+    # <2-word and NULL-text docs have no bigrams and are absent
+    assert 2 not in out and 3 not in out
+
+
+def test_label_coherence_reference(spark):
+    from jsonschema_validator_spark.operators.similarity import label_coherence
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),     # tight cluster: centroid (1,0), cos = 1
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, -1.0], 1),    # antipodal pair: centroid (0,0) -> norm 0
+        (5, [3.0, 4.0], 2),     # singleton: centroid is itself
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    got = {r["label"]: r for r in label_coherence(df, "vec_id", "embedding", "label").collect()}
+    assert got[0]["n"] == 2 and abs(got[0]["avg_cos"] - 1.0) < 1e-9
+    assert abs(got[0]["centroid_norm"] - 1.0) < 1e-9
+    assert abs(got[1]["centroid_norm"]) < 1e-9  # degenerate class flagged
+    assert got[2]["n"] == 1 and abs(got[2]["avg_cos"] - 1.0) < 1e-9
+    assert abs(got[2]["centroid_norm"] - 5.0) < 1e-9
