@@ -3712,6 +3712,40 @@ GROUP BY s.label ORDER BY s.label
 """
 
 
+def q_equidepth_events(spark, sf_dir):
+    """Equi-depth histogram of the value column (operators/stats.
+    equi_depth_histogram): 10 buckets bounded by exact deciles — all
+    nine boundaries from ONE percentile(col, array(...)) agg (one
+    sort), broadcast back; each row buckets via an O(k) fold, no join.
+    The oracle reproduces quantile_cont boundaries and the same
+    v >= bound bucketing rule."""
+    from jsonschema_validator_spark.operators.stats import equi_depth_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    out = equi_depth_histogram(ev, "value", k=10)
+    return out.select(
+        "bucket",
+        "n",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    ).orderBy("bucket")
+
+
+_ORACLE_EQUIDEPTH = """
+WITH b AS (
+  SELECT quantile_cont(value,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+  FROM events WHERE value IS NOT NULL),
+x AS (
+  SELECT e.value,
+         len(list_filter(b.bounds, bo -> e.value >= bo)) AS bucket
+  FROM events e, b WHERE e.value IS NOT NULL)
+SELECT bucket::INT AS bucket, COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM x GROUP BY bucket ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3812,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_documents": q_source_overlap_documents,
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "label_coherence_embeddings": q_label_coherence_embeddings,
+        "equidepth_events": q_equidepth_events,
     }
 
 
@@ -3907,4 +3942,5 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_documents": _ORACLE_SOURCE_OVERLAP,
         "bigram_logprob_documents": _ORACLE_BIGRAM_LOGPROB,
         "label_coherence_embeddings": _ORACLE_LABEL_COHERENCE,
+        "equidepth_events": _ORACLE_EQUIDEPTH,
     }

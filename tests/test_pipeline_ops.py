@@ -1673,3 +1673,23 @@ def test_label_coherence_reference(spark):
     assert abs(got[1]["centroid_norm"]) < 1e-9  # degenerate class flagged
     assert got[2]["n"] == 1 and abs(got[2]["avg_cos"] - 1.0) < 1e-9
     assert abs(got[2]["centroid_norm"] - 5.0) < 1e-9
+
+
+def test_equi_depth_histogram_reference(spark):
+    from jsonschema_validator_spark.operators.stats import equi_depth_histogram
+
+    # 100 distinct uniform values -> exactly 10 per decile bucket
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "v double"
+    )
+    rows = equi_depth_histogram(df, "v", k=10).collect()
+    assert [r["bucket"] for r in rows] == list(range(10))
+    assert all(r["n"] == 10 for r in rows), rows  # equal depth, NULL excluded
+    assert rows[0]["lo"] == 0.0 and rows[-1]["hi"] == 99.0
+    # buckets tile the range without overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] < b["lo"]
+    # heavy ties: all mass on one value collapses into one bucket
+    df2 = spark.createDataFrame([(5.0,)] * 50 + [(9.0,)], "v double")
+    r2 = equi_depth_histogram(df2, "v", k=4).collect()
+    assert sum(r["n"] for r in r2) == 51
