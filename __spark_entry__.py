@@ -3746,6 +3746,48 @@ FROM x GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_context_truncation_events(spark, sf_dir):
+    """Context-window fit report (operators/conversation.
+    context_truncation): per conversation (user_id), how many turns fit
+    a 100-token budget walking turns in event order — prefix-fit
+    semantics (nothing after the first overflow counts), exactly how a
+    trainer truncates. Token proxy = length(props)/4. The cumulative
+    window runs on a pre-projected ~20-byte row; the oracle reproduces
+    the running sum with SQL window frames."""
+    from jsonschema_validator_spark.operators.conversation import (
+        context_truncation,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.floor(F.length("props") / F.lit(4)).alias("n_tokens"),
+    )
+    # 100-token budget: sized so BOTH outcomes occur at sf0.01
+    # (a budget no conversation ever hits pins a vacuous column)
+    out = context_truncation(ev, budget_tokens=100)
+    return out.select(
+        "conv_id", "n_turns", "sum_tokens", "n_fit", "truncated"
+    ).orderBy("conv_id")
+
+
+_ORACLE_CONTEXT_TRUNCATION = """
+WITH t AS (
+  SELECT user_id AS conv_id, event_id AS turn_idx,
+         (LEN(props) // 4)::BIGINT AS n_tokens
+  FROM events),
+c AS (
+  SELECT conv_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT conv_id, COUNT(*) AS n_turns, SUM(n_tokens)::BIGINT AS sum_tokens,
+       SUM(CASE WHEN cum <= 100 THEN 1 ELSE 0 END)::BIGINT AS n_fit,
+       SUM(CASE WHEN cum <= 100 THEN 1 ELSE 0 END) < COUNT(*) AS truncated
+FROM c GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3847,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_documents": q_bigram_logprob_documents,
         "label_coherence_embeddings": q_label_coherence_embeddings,
         "equidepth_events": q_equidepth_events,
+        "context_truncation_events": q_context_truncation_events,
     }
 
 
@@ -3943,4 +3986,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob_documents": _ORACLE_BIGRAM_LOGPROB,
         "label_coherence_embeddings": _ORACLE_LABEL_COHERENCE,
         "equidepth_events": _ORACLE_EQUIDEPTH,
+        "context_truncation_events": _ORACLE_CONTEXT_TRUNCATION,
     }

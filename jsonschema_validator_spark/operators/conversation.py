@@ -238,3 +238,46 @@ def conversation_documents(
             F.to_json(F.transform("pairs", lambda p: p["r"])).alias("doc"),
         )
     )
+
+
+def context_truncation(
+    df: DataFrame,
+    budget_tokens: int,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    tokens: str = "n_tokens",
+) -> DataFrame:
+    """Per-conversation context-window fit report: walking the turns in
+    order and accumulating token counts, how many turns fit before the
+    running total exceeds ``budget_tokens``? The planning input for
+    every fine-tuning job: frac_fit near 1 means the context budget is
+    generous; a long tail of truncated conversations means the
+    chunking/packing operators (operators/packing.py) must run first.
+
+    One window (cumulative sum over the order column) on a
+    PRE-PROJECTED (group, order, tokens) frame — the shuffle carries
+    ~20 bytes/row, never the text — then one partial+final rollup.
+    A turn "fits" while cumsum <= budget, so turns after the first
+    overflow never count (even if small enough on their own): the
+    prefix-fit semantic matches how a trainer actually truncates.
+    NULL token counts count as 0 (nothing to add). Output per
+    conversation: n_turns, sum_tokens, n_fit, truncated.
+    """
+    t = F.coalesce(F.col(tokens), F.lit(0))
+    w = (
+        Window.partitionBy(group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = df.select(group, order, t.alias("__t")).withColumn(
+        "__cum", F.sum("__t").over(w)
+    )
+    return (
+        pre.groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("__t").alias("sum_tokens"),
+            F.sum((F.col("__cum") <= budget_tokens).cast("long")).alias("n_fit"),
+        )
+        .withColumn("truncated", F.col("n_fit") < F.col("n_turns"))
+    )

@@ -1693,3 +1693,26 @@ def test_equi_depth_histogram_reference(spark):
     df2 = spark.createDataFrame([(5.0,)] * 50 + [(9.0,)], "v double")
     r2 = equi_depth_histogram(df2, "v", k=4).collect()
     assert sum(r["n"] for r in r2) == 51
+
+
+def test_context_truncation_prefix_semantics(spark):
+    from jsonschema_validator_spark.operators.conversation import (
+        context_truncation,
+    )
+
+    rows = [
+        # conv a: 500+500+600 fits at 1600 budget? cum 500,1000,1600 -> all fit
+        ("a", 1, 500), ("a", 2, 500), ("a", 3, 600),
+        # conv b: overflow at turn 2; turn 3 is tiny but must NOT count
+        ("b", 1, 1500), ("b", 2, 400), ("b", 3, 10),
+        # conv c: NULL tokens count as 0
+        ("c", 1, None), ("c", 2, 1600),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens long")
+    got = {
+        r["conv_id"]: r
+        for r in context_truncation(df, budget_tokens=1600).collect()
+    }
+    assert got["a"]["n_fit"] == 3 and not got["a"]["truncated"]
+    assert got["b"]["n_fit"] == 1 and got["b"]["truncated"]  # prefix-fit
+    assert got["c"]["n_fit"] == 2 and got["c"]["sum_tokens"] == 1600
