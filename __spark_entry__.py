@@ -3788,6 +3788,122 @@ FROM c GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_curation_pipeline_v3_documents(spark, sf_dir):
+    """Round-3 second composition — the NEW operators chained as one
+    make-training-set plan: plant per-site boilerplate -> corpus-
+    frequency line removal (cleaning.remove_boilerplate_lines) ->
+    quality gates (token floor + word-entropy floor on the CLEANED
+    text) -> leakage-safe train split (sampling.split_by_group) ->
+    inverse-sqrt source balancing (sampling.temperature_sample,
+    salt=1 so the sample decision decorrelates from the split's use of
+    the same mixer) -> deterministic shard manifest
+    (sources/export.shard_of). Every stage is independently oracled;
+    this query pins the composition end-to-end."""
+    from jsonschema_validator_spark.operators.cleaning import (
+        remove_boilerplate_lines,
+    )
+    from jsonschema_validator_spark.operators.sampling import (
+        split_by_group,
+        temperature_sample,
+    )
+    from jsonschema_validator_spark.operators.textstats import word_entropy
+    from jsonschema_validator_spark.sources.export import shard_of
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    built = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("SUBSCRIBE NOW\n"), F.col("text"), F.lit("\nALL RIGHTS RESERVED")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("cookie notice\n"), F.col("text")),
+        )
+        .otherwise(F.col("text")),
+    )
+    clean = remove_boilerplate_lines(built, "doc_id", "text", min_docs=5)
+    gated = clean.filter(
+        (F.size(F.split("clean_text", " ")) >= 20)
+        & (word_entropy(F.col("clean_text")) >= 4.0)
+    )
+    train = split_by_group(gated, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).filter(
+        F.col("split") == "train"
+    )
+    sampled = temperature_sample(train, "doc_id", "source", k=2.0, salt=1)
+    return (
+        sampled.withColumn("shard", shard_of(F.col("doc_id"), 4))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("clean_text", " "))).alias("sum_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )
+
+
+_ORACLE_CURATION_V3 = """
+WITH built AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'SUBSCRIBE NOW' || chr(10) || text || chr(10) || 'ALL RIGHTS RESERVED'
+              WHEN doc_id % 3 = 1 THEN 'cookie notice' || chr(10) || text
+              ELSE text END AS text
+  FROM documents),
+d AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM built),
+e AS (SELECT doc_id, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS pos FROM d),
+freq AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM e GROUP BY line),
+kept AS (SELECT e.doc_id, e.line, e.pos
+         FROM e JOIN freq USING (line) WHERE freq.n_docs < 5),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+clean AS (
+  SELECT b.doc_id, b.source, COALESCE(reb.clean_text, '') AS clean_text
+  FROM built b LEFT JOIN reb USING (doc_id)),
+wrd AS (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS w FROM clean),
+cnt AS (SELECT doc_id, w, COUNT(*)::DOUBLE AS c FROM wrd GROUP BY 1, 2),
+ent AS (SELECT doc_id, log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS entropy
+        FROM cnt GROUP BY 1),
+gated AS (
+  SELECT c.doc_id, c.source, c.clean_text
+  FROM clean c JOIN ent USING (doc_id)
+  WHERE len(string_split(c.clean_text, ' ')) >= 20 AND ent.entropy >= 4.0),
+train AS (
+  SELECT *, ((doc_id % 2147483648) * 2654435761) AS h FROM gated),
+tr AS (
+  SELECT doc_id, source, clean_text FROM train
+  WHERE xor(h, h >> 29) % 1000000 < 800000),
+counts AS (SELECT source, COUNT(*) AS n FROM tr GROUP BY source),
+thresh AS (
+  SELECT source, FLOOR(LEAST(1.0, 2.0 / sqrt(n)) * 1000000)::BIGINT AS t
+  FROM counts),
+m1 AS (
+  SELECT tr.doc_id, tr.source, tr.clean_text, th.t,
+         ((tr.doc_id % 2147483648) * 2654435761) AS h1
+  FROM tr JOIN thresh th USING (source)),
+mixed AS (
+  SELECT doc_id, source, clean_text, t,
+         ((xor(xor(h1, h1 >> 29), 1) % 2147483648) * 2654435761) AS h
+  FROM m1),
+sampled AS (
+  SELECT doc_id, source, clean_text FROM mixed
+  WHERE xor(h, h >> 29) % 1000000 < t),
+sharded AS (
+  SELECT source, clean_text,
+         (xor(((doc_id % 2147483648) * 2654435761),
+              ((doc_id % 2147483648) * 2654435761) >> 29) % 1000000) % 4 AS shard
+  FROM sampled)
+SELECT shard, COUNT(*) AS n_docs,
+       SUM(len(string_split(clean_text, ' ')))::BIGINT AS sum_tokens,
+       COUNT(DISTINCT source) AS n_sources
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3890,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_coherence_embeddings": q_label_coherence_embeddings,
         "equidepth_events": q_equidepth_events,
         "context_truncation_events": q_context_truncation_events,
+        "curation_pipeline_v3_documents": q_curation_pipeline_v3_documents,
     }
 
 
@@ -3987,4 +4104,5 @@ def oracle_sql() -> dict[str, str]:
         "label_coherence_embeddings": _ORACLE_LABEL_COHERENCE,
         "equidepth_events": _ORACLE_EQUIDEPTH,
         "context_truncation_events": _ORACLE_CONTEXT_TRUNCATION,
+        "curation_pipeline_v3_documents": _ORACLE_CURATION_V3,
     }

@@ -88,7 +88,7 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str, rates: 
 
 
 def temperature_sample(
-    df: DataFrame, key_col: str, strata_col: str, k: float = 4.0
+    df: DataFrame, key_col: str, strata_col: str, k: float = 4.0, salt: int = 0
 ) -> DataFrame:
     """Inverse-sqrt source balancing (the unnormalized form of
     temperature-based data mixing): each stratum keeps rate
@@ -102,7 +102,17 @@ def temperature_sample(
     multiply, floor) is IEEE-exactly-rounded, so the kept set is a pure
     engine-portable function of (key, stratum counts), reproducible
     verbatim in the SQL oracle; row membership itself comes from the
-    same `mix_key` mixer as hash_sample."""
+    same `mix_key` mixer as hash_sample.
+
+    ``salt`` re-mixes the already-mixed key (mix(mix(key) ^ salt)):
+    pipelines that used the mixer on the same key upstream (e.g.
+    split_by_group) pass a nonzero salt so the two decisions
+    decorrelate. The second round matters: a plain XOR before ONE mix
+    round only SHIFTS the bucket (h = k*C is linear in k, and the
+    xorshift doesn't hide it — measured: the salt=1 sample had ZERO
+    overlap with salt=0 instead of the ~rate^2 an independent thinning
+    gives); two rounds restore avalanche while staying verbatim
+    SQL-reproducible."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     thresh = counts.select(
         strata_col,
@@ -111,8 +121,11 @@ def temperature_sample(
             * F.lit(DOMAIN)
         ).alias("__threshold"),
     )
+    key = (
+        mix_key(F.col(key_col)).bitwiseXOR(F.lit(salt)) if salt else F.col(key_col)
+    )
     return (
         df.join(F.broadcast(thresh), strata_col)
-        .filter(F.pmod(mix_key(F.col(key_col)), F.lit(DOMAIN)) < F.col("__threshold"))
+        .filter(F.pmod(mix_key(key), F.lit(DOMAIN)) < F.col("__threshold"))
         .drop("__threshold")
     )

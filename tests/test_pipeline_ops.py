@@ -1416,6 +1416,13 @@ def test_temperature_sample_rates(spark):
     a = sorted(r["k"] for r in out.collect())
     b = sorted(r["k"] for r in temperature_sample(df.repartition(13), "k", "s", k=4.0).collect())
     assert a == b
+    # a salted sample is a genuinely independent thinning, not a shifted
+    # copy: overlap with the unsalted sample must be ~rate^2, neither
+    # zero (the single-round-XOR failure mode) nor near-total
+    sa = set(a)
+    sb = set(r["k"] for r in temperature_sample(df, "k", "s", k=4.0, salt=7).collect())
+    expected = len(sa) * len(sb) / 10_400
+    assert 0.5 * expected < len(sa & sb) < 2.0 * expected
 
 
 def test_scalar_quantize_roundtrip_and_recall(spark):
