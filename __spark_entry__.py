@@ -3904,6 +3904,155 @@ FROM sharded GROUP BY shard ORDER BY shard
 """
 
 
+def q_streaming_enum_rate_events(spark, sf_dir):
+    """Watermarked windowed enum-violation rate (streaming/validate.
+    streaming_enum_rate) in the correctness contract: the events table
+    arrives as TWO files (even/odd event_id) with maxFilesPerTrigger=1,
+    so every daily window accumulates across micro-batches through the
+    windowed-aggregation state store; 'error' is outside the allowed
+    set, making violations non-vacuous. Complete-mode memory sink (a
+    day's window only finalizes under append once the watermark passes
+    it — complete shows the merged state exactly); the oracle is the
+    BATCH per-day rollup, so stream must equal batch."""
+    import os
+    import tempfile
+
+    from jsonschema_validator_spark.streaming.validate import streaming_enum_rate
+
+    import glob as _glob
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="stream_enum_")
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream lists a FLAT directory: write each half to a tmp
+    # dir and move its single part file up as a plain file
+    for name_, cond in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
+        tmp = f"{root}/tmp_{name_}"
+        ev.filter(cond).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{src_dir}/{name_}.parquet")
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    res = streaming_enum_rate(
+        stream,
+        "event_type",
+        allowed=["click", "view", "purchase", "signup"],
+        window="1 day",
+        watermark="2 hours",
+    )
+    name = f"enum_rate_{os.path.basename(root).replace('stream_enum_', '')}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            res.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "n_rows",
+            "n_violations",
+            F.round("violation_rate", 6).alias("violation_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+_ORACLE_STREAMING_ENUM_RATE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN event_type IS NOT NULL
+                 AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+            THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+       ROUND(SUM(CASE WHEN event_type IS NOT NULL
+                       AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+                  THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE, 6) AS violation_rate
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_funnel_events(spark, sf_dir):
+    """Ordered funnel conversion (operators/sessions.funnel): per user,
+    view -> click -> purchase where each step must occur at-or-after
+    the first occurrence of the previous step AND within a 24-hour
+    conversion window of it (without the window every user converts at
+    this density and the ordering semantics would be vacuous; with it
+    the funnel is 150 -> 60 -> 25 at sf0.01). Every stage is a
+    partial+final min-agg plus an O(groups) equi-join — no window over
+    raw rows, no whale-group collect. Time arithmetic is exact integer
+    microseconds; the oracle chains the same min-within-window logic."""
+    from jsonschema_validator_spark.operators.sessions import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(
+        ev,
+        group="user_id",
+        ts="ts",
+        steps={
+            "view": F.col("event_type") == "view",
+            "click": F.col("event_type") == "click",
+            "purchase": F.col("event_type") == "purchase",
+        },
+        within_seconds=86400,
+    )
+    return out.select(
+        "step_idx",
+        "step",
+        "n_reached",
+        F.round("conversion_from_prev", 6).alias("conversion_from_prev"),
+        F.round("conversion_from_first", 6).alias("conversion_from_first"),
+    ).orderBy("step_idx")
+
+
+_ORACLE_FUNNEL = """
+WITH t0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id),
+t1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t0 ON e.user_id = t0.user_id
+  WHERE e.event_type = 'click' AND e.ts >= t0.t
+    AND epoch_us(e.ts) <= epoch_us(t0.t) + 86400000000
+  GROUP BY e.user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t1.t
+    AND epoch_us(e.ts) <= epoch_us(t1.t) + 86400000000
+  GROUP BY e.user_id),
+n AS (
+  SELECT (SELECT COUNT(*) FROM t0)::BIGINT AS n0,
+         (SELECT COUNT(*) FROM t1)::BIGINT AS n1,
+         (SELECT COUNT(*) FROM t2)::BIGINT AS n2)
+SELECT * FROM (
+  SELECT 0 AS step_idx, 'view' AS step, n0 AS n_reached,
+         ROUND(n0 / n0::DOUBLE, 6) AS conversion_from_prev,
+         ROUND(n0 / n0::DOUBLE, 6) AS conversion_from_first FROM n
+  UNION ALL
+  SELECT 1, 'click', n1, ROUND(n1 / n0::DOUBLE, 6),
+         ROUND(n1 / n0::DOUBLE, 6) FROM n
+  UNION ALL
+  SELECT 2, 'purchase', n2, ROUND(n2 / n1::DOUBLE, 6),
+         ROUND(n2 / n0::DOUBLE, 6) FROM n)
+ORDER BY step_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4007,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_events": q_equidepth_events,
         "context_truncation_events": q_context_truncation_events,
         "curation_pipeline_v3_documents": q_curation_pipeline_v3_documents,
+        "streaming_enum_rate_events": q_streaming_enum_rate_events,
+        "funnel_events": q_funnel_events,
     }
 
 
@@ -4105,4 +4256,6 @@ def oracle_sql() -> dict[str, str]:
         "equidepth_events": _ORACLE_EQUIDEPTH,
         "context_truncation_events": _ORACLE_CONTEXT_TRUNCATION,
         "curation_pipeline_v3_documents": _ORACLE_CURATION_V3,
+        "streaming_enum_rate_events": _ORACLE_STREAMING_ENUM_RATE,
+        "funnel_events": _ORACLE_FUNNEL,
     }

@@ -64,3 +64,91 @@ def session_stats(
             (F.unix_micros(F.max(ts).cast("timestamp")) - F.unix_micros(F.min(ts).cast("timestamp"))) / 1_000_000.0
         ).alias("duration_secs"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    steps: dict,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered funnel conversion: for each group (user / session /
+    conversation), step i counts only if it happens AT-OR-AFTER the
+    group's first occurrence of step i-1 — the "clicked, then
+    purchased, then signed up" product question, and for transcript
+    tables the "tool call, then tool result, then assistant reply"
+    protocol screen. ``steps`` maps step name -> boolean Column.
+
+    Shape: the input projects down to (group, ts, one flag per step)
+    once; each stage is a groupBy(group) min-aggregate (partial+final,
+    skew-immune — no window over raw rows, no whale-group sort) plus an
+    equi-join of the O(groups) timestamp relation back on. k steps cost
+    k tiny-relation joins over the SAME projected frame; Catalyst reuses
+    the scan via its exchange, and the alternative single-pass
+    (collect_list per group, fold in order) puts a whale group's whole
+    event list in one reducer — the skew study says don't.
+
+    ``within_seconds`` adds a conversion window: step i must land
+    within that many seconds of step i-1's timestamp (inclusive), the
+    standard product-analytics attribution cutoff. Time arithmetic is
+    exact integer microseconds — engine-portable, no float boundary.
+
+    Output: one row per step (step_idx, step, n_reached,
+    conversion_from_prev, conversion_from_first).
+    """
+    names = list(steps)
+    proj = df.select(
+        F.col(group).alias("__g"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__ts"),
+        *[
+            F.coalesce(cond, F.lit(False)).alias(f"__s{i}")
+            for i, cond in enumerate(steps.values())
+        ],
+    )
+    reached = proj.filter(F.col("__s0")).groupBy("__g").agg(
+        F.min("__ts").alias("__t0")
+    )
+    for i in range(1, len(names)):
+        nxt = (
+            proj.join(reached, "__g")
+            .filter(
+                F.col(f"__s{i}")
+                & (F.col("__ts") >= F.col(f"__t{i-1}"))
+                & (
+                    F.lit(True)
+                    if within_seconds is None
+                    else F.col("__ts")
+                    <= F.col(f"__t{i-1}") + F.lit(int(within_seconds) * 1_000_000)
+                )
+            )
+            .groupBy("__g")
+            .agg(
+                *[F.first(f"__t{j}").alias(f"__t{j}") for j in range(i)],
+                F.min("__ts").alias(f"__t{i}"),
+            )
+        )
+        # left join keeps groups that stalled at an earlier step
+        reached = reached.join(nxt.select("__g", f"__t{i}"), "__g", "left")
+    counts = reached.agg(
+        *[
+            F.count(F.col(f"__t{i}")).alias(f"__n{i}")
+            for i in range(len(names))
+        ]
+    )
+    spark = df.sparkSession
+    rows = None
+    for i, name in enumerate(names):
+        r = counts.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(name).alias("step"),
+            F.col(f"__n{i}").alias("n_reached"),
+            F.try_divide(
+                F.col(f"__n{i}"), F.col(f"__n{i-1}") if i else F.col("__n0")
+            ).alias("conversion_from_prev"),
+            F.try_divide(F.col(f"__n{i}"), F.col("__n0")).alias(
+                "conversion_from_first"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

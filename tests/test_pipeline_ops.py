@@ -1723,3 +1723,39 @@ def test_context_truncation_prefix_semantics(spark):
     assert got["a"]["n_fit"] == 3 and not got["a"]["truncated"]
     assert got["b"]["n_fit"] == 1 and got["b"]["truncated"]  # prefix-fit
     assert got["c"]["n_fit"] == 2 and got["c"]["sum_tokens"] == 1600
+
+
+def test_funnel_ordered_semantics(spark):
+    from jsonschema_validator_spark.operators.sessions import funnel
+
+    rows = [
+        # u1: full ordered funnel
+        ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "purchase"),
+        # u2: purchase BEFORE click -> must not count as converted
+        ("u2", 1, "view"), ("u2", 2, "purchase"), ("u2", 3, "click"),
+        # u3: stalls after view
+        ("u3", 1, "view"),
+        # u4: clicks but never viewed -> not even step 0
+        ("u4", 1, "click"),
+        # u5: same-timestamp view+click (at-or-after is inclusive)
+        ("u5", 1, "view"), ("u5", 1, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user string, t int, e string")
+    out = {
+        r["step"]: r
+        for r in funnel(
+            df,
+            group="user",
+            ts="t",
+            steps={
+                "view": F.col("e") == "view",
+                "click": F.col("e") == "click",
+                "purchase": F.col("e") == "purchase",
+            },
+        ).collect()
+    }
+    assert out["view"]["n_reached"] == 4          # u1 u2 u3 u5
+    assert out["click"]["n_reached"] == 3         # u1 u2(after view) u5
+    assert out["purchase"]["n_reached"] == 1      # only u1 (ordered!)
+    assert abs(out["purchase"]["conversion_from_prev"] - 1 / 3) < 1e-9
+    assert abs(out["purchase"]["conversion_from_first"] - 0.25) < 1e-9
