@@ -4053,6 +4053,76 @@ ORDER BY step_idx
 """
 
 
+def q_incremental_stats_events(spark, sf_dir):
+    """Resumable incremental stats under the correctness gate: per-day
+    stat PARTIALS (operators/stats.stats_partial_aggs — the shape a
+    checkpointed run persists per partition) merged back up
+    (stats_merge_aggs) must equal the one-shot direct scan. Exact
+    stats (null-rate, min/max/mean) are oracled against SQL; the HLL
+    sketch path is pinned by hll_merged_within_tol — the union of
+    per-day sketches estimates the all-rows distinct count within the
+    sketch's error bound (lgK=12 → ~1.6% std error; 5% asserted). The
+    union is NOT asserted bit-identical to a direct one-shot sketch:
+    once sketches leave sparse mode, union promotion can shift the
+    estimate by a few counts (observed at sf0.01), but the MERGEABILITY
+    is exactly why distinct counts stay decomposable at 10^12 rows
+    where approx_count_distinct's final estimate cannot
+    re-aggregate."""
+    from jsonschema_validator_spark.operators.stats import (
+        stats_merge_aggs,
+        stats_partial_aggs,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    cols = ["user_id", "value"]
+    day = _day("ts")
+    partials = ev.groupBy(day.alias("part")).agg(
+        *stats_partial_aggs(ev.schema, cols)
+    )
+    merged = partials.groupBy().agg(*stats_merge_aggs(ev.schema, cols))
+    direct = ev.groupBy().agg(
+        F.avg(F.col("user_id").isNull().cast("double")).alias("d_user_null"),
+        F.count_distinct("user_id").cast("double").alias("d_user_exact"),
+        F.min("value").cast("double").alias("d_value_min"),
+        F.max("value").cast("double").alias("d_value_max"),
+        F.avg("value").alias("d_value_mean"),
+        F.count_distinct("value").cast("double").alias("d_value_exact"),
+    )
+    return merged.crossJoin(direct).select(
+        F.round("user_id__null_rate", 6).alias("user_null_rate"),
+        F.round("value__min", 4).alias("value_min"),
+        F.round("value__max", 4).alias("value_max"),
+        F.round("value__mean", 4).alias("value_mean"),
+        (
+            (
+                F.abs(F.col("user_id__approx_distinct") / F.col("d_user_exact") - 1)
+                <= 0.05
+            )
+            & (
+                F.abs(F.col("value__approx_distinct") / F.col("d_value_exact") - 1)
+                <= 0.05
+            )
+        ).alias("hll_merged_within_tol"),
+        (
+            (F.round("value__mean", 4) == F.round("d_value_mean", 4))
+            & (F.col("value__min") == F.col("d_value_min"))
+            & (F.col("value__max") == F.col("d_value_max"))
+        ).alias("exact_merged_equals_direct"),
+    )
+
+
+_ORACLE_INCREMENTAL_STATS = """
+SELECT ROUND(AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS user_null_rate,
+       ROUND(MIN(value), 4) AS value_min,
+       ROUND(MAX(value), 4) AS value_max,
+       ROUND(AVG(value), 4) AS value_mean,
+       TRUE AS hll_merged_within_tol,
+       TRUE AS exact_merged_equals_direct
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4158,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v3_documents": q_curation_pipeline_v3_documents,
         "streaming_enum_rate_events": q_streaming_enum_rate_events,
         "funnel_events": q_funnel_events,
+        "incremental_stats_events": q_incremental_stats_events,
     }
 
 
@@ -4258,4 +4329,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline_v3_documents": _ORACLE_CURATION_V3,
         "streaming_enum_rate_events": _ORACLE_STREAMING_ENUM_RATE,
         "funnel_events": _ORACLE_FUNNEL,
+        "incremental_stats_events": _ORACLE_INCREMENTAL_STATS,
     }
