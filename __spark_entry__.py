@@ -4123,6 +4123,46 @@ FROM events
 """
 
 
+def q_padding_waste_documents(spark, sf_dir):
+    """Length-bucket padding-waste report (operators/packing.py
+    padding_waste): whitespace token counts bucketed to pad-to-cap
+    buckets [64, 256, 1024], per (source, bucket) padded/truncated token
+    accounting. Exact arithmetic — the oracle reproduces the CASE fold
+    and the cap*n - sum identity verbatim. One scan, one partial+final
+    agg on O(sources x 3) keys."""
+    from jsonschema_validator_spark.operators.packing import padding_waste
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return padding_waste(
+        docs, "n_tokens", [64, 256, 1024], group_col="source"
+    ).orderBy("source", "bucket_cap")
+
+
+_ORACLE_PADDING_WASTE = """
+WITH toks AS (
+  SELECT source, LEN(string_split(text, ' '))::BIGINT AS n FROM documents
+  WHERE text IS NOT NULL
+), b AS (
+  SELECT source,
+         CASE WHEN n <= 64 THEN 64 WHEN n <= 256 THEN 256 ELSE 1024 END
+           AS bucket_cap,
+         LEAST(n, 1024) AS kept,
+         GREATEST(n - 1024, 0) AS trunc
+  FROM toks
+)
+SELECT source, bucket_cap,
+       COUNT(*)::BIGINT AS n_seqs,
+       SUM(kept)::BIGINT AS sum_tokens,
+       (bucket_cap * COUNT(*) - SUM(kept))::BIGINT AS padded_tokens,
+       SUM(trunc)::BIGINT AS truncated_tokens,
+       ROUND((bucket_cap * COUNT(*) - SUM(kept))
+             / (bucket_cap * COUNT(*) * 1.0), 6) AS waste_frac
+FROM b GROUP BY source, bucket_cap ORDER BY source, bucket_cap
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4229,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enum_rate_events": q_streaming_enum_rate_events,
         "funnel_events": q_funnel_events,
         "incremental_stats_events": q_incremental_stats_events,
+        "padding_waste_documents": q_padding_waste_documents,
     }
 
 
@@ -4330,4 +4371,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_enum_rate_events": _ORACLE_STREAMING_ENUM_RATE,
         "funnel_events": _ORACLE_FUNNEL,
         "incremental_stats_events": _ORACLE_INCREMENTAL_STATS,
+        "padding_waste_documents": _ORACLE_PADDING_WASTE,
     }

@@ -21,7 +21,7 @@ Semantics (pinned by the DuckDB recursive-CTE oracle
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -130,5 +130,68 @@ def chunk_documents(
             "chunk_idx",
             F.size("__w").alias("n_chunk_tokens"),
             F.concat_ws(" ", "__w").alias("chunk"),
+        )
+    )
+
+
+def padding_waste(
+    df: DataFrame,
+    token_col: str,
+    bucket_edges: list[int],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Length-bucketing efficiency report: how much batch compute a
+    trainer would burn on pad tokens if sequences are bucketed by length
+    and padded to the bucket cap (the standard bucketed-batching layout;
+    reference analog: the length-constraint keywords min/maxLength are
+    the VALIDATION of sequence length — this is the COST of its
+    distribution).
+
+    Semantics: each sequence lands in the bucket with the smallest cap
+    >= its length; sequences longer than the largest cap are truncated
+    to it (overflow bucket = last cap, truncated tokens reported, never
+    silently dropped). Per (group?, bucket_cap):
+
+      n_seqs, sum_tokens (post-truncation), padded_tokens
+      (= cap*n - sum), truncated_tokens, waste_frac
+      (= padded / (cap*n) — the fraction of the bucket's batch
+      compute spent on padding).
+
+    Scale shape: the O(k) cap chain is a literal CASE fold on the scan
+    (no join, no per-row search), then ONE partial+final aggregation on
+    O(groups x k) keys — skew-immune per the round-3 skew study. Exact,
+    so the report is SQL-oracle-able verbatim.
+    """
+    edges = sorted(set(int(e) for e in bucket_edges))
+    if not edges or edges[0] <= 0:
+        raise ValueError(f"bucket_edges must be positive ints, got {bucket_edges!r}")
+    n = F.col(token_col).cast("long")
+    cap: Column = F.lit(edges[-1])
+    # innermost = largest; outermost when checks the smallest cap first
+    for e in reversed(edges):
+        cap = F.when(n <= e, F.lit(e)).otherwise(cap)
+    keys = [group_col] if group_col else []
+    kept = F.least(n, F.lit(edges[-1]))
+    return (
+        df.filter(n.isNotNull())
+        .select(
+            *keys,
+            cap.alias("bucket_cap"),
+            kept.alias("__kept"),
+            F.greatest(n - edges[-1], F.lit(0)).alias("__trunc"),
+        )
+        .groupBy(*keys, "bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__kept").alias("sum_tokens"),
+            (F.col("bucket_cap") * F.count(F.lit(1)) - F.sum("__kept")).alias(
+                "padded_tokens"
+            ),
+            F.sum("__trunc").alias("truncated_tokens"),
+            F.round(
+                (F.col("bucket_cap") * F.count(F.lit(1)) - F.sum("__kept"))
+                / (F.col("bucket_cap") * F.count(F.lit(1))),
+                6,
+            ).alias("waste_frac"),
         )
     )

@@ -1759,3 +1759,35 @@ def test_funnel_ordered_semantics(spark):
     assert out["purchase"]["n_reached"] == 1      # only u1 (ordered!)
     assert abs(out["purchase"]["conversion_from_prev"] - 1 / 3) < 1e-9
     assert abs(out["purchase"]["conversion_from_first"] - 0.25) < 1e-9
+
+
+def test_padding_waste_buckets_and_truncation(spark):
+    from jsonschema_validator_spark.operators.packing import padding_waste
+
+    rows = [
+        ("a", 4),    # -> cap 8, pad 4
+        ("a", 8),    # -> cap 8 (boundary inclusive), pad 0
+        ("a", 9),    # -> cap 16, pad 7
+        ("b", 40),   # overflow -> cap 16, kept 16, trunc 24
+        ("b", None), # NULL length rows are excluded, never a bucket
+    ]
+    df = spark.createDataFrame(rows, "src string, n int")
+    out = {
+        (r["src"], r["bucket_cap"]): r
+        for r in padding_waste(df, "n", [8, 16], group_col="src").collect()
+    }
+    a8 = out[("a", 8)]
+    assert a8["n_seqs"] == 2 and a8["sum_tokens"] == 12
+    assert a8["padded_tokens"] == 4 and a8["truncated_tokens"] == 0
+    assert abs(a8["waste_frac"] - 4 / 16) < 1e-9
+    a16 = out[("a", 16)]
+    assert a16["n_seqs"] == 1 and a16["padded_tokens"] == 7
+    b16 = out[("b", 16)]
+    assert b16["sum_tokens"] == 16 and b16["truncated_tokens"] == 24
+    assert b16["padded_tokens"] == 0
+    assert ("b", None) not in out and len(out) == 3
+
+    with pytest.raises(ValueError):
+        padding_waste(df, "n", [])
+    with pytest.raises(ValueError):
+        padding_waste(df, "n", [0, 8])
