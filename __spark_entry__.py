@@ -4163,6 +4163,39 @@ FROM b GROUP BY source, bucket_cap ORDER BY source, bucket_cap
 """
 
 
+def q_weighted_sample_documents(spark, sf_dir):
+    """Score-proportional soft sampling (operators/sampling.py
+    weighted_sample): each document kept with probability
+    min(1, n_chars/2000) — the quality-score resampling form of the
+    deterministic mixer. Membership is a pure engine-portable function
+    of (doc_id, score); the oracle replays the mixer and the clamp
+    arithmetic verbatim. Zero shuffles."""
+    from jsonschema_validator_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    p = F.col("n_chars") / F.lit(2000.0)
+    return (
+        weighted_sample(docs, "doc_id", p)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = """
+WITH mixed AS (
+  SELECT doc_id, source, n_chars,
+         ((doc_id % 2147483648) * 2654435761) AS h
+  FROM documents),
+keyed AS (
+  SELECT doc_id, source,
+         xor(h, h >> 29) % 1000000 AS bucket,
+         FLOOR(LEAST(1.0, GREATEST(0.0, n_chars / 2000.0)) * 1000000)
+           AS threshold
+  FROM mixed)
+SELECT doc_id, source FROM keyed WHERE bucket < threshold ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4270,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "incremental_stats_events": q_incremental_stats_events,
         "padding_waste_documents": q_padding_waste_documents,
+        "weighted_sample_documents": q_weighted_sample_documents,
     }
 
 
@@ -4372,4 +4406,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": _ORACLE_FUNNEL,
         "incremental_stats_events": _ORACLE_INCREMENTAL_STATS,
         "padding_waste_documents": _ORACLE_PADDING_WASTE,
+        "weighted_sample_documents": _ORACLE_WEIGHTED_SAMPLE,
     }

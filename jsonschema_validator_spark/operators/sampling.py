@@ -129,3 +129,36 @@ def temperature_sample(
         .filter(F.pmod(mix_key(key), F.lit(DOMAIN)) < F.col("__threshold"))
         .drop("__threshold")
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, prob_col, salt: int = 0
+) -> DataFrame:
+    """Per-ROW deterministic keep with probability clamp(p, 0, 1) — the
+    soft quality filter ("keep documents with probability proportional
+    to their quality score") that hard thresholding can't express:
+    borderline documents survive at their score's rate instead of dying
+    at an arbitrary cut.
+
+    keep(row) <=> pmod(mix(key'), DOMAIN) < floor(clamp(p,0,1) * DOMAIN)
+
+    Same contract as hash_sample: membership is a pure function of
+    (key, p) — stable across runs, partition layouts, and engines, and
+    NESTED in p (raising a row's score can only add it to the sample).
+    NULL or NaN probabilities drop the row (a missing score is not a
+    license to keep). ``salt`` decorrelates from upstream uses of the
+    mixer on the same key via the two-round remix (see
+    temperature_sample). Zero shuffles: a projection+filter on the scan.
+
+    ``prob_col`` may be a column name or any Column expression, so the
+    score can be derived in-plan (no materialization pass).
+    """
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), p.cast("double")))
+    threshold = F.floor(p * F.lit(DOMAIN))
+    key = (
+        mix_key(mix_key(F.col(key_col)).bitwiseXOR(F.lit(salt)))
+        if salt
+        else mix_key(F.col(key_col))
+    )
+    return df.filter(F.pmod(key, F.lit(DOMAIN)) < threshold)

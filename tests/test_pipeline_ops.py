@@ -1791,3 +1791,22 @@ def test_padding_waste_buckets_and_truncation(spark):
         padding_waste(df, "n", [])
     with pytest.raises(ValueError):
         padding_waste(df, "n", [0, 8])
+
+
+def test_weighted_sample_nested_clamped_null(spark):
+    from jsonschema_validator_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    lo = {r["k"] for r in weighted_sample(df, "k", F.lit(0.3)).collect()}
+    hi = {r["k"] for r in weighted_sample(df, "k", F.lit(0.6)).collect()}
+    assert lo and lo < hi                      # nested in p, non-trivial
+    assert abs(len(hi) / 2000 - 0.6) < 0.05    # rate is honored
+    assert weighted_sample(df, "k", F.lit(5.0)).count() == 2000   # clamp hi
+    assert weighted_sample(df, "k", F.lit(-1.0)).count() == 0     # clamp lo
+    assert (
+        weighted_sample(df, "k", F.lit(None).cast("double")).count() == 0
+    )  # missing score is not a license to keep
+    # salt decorrelates: overlap of two independent 30% thinnings ~ 9%
+    salted = {r["k"] for r in weighted_sample(df, "k", F.lit(0.3), salt=7).collect()}
+    frac = len(lo & salted) / 2000
+    assert 0.03 < frac < 0.18
