@@ -4196,6 +4196,51 @@ SELECT doc_id, source FROM keyed WHERE bucket < threshold ORDER BY doc_id
 """
 
 
+def q_render_offsets_events(spark, sf_dir):
+    """Chat-template render offsets + loss mask (operators/conversation
+    render_training_text): per turn, the [start, end) span it occupies
+    in the assembled training string and whether loss applies
+    (trainable roles here: purchase/signup). Events as transcripts:
+    user_id = conversation, event_id = order, event_type = role,
+    props = text. ONE cumulative window over a pre-projected ~24-byte
+    row — the payload never enters the exchange; the oracle replays the
+    prefix-sum arithmetic. The substring-tiling invariant vs
+    assemble_rendered is pinned in pytest."""
+    from jsonschema_validator_spark.operators.conversation import (
+        render_training_text,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "props")
+    return render_training_text(
+        ev,
+        group="user_id",
+        order="event_id",
+        role="event_type",
+        text="props",
+        train_roles=("purchase", "signup"),
+    ).orderBy("user_id", "event_id")
+
+
+_ORACLE_RENDER_OFFSETS = """
+WITH r AS (
+  SELECT user_id, event_id, event_type,
+         11 + LENGTH(event_type) + LENGTH(COALESCE(props, '')) AS len
+  FROM events
+), o AS (
+  SELECT user_id, event_id, event_type,
+         SUM(len) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS end_off,
+         len
+  FROM r
+)
+SELECT user_id, event_id, event_type,
+       (end_off - len)::BIGINT AS start_off,
+       end_off::BIGINT AS end_off,
+       event_type IN ('purchase', 'signup') AS trainable
+FROM o ORDER BY user_id, event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4304,6 +4349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_stats_events": q_incremental_stats_events,
         "padding_waste_documents": q_padding_waste_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "render_offsets_events": q_render_offsets_events,
     }
 
 
@@ -4407,4 +4453,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_stats_events": _ORACLE_INCREMENTAL_STATS,
         "padding_waste_documents": _ORACLE_PADDING_WASTE,
         "weighted_sample_documents": _ORACLE_WEIGHTED_SAMPLE,
+        "render_offsets_events": _ORACLE_RENDER_OFFSETS,
     }

@@ -281,3 +281,91 @@ def context_truncation(
         )
         .withColumn("truncated", F.col("n_fit") < F.col("n_turns"))
     )
+
+
+def render_training_text(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    train_roles: tuple[str, ...] = ("assistant",),
+    prefix: str = "<|",
+    infix: str = "|>",
+    suffix: str = "<|end|>",
+) -> DataFrame:
+    """Chat-template rendering offsets + loss mask: each turn renders as
+    ``prefix + role + infix + text + suffix``; this computes, per turn,
+    the [start_off, end_off) character span that turn occupies in the
+    assembled conversation string and whether the trainer computes loss
+    on it (``trainable`` = role in train_roles — the standard
+    "train on assistant turns only" masking). NULL text renders as the
+    empty string (the turn still exists and still occupies its
+    delimiters).
+
+    The offsets are what a tokenize-then-mask pipeline needs to carry
+    masks through tokenization without re-parsing the template, and
+    they are pure prefix sums, so the whole operator is ONE cumulative
+    window over a PRE-PROJECTED (group, order, role, rendered_len)
+    frame — the shuffle carries ~24 bytes/row, never the text.
+    ``assemble_rendered`` (below) produces the matching string; the
+    invariant substring(assembled, start_off+1, len) == rendered turn
+    is pinned in pytest.
+    """
+    rlen = (
+        F.lit(len(prefix) + len(infix) + len(suffix))
+        + F.length(F.col(role))
+        + F.length(F.coalesce(F.col(text), F.lit("")))
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(group, order, role, rlen.alias("__len"))
+        .withColumn("end_off", F.sum("__len").over(w))
+        .select(
+            group,
+            order,
+            role,
+            (F.col("end_off") - F.col("__len")).alias("start_off"),
+            "end_off",
+            F.col(role).isin(*train_roles).alias("trainable"),
+        )
+    )
+
+
+def assemble_rendered(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+    text: str = "text",
+    prefix: str = "<|",
+    infix: str = "|>",
+    suffix: str = "<|end|>",
+) -> DataFrame:
+    """The assembled training string per conversation matching
+    render_training_text's offsets: sort_array over collected
+    (order, rendered) structs — ordering happens INSIDE each row, no
+    window — then one concat. One shuffle (the assembly groupBy).
+    Returns (group, text). The payload does cross this exchange (it
+    must: the output IS the payload); callers that only need offsets
+    use render_training_text and never ship the text."""
+    rendered = F.concat(
+        F.lit(prefix),
+        F.col(role),
+        F.lit(infix),
+        F.coalesce(F.col(text), F.lit("")),
+        F.lit(suffix),
+    )
+    return (
+        df.select(group, F.struct(F.col(order).alias("o"), rendered.alias("r")).alias("__s"))
+        .groupBy(group)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.sort_array(F.collect_list("__s")), lambda s: s["r"])
+            ).alias("text")
+        )
+    )

@@ -1810,3 +1810,34 @@ def test_weighted_sample_nested_clamped_null(spark):
     salted = {r["k"] for r in weighted_sample(df, "k", F.lit(0.3), salt=7).collect()}
     frac = len(lo & salted) / 2000
     assert 0.03 < frac < 0.18
+
+
+def test_render_offsets_match_assembled_text(spark):
+    from jsonschema_validator_spark.operators.conversation import (
+        assemble_rendered,
+        render_training_text,
+    )
+
+    rows = [
+        ("c1", 0, "system", "be nice"),
+        ("c1", 1, "user", "hi"),
+        ("c1", 2, "assistant", "hello!"),
+        ("c2", 0, "user", None),          # NULL text still renders delimiters
+        ("c2", 1, "assistant", "yo"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    off = render_training_text(df).collect()
+    asm = {r["conv_id"]: r["text"] for r in assemble_rendered(df).collect()}
+    orig = {(r[0], r[1]): r for r in rows}
+    for r in off:
+        t = orig[(r["conv_id"], r["turn_idx"])]
+        expect = f"<|{t[2]}|>{t[3] or ''}<|end|>"
+        got = asm[r["conv_id"]][r["start_off"] : r["end_off"]]
+        assert got == expect, (r, got, expect)
+        assert r["trainable"] == (t[2] == "assistant")
+    # spans tile the assembled string exactly: last end == total length
+    for conv, text in asm.items():
+        ends = [r["end_off"] for r in off if r["conv_id"] == conv]
+        starts = [r["start_off"] for r in off if r["conv_id"] == conv]
+        assert max(ends) == len(text) and min(starts) == 0
+        assert sorted(ends)[:-1] == sorted(starts)[1:]  # contiguous, no gaps
