@@ -4241,6 +4241,37 @@ FROM o ORDER BY user_id, event_id
 """
 
 
+def q_heavy_hitters_events(spark, sf_dir):
+    """Deterministic heavy hitters (operators/stats.heavy_hitters):
+    every value-bucket (floor(value/50)) holding strictly more than 1/6
+    of the rows. Two passes — per-partition Misra-Gries candidates
+    (O(k) state, never the full distribution) then an exact broadcast
+    recount — so the result is a pure function of the data and the
+    oracle is plain GROUP BY / HAVING. The exponential-ish value column
+    makes the low buckets genuinely heavy and the tail a real decoy
+    set."""
+    from jsonschema_validator_spark.operators.stats import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    )
+    return heavy_hitters(ev, "bucket", 6).orderBy("bucket")
+
+
+_ORACLE_HEAVY_HITTERS = """
+WITH keyed AS (
+  SELECT FLOOR(value / 50)::BIGINT AS bucket FROM events
+  WHERE value IS NOT NULL
+), tot AS (SELECT COUNT(*) AS n FROM keyed)
+SELECT bucket, COUNT(*)::BIGINT AS cnt,
+       ROUND(COUNT(*) / (MAX(tot.n) * 1.0), 6) AS frac
+FROM keyed, tot
+GROUP BY bucket
+HAVING COUNT(*) * 6 > MAX(tot.n)
+ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4350,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste_documents": q_padding_waste_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
         "render_offsets_events": q_render_offsets_events,
+        "heavy_hitters_events": q_heavy_hitters_events,
     }
 
 
@@ -4454,4 +4486,5 @@ def oracle_sql() -> dict[str, str]:
         "padding_waste_documents": _ORACLE_PADDING_WASTE,
         "weighted_sample_documents": _ORACLE_WEIGHTED_SAMPLE,
         "render_offsets_events": _ORACLE_RENDER_OFFSETS,
+        "heavy_hitters_events": _ORACLE_HEAVY_HITTERS,
     }

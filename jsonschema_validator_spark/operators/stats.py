@@ -445,3 +445,75 @@ def equi_depth_histogram(df: DataFrame, value_col: str, k: int = 10) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Every key with frequency STRICTLY ABOVE n/k — exact, in two
+    passes, without ever shuffling the full key distribution:
+
+    Pass 1 (candidates): per-partition Misra-Gries summaries with k
+    counters via mapInPandas — O(k) state per partition, batch-vectorized
+    (pandas value_counts + an order-statistic trim), never per-row
+    Python. MG with k counters keeps every item of local frequency
+    > n_p/(k+1); a globally heavy item (freq > n/k) is locally heavy
+    (freq_p > n_p/k >= n_p/(k+1)) in at least one partition (averaging
+    argument), so the union of per-partition candidates is a SUPERSET of
+    the true answer — at most k * partitions keys, whatever the data.
+
+    Pass 2 (exact recount): broadcast the candidate set, count only
+    candidate rows, keep cnt * k > n. The recount makes the output a
+    pure function of the DATA — partitioning affects only which extra
+    candidates get recounted and discarded, never the result.
+
+    This is the frequency screen that a plain groupBy(key) cannot give
+    at 10^12 rows with ~10^9 distinct keys: the full distribution never
+    exists anywhere; shuffled state is O(k * partitions). NULL keys are
+    excluded (a missing key is not a hot key). Returns
+    (key_col, cnt, frac) with frac = cnt/n rounded to 6 places.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key_field = df.schema[key_col]
+    spark_type = key_field.dataType.simpleString()
+
+    def _mg(batches):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].dropna().value_counts()
+            for val, c in zip(vc.index, vc.to_numpy()):
+                counters[val] = counters.get(val, 0) + int(c)
+            excess = len(counters) - k
+            if excess > 0:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # subtract the excess-th smallest count from everyone and
+                # drop the non-positive: one batched MG decrement round
+                delta = np.partition(vals, excess - 1)[excess - 1]
+                counters = {
+                    key: c - delta for key, c in counters.items() if c > delta
+                }
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(_mg, schema=f"`{key_col}` {spark_type}")
+        .distinct()
+    )
+    total = df.select(F.count(key_col).alias("__n")).withColumn(
+        "__one", F.lit(1)
+    )
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(total), "__one")
+        .filter(F.col("cnt") * k > F.col("__n"))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__n"), 6).alias("frac"),
+        )
+    )

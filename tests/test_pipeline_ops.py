@@ -1841,3 +1841,37 @@ def test_render_offsets_match_assembled_text(spark):
         starts = [r["start_off"] for r in off if r["conv_id"] == conv]
         assert max(ends) == len(text) and min(starts) == 0
         assert sorted(ends)[:-1] == sorted(starts)[1:]  # contiguous, no gaps
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from jsonschema_validator_spark.operators.stats import heavy_hitters
+
+    # Zipf-ish planted skew: key 0 owns ~40%, key 1 ~20%, the rest is a
+    # long uniform tail; adversarial partitioning via round-robin
+    # repartition so hot keys span every partition
+    rows = (
+        [(0,)] * 4000 + [(1,)] * 2000 + [(i % 500 + 10,) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "k long").repartition(13)
+    out = {r["k"]: r for r in heavy_hitters(df, "k", 8).collect()}
+    truth = {
+        r["k"]: r["cnt"]
+        for r in df.groupBy("k").count().withColumnRenamed("count", "cnt").collect()
+        if r["cnt"] * 8 > len(rows)
+    }
+    assert set(out) == set(truth) == {0, 1}
+    for key, cnt in truth.items():
+        assert out[key]["cnt"] == cnt
+        assert abs(out[key]["frac"] - cnt / len(rows)) < 1e-6
+
+    # threshold is strict: a key at exactly n/k is NOT heavy
+    df2 = spark.createDataFrame([(1,)] * 25 + [(2,)] * 75, "k long")
+    assert {r["k"] for r in heavy_hitters(df2, "k", 4).collect()} == {2}
+
+    # NULL keys never surface
+    df3 = spark.createDataFrame([(None,)] * 90 + [(5,)] * 10, "k long")
+    out3 = heavy_hitters(df3, "k", 2).collect()
+    assert [r["k"] for r in out3] == [5]  # n counts non-null only: 10
+
+    with pytest.raises(ValueError):
+        heavy_hitters(df2, "k", 1)
