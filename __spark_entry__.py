@@ -4272,6 +4272,46 @@ ORDER BY bucket
 """
 
 
+def q_embedding_decontamination_embeddings(spark, sf_dir):
+    """Semantic train/eval leakage screen (operators/similarity.py
+    embedding_decontamination): which train vectors sit on top of an
+    eval-benchmark vector in embedding space. Eval = every 97th train
+    vector scaled x2 (cosine exactly 1, bit-identical signature ->
+    hamming 0 -> guaranteed LSH recovery); the densest natural pair is
+    ~0.51, so at threshold 0.8 the LSH screen equals the exact
+    cross-join oracle deterministically. Cross-set banded equi-join on
+    (band, bits) with the eval side broadcast — no cartesian
+    train x eval stage anywhere."""
+    from jsonschema_validator_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    eval_df = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return embedding_decontamination(
+        emb, eval_df, "vec_id", "embedding", threshold=0.8,
+        n_planes=64, max_hamming=3, dim=64,
+    ).orderBy("vec_id")
+
+
+_ORACLE_EMBEDDING_DECON = """
+WITH ev AS (
+  SELECT vec_id + 1000000 AS e_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+  FROM embeddings WHERE vec_id % 97 = 0
+), hits AS (
+  SELECT t.vec_id, ROUND(list_cosine_similarity(t.embedding::DOUBLE[], e.v), 4) AS sim
+  FROM embeddings t, ev e
+  WHERE ROUND(list_cosine_similarity(t.embedding::DOUBLE[], e.v), 4) >= 0.8
+)
+SELECT vec_id, COUNT(*)::BIGINT AS n_eval_hits, MAX(sim) AS max_sim
+FROM hits GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4382,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": q_weighted_sample_documents,
         "render_offsets_events": q_render_offsets_events,
         "heavy_hitters_events": q_heavy_hitters_events,
+        "embedding_decontamination_embeddings": q_embedding_decontamination_embeddings,
     }
 
 
@@ -4487,4 +4528,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_documents": _ORACLE_WEIGHTED_SAMPLE,
         "render_offsets_events": _ORACLE_RENDER_OFFSETS,
         "heavy_hitters_events": _ORACLE_HEAVY_HITTERS,
+        "embedding_decontamination_embeddings": _ORACLE_EMBEDDING_DECON,
     }

@@ -568,3 +568,85 @@ def label_coherence(df: DataFrame, id_col: str, vec_col: str, label_col: str) ->
             F.min("__cos").alias("min_cos"),
         )
     )
+
+
+def embedding_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 64,
+    max_hamming: int = 3,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic train/eval leakage screen: every TRAIN vector whose
+    cosine to at least one EVAL vector rounds to >= threshold — the
+    embedding-space complement of the n-gram screen in
+    dedup.ngram_overlap (paraphrased benchmark items share no 8-gram
+    but sit on top of each other in embedding space).
+
+    Cross-set banded LSH, same pigeonhole machinery as
+    cosine_near_duplicates: BOTH sides are signed with the SAME
+    hyperplanes, so a train/eval pair within max_hamming signature bits
+    shares a whole band and is found by an equi-join on (band, bits) —
+    never a cartesian train x eval comparison. The eval side (a
+    benchmark suite — small by nature) is broadcast; the train side
+    shuffles nothing: signatures are computed on the scan and the
+    band join is map-side. Candidates attach vectors by id and are
+    verified with the exact Arrow-batched cosine; rounding half-up to
+    4 digits BEFORE thresholding matches the SQL oracle formulation.
+
+    Returns one row per contaminated train id:
+    (id_col, n_eval_hits, max_sim) — max_sim after rounding. Recall is
+    that of the banding scheme (identical/near-identical vectors are
+    hamming-0: guaranteed); the planted-copy contract query pins the
+    deterministic case.
+    """
+    if n_planes < max_hamming + 1:
+        raise ValueError(f"n_planes={n_planes} must be >= max_hamming+1={max_hamming + 1}")
+    if dim is None:
+        dim = len(train.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            _as_double(F.col(vec_col)).alias(f"{prefix}_v"),
+            lsh_signature(_as_double(F.col(vec_col)), planes).alias(f"{prefix}_sig"),
+        )
+        return base.select(
+            f"{prefix}_id",
+            f"{prefix}_sig",
+            _band_struct(f"{prefix}_sig", n_planes, max_hamming).alias("bb"),
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_sig",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bits").alias("bits"),
+        )
+
+    t = banded(train, "t")
+    e = banded(eval_df, "e")
+    ham = F.bit_count(F.col("t_sig").bitwiseXOR(F.col("e_sig")))
+    cand = (
+        t.join(F.broadcast(e), ["band", "bits"])
+        .filter(ham <= max_hamming)
+        .select("t_id", "e_id")
+        .dropDuplicates(["t_id", "e_id"])
+    )
+    tv = train.select(F.col(id_col).alias("t_id"), _as_double(F.col(vec_col)).alias("t_v"))
+    ev = eval_df.select(F.col(id_col).alias("e_id"), _as_double(F.col(vec_col)).alias("e_v"))
+    sim = cosine_verify(F.col("t_v"), F.col("e_v"))
+    hits = (
+        cand.join(tv, "t_id")
+        .join(F.broadcast(ev), "e_id")
+        .select("t_id", F.round(sim, 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    return (
+        hits.groupBy("t_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"), F.max("sim").alias("max_sim"))
+        .withColumnRenamed("t_id", id_col)
+    )

@@ -1875,3 +1875,38 @@ def test_heavy_hitters_exact_vs_groupby(spark):
 
     with pytest.raises(ValueError):
         heavy_hitters(df2, "k", 1)
+
+
+def test_embedding_decontamination_cross_set(spark):
+    from jsonschema_validator_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    train = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # eval = scaled copies of train ids 5 and 41 (+ one fresh vector that
+    # matches nothing): only 5 and 41 may flag, with sim exactly 1.0
+    tr = {r["vec_id"]: r["embedding"] for r in train.collect()}
+    eval_df = spark.createDataFrame(
+        [
+            (1005, [x * 3.0 for x in tr[5]]),
+            (1041, [x * 0.5 for x in tr[41]]),
+            (1999, [rng.gauss(0, 1) for _ in range(16)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_decontamination(
+        train, eval_df, "vec_id", "embedding",
+        threshold=0.98, n_planes=32, max_hamming=3, dim=16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {5, 41}
+    assert rows[5]["max_sim"] == 1.0 and rows[5]["n_eval_hits"] == 1
