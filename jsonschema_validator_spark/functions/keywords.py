@@ -1659,6 +1659,23 @@ _FORMAT_PROBES: dict[str, Factory] = {
         r"(,[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?)*\})*$"
     ),
     "regex": lambda acc: _regex_validity_probe(acc),
+    # RFC 4122 canonical 8-4-4-4-12 form, case-insensitive, any
+    # version/variant nibble — exactly what the installed jsonschema
+    # library's uuid checker accepts (verified: it rejects urn:uuid:
+    # prefixes, braces, and hyphen-less hex), so the library-parity
+    # oracle covers this probe
+    "uuid": lambda acc: acc.as_string().rlike(
+        r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+    ),
+    # RFC 3339 appendix-A duration ABNF (draft2019-09+ format): weeks
+    # exclusive of date/time parts; integer fields only (the ABNF has no
+    # fractions); bare "P"/"PT"/trailing "T" rejected via lookaheads.
+    # The container's FormatChecker lacks a duration checker
+    # (isoduration not installed), so semantics are pinned by the ABNF
+    # directly in tests/corpus + unit cases.
+    "duration": lambda acc: acc.as_string().rlike(
+        r"^P(\d+W|(?=\d|T\d)(\d+Y)?(\d+M)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+S)?)?)$"
+    ),
 }
 
 

@@ -80,6 +80,9 @@ _WEAK_PROBE = {
     "idn-hostname": "under_score.example.com",
     "iri": "not an iri",
     "iri-reference": "per%cent",
+    # no checker without the isoduration package — our probe pins the
+    # RFC 3339 appendix-A ABNF instead (tests/corpus/draft2019_format.json)
+    "duration": "P",
 }
 
 
@@ -208,7 +211,9 @@ def test_corpus_expected_values_match_library():
     # the skip rules must stay surgical: bounded, and the bulk checked
     assert checked >= 2200, (checked, skipped_a, skipped_b)
     assert skipped_a <= 12, skipped_a
-    assert skipped_b <= 80, skipped_b
+    # 16 of these are the duration group (draft2019_format.json): no
+    # library checker without isoduration, pinned to the ABNF instead
+    assert skipped_b <= 100, skipped_b
 
 
 def test_random_parity_py_valid_vs_library():
