@@ -4312,6 +4312,49 @@ FROM hits GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def q_repeated_runs_events(spark, sf_dir):
+    """Agent-loop screen (operators/conversation.py repeated_turn_runs):
+    maximal runs of >= 3 consecutive identical turn contents inside one
+    conversation — the stuck-retry signature that neither corpus dedup
+    nor global frequency screens can see. Gaps-and-islands on a
+    pre-projected (group, order, xxhash64) frame (~24 B/row through the
+    exchange, payload never moves). text_hash is dropped from the
+    contract output (xxhash64 is not reproducible in DuckDB); run
+    boundaries and lengths are pinned exactly."""
+    from jsonschema_validator_spark.operators.conversation import (
+        repeated_turn_runs,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return (
+        repeated_turn_runs(
+            ev, group="user_id", order="event_id", text="event_type", min_run=3
+        )
+        .drop("text_hash")
+        .orderBy("user_id", "run_start")
+    )
+
+
+_ORACLE_REPEATED_RUNS = """
+WITH lagged AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN 1 ELSE 0 END AS new
+  FROM events
+), runs AS (
+  SELECT user_id, event_id,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM lagged
+)
+SELECT user_id, MIN(event_id)::BIGINT AS run_start, COUNT(*)::BIGINT AS run_len
+FROM runs GROUP BY user_id, run
+HAVING COUNT(*) >= 3
+ORDER BY user_id, run_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4423,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_offsets_events": q_render_offsets_events,
         "heavy_hitters_events": q_heavy_hitters_events,
         "embedding_decontamination_embeddings": q_embedding_decontamination_embeddings,
+        "repeated_runs_events": q_repeated_runs_events,
     }
 
 
@@ -4529,4 +4573,5 @@ def oracle_sql() -> dict[str, str]:
         "render_offsets_events": _ORACLE_RENDER_OFFSETS,
         "heavy_hitters_events": _ORACLE_HEAVY_HITTERS,
         "embedding_decontamination_embeddings": _ORACLE_EMBEDDING_DECON,
+        "repeated_runs_events": _ORACLE_REPEATED_RUNS,
     }

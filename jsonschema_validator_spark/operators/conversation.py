@@ -312,9 +312,11 @@ def render_training_text(
     invariant substring(assembled, start_off+1, len) == rendered turn
     is pinned in pytest.
     """
+    # NULL role renders as '' (same as NULL text): one NULL must not
+    # poison the prefix sums of every later turn in the conversation
     rlen = (
         F.lit(len(prefix) + len(infix) + len(suffix))
-        + F.length(F.col(role))
+        + F.length(F.coalesce(F.col(role), F.lit("")))
         + F.length(F.coalesce(F.col(text), F.lit("")))
     )
     w = (
@@ -331,7 +333,11 @@ def render_training_text(
             role,
             (F.col("end_off") - F.col("__len")).alias("start_off"),
             "end_off",
-            F.col(role).isin(*train_roles).alias("trainable"),
+            # NULL role -> isin yields NULL; a turn of unknown role is
+            # NOT trainable, never indeterminate
+            F.coalesce(F.col(role).isin(*train_roles), F.lit(False)).alias(
+                "trainable"
+            ),
         )
     )
 
@@ -355,7 +361,7 @@ def assemble_rendered(
     use render_training_text and never ship the text."""
     rendered = F.concat(
         F.lit(prefix),
-        F.col(role),
+        F.coalesce(F.col(role), F.lit("")),  # must match render_training_text
         F.lit(infix),
         F.coalesce(F.col(text), F.lit("")),
         F.lit(suffix),
@@ -369,3 +375,63 @@ def assemble_rendered(
             ).alias("text")
         )
     )
+
+
+def repeated_turn_runs(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    text: str = "text",
+    min_run: int = 3,
+) -> DataFrame:
+    """Agent-loop screen: maximal runs of CONSECUTIVE identical turn
+    content within a conversation, length >= min_run — the signature of
+    a stuck tool-retry / degenerate generation loop, which per-corpus
+    dedup can't see (the turns are inside one conversation) and global
+    frequency screens can't either (the looped text may be unique to
+    that conversation).
+
+    Standard gaps-and-islands: lag() marks run starts, a cumulative sum
+    numbers the islands, one groupBy measures them. Both windows and
+    the shuffle operate on a pre-projected (group, order, text-HASH)
+    frame — 16 bytes of xxhash64 stand in for the payload, so a
+    conversation full of 8 KB looped turns still shuffles ~24 B/row.
+    NULL text hashes to a sentinel (two consecutive NULL turns are a
+    run: a looping agent that emits empty turns is still looping).
+
+    Returns (group, run_start = first order value of the run, run_len,
+    text_hash) — one row per flagged run.
+    """
+    h = F.coalesce(
+        F.xxhash64(F.col(text)), F.lit(-6148914691236517206)
+    )  # sentinel for NULL
+    w = Window.partitionBy(group).orderBy(order)
+    pre = df.select(group, order, h.alias("__h"))
+    runs = (
+        pre.withColumn(
+            "__new",
+            # first row: lag is NULL -> compare against h XOR 1, which
+            # always differs (no overflow, ANSI-safe) -> new run
+            (
+                F.col("__h")
+                != F.coalesce(
+                    F.lag("__h").over(w), F.col("__h").bitwiseXOR(F.lit(1))
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(group, "__run")
+        .agg(
+            F.min(order).alias("run_start"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("__h").alias("text_hash"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .drop("__run")
+    )
+    return runs

@@ -154,7 +154,12 @@ def weighted_sample(
     score can be derived in-plan (no materialization pass).
     """
     p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
-    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), p.cast("double")))
+    p = p.cast("double")
+    # NaN must drop like NULL: Spark orders NaN ABOVE every double, so a
+    # bare least(1.0, greatest(0.0, NaN)) would clamp NaN to 1.0 and
+    # keep the row — the opposite of the contract
+    p = F.when(F.isnan(p), F.lit(None).cast("double")).otherwise(p)
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), p))
     threshold = F.floor(p * F.lit(DOMAIN))
     key = (
         mix_key(mix_key(F.col(key_col)).bitwiseXOR(F.lit(salt)))

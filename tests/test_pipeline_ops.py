@@ -1806,6 +1806,10 @@ def test_weighted_sample_nested_clamped_null(spark):
     assert (
         weighted_sample(df, "k", F.lit(None).cast("double")).count() == 0
     )  # missing score is not a license to keep
+    assert (
+        weighted_sample(df, "k", F.lit(float("nan"))).count() == 0
+    )  # NaN drops too (Spark orders NaN above every double — would
+    #    otherwise clamp to 1.0 and keep everything)
     # salt decorrelates: overlap of two independent 30% thinnings ~ 9%
     salted = {r["k"] for r in weighted_sample(df, "k", F.lit(0.3), salt=7).collect()}
     frac = len(lo & salted) / 2000
@@ -1824,6 +1828,8 @@ def test_render_offsets_match_assembled_text(spark):
         ("c1", 2, "assistant", "hello!"),
         ("c2", 0, "user", None),          # NULL text still renders delimiters
         ("c2", 1, "assistant", "yo"),
+        ("c3", 0, None, "orphan"),        # NULL role: renders as '', not trainable
+        ("c3", 1, "assistant", "ok"),
     ]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
     off = render_training_text(df).collect()
@@ -1831,10 +1837,10 @@ def test_render_offsets_match_assembled_text(spark):
     orig = {(r[0], r[1]): r for r in rows}
     for r in off:
         t = orig[(r["conv_id"], r["turn_idx"])]
-        expect = f"<|{t[2]}|>{t[3] or ''}<|end|>"
+        expect = f"<|{t[2] or ''}|>{t[3] or ''}<|end|>"
         got = asm[r["conv_id"]][r["start_off"] : r["end_off"]]
         assert got == expect, (r, got, expect)
-        assert r["trainable"] == (t[2] == "assistant")
+        assert r["trainable"] == (t[2] == "assistant")  # NULL role -> False
     # spans tile the assembled string exactly: last end == total length
     for conv, text in asm.items():
         ends = [r["end_off"] for r in off if r["conv_id"] == conv]
@@ -1910,3 +1916,35 @@ def test_embedding_decontamination_cross_set(spark):
     rows = {r["vec_id"]: r for r in out.collect()}
     assert set(rows) == {5, 41}
     assert rows[5]["max_sim"] == 1.0 and rows[5]["n_eval_hits"] == 1
+
+
+def test_repeated_turn_runs_gaps_and_islands(spark):
+    from jsonschema_validator_spark.operators.conversation import (
+        repeated_turn_runs,
+    )
+
+    rows = [
+        # c1: run of 3 'retry' (turns 2-4), singleton turns around it,
+        # and a SECOND run of the same text later (turns 7-8, too short)
+        ("c1", 0, "a"), ("c1", 1, "b"),
+        ("c1", 2, "retry"), ("c1", 3, "retry"), ("c1", 4, "retry"),
+        ("c1", 5, "b"), ("c1", 6, "c"),
+        ("c1", 7, "retry"), ("c1", 8, "retry"),
+        # c2: two consecutive NULLs then one more NULL -> NULL run of 3
+        ("c2", 0, None), ("c2", 1, None), ("c2", 2, None), ("c2", 3, "x"),
+        # c3: alternating, no runs
+        ("c3", 0, "x"), ("c3", 1, "y"), ("c3", 2, "x"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = sorted(
+        (r["conv_id"], r["run_start"], r["run_len"])
+        for r in repeated_turn_runs(df, min_run=3).collect()
+    )
+    assert out == [("c1", 2, 3), ("c2", 0, 3)]
+    # min_run=2 also catches the short second run — runs are maximal,
+    # never merged across the gap
+    out2 = sorted(
+        (r["conv_id"], r["run_start"], r["run_len"])
+        for r in repeated_turn_runs(df, min_run=2).collect()
+    )
+    assert ("c1", 7, 2) in out2 and ("c1", 2, 3) in out2
