@@ -147,9 +147,22 @@ north rule's throughput + efficiency criterion above.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "w") as f:
-        f.write(md)
-    print(f"wrote {out_path}")
+    if os.path.exists(out_path):
+        # NEVER overwrite the curated pooled history (it carries every
+        # prior session's sample batches and the pooling protocol) —
+        # append this batch as a raw addendum for manual folding-in
+        with open(out_path, "a") as f:
+            f.write(
+                "\n<!-- raw batch appended by bench_scaling.py; fold into "
+                "the pooled narrative -->\n\n"
+                f"| config | times (s) | min (s) | median (s) | turns/sec |\n"
+                f"|---|---|---|---|---|\n{rows}\n\n{effs}\n"
+            )
+        print(f"appended batch to {out_path}")
+    else:
+        with open(out_path, "w") as f:
+            f.write(md)
+        print(f"wrote {out_path}")
     print(json.dumps({"efficiency": round(eff, 3), **{f"local[{c}]": results[c] for c in cores_list}}))
 
 
