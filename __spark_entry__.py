@@ -4355,6 +4355,98 @@ ORDER BY user_id, run_start
 """
 
 
+def q_last_turns_events(spark, sf_dir):
+    """Eval-context extraction (operators/conversation.py last_k_turns):
+    the last 5 turns of every conversation by POSITION (order values are
+    sparse event ids — max-minus-k arithmetic would be wrong). The
+    ranking window runs on a pre-projected (group, order) frame and the
+    payload joins back by key, so turn content never enters the window
+    shuffle."""
+    from jsonschema_validator_spark.operators.conversation import last_k_turns
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return last_k_turns(ev, 5, group="user_id", order="event_id").orderBy(
+        "user_id", "turn_rank"
+    )
+
+
+_ORACLE_LAST_TURNS = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+           AS turn_rank
+  FROM events
+)
+SELECT user_id, event_id, event_type, turn_rank::INT AS turn_rank
+FROM ranked WHERE turn_rank <= 5 ORDER BY user_id, turn_rank
+"""
+
+
+def q_transition_matrix_events(spark, sf_dir):
+    """Empirical role-transition profile (operators/conversation.py
+    transition_matrix): count + conditional rate of every observed
+    (role -> next_role) edge. One lead() window over (group, order,
+    role); normalization on the O(roles^2) aggregated relation. The
+    matrix is what the allowed-transition CONTRACT is designed from."""
+    from jsonschema_validator_spark.operators.conversation import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return transition_matrix(
+        ev, group="user_id", order="event_id", role="event_type"
+    ).orderBy("role", "next_role")
+
+
+_ORACLE_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT user_id, event_type AS role,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS next_role
+  FROM events
+), counts AS (
+  SELECT role, next_role, COUNT(*)::BIGINT AS n
+  FROM pairs WHERE next_role IS NOT NULL GROUP BY role, next_role
+)
+SELECT role, next_role, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY role), 6) AS rate
+FROM counts ORDER BY role, next_role
+"""
+
+
+def q_turn_gap_stats_events(spark, sf_dir):
+    """Inter-turn latency by (prev_role -> role) edge
+    (operators/conversation.py turn_gap_stats): response/execution/think
+    time from one lag() window over a ~32-byte pre-projection. Integer
+    microseconds aggregate exactly (long sums are order-exact, double
+    avg is not); ONE float division at the end makes the report
+    IEEE-identical across engines."""
+    from jsonschema_validator_spark.operators.conversation import turn_gap_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    return turn_gap_stats(
+        ev, group="user_id", order="event_id", role="event_type", ts="ts"
+    ).orderBy("prev_role", "role")
+
+
+_ORACLE_TURN_GAP_STATS = """
+WITH pre AS (
+  SELECT user_id, event_id, event_type AS role,
+         epoch_us(ts) AS us
+  FROM events
+), gaps AS (
+  SELECT LAG(role) OVER w AS prev_role, role,
+         us - LAG(us) OVER w AS gap_us
+  FROM pre WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT prev_role, role, COUNT(*)::BIGINT AS n,
+       ROUND(SUM(gap_us) / (COUNT(*) * 1000000.0), 6) AS mean_gap_s,
+       MAX(gap_us) / 1000000.0 AS max_gap_s
+FROM gaps WHERE gap_us IS NOT NULL AND prev_role IS NOT NULL
+GROUP BY prev_role, role ORDER BY prev_role, role
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4467,6 +4559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_events": q_heavy_hitters_events,
         "embedding_decontamination_embeddings": q_embedding_decontamination_embeddings,
         "repeated_runs_events": q_repeated_runs_events,
+        "last_turns_events": q_last_turns_events,
+        "transition_matrix_events": q_transition_matrix_events,
+        "turn_gap_stats_events": q_turn_gap_stats_events,
     }
 
 
@@ -4574,4 +4669,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_events": _ORACLE_HEAVY_HITTERS,
         "embedding_decontamination_embeddings": _ORACLE_EMBEDDING_DECON,
         "repeated_runs_events": _ORACLE_REPEATED_RUNS,
+        "last_turns_events": _ORACLE_LAST_TURNS,
+        "transition_matrix_events": _ORACLE_TRANSITION_MATRIX,
+        "turn_gap_stats_events": _ORACLE_TURN_GAP_STATS,
     }

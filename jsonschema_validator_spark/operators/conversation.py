@@ -435,3 +435,105 @@ def repeated_turn_runs(
         .drop("__run")
     )
     return runs
+
+
+def last_k_turns(
+    df: DataFrame,
+    k: int,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+) -> DataFrame:
+    """Eval-context extraction: the last k turns of every conversation,
+    by POSITION (not order arithmetic — order values may be sparse, so
+    max(order) - k is wrong when ids have gaps). The ranking window runs
+    on a pre-projected (group, order) frame — two ~16-byte columns
+    through the exchange — and the surviving (group, order) keys
+    equi-join the payload back, so full turn text never enters the
+    window shuffle. Adds ``turn_rank`` (1 = latest turn).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group).orderBy(F.desc(order))
+    keys = (
+        df.select(group, order)
+        .withColumn("turn_rank", F.row_number().over(w))
+        .filter(F.col("turn_rank") <= k)
+    )
+    return df.join(keys, [group, order])
+
+
+def transition_matrix(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+) -> DataFrame:
+    """Empirical role-transition profile: for every observed
+    (role -> next_role) edge, its count and the conditional rate
+    P(next_role | role). The observability complement of
+    transition_violations — you design the allowed-edge contract FROM
+    this matrix, and a sudden rate shift (assistant -> tool collapsing)
+    is a pipeline regression even when every individual edge stays
+    legal.
+
+    One lead() window over a pre-projected (group, order, role) frame;
+    the rate normalization runs entirely on the O(roles^2) aggregated
+    relation. NULL next (conversation-final turns) is excluded; NULL
+    role participates as a real category (unknown-role turns transition
+    too).
+    """
+    w = Window.partitionBy(group).orderBy(order)
+    pairs = (
+        df.select(group, order, F.col(role).alias("role"))
+        .withColumn("next_role", F.lead("role").over(w))
+        .filter(F.col("next_role").isNotNull())
+    )
+    counts = pairs.groupBy("role", "next_role").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("role")
+    return counts.select(
+        "role",
+        "next_role",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("rate"),
+    )
+
+
+def turn_gap_stats(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+) -> DataFrame:
+    """Inter-turn latency by (prev_role -> role) edge: count, mean and
+    max gap in seconds — assistant response latency, tool execution
+    time, and user think time fall out of one report, and a latency
+    regression on one edge is invisible to volume/transition screens.
+
+    One lag() window over a pre-projected (group, order, role,
+    timestamp) frame (~32 B/row); exact integer microsecond arithmetic
+    (unix_micros), aggregated per edge. Gaps involving a NULL timestamp
+    are excluded; negative gaps (out-of-order clocks) are kept — they
+    are exactly what an ordering screen wants surfaced, and the
+    ordering operator (operators/ordering.py) pins where they are.
+    """
+    w = Window.partitionBy(group).orderBy(order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    pre = df.select(group, order, F.col(role).alias("role"), us.alias("__us"))
+    gaps = (
+        pre.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("__prev_us", F.lag("__us").over(w))
+        .filter(F.col("__prev_us").isNotNull() & F.col("__us").isNotNull())
+        .select("prev_role", "role", (F.col("__us") - F.col("__prev_us")).alias("__gap_us"))
+    )
+    # aggregate EXACT integer microseconds (long sums are order-exact,
+    # unlike double avg whose summation order is partition-dependent);
+    # the single float division at the end rounds identically in any
+    # IEEE engine — which is what makes the report SQL-oracle-able
+    return gaps.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("__gap_us") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+        ).alias("mean_gap_s"),
+        (F.max("__gap_us") / F.lit(1_000_000.0)).alias("max_gap_s"),
+    )

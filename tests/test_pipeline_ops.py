@@ -1948,3 +1948,64 @@ def test_repeated_turn_runs_gaps_and_islands(spark):
         for r in repeated_turn_runs(df, min_run=2).collect()
     )
     assert ("c1", 7, 2) in out2 and ("c1", 2, 3) in out2
+
+
+def test_last_k_turns_position_not_arithmetic(spark):
+    from jsonschema_validator_spark.operators.conversation import last_k_turns
+
+    rows = [  # sparse, gappy order values
+        ("c1", 3, "a"), ("c1", 10, "b"), ("c1", 11, "c"), ("c1", 50, "d"),
+        ("c2", 7, "x"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {
+        (r["conv_id"], r["turn_idx"]): r["turn_rank"]
+        for r in last_k_turns(df, 2).collect()
+    }
+    # position-based: c1 keeps turns 50 (rank 1) and 11 (rank 2) — a
+    # max-minus-k arithmetic would have kept only turn 50
+    assert out == {("c1", 50): 1, ("c1", 11): 2, ("c2", 7): 1}
+    with pytest.raises(ValueError):
+        last_k_turns(df, 0)
+
+
+def test_transition_matrix_rates(spark):
+    from jsonschema_validator_spark.operators.conversation import transition_matrix
+
+    rows = [
+        ("c1", 0, "u"), ("c1", 1, "a"), ("c1", 2, "u"), ("c1", 3, "a"),
+        ("c2", 0, "u"), ("c2", 1, "t"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {(r["role"], r["next_role"]): r for r in transition_matrix(df).collect()}
+    # u -> a twice, u -> t once; a -> u once; conversation-final turns
+    # contribute no edge
+    assert out[("u", "a")]["n"] == 2 and abs(out[("u", "a")]["rate"] - 2 / 3) < 1e-6
+    assert out[("u", "t")]["n"] == 1
+    assert out[("a", "u")]["rate"] == 1.0
+    assert len(out) == 3
+
+
+def test_turn_gap_stats_exact_micros(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.conversation import turn_gap_stats
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "u", t0),
+        ("c1", 1, "a", t0 + dt.timedelta(seconds=1, microseconds=500000)),
+        ("c1", 2, "u", t0 + dt.timedelta(seconds=2)),          # a->u gap 0.5s
+        ("c1", 3, "a", None),                                   # NULL ts: excluded
+        ("c2", 0, "u", t0),
+        ("c2", 1, "a", t0 + dt.timedelta(seconds=2, microseconds=500000)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    out = {(r["prev_role"], r["role"]): r for r in turn_gap_stats(df).collect()}
+    ua = out[("u", "a")]
+    assert ua["n"] == 2 and abs(ua["mean_gap_s"] - 2.0) < 1e-9  # (1.5 + 2.5)/2
+    assert ua["max_gap_s"] == 2.5
+    assert out[("a", "u")]["mean_gap_s"] == 0.5
+    assert ("a", None) not in out and (None, "u") not in out
