@@ -328,3 +328,65 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS jsv_li_b")
         spark.sql("DROP TABLE IF EXISTS jsv_od_b")
+
+
+def test_round3_conversation_ops_payload_pruned(spark):
+    """Queries 98/101/102-104 plan pins: every new conversation operator
+    keeps the text/JSON payload OUT of its window exchange — the scan
+    reads only the key/order/role(/ts) columns it needs, and
+    last_k_turns' payload re-attach happens by key join after ranking."""
+    from jsonschema_validator_spark.operators.conversation import (
+        last_k_turns,
+        render_training_text,
+        repeated_turn_runs,
+        transition_matrix,
+        turn_gap_stats,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+
+    # render offsets: rendered_len is computed on the scan; props (the
+    # payload) is consumed pre-exchange and never shuffled whole... the
+    # ReadSchema must include props (length needs it) but the exchange
+    # carries only the projected slim row: pin one exchange, one scan
+    p = plan_of(
+        render_training_text(
+            ev, group="user_id", order="event_id", role="event_type",
+            text="props", train_roles=("purchase",),
+        )
+    )
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 1, p
+
+    # repeated runs: payload hashed on the scan; exchange carries the
+    # 8-byte hash; value column is never read at all
+    p = plan_of(
+        repeated_turn_runs(
+            ev, group="user_id", order="event_id", text="event_type", min_run=3
+        )
+    )
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 1, p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "props" not in m.group(1) and "value" not in m.group(1), p
+
+    # transition matrix: slim window + O(roles^2) rollup; the final rate
+    # window runs on the aggregated relation (its exchange moves
+    # roles^2 rows, not input rows)
+    p = plan_of(
+        transition_matrix(ev, group="user_id", order="event_id", role="event_type")
+    )
+    assert p.count("Scan parquet") == 1, p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "props" not in m.group(1) and "value" not in m.group(1), p
+
+    # gap stats: (group, order, role, ts) only
+    p = plan_of(
+        turn_gap_stats(ev, group="user_id", order="event_id", role="event_type", ts="ts")
+    )
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "props" not in m.group(1) and "value" not in m.group(1), p
+
+    # last-k: the ranking branch reads ONLY (group, order); the payload
+    # branch joins back by key — no payload in the window sort
+    p = plan_of(last_k_turns(ev, 5, group="user_id", order="event_id"))
+    reads = re.findall(r"ReadSchema: ([^\n]*)", p)
+    assert any(("props" not in r and "event_type" not in r) for r in reads), p
