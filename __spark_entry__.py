@@ -4447,6 +4447,105 @@ GROUP BY prev_role, role ORDER BY prev_role, role
 """
 
 
+def q_streaming_loops_events(spark, sf_dir):
+    """Streaming agent-loop screen (streaming/stateful.py loop_screen):
+    the stateful twin of repeated_runs_events running on a bounded file
+    stream — (run_start, run_len, last_hash) state carries runs across
+    micro-batch boundaries, broken runs emit immediately, open tails
+    flush via event-time idle timeout (a far-future sentinel file
+    advances the watermark). Content is hashed UPSTREAM (xxhash64 on
+    the scan) so the payload never enters the state store. The oracle
+    IS the batch gaps-and-islands SQL."""
+    import tempfile
+
+    from jsonschema_validator_spark.streaming.stateful import loop_screen
+
+    ev = _t(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.xxhash64(F.col("event_type")).alias("h"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    import glob
+    import os
+
+    root = tempfile.mkdtemp(prefix="stream_loops_")
+    src_dir = f"{root}/in"
+    os.makedirs(src_dir)
+    # per-conversation order must hold ACROSS micro-batches (the state
+    # contract), so the file split is a global event_id cut — every
+    # conversation's early turns land in the earlier file — rather than
+    # a round-robin repartition that would interleave. The sentinel's
+    # far-future ts advances the watermark in a final batch so idle
+    # timeouts flush the open tail runs.
+    cut = turns.approxQuantile("turn_idx", [0.5], 0.0)[0]
+    sentinel = spark.createDataFrame(
+        [("zz-sentinel", 0, 0)], "conv_id string, turn_idx long, h long"
+    ).select(
+        "conv_id", "turn_idx", "h",
+        F.to_timestamp(F.lit("2100-01-01 00:00:00")).alias("ts"),
+    )
+    for i, chunk in enumerate(
+        (
+            turns.filter(F.col("turn_idx") < cut),
+            turns.filter(F.col("turn_idx") >= cut),
+            sentinel,
+        )
+    ):
+        tmp = f"{root}/chunk{i}"
+        chunk.coalesce(1).write.parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        os.rename(part, f"{src_dir}/part-{i:03d}.parquet")
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = f"{root}/out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            loop_screen(stream, min_run=3, idle_timeout="1 hour", watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("conv_id") != "zz-sentinel")
+        .orderBy(F.col("conv_id").cast("long"), "run_start")
+    )
+
+
+_ORACLE_STREAMING_LOOPS = """
+WITH lagged AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN 1 ELSE 0 END AS new
+  FROM events
+), runs AS (
+  SELECT user_id, event_id,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM lagged
+)
+SELECT user_id::VARCHAR AS conv_id,
+       MIN(event_id)::BIGINT AS run_start, COUNT(*)::BIGINT AS run_len
+FROM runs GROUP BY user_id, run
+HAVING COUNT(*) >= 3
+ORDER BY user_id, run_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4562,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_turns_events": q_last_turns_events,
         "transition_matrix_events": q_transition_matrix_events,
         "turn_gap_stats_events": q_turn_gap_stats_events,
+        "streaming_loops_events": q_streaming_loops_events,
     }
 
 
@@ -4672,4 +4772,5 @@ def oracle_sql() -> dict[str, str]:
         "last_turns_events": _ORACLE_LAST_TURNS,
         "transition_matrix_events": _ORACLE_TRANSITION_MATRIX,
         "turn_gap_stats_events": _ORACLE_TURN_GAP_STATS,
+        "streaming_loops_events": _ORACLE_STREAMING_LOOPS,
     }

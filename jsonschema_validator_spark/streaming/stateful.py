@@ -183,3 +183,127 @@ def conversation_completeness(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+LOOP_OUTPUT = "conv_id string, run_start long, run_len long"
+LOOP_STATE = "run_start long, run_len long, last_hash long, last_ms long"
+
+
+def _loop_step(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    min_run: int,
+    idle_ms: int,
+) -> Iterable[pd.DataFrame]:
+    import numpy as np
+
+    (conv_id,) = key
+    if state.hasTimedOut:
+        run_start, run_len, _last_hash, _last_ms = state.get
+        state.remove()
+        if run_len >= min_run:
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "run_start": [run_start], "run_len": [run_len]}
+            )
+        return
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return
+    pdf = pd.concat(frames, ignore_index=True).sort_values(
+        "turn_idx", ignore_index=True
+    )
+    h = pdf["h"].to_numpy(dtype=np.int64)
+    t = pdf["turn_idx"].to_numpy(dtype=np.int64)
+    if state.exists:
+        run_start, run_len, last_hash, last_ms = state.get
+    else:
+        run_start, run_len, last_hash, last_ms = None, 0, None, 0
+
+    # run boundaries: a row starts a new run iff its hash differs from
+    # its predecessor (the carried last_hash for row 0). Iterate
+    # SEGMENTS, not rows — a batch has as many segments as distinct
+    # adjacent values; everything between is vectorized numpy.
+    change = np.empty(len(h), dtype=bool)
+    change[0] = last_hash is None or h[0] != last_hash
+    change[1:] = h[1:] != h[:-1]
+    starts = np.flatnonzero(change)
+    out_starts, out_lens = [], []
+    if starts.size == 0:
+        # the whole batch extends the carried run: identity unchanged
+        run_len += len(h)
+    else:
+        if change[0]:
+            # carried run broken by the batch's first row
+            if run_len >= min_run:
+                out_starts.append(run_start)
+                out_lens.append(run_len)
+        else:
+            # rows [0, starts[0]) extend the carry, then it breaks
+            run_len += int(starts[0])
+            if run_len >= min_run:
+                out_starts.append(run_start)
+                out_lens.append(run_len)
+        segs = list(zip(starts, list(starts[1:]) + [len(h)]))
+        for idx, (s, e) in enumerate(segs):
+            if idx < len(segs) - 1:
+                # closed within this batch by its successor segment
+                if e - s >= min_run:
+                    out_starts.append(int(t[s]))
+                    out_lens.append(int(e - s))
+            else:
+                # the open tail becomes the new carried run
+                run_start, run_len, last_hash = int(t[s]), int(e - s), int(h[s])
+    last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+    state.update((run_start, int(run_len), last_hash, last_ms))
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last_ms + idle_ms, wm + 1))
+    if out_starts:
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "run_start": pd.array(out_starts, dtype="int64"),
+                "run_len": pd.array(out_lens, dtype="int64"),
+            }
+        )
+
+
+def loop_screen(
+    stream_df: DataFrame,
+    min_run: int = 3,
+    idle_timeout: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming agent-loop screen — the stateful twin of the batch
+    ``operators/conversation.repeated_turn_runs``: maximal runs of
+    consecutive identical turn content, detected AS TURNS ARRIVE, with
+    (run_start, run_len, last_hash) carried in state so a loop spanning
+    micro-batch boundaries is measured exactly like a within-batch one.
+    A broken run emits immediately; an open run emits when the
+    conversation goes idle past ``idle_timeout`` by event time (state
+    removed — bounded by in-flight conversations).
+
+    Input columns: ``conv_id string, turn_idx numeric, h long
+    (xxhash64 of the turn content — hash UPSTREAM so the payload never
+    enters the state store), ts timestamp``. Same in-order-across-
+    batches contract as transition_screen.
+    """
+    unit_ms = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    qty, unit = idle_timeout.split()
+    idle_ms = int(qty) * unit_ms[unit.rstrip("s")]
+
+    def fn(key, pdfs, state):
+        return _loop_step(key, pdfs, state, min_run, idle_ms)
+
+    src = (
+        stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("conv_id", "turn_idx", "h", "ts")
+    )
+    return src.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=LOOP_OUTPUT,
+        stateStructType=LOOP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

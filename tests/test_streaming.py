@@ -454,3 +454,105 @@ def test_stream_counts_additive_across_batches(spark, tmp_path):
     q2.awaitTermination()
     s2 = spark.read.parquet(f"{out2}/counts").groupBy("part").agg(F.sum("n").alias("n"))
     assert {r["part"]: r["n"] for r in s2.collect()} == {"A": 5, "B": 4, "C": 20}
+
+
+def test_loop_screen_stream_matches_batch_runs(spark, tmp_path):
+    """Streaming agent-loop screen (stateful.loop_screen) pinned
+    output-identical to the batch operators/conversation.
+    repeated_turn_runs on the same bounded input, with
+    maxFilesPerTrigger=1 forcing every interesting run to SPAN a
+    micro-batch boundary (the carry-in state path). A far-future
+    sentinel conversation in the last file advances the watermark so
+    idle timeouts flush the open tail runs; the sentinel is excluded
+    from both sides."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.conversation import repeated_turn_runs
+    from jsonschema_validator_spark.streaming.stateful import loop_screen
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    # (conv, turn, text): c1 has a 4-run of 'retry' split 2|2 across
+    # files, then a singleton, then an open 3-run tail; c2 alternates
+    # (no runs); c3 is one long open 5-run split 3|2
+    f1 = [
+        ("c1", 0, "a"), ("c1", 1, "retry"), ("c1", 2, "retry"),
+        ("c2", 0, "x"), ("c2", 1, "y"),
+        ("c3", 0, "loop"), ("c3", 1, "loop"), ("c3", 2, "loop"),
+    ]
+    f2 = [
+        ("c1", 3, "retry"), ("c1", 4, "retry"), ("c1", 5, "b"),
+        ("c1", 6, "z"), ("c1", 7, "z"), ("c1", 8, "z"),
+        ("c2", 2, "x"),
+        ("c3", 3, "loop"), ("c3", 4, "loop"),
+    ]
+    sentinel = [("zz-sentinel", 0, "s")]
+
+    def write(path, data, day_offset=0):
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in data], pa.string()),
+                "turn_idx": pa.array([r[1] for r in data], pa.int64()),
+                "text": pa.array([r[2] for r in data], pa.string()),
+                "ts": pa.array(
+                    [
+                        base + dt.timedelta(days=day_offset, seconds=r[1])
+                        for r in data
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = str(tmp_path / "turns_src")
+    os.makedirs(src)
+    write(f"{src}/part-000.parquet", f1)
+    write(f"{src}/part-001.parquet", f2)
+    write(f"{src}/part-002.parquet", sentinel, day_offset=3)
+
+    batch = spark.read.parquet(src).filter("conv_id != 'zz-sentinel'")
+    expect = sorted(
+        (r["conv_id"], r["run_start"], r["run_len"])
+        for r in repeated_turn_runs(batch, min_run=3).collect()
+    )
+    assert expect == [("c1", 1, 4), ("c1", 6, 3), ("c3", 0, 5)]
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.xxhash64(F.col("text")).alias("h"),
+            "ts",
+        )
+    )
+    out = str(tmp_path / "loops_out")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            loop_screen(stream, min_run=3, idle_timeout="1 hour", watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "loops_cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = sorted(
+        (r["conv_id"], r["run_start"], r["run_len"])
+        for r in spark.read.parquet(out)
+        .filter("conv_id != 'zz-sentinel'")
+        .collect()
+    )
+    assert got == expect, (got, expect)
