@@ -4546,6 +4546,43 @@ ORDER BY user_id, run_start
 """
 
 
+def q_outlier_rows_events(spark, sf_dir):
+    """Row-level robust outlier screen (operators/anomaly.py
+    robust_outliers): modified z-score against per-event-type exact
+    median/MAD (50% breakdown — the heavy exponential tail cannot drag
+    its own threshold). Two O(groups) aggregates broadcast back; rows
+    shuffle never. Oracle replays median/MAD/score arithmetic with
+    DuckDB's interpolating MEDIAN (parity with F.percentile already
+    pinned by percentiles_events_value)."""
+    from jsonschema_validator_spark.operators.anomaly import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return (
+        robust_outliers(ev, "value", k=3.5, group_col="event_type")
+        .select("event_id", "event_type", F.round("value", 4).alias("value"), "robust_z")
+        .orderBy("event_id")
+    )
+
+
+_ORACLE_OUTLIER_ROWS = """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, MEDIAN(ABS(e.value - med.m)) AS d
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+       CASE WHEN mad.d = 0 THEN NULL
+            ELSE ROUND(ABS(e.value - med.m) / (1.4826 * mad.d), 4) END
+         AS robust_z
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE e.value IS NOT NULL
+  AND CASE WHEN mad.d = 0 THEN ABS(e.value - med.m) > 0
+           ELSE ABS(e.value - med.m) / (1.4826 * mad.d) > 3.5 END
+ORDER BY e.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4662,6 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix_events": q_transition_matrix_events,
         "turn_gap_stats_events": q_turn_gap_stats_events,
         "streaming_loops_events": q_streaming_loops_events,
+        "outlier_rows_events": q_outlier_rows_events,
     }
 
 
@@ -4773,4 +4811,5 @@ def oracle_sql() -> dict[str, str]:
         "transition_matrix_events": _ORACLE_TRANSITION_MATRIX,
         "turn_gap_stats_events": _ORACLE_TURN_GAP_STATS,
         "streaming_loops_events": _ORACLE_STREAMING_LOOPS,
+        "outlier_rows_events": _ORACLE_OUTLIER_ROWS,
     }

@@ -171,3 +171,51 @@ def cardinality_drift(
         ]
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    k: float = 3.5,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-ROW robust outlier flags: modified z-score
+    |x - median| / (1.4826 * MAD) > k (Iglewicz-Hoaglin), the row-level
+    complement of the partition-level median/MAD volume screen above.
+    Median/MAD have a 50% breakdown point, so a heavy-tailed column
+    cannot drag its own threshold the way mean/stddev z-scores do.
+
+    Two exact aggregation passes by construction (the MAD is a median
+    OF deviations from the median — no single-pass decomposition
+    exists): pass 1 computes per-group medians, pass 2 the deviation
+    medians; both are O(groups) relations broadcast back onto the rows,
+    so the row set itself is scanned twice and shuffled never. At
+    100 TB swap the exact percentile for approx_percentile the same way
+    column_stats documents.
+
+    Zero-MAD groups (>= 50% of values identical) flag only rows that
+    DIFFER from the median (score = +inf conceptually); rows AT the
+    median never flag. NULL values never flag. Returns the flagged rows
+    with their rounded score.
+    """
+    g = [group_col] if group_col else []
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*g).agg(F.percentile(v, F.lit(0.5)).alias("__med"))
+    j1 = df.join(F.broadcast(med), g) if g else df.crossJoin(F.broadcast(med))
+    mad = j1.groupBy(*g).agg(
+        F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad")
+    )
+    j2 = j1.join(F.broadcast(mad), g) if g else j1.crossJoin(F.broadcast(mad))
+    dev = F.abs(v - F.col("__med"))
+    score = dev / (F.lit(1.4826) * F.col("__mad"))
+    is_out = F.when(F.col("__mad") == 0, dev > 0).otherwise(score > k)
+    return (
+        j2.filter(v.isNotNull() & is_out)
+        .withColumn(
+            "robust_z",
+            F.when(F.col("__mad") == 0, F.lit(None).cast("double")).otherwise(
+                F.round(score, 4)
+            ),
+        )
+        .drop("__med", "__mad")
+    )

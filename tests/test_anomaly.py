@@ -159,3 +159,27 @@ def test_volume_anomaly_null_aggregate_is_zero(spark):
     df = spark.createDataFrame(rows, "day string, tokens int")
     out = {r["part"]: r for r in volume_anomaly(df, "day", value=F.sum("tokens")).collect()}
     assert out["d3"]["n"] == 0.0 and out["d3"]["is_anomaly"]
+
+
+def test_robust_outliers_zero_mad_and_breakdown(spark):
+    from jsonschema_validator_spark.operators.anomaly import robust_outliers
+
+    # group A: tight cluster + one wild point -> only the wild point
+    # flags, and its presence cannot drag the threshold (median/MAD
+    # have a 50% breakdown point)
+    rows = [("A", float(v)) for v in (10, 10, 11, 9, 10, 12, 9, 11, 1000)]
+    # group B: constant column with two deviants -> zero MAD: only the
+    # deviants flag, score is NULL (not inf/poison)
+    rows += [("B", 5.0)] * 6 + [("B", 7.0), ("B", 3.0)]
+    # group C: NULL values never flag
+    rows += [("C", None), ("C", 1.0), ("C", 1.0), ("C", 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", k=3.5, group_col="g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    assert [r["v"] for r in by_g["A"]] == [1000.0]
+    assert by_g["A"][0]["robust_z"] > 3.5
+    assert sorted(r["v"] for r in by_g["B"]) == [3.0, 7.0]
+    assert all(r["robust_z"] is None for r in by_g["B"])
+    assert "C" not in by_g
