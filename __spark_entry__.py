@@ -4583,6 +4583,127 @@ ORDER BY e.event_id
 """
 
 
+def q_transcript_pipeline_events(spark, sf_dir):
+    """End-to-end TRANSCRIPT curation pipeline — the round-3
+    conversation operators composed in one plan over the north-rule
+    table shape: plant relabeled duplicate conversations -> corrupt a
+    deterministic slice's JSON -> drop conversations with ANY invalid
+    turn (parse + role-enum validity; the full keyword engine is the
+    api.Schema version of this stage) -> drop conversations caught by
+    the agent-loop screen (a run of >= 4 identical roles) -> exact
+    conversation-level dedup (order-stable fingerprints, keep = min id)
+    -> leakage-safe train/val/test split -> per-split rollup. Every
+    stage's membership arithmetic is replayed verbatim by the oracle,
+    so a deviation ANYWHERE in the composition breaks the hash."""
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_fingerprint,
+        duplicate_conversations,
+        repeated_turn_runs,
+    )
+    from jsonschema_validator_spark.operators.sampling import split_by_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "props"
+    )
+    planted = ev.where(F.col("user_id") % 50 == 3).withColumn(
+        "user_id", F.col("user_id") + F.lit(1000000)
+    )
+    allc = ev.unionByName(planted)
+    # corruption is PREPENDED: Spark's variant parser accepts trailing
+    # garbage after a complete JSON value ('{"a":1}{' parses!) while
+    # DuckDB's json_valid rejects it — a real cross-engine divergence
+    # this oracle must not sit on; a leading '{' is invalid in both
+    corrupted = allc.withColumn(
+        "props",
+        F.when(
+            F.col("user_id") % 37 == 5, F.concat(F.lit("{"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    invalid_turn = F.try_parse_json(F.col("props")).isNull() | ~F.col(
+        "event_type"
+    ).isin(_EVENT_ROLES)
+    invalid_convs = corrupted.filter(invalid_turn).select("user_id").distinct()
+    clean = corrupted.join(invalid_convs, "user_id", "left_anti")
+    loopers = (
+        repeated_turn_runs(
+            clean, group="user_id", order="event_id", text="event_type", min_run=4
+        )
+        .select("user_id")
+        .distinct()
+    )
+    clean2 = clean.join(loopers, "user_id", "left_anti")
+    content = F.concat(F.col("event_type"), F.lit("/"), F.col("props"))
+    fp = conversation_fingerprint(clean2, content, group="user_id", order="event_id")
+    keep = duplicate_conversations(fp, group="user_id").filter("keep").select("user_id")
+    clean3 = clean2.join(keep, "user_id", "left_semi")
+    split = split_by_group(clean3, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("split")
+    )
+
+
+_ORACLE_TRANSCRIPT_PIPELINE = """
+WITH all_ev AS (
+  SELECT user_id, event_id, event_type, props FROM events
+  UNION ALL
+  SELECT user_id + 1000000, event_id, event_type, props
+  FROM events WHERE user_id % 50 = 3
+), corrupted AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN user_id % 37 = 5 THEN '{' || props ELSE props END AS props
+  FROM all_ev
+), invalid AS (
+  SELECT DISTINCT user_id FROM corrupted
+  WHERE NOT json_valid(props)
+     OR event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')
+), clean AS (
+  SELECT * FROM corrupted WHERE user_id NOT IN (SELECT user_id FROM invalid)
+), lagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN 1 ELSE 0 END AS new
+  FROM clean
+), runs AS (
+  SELECT user_id,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM lagged
+), loopers AS (
+  SELECT DISTINCT user_id FROM runs
+  GROUP BY user_id, run HAVING COUNT(*) >= 4
+), clean2 AS (
+  SELECT * FROM clean WHERE user_id NOT IN (SELECT user_id FROM loopers)
+), fp AS (
+  SELECT user_id,
+         md5(string_agg(md5(event_id::VARCHAR || ':' || event_type || '/' || props),
+                        '|' ORDER BY event_id)) AS fingerprint
+  FROM clean2 GROUP BY user_id
+), keepers AS (
+  SELECT MIN(user_id) AS user_id FROM fp GROUP BY fingerprint
+), clean3 AS (
+  SELECT * FROM clean2 WHERE user_id IN (SELECT user_id FROM keepers)
+), mixed AS (
+  SELECT *, ((user_id % 2147483648) * 2654435761) AS h FROM clean3
+), assigned AS (
+  SELECT user_id, event_id,
+         CASE WHEN xor(h, h >> 29) % 1000000 < 800000 THEN 'train'
+              WHEN xor(h, h >> 29) % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM mixed
+)
+SELECT split, COUNT(DISTINCT user_id)::BIGINT AS n_convs,
+       COUNT(*)::BIGINT AS n_turns, SUM(event_id)::BIGINT AS sum_event_id
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4700,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_gap_stats_events": q_turn_gap_stats_events,
         "streaming_loops_events": q_streaming_loops_events,
         "outlier_rows_events": q_outlier_rows_events,
+        "transcript_pipeline_events": q_transcript_pipeline_events,
     }
 
 
@@ -4812,4 +4934,5 @@ def oracle_sql() -> dict[str, str]:
         "turn_gap_stats_events": _ORACLE_TURN_GAP_STATS,
         "streaming_loops_events": _ORACLE_STREAMING_LOOPS,
         "outlier_rows_events": _ORACLE_OUTLIER_ROWS,
+        "transcript_pipeline_events": _ORACLE_TRANSCRIPT_PIPELINE,
     }
