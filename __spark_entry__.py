@@ -4704,6 +4704,97 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+def q_token_budget_documents(spark, sf_dir):
+    """Mixture planning (operators/sampling.py token_budget_rates):
+    target weights + a token budget -> the per-source deterministic
+    sampling rates that hit it, with capped sources reporting their
+    shortfall instead of silently absorbing it. One agg to O(sources);
+    all derived numbers are IEEE arithmetic on the aggregated relation,
+    replayed verbatim by the oracle. Weights here deliberately starve
+    src0 (cap at 1.0 + shortfall) and zero-weight every unlisted
+    source."""
+    from jsonschema_validator_spark.operators.sampling import token_budget_rates
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return token_budget_rates(
+        docs,
+        "source",
+        "n_chars",
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        budget_tokens=200_000,
+    ).orderBy("source")
+
+
+_ORACLE_TOKEN_BUDGET = """
+WITH counts AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT * FROM (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1))
+    AS t(source, weight)
+), j AS (
+  SELECT c.source, c.n_docs, c.sum_tokens,
+         COALESCE(w.weight, 0.0) AS weight
+  FROM counts c LEFT JOIN w USING (source)
+)
+SELECT source, n_docs, sum_tokens, weight,
+       ROUND(weight * 200000.0, 4) AS target_tokens,
+       ROUND(LEAST(1.0, weight * 200000.0 / sum_tokens), 6) AS rate,
+       ROUND(sum_tokens * LEAST(1.0, weight * 200000.0 / sum_tokens), 4)
+         AS expected_tokens,
+       ROUND(GREATEST(weight * 200000.0
+                      - sum_tokens * LEAST(1.0, weight * 200000.0 / sum_tokens),
+                      0.0), 4) AS shortfall_tokens
+FROM j ORDER BY source
+"""
+
+
+def q_mergeable_quantile_events(spark, sf_dir):
+    """Checkpoint-mergeable quantile (operators/stats.py
+    mergeable_quantile): per-day fixed-grid histogram partials, merged
+    by plain integer sum (commutes exactly — unlike approx_percentile's
+    final estimate), median read off the merged histogram. The oracle
+    replays the bucket/merge/crossing arithmetic AND pins the estimate
+    within one bucket width of DuckDB's exact interpolated median."""
+    from jsonschema_validator_spark.operators.stats import mergeable_quantile
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    out = mergeable_quantile(
+        ev, "value", _day("ts"), q=0.5, lo=0.0, hi=512.0, buckets=64
+    )
+    exact = ev.groupBy().agg(F.percentile(F.col("value"), F.lit(0.5)).alias("__ex"))
+    return out.crossJoin(F.broadcast(exact)).select(
+        "n",
+        "est",
+        (F.abs(F.col("est") - F.col("__ex")) <= F.lit(512.0 / 64)).alias(
+            "within_one_bucket"
+        ),
+    )
+
+
+_ORACLE_MERGEABLE_QUANTILE = """
+WITH b AS (
+  SELECT LEAST(63, GREATEST(0, FLOOR(value / 8.0)::INT)) AS bkt
+  FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT bkt, COUNT(*)::BIGINT AS cnt FROM b GROUP BY bkt
+), c AS (
+  SELECT bkt, SUM(cnt) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT SUM(cnt) FROM h) AS n
+  FROM h
+), cross_b AS (
+  SELECT MAX(n)::BIGINT AS n, MIN(bkt) AS idx FROM c
+  WHERE cum >= CEIL(0.5 * n)
+)
+SELECT cross_b.n,
+       ROUND((cross_b.idx + 1) * 8.0, 6) AS est,
+       ABS((cross_b.idx + 1) * 8.0
+           - (SELECT MEDIAN(value) FROM events WHERE value IS NOT NULL)) <= 8.0
+         AS within_one_bucket
+FROM cross_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4822,6 +4913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_loops_events": q_streaming_loops_events,
         "outlier_rows_events": q_outlier_rows_events,
         "transcript_pipeline_events": q_transcript_pipeline_events,
+        "token_budget_documents": q_token_budget_documents,
+        "mergeable_quantile_events": q_mergeable_quantile_events,
     }
 
 
@@ -4935,4 +5028,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_loops_events": _ORACLE_STREAMING_LOOPS,
         "outlier_rows_events": _ORACLE_OUTLIER_ROWS,
         "transcript_pipeline_events": _ORACLE_TRANSCRIPT_PIPELINE,
+        "token_budget_documents": _ORACLE_TOKEN_BUDGET,
+        "mergeable_quantile_events": _ORACLE_MERGEABLE_QUANTILE,
     }

@@ -167,3 +167,59 @@ def weighted_sample(
         else mix_key(F.col(key_col))
     )
     return df.filter(F.pmod(key, F.lit(DOMAIN)) < threshold)
+
+
+def token_budget_rates(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Mixture planning: given target mixture weights and a total token
+    budget, the per-source deterministic sampling rate that hits the
+    budget — the arithmetic step between "we want 30% code, 70% web"
+    and an executable `stratified_hash_sample` rate table.
+
+    rate_s = min(1, budget * w_s / tokens_s). A source too small for
+    its allocation caps at 1.0 (keep everything) and reports its
+    shortfall: redistribution policy is the caller's decision, surfaced
+    — never silently absorbed. Sources absent from ``weights`` get
+    weight 0 (rate 0, dropped by the sample step).
+
+    One partial+final agg to O(sources); every derived number is pure
+    IEEE arithmetic on the aggregated relation, so the whole plan is
+    SQL-oracle-able. Returns per source: n_docs, sum_tokens, weight,
+    target_tokens, rate, expected_tokens (= sum_tokens * rate),
+    shortfall_tokens (target - expected when capped).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok.cast("long")).alias("sum_tokens"),
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{strata_col} string, weight double",
+    )
+    j = counts.join(F.broadcast(wdf), strata_col, "left").withColumn(
+        "weight", F.coalesce(F.col("weight"), F.lit(0.0))
+    )
+    target = F.col("weight") * F.lit(float(budget_tokens))
+    rate = F.least(F.lit(1.0), target / F.col("sum_tokens"))
+    expected = F.col("sum_tokens") * rate
+    return j.select(
+        strata_col,
+        "n_docs",
+        "sum_tokens",
+        "weight",
+        F.round(target, 4).alias("target_tokens"),
+        F.round(rate, 6).alias("rate"),
+        F.round(expected, 4).alias("expected_tokens"),
+        F.round(F.greatest(target - expected, F.lit(0.0)), 4).alias(
+            "shortfall_tokens"
+        ),
+    )

@@ -517,3 +517,79 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
             F.round(F.col("cnt") / F.col("__n"), 6).alias("frac"),
         )
     )
+
+
+def mergeable_quantile(
+    df: DataFrame,
+    value_col: str,
+    part_col,
+    q: float = 0.5,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    buckets: int = 64,
+) -> DataFrame:
+    """Checkpoint-MERGEABLE quantile: per-partition fixed-grid histogram
+    partials (B additive bucket counts — the shape a resumable run
+    persists per partition, mergeable by plain sum exactly like the HLL
+    sketches in stats_partial_aggs), merged back up, and the q-quantile
+    read off the merged histogram. approx_percentile's final estimate
+    cannot re-aggregate; a fixed-grid histogram CAN, exactly — integer
+    sums commute — which is what incremental stats at 10^12 rows needs.
+    The estimate is the right edge of the bucket where the cumulative
+    count crosses ceil(q*n): within one bucket width of the exact
+    quantile by construction.
+
+    Values outside [lo, hi) clamp into the edge buckets (same contract
+    as the drift histogram's fixed grid); NULLs are excluded. Both the
+    per-partition stage and the merge are partial+final aggregations;
+    the crossing search runs on the O(B) exploded relation. Returns one
+    row (n, est).
+    """
+    if not 0 < q < 1:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    if buckets < 2 or hi <= lo:
+        raise ValueError("need buckets >= 2 and hi > lo")
+    width = (hi - lo) / buckets
+    v = F.col(value_col).cast("double")
+    bkt = F.least(
+        F.lit(buckets - 1),
+        F.greatest(F.lit(0), F.floor((v - lo) / F.lit(width)).cast("int")),
+    )
+    part = F.col(part_col) if isinstance(part_col, str) else part_col
+    partials = (
+        df.filter(v.isNotNull())
+        .groupBy(part.alias("__part"))
+        .agg(
+            *[
+                F.sum((bkt == i).cast("long")).alias(f"__b{i}")
+                for i in range(buckets)
+            ]
+        )
+    )
+    merged = partials.groupBy().agg(
+        *[F.sum(f"__b{i}").alias(f"__b{i}") for i in range(buckets)]
+    )
+    arr = merged.select(
+        F.array(*[F.col(f"__b{i}") for i in range(buckets)]).alias("__h")
+    )
+    n = F.aggregate("__h", F.lit(0).cast("long"), lambda a, x: a + x)
+    hist = arr.select("__h", n.alias("n"))
+    from pyspark.sql import Window  # local import, same idiom as length_histogram
+
+    exploded = hist.select(
+        "n", F.posexplode("__h").alias("idx", "cnt")
+    ).withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    crossing = (
+        exploded.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")))
+        .groupBy("n")
+        .agg(F.min("idx").alias("idx"))
+    )
+    return crossing.select(
+        "n",
+        F.round(F.lit(lo) + (F.col("idx") + 1) * F.lit(width), 6).alias("est"),
+    )

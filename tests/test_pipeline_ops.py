@@ -2009,3 +2009,47 @@ def test_turn_gap_stats_exact_micros(spark):
     assert ua["max_gap_s"] == 2.5
     assert out[("a", "u")]["mean_gap_s"] == 0.5
     assert ("a", None) not in out and (None, "u") not in out
+
+
+def test_token_budget_rates_cap_and_shortfall(spark):
+    from jsonschema_validator_spark.operators.sampling import token_budget_rates
+
+    rows = [("a", 100)] * 5 + [("b", 1000)] * 10 + [("c", 50)] * 2
+    df = spark.createDataFrame(rows, "src string, tok int")
+    out = {
+        r["src"]: r
+        for r in token_budget_rates(
+            df, "src", "tok", {"a": 0.9, "b": 0.1}, budget_tokens=5000
+        ).collect()
+    }
+    # a: target 4500 > its 500 tokens -> capped at 1.0, shortfall 4000
+    assert out["a"]["rate"] == 1.0 and out["a"]["shortfall_tokens"] == 4000.0
+    assert out["a"]["expected_tokens"] == 500.0
+    # b: target 500 of 10000 -> rate 0.05, no shortfall
+    assert abs(out["b"]["rate"] - 0.05) < 1e-9
+    assert out["b"]["shortfall_tokens"] == 0.0
+    # c: unlisted -> weight 0, rate 0
+    assert out["c"]["weight"] == 0.0 and out["c"]["rate"] == 0.0
+    with pytest.raises(ValueError):
+        token_budget_rates(df, "src", "tok", {}, budget_tokens=0)
+
+
+def test_mergeable_quantile_partition_invariance(spark):
+    from jsonschema_validator_spark.operators.stats import mergeable_quantile
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i % 7, rng.uniform(0, 100)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "part int, v double")
+    a = mergeable_quantile(df, "v", "part", q=0.5, lo=0.0, hi=100.0, buckets=50).collect()[0]
+    # a DIFFERENT partitioning dimension must give the identical
+    # estimate — integer histogram merge commutes exactly
+    df2 = df.withColumn("part", (F.col("v") * 1000).cast("long") % 13)
+    b = mergeable_quantile(df2, "v", "part", q=0.5, lo=0.0, hi=100.0, buckets=50).collect()[0]
+    assert a["est"] == b["est"] and a["n"] == b["n"] == 5000
+    # within one bucket width of the exact quantile
+    exact = df.selectExpr("percentile(v, 0.5) p").collect()[0]["p"]
+    assert abs(a["est"] - exact) <= 2.0
+    with pytest.raises(ValueError):
+        mergeable_quantile(df, "v", "part", q=1.5)
