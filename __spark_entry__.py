@@ -4795,6 +4795,71 @@ FROM cross_b
 """
 
 
+def q_streaming_stats_events(spark, sf_dir):
+    """Streaming incremental column stats (streaming/validate.py
+    stream_stat_partials): micro-batches append per-day stat PARTIALS
+    through the batch_id-partitioned exactly-once sink; merging the
+    sink with stats_merge_aggs must reproduce the one-shot scan —
+    partials are commutative, so batch boundaries are irrelevant by
+    construction (unlike the ordered stateful operators). Exact stats
+    SQL-oracled; the merged HLL union pinned within 5% of the exact
+    distinct count (same tolerance contract as
+    incremental_stats_events)."""
+    import tempfile
+
+    from jsonschema_validator_spark.operators.stats import stats_merge_aggs
+    from jsonschema_validator_spark.streaming.validate import stream_stat_partials
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="stream_stats_")
+    src_dir = f"{root}/in"
+    ev.repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    out_dir = f"{root}/out"
+    q = stream_stat_partials(
+        spark,
+        src_dir,
+        schema,
+        out_dir,
+        lambda df: _day(F.col("ts")),
+        ["user_id", "value"],
+    )
+    q.awaitTermination()
+    parts = spark.read.parquet(f"{out_dir}/stat_partials")
+    merged = parts.groupBy().agg(*stats_merge_aggs(ev.schema, ["user_id", "value"]))
+    direct = ev.groupBy().agg(
+        F.count_distinct("user_id").cast("double").alias("d_user_exact"),
+        F.count_distinct("value").cast("double").alias("d_value_exact"),
+    )
+    return merged.crossJoin(direct).select(
+        F.round("user_id__null_rate", 6).alias("user_null_rate"),
+        F.round("value__min", 4).alias("value_min"),
+        F.round("value__max", 4).alias("value_max"),
+        F.round("value__mean", 4).alias("value_mean"),
+        (
+            (
+                F.abs(F.col("user_id__approx_distinct") / F.col("d_user_exact") - 1)
+                <= 0.05
+            )
+            & (
+                F.abs(F.col("value__approx_distinct") / F.col("d_value_exact") - 1)
+                <= 0.05
+            )
+        ).alias("hll_merged_within_tol"),
+    )
+
+
+_ORACLE_STREAMING_STATS = """
+SELECT ROUND(AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS user_null_rate,
+       ROUND(MIN(value), 4) AS value_min,
+       ROUND(MAX(value), 4) AS value_max,
+       ROUND(AVG(value), 4) AS value_mean,
+       TRUE AS hll_merged_within_tol
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4915,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_pipeline_events": q_transcript_pipeline_events,
         "token_budget_documents": q_token_budget_documents,
         "mergeable_quantile_events": q_mergeable_quantile_events,
+        "streaming_stats_events": q_streaming_stats_events,
     }
 
 
@@ -5030,4 +5096,5 @@ def oracle_sql() -> dict[str, str]:
         "transcript_pipeline_events": _ORACLE_TRANSCRIPT_PIPELINE,
         "token_budget_documents": _ORACLE_TOKEN_BUDGET,
         "mergeable_quantile_events": _ORACLE_MERGEABLE_QUANTILE,
+        "streaming_stats_events": _ORACLE_STREAMING_STATS,
     }

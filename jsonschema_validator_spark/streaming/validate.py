@@ -172,3 +172,61 @@ def stream_counts(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stat_partials(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    output_dir: str,
+    part_expr,
+    columns: list[str],
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming incremental column stats: every micro-batch appends its
+    own per-partition STAT PARTIALS (operators/stats.stats_partial_aggs
+    — null/row counts, min/max/sums, Datasketches HLL sketches) keyed
+    by (part, batch_id). Every partial is ADDITIVE/mergeable, so
+    merging the sink with stats_merge_aggs reproduces the one-shot
+    batch stats over everything streamed so far — at ANY point, not
+    just stream end: the metrics side of "runs resume mid-table"
+    (north rule) in streaming form, with zero unbounded streaming state
+    (the sink is the state, and it is idempotent under replay via the
+    batch_id-partitioned dynamic overwrite, same as stream_validate).
+
+    Merge with:
+        parts = spark.read.parquet(f"{output_dir}/stat_partials")
+        parts.groupBy(...).agg(*stats_merge_aggs(schema, columns))
+
+    Returns the StreamingQuery.
+    """
+    from jsonschema_validator_spark.operators.stats import stats_partial_aggs
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partials = (
+            batch_df.groupBy(part_expr(batch_df).alias("part"))
+            .agg(*stats_partial_aggs(batch_df.schema, columns))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partials.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/stat_partials")
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -556,3 +556,63 @@ def test_loop_screen_stream_matches_batch_runs(spark, tmp_path):
         .collect()
     )
     assert got == expect, (got, expect)
+
+
+def test_stream_stat_partials_additive_across_batches(spark, tmp_path):
+    """Per-batch stat partials merge to the one-shot batch stats even
+    when one DAY's rows are split across micro-batches (two files, one
+    per trigger): partials are commutative, so the sink accumulates
+    exactly — including the HLL sketches, whose union estimate must
+    match a direct sketch within tolerance."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.stats import stats_merge_aggs
+    from jsonschema_validator_spark.streaming.validate import stream_stat_partials
+
+    base = dt.datetime(2024, 7, 1, 0, 0, 0)
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "ts": pa.array([base + dt.timedelta(hours=h) for h, _v in rows],
+                               pa.timestamp("us")),
+                "value": pa.array([v for _h, v in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # day 1 spans both files; day 2 only in file 2; a NULL value too
+    write(f"{src}/part-000.parquet", [(0, 1.0), (1, 2.0), (2, 3.0)])
+    write(f"{src}/part-001.parquet", [(3, 4.0), (26, 10.0), (27, None)])
+
+    out = str(tmp_path / "out")
+    schema = spark.read.parquet(src).schema
+    q = stream_stat_partials(
+        spark, src, schema, out,
+        lambda df: F.date_format("ts", "yyyy-MM-dd"),
+        ["value"],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    parts = spark.read.parquet(f"{out}/stat_partials")
+    merged = (
+        parts.groupBy("part")
+        .agg(*stats_merge_aggs(schema, ["value"]))
+        .orderBy("part")
+        .collect()
+    )
+    d1 = merged[0]
+    assert d1["part"] == "2024-07-01"
+    assert d1["value__min"] == 1.0 and d1["value__max"] == 4.0
+    assert abs(d1["value__mean"] - 2.5) < 1e-9
+    assert d1["value__approx_distinct"] == 4.0
+    d2 = merged[1]
+    assert d2["part"] == "2024-07-02"
+    assert d2["value__null_rate"] == 0.5 and d2["value__max"] == 10.0
