@@ -4596,9 +4596,7 @@ def q_transcript_pipeline_events(spark, sf_dir):
     stage's membership arithmetic is replayed verbatim by the oracle,
     so a deviation ANYWHERE in the composition breaks the hash."""
     from jsonschema_validator_spark.operators.conversation import (
-        conversation_fingerprint,
-        duplicate_conversations,
-        repeated_turn_runs,
+        curation_summary,
     )
     from jsonschema_validator_spark.operators.sampling import split_by_group
 
@@ -4622,27 +4620,36 @@ def q_transcript_pipeline_events(spark, sf_dir):
     invalid_turn = F.try_parse_json(F.col("props")).isNull() | ~F.col(
         "event_type"
     ).isin(_EVENT_ROLES)
-    invalid_convs = corrupted.filter(invalid_turn).select("user_id").distinct()
-    clean = corrupted.join(invalid_convs, "user_id", "left_anti")
-    loopers = (
-        repeated_turn_runs(
-            clean, group="user_id", order="event_id", text="event_type", min_run=4
-        )
-        .select("user_id")
-        .distinct()
-    )
-    clean2 = clean.join(loopers, "user_id", "left_anti")
     content = F.concat(F.col("event_type"), F.lit("/"), F.col("props"))
-    fp = conversation_fingerprint(clean2, content, group="user_id", order="event_id")
-    keep = duplicate_conversations(fp, group="user_id").filter("keep").select("user_id")
-    clean3 = clean2.join(keep, "user_id", "left_semi")
-    split = split_by_group(clean3, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # ONE pass: every per-conversation signal (validity, max role run,
+    # order-stable fingerprint, rollup stats) from a single groupBy —
+    # the stage-wise anti/semi-join composition of the same operators
+    # produces a 90-scan / 93-exchange plan (Catalyst re-expands every
+    # upstream branch per stage), unrunnable at 10^12 turns; pytest
+    # pins the fused signals to the stage operators' outputs
+    summary = curation_summary(
+        corrupted,
+        invalid_turn,
+        content,
+        group="user_id",
+        order="event_id",
+        role="event_type",
+    )
+    # drop sets are per-conversation intrinsic, so eligibility filters
+    # commute with the stage order; the dedup keeper is min id among
+    # ELIGIBLE members (same as stage-wise dedup over the cleaned set)
+    elig = summary.filter(~F.col("any_invalid") & (F.col("max_run") < 4))
+    keepers = elig.groupBy("fingerprint").agg(F.min("user_id").alias("__keep_id"))
+    kept = elig.join(keepers, "fingerprint").filter(
+        F.col("user_id") == F.col("__keep_id")
+    )
+    split = split_by_group(kept, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     return (
         split.groupBy("split")
         .agg(
-            F.count_distinct("user_id").alias("n_convs"),
-            F.count(F.lit(1)).alias("n_turns"),
-            F.sum("event_id").alias("sum_event_id"),
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("sum_order").alias("sum_event_id"),
         )
         .orderBy("split")
     )

@@ -537,3 +537,76 @@ def turn_gap_stats(
         ).alias("mean_gap_s"),
         (F.max("__gap_us") / F.lit(1_000_000.0)).alias("max_gap_s"),
     )
+
+
+def curation_summary(
+    df: DataFrame,
+    invalid_turn: Column,
+    content: Column,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+) -> DataFrame:
+    """ONE-PASS per-conversation curation signals — the scale form of
+    the validate -> loop-screen -> fingerprint composition. Composing
+    the stage operators as dataframe-level anti/semi joins re-expands
+    every upstream branch per stage (measured on the contract pipeline:
+    90 parquet scans / 93 exchanges in the stage-wise plan); at 10^12
+    turns that plan is unrunnable. This operator computes, in a SINGLE
+    groupBy over a single scan:
+
+    - ``any_invalid`` — bool_or of the caller's per-turn validity
+      predicate (the enum/parse stage; plug the keyword engine's
+      predicate in for full-schema validation),
+    - ``max_run`` — the longest run of consecutive identical roles,
+      computed IN-ROW from the order-sorted collected array via one
+      F.aggregate fold (no window, no second shuffle; same semantics
+      as repeated_turn_runs, pinned by pytest),
+    - ``fingerprint`` — byte-identical to conversation_fingerprint's
+      parity mode (md5 over order-sorted per-turn md5s),
+    - ``n_turns`` / ``sum_order`` — the rollup stats.
+
+    The shuffle carries (order, 32B turn hash, 8B role hash, flag) per
+    turn — payload pruned; the collected buffer is bounded by the input
+    contract's per-conversation turn cap. Downstream keep/drop and
+    split logic then runs on this O(conversations) relation without
+    ever touching the turn rows again.
+    """
+    turn = F.md5(F.concat(F.col(order).cast("string"), F.lit(":"), content))
+    rh = F.coalesce(F.xxhash64(F.col(role)), F.lit(-6148914691236517206))
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order).alias("o"), turn.alias("h"), rh.alias("r"))
+        )
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("mx"),
+    )
+
+    def step(acc, x):
+        cur = F.when(acc["prev"].eqNullSafe(x), acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["mx"], cur).alias("mx"),
+        )
+
+    return df.groupBy(group).agg(
+        F.max(invalid_turn.cast("boolean")).alias("any_invalid"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col(order)).alias("sum_order"),
+        arr.alias("__arr"),
+    ).select(
+        group,
+        "any_invalid",
+        "n_turns",
+        "sum_order",
+        F.aggregate(
+            F.transform("__arr", lambda x: x["r"]), acc0, step, lambda a: a["mx"]
+        ).alias("max_run"),
+        F.md5(
+            F.concat_ws("|", F.transform("__arr", lambda x: x["h"]))
+        ).alias("fingerprint"),
+    )

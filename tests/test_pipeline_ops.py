@@ -2053,3 +2053,50 @@ def test_mergeable_quantile_partition_invariance(spark):
     assert abs(a["est"] - exact) <= 2.0
     with pytest.raises(ValueError):
         mergeable_quantile(df, "v", "part", q=1.5)
+
+
+def test_curation_summary_matches_stage_operators(spark):
+    """The one-pass curation_summary must agree signal-for-signal with
+    the stage operators it fuses (conversation_fingerprint parity mode,
+    repeated_turn_runs semantics, the validity predicate) — the fused
+    plan exists for scale (4 scans vs the measured 90 of the stage-wise
+    composition), not for different semantics."""
+    from jsonschema_validator_spark.operators.conversation import (
+        conversation_fingerprint,
+        curation_summary,
+        repeated_turn_runs,
+    )
+
+    rows = [
+        ("c1", 0, "u", "{}"), ("c1", 1, "a", "{}"),
+        ("c1", 2, "a", "{}"), ("c1", 3, "a", "{}"),   # run of 3 'a'
+        ("c2", 0, "u", "bad{"),                        # invalid JSON
+        ("c2", 1, "a", "{}"),
+        ("c3", 0, "u", "{}"), ("c3", 1, "a", "{}"),    # dup of c4
+        ("c4", 0, "u", "{}"), ("c4", 1, "a", "{}"),
+        ("c5", 0, None, "{}"), ("c5", 1, None, "{}"),  # NULL-role run of 2
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, props string")
+    invalid = F.try_parse_json("props").isNull()
+    content = F.concat(F.coalesce(F.col("role"), F.lit("")), F.lit("/"), F.col("props"))
+    out = {r["conv_id"]: r for r in curation_summary(df, invalid, content).collect()}
+
+    assert [c for c in sorted(out) if out[c]["any_invalid"]] == ["c2"]
+    # max_run parity with repeated_turn_runs (min_run=2 surfaces all runs)
+    runs = {}
+    for r in repeated_turn_runs(df, text="role", min_run=2).collect():
+        runs[r["conv_id"]] = max(runs.get(r["conv_id"], 1), r["run_len"])
+    for c in out:
+        assert out[c]["max_run"] == runs.get(c, 1), (c, out[c]["max_run"], runs.get(c))
+    assert out["c5"]["max_run"] == 2  # NULL roles form a run (sentinel hash)
+    # fingerprint parity with conversation_fingerprint parity mode
+    fps = {
+        r["conv_id"]: r["fingerprint"]
+        for r in conversation_fingerprint(df, content).collect()
+    }
+    for c in out:
+        assert out[c]["fingerprint"] == fps[c]
+    # same (turn_idx, content) sequences: c3 and c4 ARE duplicates
+    assert out["c3"]["fingerprint"] == out["c4"]["fingerprint"]
+    assert out["c1"]["fingerprint"] != out["c3"]["fingerprint"]
+    assert out["c1"]["n_turns"] == 4 and out["c1"]["sum_order"] == 6
