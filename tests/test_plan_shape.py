@@ -390,3 +390,24 @@ def test_round3_conversation_ops_payload_pruned(spark):
     p = plan_of(last_k_turns(ev, 5, group="user_id", order="event_id"))
     reads = re.findall(r"ReadSchema: ([^\n]*)", p)
     assert any(("props" not in r and "event_type" not in r) for r in reads), p
+
+
+def test_curation_summary_single_scan(spark):
+    """curation_summary exists to replace a 90-scan stage-wise plan:
+    pin ONE scan and ONE exchange on a plain frame, with the payload
+    column absent from nothing (it must be read — hashes derive from
+    it) but the exchange carrying only the collected slim structs."""
+    from jsonschema_validator_spark.operators.conversation import curation_summary
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = curation_summary(
+        ev,
+        F.try_parse_json("props").isNull(),
+        F.concat(F.col("event_type"), F.lit("/"), F.col("props")),
+        group="user_id",
+        order="event_id",
+        role="event_type",
+    )
+    p = plan_of(out)
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange") == 1, p
