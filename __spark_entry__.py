@@ -4867,6 +4867,55 @@ FROM events
 """
 
 
+def q_split_leakage_documents(spark, sf_dir):
+    """Content-level split-leakage audit (operators/sampling.py
+    split_leakage): planted verbatim copies (doc_id + 1_000_000) get
+    independent mixer buckets, so some copy pairs straddle
+    train/val/test even though the split is leakage-safe BY KEY — the
+    exact residual this screen exists to catch. Equivalence key =
+    normalized content fingerprint; one agg on (fingerprint), bounded
+    collect_set of split labels. The oracle replays fingerprint + mixer
+    + split thresholds verbatim."""
+    from jsonschema_validator_spark.operators.sampling import (
+        split_by_group,
+        split_leakage,
+    )
+    from jsonschema_validator_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(planted)
+    s = split_by_group(corpus, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    keyed = s.select(fingerprint(F.col("text")).alias("fp"), "split")
+    return split_leakage(keyed, "fp", "split").orderBy("fp")
+
+
+_ORACLE_SPLIT_LEAKAGE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 2
+), mixed AS (
+  SELECT md5(LOWER(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp,
+         ((doc_id % 2147483648) * 2654435761) AS h
+  FROM corpus
+), assigned AS (
+  SELECT fp,
+         CASE WHEN xor(h, h >> 29) % 1000000 < 800000 THEN 'train'
+              WHEN xor(h, h >> 29) % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM mixed
+)
+SELECT fp, COUNT(*)::BIGINT AS n_units,
+       COUNT(DISTINCT split)::INT AS n_splits,
+       string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+FROM assigned GROUP BY fp HAVING COUNT(DISTINCT split) > 1
+ORDER BY fp
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4988,6 +5037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_documents": q_token_budget_documents,
         "mergeable_quantile_events": q_mergeable_quantile_events,
         "streaming_stats_events": q_streaming_stats_events,
+        "split_leakage_documents": q_split_leakage_documents,
     }
 
 
@@ -5104,4 +5154,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_documents": _ORACLE_TOKEN_BUDGET,
         "mergeable_quantile_events": _ORACLE_MERGEABLE_QUANTILE,
         "streaming_stats_events": _ORACLE_STREAMING_STATS,
+        "split_leakage_documents": _ORACLE_SPLIT_LEAKAGE,
     }

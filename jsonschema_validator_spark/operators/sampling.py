@@ -223,3 +223,32 @@ def token_budget_rates(
             "shortfall_tokens"
         ),
     )
+
+
+def split_leakage(
+    df: DataFrame, group_col: str, split_col: str = "split"
+) -> DataFrame:
+    """Eval-hygiene screen: equivalence groups (dedup keys — exact
+    fingerprints, near-dup cluster ids, conversation fingerprints) that
+    STRADDLE split boundaries. A leakage-safe split keyed on the unit id
+    still leaks when two units are copies of each other: the copies hash
+    to different splits and the eval answer sits in train verbatim.
+    split_by_group prevents within-group leakage BY KEY; this operator
+    audits the residual BY CONTENT.
+
+    One partial+final aggregation on (group): bounded collect_set of the
+    O(splits) split labels, never the rows. Returns one row per leaking
+    group: (group_col, n_units, n_splits, splits) with splits sorted
+    for determinism.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.size(F.collect_set(split_col)).alias("n_splits"),
+            F.array_join(
+                F.array_sort(F.collect_set(split_col)), ","
+            ).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -2100,3 +2100,19 @@ def test_curation_summary_matches_stage_operators(spark):
     assert out["c3"]["fingerprint"] == out["c4"]["fingerprint"]
     assert out["c1"]["fingerprint"] != out["c3"]["fingerprint"]
     assert out["c1"]["n_turns"] == 4 and out["c1"]["sum_order"] == 6
+
+
+def test_split_leakage_flags_straddling_groups(spark):
+    from jsonschema_validator_spark.operators.sampling import split_leakage
+
+    rows = [
+        ("fpA", "train"), ("fpA", "train"),            # same split: clean
+        ("fpB", "train"), ("fpB", "test"),             # straddles: leak
+        ("fpC", "train"), ("fpC", "val"), ("fpC", "test"),
+        ("fpD", "val"),                                 # singleton: clean
+    ]
+    df = spark.createDataFrame(rows, "fp string, split string")
+    out = {r["fp"]: r for r in split_leakage(df, "fp").collect()}
+    assert set(out) == {"fpB", "fpC"}
+    assert out["fpB"]["n_units"] == 2 and out["fpB"]["splits"] == "test,train"
+    assert out["fpC"]["n_splits"] == 3 and out["fpC"]["splits"] == "test,train,val"
