@@ -4916,6 +4916,49 @@ ORDER BY fp
 """
 
 
+def q_file_sizing_documents(spark, sf_dir):
+    """Write-path file-sizing contract (the arithmetic half of
+    sources/tables.compact_parquet's small-file maintenance): a
+    single-writer export with maxRecordsPerFile=2000 must roll files at
+    exactly 2000 rows — n_files = ceil(n/2000), every file full except
+    the last. The report is computed by READING BACK the written files
+    and grouping on input_file_name (the physical layout, not the
+    writer's promise); the oracle derives the same numbers from pure
+    row-count arithmetic — two independent mechanisms pinned equal."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = tempfile.mkdtemp(prefix="file_sizing_") + "/data"
+    (
+        docs.repartition(1)
+        .write.option("maxRecordsPerFile", 2000)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_file.groupBy().agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_file_rows"),
+        F.min("n").alias("min_file_rows"),
+    )
+
+
+_ORACLE_FILE_SIZING = """
+WITH c AS (SELECT COUNT(*)::BIGINT AS n FROM documents)
+SELECT CAST(CEIL(n / 2000.0) AS BIGINT) AS n_files,
+       n AS total_rows,
+       LEAST(n, 2000) AS max_file_rows,
+       CASE WHEN n % 2000 = 0 THEN LEAST(n, 2000) ELSE n % 2000 END
+         AS min_file_rows
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5038,6 +5081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mergeable_quantile_events": q_mergeable_quantile_events,
         "streaming_stats_events": q_streaming_stats_events,
         "split_leakage_documents": q_split_leakage_documents,
+        "file_sizing_documents": q_file_sizing_documents,
     }
 
 
@@ -5155,4 +5199,5 @@ def oracle_sql() -> dict[str, str]:
         "mergeable_quantile_events": _ORACLE_MERGEABLE_QUANTILE,
         "streaming_stats_events": _ORACLE_STREAMING_STATS,
         "split_leakage_documents": _ORACLE_SPLIT_LEAKAGE,
+        "file_sizing_documents": _ORACLE_FILE_SIZING,
     }
