@@ -4959,6 +4959,63 @@ FROM c
 """
 
 
+def q_conversation_schema_coverage_events(spark, sf_dir):
+    """Per-CONVERSATION schema-validity rollup — the full keyword
+    engine (api.Schema compiled predicate, not a hand-rolled check) as
+    the validity signal, aggregated to the north-rule conversation
+    grain: n_turns, n_valid, frac_valid, all_valid per conversation.
+    This is the gate a transcript-curation run keys on ("drop
+    conversations under 95% schema-valid turns"); one bound validate
+    projection + one partial+final agg. The oracle replays the compiled
+    keyword semantics in SQL per turn, then the same rollup."""
+    from jsonschema_validator_spark.api import Schema
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+        },
+        spark,
+        draft="draft7",
+    )
+    return (
+        s.with_valid(ev, "props", out_col="ok")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("ok").cast("long")).alias("n_valid"),
+            F.round(
+                F.sum(F.col("ok").cast("long")) / F.count(F.lit(1)), 6
+            ).alias("frac_valid"),
+            (F.sum(F.col("ok").cast("long")) == F.count(F.lit(1))).alias(
+                "all_valid"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_CONV_SCHEMA_COVERAGE = """
+WITH v AS (
+  SELECT user_id,
+         CASE WHEN props IS NULL THEN 1
+              WHEN NOT json_valid(props) THEN 0
+              WHEN json_extract(props, '$.k') IS NULL THEN 0
+              WHEN json_type(json_extract(props, '$.k'))
+                   NOT IN ('INTEGER', 'BIGINT', 'UBIGINT') THEN 0
+              WHEN CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 80
+                   THEN 1 ELSE 0 END AS ok
+  FROM events
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_turns, SUM(ok)::BIGINT AS n_valid,
+       ROUND(SUM(ok) / (COUNT(*) * 1.0), 6) AS frac_valid,
+       SUM(ok) = COUNT(*) AS all_valid
+FROM v GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5082,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stats_events": q_streaming_stats_events,
         "split_leakage_documents": q_split_leakage_documents,
         "file_sizing_documents": q_file_sizing_documents,
+        "conversation_schema_coverage_events": q_conversation_schema_coverage_events,
     }
 
 
@@ -5200,4 +5258,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stats_events": _ORACLE_STREAMING_STATS,
         "split_leakage_documents": _ORACLE_SPLIT_LEAKAGE,
         "file_sizing_documents": _ORACLE_FILE_SIZING,
+        "conversation_schema_coverage_events": _ORACLE_CONV_SCHEMA_COVERAGE,
     }
