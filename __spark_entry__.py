@@ -5016,6 +5016,54 @@ FROM v GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_streaming_schema_coverage_events(spark, sf_dir):
+    """Streaming twin of conversation_schema_coverage_events
+    (streaming/validate.py stream_validity_counts): the compiled
+    keyword predicate runs per micro-batch (compile once, reuse every
+    batch), appending additive per-conversation (n_turns, n_valid)
+    partials through the exactly-once sink; summing the sink reproduces
+    the batch rollup exactly — the oracle IS the batch coverage oracle.
+    Two source files force conversations to span micro-batches (counts
+    are commutative, so order does not matter — contrast loop_screen's
+    ordered-state contract)."""
+    import tempfile
+
+    from jsonschema_validator_spark.streaming.validate import stream_validity_counts
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "props")
+    root = tempfile.mkdtemp(prefix="stream_cov_")
+    src_dir = f"{root}/in"
+    ev.repartition(2).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    out_dir = f"{root}/out"
+    q = stream_validity_counts(
+        spark,
+        src_dir,
+        schema,
+        out_dir,
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+        },
+        json_col="props",
+        group="user_id",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(f"{out_dir}/validity_counts")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("n_valid").alias("n_valid"),
+            F.round(F.sum("n_valid") / F.sum("n_turns"), 6).alias("frac_valid"),
+            (F.sum("n_valid") == F.sum("n_turns")).alias("all_valid"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5140,6 +5188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_documents": q_split_leakage_documents,
         "file_sizing_documents": q_file_sizing_documents,
         "conversation_schema_coverage_events": q_conversation_schema_coverage_events,
+        "streaming_schema_coverage_events": q_streaming_schema_coverage_events,
     }
 
 
@@ -5259,4 +5308,5 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_documents": _ORACLE_SPLIT_LEAKAGE,
         "file_sizing_documents": _ORACLE_FILE_SIZING,
         "conversation_schema_coverage_events": _ORACLE_CONV_SCHEMA_COVERAGE,
+        "streaming_schema_coverage_events": _ORACLE_CONV_SCHEMA_COVERAGE,
     }

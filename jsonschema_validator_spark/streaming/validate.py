@@ -230,3 +230,61 @@ def stream_stat_partials(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_validity_counts(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    output_dir: str,
+    schema_doc: dict,
+    json_col: str,
+    group: str,
+    draft: str = "draft7",
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming per-group VALIDITY counts under the compiled keyword
+    engine: each micro-batch runs the api.Schema predicate (compiled
+    ONCE, reused every batch — the same compile-once contract as
+    stream_validate) and appends additive (group, n_turns, n_valid,
+    batch_id) partials through the exactly-once sink. Summing the sink
+    per group reproduces the one-shot batch coverage rollup exactly —
+    incremental keyword validation metrics that resume with the stream.
+    Returns the StreamingQuery.
+    """
+    from jsonschema_validator_spark.api import Schema
+
+    s = Schema.create(schema_doc, spark, draft=draft)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counts = (
+            s.with_valid(batch_df, json_col, out_col="__ok")
+            .groupBy(group)
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(F.col("__ok").cast("long")).alias("n_valid"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            counts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/validity_counts")
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
