@@ -5064,6 +5064,57 @@ def q_streaming_schema_coverage_events(spark, sf_dir):
     )
 
 
+def q_reindex_events(spark, sf_dir):
+    """Dense-ordering REPAIR (operators/ordering.py reindex_dense): the
+    fix-up for conversations that fail the density check — gap-free
+    start-0 turn indices per conversation in the existing order, which
+    every positional operator downstream (packing, truncation, render
+    offsets) assumes. Slim ranking window + key join-back (payload
+    never in the window exchange); the repaired frame passes the
+    density predicate by construction, asserted in-plan via the same
+    min/max/count identity the density operator uses."""
+    from jsonschema_validator_spark.operators.ordering import reindex_dense
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    fixed = reindex_dense(ev, group="user_id", order="event_id", start=0)
+    return (
+        fixed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("new_turn_idx").alias("min_idx"),
+            F.max("new_turn_idx").alias("max_idx"),
+            F.count_distinct("new_turn_idx").alias("n_distinct"),
+            F.sum(F.col("new_turn_idx") * F.col("event_id")).alias(
+                "order_weighted_sum"
+            ),
+        )
+        .withColumn(
+            "dense",
+            (F.col("min_idx") == 0)
+            & (F.col("max_idx") == F.col("n_turns") - 1)
+            & (F.col("n_distinct") == F.col("n_turns")),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_REINDEX = """
+WITH r AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+           AS new_turn_idx
+  FROM events
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_turns,
+       MIN(new_turn_idx)::BIGINT AS min_idx,
+       MAX(new_turn_idx)::BIGINT AS max_idx,
+       COUNT(DISTINCT new_turn_idx)::BIGINT AS n_distinct,
+       SUM(new_turn_idx * event_id)::BIGINT AS order_weighted_sum,
+       TRUE AS dense
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5189,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_sizing_documents": q_file_sizing_documents,
         "conversation_schema_coverage_events": q_conversation_schema_coverage_events,
         "streaming_schema_coverage_events": q_streaming_schema_coverage_events,
+        "reindex_events": q_reindex_events,
     }
 
 
@@ -5309,4 +5361,5 @@ def oracle_sql() -> dict[str, str]:
         "file_sizing_documents": _ORACLE_FILE_SIZING,
         "conversation_schema_coverage_events": _ORACLE_CONV_SCHEMA_COVERAGE,
         "streaming_schema_coverage_events": _ORACLE_CONV_SCHEMA_COVERAGE,
+        "reindex_events": _ORACLE_REINDEX,
     }

@@ -99,3 +99,31 @@ def density(
         & (F.col("max_turn") - start + 1 == F.col("n_turns"))
         & (F.col("n_distinct") == F.col("n_turns")),
     )
+
+
+def reindex_dense(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    start: int = 0,
+    out_col: str = "new_turn_idx",
+) -> DataFrame:
+    """REPAIR for the density check above: assign gap-free, start-based
+    indices per group in the existing order — what a curation run does
+    to conversations that FAILED the dense-ordering check after
+    dropping turns (every downstream positional operator — packing,
+    truncation, rendering offsets — assumes dense indices).
+
+    The ranking window runs on a pre-projected (group, order) frame and
+    the result joins back by key, so the payload never enters the
+    window exchange (same shape as last_k_turns). Relative order is
+    always preserved; ties on ``order`` are impossible under the
+    uniqueness contract (dedupe first if violated — a duplicate key
+    would fan out the join).
+    """
+    w = Window.partitionBy(group).orderBy(order)
+    keys = (
+        df.select(group, order)
+        .withColumn(out_col, F.row_number().over(w) - 1 + start)
+    )
+    return df.join(keys, [group, order])
