@@ -132,8 +132,26 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    out["skew"] = skew
-    print(json.dumps(out))
+    # VERDICT r3 #3: BENCH_r03.json came back `parsed: null` with a
+    # head-truncated tail because the stdout line overflowed the
+    # driver's capture window. Mirror the FULL record (queries + skew
+    # study) to an in-repo twin first, then print the contract line
+    # compact (no separators whitespace) and WITHOUT the skew block —
+    # ~115 query timings fit the window; the skew study lives in the
+    # twin and BENCH/BASELINE.md.
+    full = dict(out)
+    full["skew"] = skew
+    mirror = os.environ.get(
+        "SPARK_GRAFT_BENCH_MIRROR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "latest_queries.json"),
+    )
+    try:
+        with open(mirror, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"mirror write failed: {e}", file=sys.stderr)
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
     if errors:
         sys.exit(1)
