@@ -508,6 +508,92 @@ def test_image_decode_real(spark):
     assert got[4].kind == "unsupported" and got[4].width is None
 
 
+def _mk_png(w, h, bit_depth=8, color_type=2, corrupt_crc=False):
+    import struct
+    import zlib
+
+    def chunk(t, data):
+        crc = zlib.crc32(t + data) & 0xFFFFFFFF
+        if corrupt_crc and t == b"IHDR":
+            crc ^= 0x1
+        return struct.pack(">I", len(data)) + t + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    raster = b"".join(b"\x00" + b"\x7f" * (w * 3) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _mk_jpeg(w, h, precision=8, progressive=False, no_sof=False):
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if not no_sof:
+        sof = struct.pack(">BHH", precision, h, w) + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+        out += marker + struct.pack(">H", 2 + len(sof)) + sof
+    return out + b"\xff\xd9"
+
+
+def test_png_jpeg_header_parse():
+    """PNG IHDR (CRC-verified) and JPEG SOFn headers parse to real
+    dims/depth; corrupted CRC, truncation, and SOF-less streams return
+    None instead of garbage (VERDICT r3 #5)."""
+    from jsonschema_validator_spark.operators.multimodal import (
+        decode_image_bytes,
+        parse_jpeg_header,
+        parse_png_header,
+    )
+
+    png = parse_png_header(_mk_png(640, 480, bit_depth=16, color_type=6))
+    assert (png["kind"], png["width"], png["height"], png["bit_depth"], png["color_type"]) == (
+        "image/png", 640, 480, 16, 6)
+    assert png["pixel_sum"] is None
+    assert parse_png_header(_mk_png(3, 2, corrupt_crc=True)) is None
+    assert parse_png_header(_mk_png(3, 2)[:20]) is None  # truncated IHDR
+    assert parse_png_header(b"\x89PNG\r\n\x1a\n") is None
+
+    jpg = parse_jpeg_header(_mk_jpeg(1920, 1080))
+    assert (jpg["kind"], jpg["width"], jpg["height"], jpg["bit_depth"]) == (
+        "image/jpeg", 1920, 1080, 8)
+    prog = parse_jpeg_header(_mk_jpeg(64, 32, precision=12, progressive=True))
+    assert (prog["width"], prog["height"], prog["bit_depth"]) == (64, 32, 12)
+    assert parse_jpeg_header(_mk_jpeg(1, 1, no_sof=True)) is None
+    assert parse_jpeg_header(b"\xff\xd8\xff") is None
+    # DHT (C4) must be skipped as a plain segment, not read as SOF
+    import struct as _s
+    dht_first = (
+        b"\xff\xd8" + b"\xff\xc4" + _s.pack(">H", 5) + b"abc"
+        + b"\xff\xc0" + _s.pack(">H", 11) + _s.pack(">BHH", 8, 7, 9) + b"\x01\x01\x11\x00"
+    )
+    got = parse_jpeg_header(dht_first)
+    assert (got["width"], got["height"]) == (9, 7)
+    # dispatch through the shared entry point
+    assert decode_image_bytes(_mk_png(10, 4))["kind"] == "image/png"
+    assert decode_image_bytes(_mk_jpeg(10, 4))["kind"] == "image/jpeg"
+
+
+def test_image_headers_in_decode_images(spark):
+    """decode_images reports real PNG/JPEG dims + bit depth with NULL
+    pixel_sum (header-only), alongside the full-raster formats."""
+    from jsonschema_validator_spark.operators.multimodal import decode_images
+
+    rows = [(1, _mk_png(12, 7)), (2, _mk_jpeg(33, 21)), (3, b"P6\n1 1\n255\nabc")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_images(df, "doc_id", "payload").collect()}
+    assert (got[1].kind, got[1].width, got[1].height, got[1].bit_depth) == (
+        "image/png", 12, 7, 8)
+    assert got[1].pixel_sum is None
+    assert (got[2].kind, got[2].width, got[2].height, got[2].bit_depth) == (
+        "image/jpeg", 33, 21, 8)
+    assert got[3].kind == "image/x-portable-pixmap" and got[3].pixel_sum == sum(b"abc")
+
+
 def test_resize_real_ppm(spark):
     """P6 payloads get a REAL nearest-neighbor resample re-emitted as
     valid P6 — decode(resize(x)) has the target dims and every output
