@@ -1667,16 +1667,33 @@ _FORMAT_PROBES: dict[str, Factory] = {
     "uuid": lambda acc: acc.as_string().rlike(
         r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
     ),
-    # RFC 3339 appendix-A duration ABNF (draft2019-09+ format): weeks
-    # exclusive of date/time parts; integer fields only (the ABNF has no
-    # fractions); bare "P"/"PT"/trailing "T" rejected via lookaheads.
+    # RFC 3339 appendix-A duration ABNF (draft2019-09+ format),
+    # transliterated production-by-production — the grammar is
+    # HIERARCHICAL (dur-year = 1*DIGIT "Y" [dur-month]; dur-hour =
+    # 1*DIGIT "H" [dur-minute]; ...), so skipped-middle forms like
+    # "P1Y1D" or "PT1H5S" are NOT derivable and are rejected, weeks are
+    # exclusive of date/time parts, and fields are integer-only (no
+    # fraction production). Designators are uppercase: RFC 5234 quoted
+    # strings are nominally case-insensitive, but ISO 8601 §3.4.1 and
+    # every deployed checker (isoduration et al.) use uppercase — that
+    # judgment call is pinned in tests/corpus/draft2019_format.json.
     # The container's FormatChecker lacks a duration checker
-    # (isoduration not installed), so semantics are pinned by the ABNF
-    # directly in tests/corpus + unit cases.
-    "duration": lambda acc: acc.as_string().rlike(
-        r"^P(\d+W|(?=\d|T\d)(\d+Y)?(\d+M)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+S)?)?)$"
-    ),
+    # (isoduration not installed); author-independence comes from the
+    # verbatim recursive-descent ABNF parser in
+    # tests/test_duration_abnf.py, which must agree with this regex on
+    # an exhaustively generated vector set.
+    "duration": lambda acc: acc.as_string().rlike(DURATION_ABNF_PATTERN),
 }
+
+# dur-time    = "T" (dur-hour / dur-minute / dur-second)
+# dur-date    = (dur-day / dur-month / dur-year) [dur-time]
+# duration    = "P" (dur-date / dur-time / dur-week)
+_DUR_TIME = r"T(?:\d+H(?:\d+M(?:\d+S)?)?|\d+M(?:\d+S)?|\d+S)"
+DURATION_ABNF_PATTERN = (
+    r"^P(?:\d+W"
+    r"|(?:\d+D|\d+M(?:\d+D)?|\d+Y(?:\d+M(?:\d+D)?)?)(?:" + _DUR_TIME + r")?"
+    r"|" + _DUR_TIME + r")$"
+)
 
 
 def _regex_validity_probe(acc: JsonAccessor) -> Column:

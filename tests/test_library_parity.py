@@ -211,9 +211,10 @@ def test_corpus_expected_values_match_library():
     # the skip rules must stay surgical: bounded, and the bulk checked
     assert checked >= 2200, (checked, skipped_a, skipped_b)
     assert skipped_a <= 12, skipped_a
-    # 16 of these are the duration group (draft2019_format.json): no
-    # library checker without isoduration, pinned to the ABNF instead
-    assert skipped_b <= 100, skipped_b
+    # 46 of these are the duration group (draft2019_format.json): no
+    # library checker without isoduration, pinned to the verbatim ABNF
+    # instead (two independent derivations, tests/test_duration_abnf.py)
+    assert skipped_b <= 130, skipped_b
 
 
 def test_random_parity_py_valid_vs_library():
