@@ -4629,11 +4629,13 @@ _ORACLE_TRANSITION_MATRIX = """
 WITH pairs AS (
   SELECT user_id, event_type AS role,
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
-           AS next_role
+           AS next_role,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS next_order
   FROM events
 ), counts AS (
   SELECT role, next_role, COUNT(*)::BIGINT AS n
-  FROM pairs WHERE next_role IS NOT NULL GROUP BY role, next_role
+  FROM pairs WHERE next_order IS NOT NULL GROUP BY role, next_role
 )
 SELECT role, next_role, n,
        ROUND(n / SUM(n) OVER (PARTITION BY role), 6) AS rate

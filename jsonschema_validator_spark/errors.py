@@ -50,3 +50,25 @@ class UninitialisedPlanError(SchemaError):
     Mirrors the uninitialised-schema sentinel error
     (/root/reference/src/types/schema.rs:71-73).
     """
+
+
+class UnsupportedVocabularyError(SchemaError):
+    """A 2019-09/2020-12 ``$vocabulary`` declaration REQUIRES (value
+    ``true``) a vocabulary this engine does not implement.
+
+    Core §8.1.2: an implementation that encounters a meta-schema
+    requiring an unrecognized vocabulary "MUST refuse to process" it —
+    refusing at compile beats the silent-ignore the installed jsonschema
+    library exhibits (it falls back to its latest built-in dialect when
+    the meta-schema is unknown). Optional vocabularies (value ``false``)
+    are ignorable by definition and never raise.
+    """
+
+    def __init__(self, path: str, uri: str):
+        self.path = path
+        self.uri = uri
+        super().__init__(
+            f"schema at {path or '#'} requires unsupported vocabulary {uri!r}"
+            " ($vocabulary value true); supported vocabularies are the"
+            " standard 2019-09/2020-12 sets"
+        )

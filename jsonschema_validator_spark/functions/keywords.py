@@ -34,6 +34,7 @@ from jsonschema_validator_spark.errors import (
     CyclicRefError,
     MalformedSchemaError,
     RefResolutionError,
+    UnsupportedVocabularyError,
 )
 from jsonschema_validator_spark.functions.accessors import (
     JsonAccessor,
@@ -1778,6 +1779,14 @@ def compile_schema(
         # non-object root schema is a compile error (schema.rs:46-57)
         raise MalformedSchemaError(path, "$schema", f"schema must be an object, got {type(schema).__name__}")
 
+    # $vocabulary (2019-09/2020-12 core §8.1.2): a schema carrying it is
+    # acting as a meta-schema. Required (true) vocabularies we don't
+    # implement are a compile-time refusal, never a silent ignore;
+    # optional (false) ones are ignorable by definition. Draft<=7 has no
+    # such keyword — there it stays annotation-inert like any unknown.
+    if scope.modern and "$vocabulary" in schema:
+        _check_vocabulary(schema["$vocabulary"], scope, path)
+
     from urllib.parse import urldefrag
 
     # $ref: delegation (ref_.rs:55-61); siblings ignored per draft<=7
@@ -1813,6 +1822,49 @@ def compile_schema(
         scope.base_uri = saved_base
         for _ in range(pushed):
             scope.dynamic_path.pop()
+
+
+# The vocabularies this engine implements, exactly the standard sets
+# published with each dialect's meta-schema. format-assertion is
+# included for 2020-12: assertion behavior exists behind
+# validate_formats=True (the probe registry above).
+SUPPORTED_VOCABULARIES: dict[str, frozenset[str]] = {
+    "draft2019-09": frozenset(
+        f"https://json-schema.org/draft/2019-09/vocab/{n}"
+        for n in ("core", "applicator", "validation", "meta-data", "format", "content")
+    ),
+    "draft2020-12": frozenset(
+        f"https://json-schema.org/draft/2020-12/vocab/{n}"
+        for n in (
+            "core",
+            "applicator",
+            "unevaluated",
+            "validation",
+            "meta-data",
+            "format-annotation",
+            "format-assertion",
+            "content",
+        )
+    ),
+}
+
+
+def _check_vocabulary(decl, scope: Scope, path: str) -> None:
+    """Validate a ``$vocabulary`` declaration at compile time."""
+    if not isinstance(decl, dict):
+        raise MalformedSchemaError(
+            path, "$vocabulary", f"must be an object of URI -> boolean, got {type(decl).__name__}"
+        )
+    known = SUPPORTED_VOCABULARIES[scope.draft]
+    for uri, required in decl.items():
+        if not isinstance(uri, str):
+            raise MalformedSchemaError(path, "$vocabulary", f"vocabulary key must be a string URI, got {uri!r}")
+        if not isinstance(required, bool):
+            raise MalformedSchemaError(
+                path, "$vocabulary", f"vocabulary value for {uri!r} must be a boolean, got {required!r}"
+            )
+        if required and uri not in known:
+            raise UnsupportedVocabularyError(path, uri)
 
 
 def _compile_object_schema(schema: dict, scope: Scope, path: str) -> list[CheckExpr]:

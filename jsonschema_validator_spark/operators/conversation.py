@@ -478,15 +478,18 @@ def transition_matrix(
 
     One lead() window over a pre-projected (group, order, role) frame;
     the rate normalization runs entirely on the O(roles^2) aggregated
-    relation. NULL next (conversation-final turns) is excluded; NULL
-    role participates as a real category (unknown-role turns transition
-    too).
+    relation. Conversation-final turns (no next turn) are excluded; NULL
+    role participates as a real category in BOTH positions — "has a next
+    turn" is detected on lead(order) (the order column is non-null), so
+    an edge INTO an unknown-role turn is a (role, NULL) row, never
+    conflated with conversation end.
     """
     w = Window.partitionBy(group).orderBy(order)
     pairs = (
         df.select(group, order, F.col(role).alias("role"))
         .withColumn("next_role", F.lead("role").over(w))
-        .filter(F.col("next_role").isNotNull())
+        .withColumn("__has_next", F.lead(order).over(w).isNotNull())
+        .filter(F.col("__has_next"))
     )
     counts = pairs.groupBy("role", "next_role").agg(F.count(F.lit(1)).alias("n"))
     tot = Window.partitionBy("role")

@@ -57,7 +57,18 @@ def split_by_group(
     to 1 within integer rounding — the last split absorbs the
     remainder). Zero shuffles: a projection on the scan.
     """
-    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    bad = {k: v for k, v in fractions.items() if not v > 0}
+    if bad:
+        raise ValueError(f"split fractions must be positive, got {bad}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if len(fractions) == 1:
+        return df.withColumn("split", F.lit(next(iter(fractions))))
     bucket = F.pmod(mix_key(F.col(group_col)), F.lit(DOMAIN))
     expr = None
     cum = 0.0

@@ -362,3 +362,77 @@ def test_modern_random_parity(spark, draft):
         values = [_gen_value(r) for _ in range(8)]
         groups.append((draft, schema, values))
     _run_groups(spark, groups)
+
+
+# --- $vocabulary compile handling (core §8.1.2; VERDICT r3 #6) -------------
+# The installed jsonschema library SILENTLY falls back to its latest
+# built-in dialect when a meta-schema is unknown (verified: building a
+# validator whose $schema points at a registry-held meta-schema with an
+# unknown required vocabulary emits only a DeprecationWarning and
+# validates anyway). The spec says MUST refuse; this engine refuses at
+# compile. These pins are therefore spec-consistent, strictly stricter
+# than the library's fallback.
+
+def _compile_modern(schema, draft):
+    from jsonschema_validator_spark.functions.keywords import Scope, compile_schema
+
+    scope = Scope(draft=draft)
+    scope.root = schema
+    return compile_schema(schema, scope)
+
+
+@pytest.mark.parametrize("draft", ["draft2019-09", "draft2020-12"])
+def test_vocabulary_standard_set_compiles(draft):
+    from jsonschema_validator_spark.functions.keywords import SUPPORTED_VOCABULARIES
+
+    schema = {
+        "$vocabulary": {uri: True for uri in sorted(SUPPORTED_VOCABULARIES[draft])},
+        "type": "string",
+    }
+    assert _compile_modern(schema, draft)  # compiles; type keyword present
+
+
+@pytest.mark.parametrize("draft", ["draft2019-09", "draft2020-12"])
+def test_vocabulary_unknown_required_refused(draft):
+    from jsonschema_validator_spark.errors import UnsupportedVocabularyError
+
+    schema = {"$vocabulary": {"https://example.com/vocab/custom": True}}
+    with pytest.raises(UnsupportedVocabularyError, match="custom"):
+        _compile_modern(schema, draft)
+
+
+def test_vocabulary_unknown_optional_ignored():
+    # value false = optional: ignorable by definition, never raises
+    schema = {"$vocabulary": {"https://example.com/vocab/custom": False}, "type": "number"}
+    assert _compile_modern(schema, "draft2020-12")
+
+
+def test_vocabulary_cross_dialect_uri_is_unknown():
+    from jsonschema_validator_spark.errors import UnsupportedVocabularyError
+
+    # a 2019-09 vocab URI required by a 2020-12 meta-schema is unknown
+    schema = {"$vocabulary": {"https://json-schema.org/draft/2019-09/vocab/core": True}}
+    with pytest.raises(UnsupportedVocabularyError):
+        _compile_modern(schema, "draft2020-12")
+
+
+def test_vocabulary_malformed_declarations():
+    from jsonschema_validator_spark.errors import MalformedSchemaError
+
+    with pytest.raises(MalformedSchemaError, match="object"):
+        _compile_modern({"$vocabulary": ["not", "a", "dict"]}, "draft2020-12")
+    with pytest.raises(MalformedSchemaError, match="boolean"):
+        _compile_modern(
+            {"$vocabulary": {"https://json-schema.org/draft/2020-12/vocab/core": "yes"}},
+            "draft2020-12",
+        )
+
+
+def test_vocabulary_inert_under_draft7():
+    # draft<=7 has no $vocabulary keyword: stays annotation-inert
+    from jsonschema_validator_spark.functions.keywords import Scope, compile_schema
+
+    scope = Scope(draft="draft7")
+    schema = {"$vocabulary": {"https://example.com/vocab/custom": True}, "type": "string"}
+    scope.root = schema
+    assert compile_schema(schema, scope)

@@ -2061,15 +2061,21 @@ def test_transition_matrix_rates(spark):
     rows = [
         ("c1", 0, "u"), ("c1", 1, "a"), ("c1", 2, "u"), ("c1", 3, "a"),
         ("c2", 0, "u"), ("c2", 1, "t"),
+        # NULL role is a real category in BOTH positions: u -> NULL and
+        # NULL -> a are edges; only the true conversation-final turn
+        # (c3, 2) contributes nothing
+        ("c3", 0, "u"), ("c3", 1, None), ("c3", 2, "a"),
     ]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
     out = {(r["role"], r["next_role"]): r for r in transition_matrix(df).collect()}
-    # u -> a twice, u -> t once; a -> u once; conversation-final turns
-    # contribute no edge
-    assert out[("u", "a")]["n"] == 2 and abs(out[("u", "a")]["rate"] - 2 / 3) < 1e-6
+    # u -> a twice, u -> t once, u -> NULL once; a -> u once;
+    # conversation-final turns contribute no edge
+    assert out[("u", "a")]["n"] == 2 and abs(out[("u", "a")]["rate"] - 2 / 4) < 1e-6
     assert out[("u", "t")]["n"] == 1
+    assert out[("u", None)]["n"] == 1
+    assert out[(None, "a")]["n"] == 1 and out[(None, "a")]["rate"] == 1.0
     assert out[("a", "u")]["rate"] == 1.0
-    assert len(out) == 3
+    assert len(out) == 5
 
 
 def test_turn_gap_stats_exact_micros(spark):
