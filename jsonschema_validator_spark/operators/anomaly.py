@@ -195,17 +195,32 @@ def robust_outliers(
 
     Zero-MAD groups (>= 50% of values identical) flag only rows that
     DIFFER from the median (score = +inf conceptually); rows AT the
-    median never flag. NULL values never flag. Returns the flagged rows
-    with their rounded score.
+    median never flag. NULL values never flag. Rows with a NULL group
+    key are screened as their own group (the join-back is null-safe):
+    a screen that silently skipped NULL-keyed rows could hide exactly
+    the corrupt slice it exists to catch. Returns the flagged rows with
+    their rounded score.
     """
     g = [group_col] if group_col else []
     v = F.col(value_col).cast("double")
+
+    def _join_back(rows: DataFrame, small: DataFrame) -> DataFrame:
+        # broadcast join-back on the group key, null-safe so the NULL
+        # group survives; the small side's key is renamed to avoid the
+        # post-join ambiguity a USING-style name join would hide
+        if not g:
+            return rows.crossJoin(F.broadcast(small))
+        small = small.withColumnRenamed(group_col, "__grp")
+        return rows.join(
+            F.broadcast(small), F.col(group_col).eqNullSafe(F.col("__grp"))
+        ).drop("__grp")
+
     med = df.groupBy(*g).agg(F.percentile(v, F.lit(0.5)).alias("__med"))
-    j1 = df.join(F.broadcast(med), g) if g else df.crossJoin(F.broadcast(med))
+    j1 = _join_back(df, med)
     mad = j1.groupBy(*g).agg(
         F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad")
     )
-    j2 = j1.join(F.broadcast(mad), g) if g else j1.crossJoin(F.broadcast(mad))
+    j2 = _join_back(j1, mad)
     dev = F.abs(v - F.col("__med"))
     score = dev / (F.lit(1.4826) * F.col("__mad"))
     is_out = F.when(F.col("__mad") == 0, dev > 0).otherwise(score > k)

@@ -109,7 +109,8 @@ def temperature_sample(
 
     The rates derive from the per-stratum counts INSIDE the plan (one
     partial+final count agg, O(strata) result broadcast back onto the
-    rows) — no driver action. Every arithmetic step (sqrt, divide,
+    rows, null-safely: a NULL stratum is its own stratum) — no driver
+    action. Every arithmetic step (sqrt, divide,
     multiply, floor) is IEEE-exactly-rounded, so the kept set is a pure
     engine-portable function of (key, stratum counts), reproducible
     verbatim in the SQL oracle; row membership itself comes from the
@@ -126,7 +127,7 @@ def temperature_sample(
     SQL-reproducible."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     thresh = counts.select(
-        strata_col,
+        F.col(strata_col).alias("__stratum"),
         F.floor(
             F.least(F.lit(1.0), F.lit(float(k)) / F.sqrt(F.col("__n")))
             * F.lit(DOMAIN)
@@ -135,10 +136,12 @@ def temperature_sample(
     key = (
         mix_key(F.col(key_col)).bitwiseXOR(F.lit(salt)) if salt else F.col(key_col)
     )
+    # null-safe join-back: a NULL stratum is sampled as its own stratum
+    # at its own rate rather than silently dropped
     return (
-        df.join(F.broadcast(thresh), strata_col)
+        df.join(F.broadcast(thresh), F.col(strata_col).eqNullSafe(F.col("__stratum")))
         .filter(F.pmod(mix_key(key), F.lit(DOMAIN)) < F.col("__threshold"))
-        .drop("__threshold")
+        .drop("__stratum", "__threshold")
     )
 
 

@@ -335,14 +335,19 @@ def winsorized_stats(
 
     Output per group: n, n_low / n_high (rows clamped at each edge),
     lo / hi (the bounds), w_mean / w_std (winsorized moments,
-    population-std sample flavor: stddev_samp).
+    population-std sample flavor: stddev_samp). A NULL group key forms
+    its own output group (the join-back is null-safe) — NULL-keyed rows
+    are screened, not silently dropped.
     """
     v = F.col(value_col)
     bounds = df.filter(v.isNotNull()).groupBy(group_by).agg(
         F.percentile(value_col, F.lit(float(lower))).alias("lo"),
         F.percentile(value_col, F.lit(float(upper))).alias("hi"),
     )
-    j = df.filter(v.isNotNull()).join(F.broadcast(bounds), group_by)
+    j = df.filter(v.isNotNull()).join(
+        F.broadcast(bounds.withColumnRenamed(group_by, "__grp")),
+        F.col(group_by).eqNullSafe(F.col("__grp")),
+    ).drop("__grp")
     clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
     return (
         j.groupBy(group_by)

@@ -144,12 +144,17 @@ def compact_parquet(
     within files to restore min/max locality (pair with
     zorder.morton_key to preserve 2-D clustering through compaction).
 
-    The swap is atomic at the directory level: write to a sibling tmp
-    dir, rename old -> .bak, tmp -> path, drop .bak. A crash mid-swap
-    leaves either the old or the new directory intact, never a mix —
-    the same temp+rename discipline as the runner's manifest. (On
-    Iceberg this whole function is `rewrite_data_files`; this is the
-    plain-parquet stand-in.)
+    OFFLINE, SINGLE-WRITER maintenance — crash-recoverable, not
+    atomic: the swap is two renames (old -> .bak, tmp -> path), and
+    between them the table path briefly does not exist, so concurrent
+    readers can fail and a crash in that window strands the data in
+    .bak (recover by renaming .bak back). Writers are guarded: the
+    directory is re-listed immediately before the swap and the
+    compaction aborts if any file appeared or vanished since the
+    initial listing. True atomic swaps need a metadata layer — on
+    Iceberg this whole function is `rewrite_data_files` (a snapshot
+    commit readers never see mid-flight); this is the plain-parquet
+    stand-in.
 
     Returns {files_before, files_after, bytes, rows}.
     """
@@ -181,6 +186,18 @@ def compact_parquet(
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             f"compact_parquet: row count changed {rows} -> {new_rows}; aborting"
+        )
+    # concurrent-writer guard: any file added or removed under path
+    # since the initial listing would be silently lost by the rewrite —
+    # abort instead (single-writer is the contract; this catches
+    # violations rather than eating their data)
+    now = sorted(_data_files(path))
+    if now != sorted(before):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_parquet: directory changed during compaction "
+            f"({len(before)} -> {len(now)} files); aborting — "
+            "compact_parquet requires a quiesced single-writer table"
         )
     if os.path.exists(bak):
         shutil.rmtree(bak)

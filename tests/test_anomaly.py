@@ -183,3 +183,16 @@ def test_robust_outliers_zero_mad_and_breakdown(spark):
     assert sorted(r["v"] for r in by_g["B"]) == [3.0, 7.0]
     assert all(r["robust_z"] is None for r in by_g["B"])
     assert "C" not in by_g
+
+
+def test_robust_outliers_null_group_is_screened(spark):
+    # a NULL group key is its own group (null-safe join-back): the
+    # corrupt slice with a missing partition label must still flag
+    from jsonschema_validator_spark.operators.anomaly import robust_outliers
+
+    rows = [(None, float(v)) for v in (10, 10, 11, 9, 10, 12, 9, 11, 1000)]
+    rows += [("A", 5.0)] * 5  # a named group so the plan really groups
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", k=3.5, group_col="g").collect()
+    assert len(out) == 1 and out[0]["g"] is None and out[0]["v"] == 1000.0
+    assert out[0]["robust_z"] > 3.5

@@ -1423,6 +1423,19 @@ def test_winsorized_stats_reference(spark):
     assert r["w_mean"] < 52
 
 
+def test_winsorized_stats_null_group_is_its_own_group(spark):
+    from jsonschema_validator_spark.operators.stats import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 10.0), (None, 20.0)],
+        "grp string, v double",
+    )
+    got = {r["grp"]: r for r in winsorized_stats(df, "v", "grp").collect()}
+    # NULL-keyed rows are winsorized as their own group, not dropped
+    assert got[None]["n"] == 2 and abs(got[None]["w_mean"] - 15.0) < 1e-9
+    assert got["a"]["n"] == 3
+
+
 def test_merge_upsert_semantics(spark):
     import pytest as _pytest
 
@@ -1509,6 +1522,26 @@ def test_temperature_sample_rates(spark):
     sb = set(r["k"] for r in temperature_sample(df, "k", "s", k=4.0, salt=7).collect())
     expected = len(sa) * len(sb) / 10_400
     assert 0.5 * expected < len(sa & sb) < 2.0 * expected
+
+
+def test_temperature_sample_null_stratum_sampled(spark):
+    from jsonschema_validator_spark.operators.sampling import temperature_sample
+
+    # rows with a NULL stratum are sampled as their own stratum at
+    # their own rate, not silently dropped by the join-back
+    df = spark.range(1_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, F.lit("named")).alias("s"),  # 500 NULLs
+    )
+    out = temperature_sample(df, "k", "s", k=4.0)
+    by = {
+        r["s"]: r["n"]
+        for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # both strata: 500 rows, rate min(1, 4/sqrt(500)) ~ 0.179 -> ~89 kept
+    for stratum in ("named", None):
+        assert stratum in by and 0.5 * 89 < by[stratum] < 1.5 * 89
+    assert set(out.columns) == {"k", "s"}
 
 
 def test_scalar_quantize_roundtrip_and_recall(spark):
@@ -1670,6 +1703,53 @@ def test_compact_parquet(spark, tmp_path):
     assert after.count() == 20_000
     assert after.agg(F.sum("id")).collect()[0][0] == before_sum
     assert set(after.columns) == {"id", "k"}
+
+
+def test_compact_parquet_aborts_on_concurrent_write(spark, tmp_path, monkeypatch):
+    # a file landing under the table between the initial listing and
+    # the swap would be silently dropped by the rewrite — the guard
+    # re-lists immediately before the swap and aborts instead
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    import jsonschema_validator_spark.sources.tables as tables_mod
+
+    p = str(tmp_path / "live")
+    spark.range(1_000).coalesce(1).write.mode("overwrite").parquet(p)
+    donor = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+
+    # inject the "concurrent writer" on the first DataFrame.count()
+    # inside compact_parquet — that call happens after the initial
+    # listing and before the pre-swap re-listing
+    injected = {"done": False}
+    # patch the CONCRETE DataFrame class (pyspark.sql.classic.…): the
+    # pyspark.sql.DataFrame facade's count is overridden there, so
+    # patching the base would never fire
+    df_cls = type(spark.range(1))
+    orig_count = df_cls.count
+
+    def counting_hook(self):
+        if not injected["done"]:
+            injected["done"] = True
+            shutil.copy(
+                os.path.join(p, donor), os.path.join(p, "part-late.parquet")
+            )
+        return orig_count(self)
+
+    def no_rename(src, dst):  # the swap must never be reached
+        raise AssertionError("swap reached despite concurrent write")
+
+    monkeypatch.setattr(df_cls, "count", counting_hook)
+    monkeypatch.setattr(tables_mod.os, "rename", no_rename)
+    with _pytest.raises(RuntimeError, match="directory changed"):
+        tables_mod.compact_parquet(spark, p, target_file_bytes=1 << 30)
+    monkeypatch.undo()
+    # original data AND the late arrival both intact; tmp dir cleaned up
+    assert injected["done"]
+    assert spark.read.parquet(p).count() == 2_000
+    assert not os.path.exists(p + ".__compact_tmp")
 
 
 def test_quality_funnel_reference(spark):
