@@ -27,6 +27,50 @@ def _day(col):
     return F.date_format(col, "yyyy-MM-dd")
 
 
+def _write_stream_files(writes):
+    """Write the streaming harnesses' ordered source chunks
+    CONCURRENTLY: each chunk must be exactly ONE flat file (the file
+    stream's arrival order IS the cross-batch ordering contract), so
+    every write is a one-task coalesce(1) job — running them from
+    threads lets the scheduler overlap them on idle cores instead of
+    serializing three single-threaded writes. Measured (sf0.1,
+    local[32], BENCH/BASELINE.md streaming-profile section): source
+    prep is the DOMINANT share of every streaming query's wall time
+    (11.5s prep vs 6.6s engine for the loop screen), and the chunk
+    writes are 8.2s of it.
+
+    ``writes`` is a list of (df, tmp_dir, final_path); each df's single
+    part file is hoisted to final_path (file streams list flat dirs).
+    FileStreamSource orders arrivals by MODIFICATION TIME, which
+    concurrent writes scramble — so after all writes land, mtimes are
+    restamped strictly increasing in list order; list order IS the
+    arrival order.
+    """
+    import concurrent.futures
+    import glob as _glob
+    import os
+    import shutil
+    import time as _time
+
+    def _one(args):
+        df, tmp, final = args
+        # repartition(1), not coalesce(1): coalesce collapses the WHOLE
+        # plan (scan+filter included) to one task; repartition keeps the
+        # scan parallel and funnels only the write. Row order within a
+        # chunk file is irrelevant — the stateful steps sort by order
+        # key inside each micro-batch; only file-level membership (the
+        # cut) carries the cross-batch ordering contract.
+        df.repartition(1).write.parquet(tmp)
+        (part,) = _glob.glob(f"{tmp}/part-*.parquet")
+        shutil.move(part, final)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        list(ex.map(_one, writes))
+    base = _time.time()
+    for i, (_, _, final) in enumerate(writes):
+        os.utime(final, (base + i, base + i))
+
+
 # ---------------------------------------------------------------------------
 # flagship: fused keyword-verdict pass over events (CheckSuite)
 # ---------------------------------------------------------------------------
@@ -4146,20 +4190,22 @@ def q_streaming_enum_rate_events(spark, sf_dir):
 
     from jsonschema_validator_spark.streaming.validate import streaming_enum_rate
 
-    import glob as _glob
-    import shutil
-
     root = tempfile.mkdtemp(prefix="stream_enum_")
     src_dir = f"{root}/in"
     os.makedirs(src_dir)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file stream lists a FLAT directory: write each half to a tmp
-    # dir and move its single part file up as a plain file
-    for name_, cond in (("a", F.col("event_id") % 2 == 0), ("b", F.col("event_id") % 2 == 1)):
-        tmp = f"{root}/tmp_{name_}"
-        ev.filter(cond).coalesce(1).write.parquet(tmp)
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.move(part, f"{src_dir}/{name_}.parquet")
+    # dir and move its single part file up as a plain file (both
+    # single-task writes run concurrently — see _write_stream_files)
+    _write_stream_files(
+        [
+            (ev.filter(cond), f"{root}/tmp_{name_}", f"{src_dir}/{name_}.parquet")
+            for name_, cond in (
+                ("a", F.col("event_id") % 2 == 0),
+                ("b", F.col("event_id") % 2 == 1),
+            )
+        ]
+    )
     schema = ev.schema
     stream = (
         spark.readStream.schema(schema)
@@ -4696,7 +4742,6 @@ def q_streaming_loops_events(spark, sf_dir):
         F.xxhash64(F.col("event_type")).alias("h"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    import glob
     import os
 
     root = tempfile.mkdtemp(prefix="stream_loops_")
@@ -4715,17 +4760,18 @@ def q_streaming_loops_events(spark, sf_dir):
         "conv_id", "turn_idx", "h",
         F.to_timestamp(F.lit("2100-01-01 00:00:00")).alias("ts"),
     )
-    for i, chunk in enumerate(
-        (
-            turns.filter(F.col("turn_idx") < cut),
-            turns.filter(F.col("turn_idx") >= cut),
-            sentinel,
-        )
-    ):
-        tmp = f"{root}/chunk{i}"
-        chunk.coalesce(1).write.parquet(tmp)
-        (part,) = glob.glob(f"{tmp}/part-*.parquet")
-        os.rename(part, f"{src_dir}/part-{i:03d}.parquet")
+    _write_stream_files(
+        [
+            (chunk, f"{root}/chunk{i}", f"{src_dir}/part-{i:03d}.parquet")
+            for i, chunk in enumerate(
+                (
+                    turns.filter(F.col("turn_idx") < cut),
+                    turns.filter(F.col("turn_idx") >= cut),
+                    sentinel,
+                )
+            )
+        ]
+    )
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
