@@ -1900,8 +1900,11 @@ def q_image_headers_documents(spark, sf_dir):
     then parse them with the engine's stdlib header parsers
     (operators/multimodal.parse_png_header: signature + IHDR CRC check;
     parse_jpeg_header: SOFn marker-segment scan — disjoint code from the
-    synthesis). Every output field is predicted arithmetically by the
-    DuckDB oracle; pixel_sum is NULL by contract (header-only pass)."""
+    synthesis). Round 4 upgrades the PNG side to FULL-RASTER decode
+    (decode_png_raster: zlib inflate + scanline-filter inversion), so
+    png_pixel_sum is the real channel-byte sum, predicted by replayed
+    planted arithmetic; JPEG stays header-only (entropy decode is out
+    of stdlib scope) with its dims/precision oracled."""
     from jsonschema_validator_spark.operators.multimodal import decode_images
 
     docs = _t(spark, sf_dir, "documents")
@@ -1912,9 +1915,12 @@ def q_image_headers_documents(spark, sf_dir):
         F.col("width").alias("png_width"),
         F.col("height").alias("png_height"),
         F.col("bit_depth").alias("png_depth"),
-        # header-only pass: pixel_sum is NULL by contract; -1 sentinel
-        # because the gate's pandas bridge renders an all-NULL BIGINT
-        # column as NaN on the DuckDB side but None on the Spark side
+        # FULL-RASTER pass (round 4): decode_png_raster inflates the
+        # IDAT stream and inverts the scanline filters, so pixel_sum is
+        # the REAL sum of all channel bytes — the oracle replays the
+        # planted-row arithmetic (each row r is 3*pw bytes of value
+        # (d+r)%256). The -1 coalesce only guards the out-of-scope
+        # fallback, which this planted corpus never hits.
         F.coalesce(F.col("pixel_sum"), F.lit(-1)).alias("png_pixel_sum"),
     )
     jpg = decode_images(planted, "doc_id", "jpg").select(
@@ -1933,7 +1939,10 @@ SELECT doc_id,
        (5 + doc_id % 17)::BIGINT AS png_width,
        (2 + doc_id % 11)::BIGINT AS png_height,
        8::BIGINT AS png_depth,
-       (-1)::BIGINT AS png_pixel_sum,
+       (3 * (5 + doc_id % 17)
+        * list_sum(list_transform(range(0, 2 + doc_id % 11),
+                                  r -> (doc_id + r) % 256)))::BIGINT
+         AS png_pixel_sum,
        'image/jpeg' AS jpg_kind,
        (16 + (doc_id % 47) * 3)::BIGINT AS jpg_width,
        (9 + (doc_id % 23) * 2)::BIGINT AS jpg_height,

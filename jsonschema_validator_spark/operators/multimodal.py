@@ -4,11 +4,13 @@ columns with typed metadata.
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
 signatures — is real and tested. Decode is REAL for the formats the
 Python stdlib can parse in this container — WAV (``wave`` module),
-PPM/PGM (netpbm), uncompressed 24-bpp BMP full-raster; PNG (CRC-checked
-IHDR) and JPEG (SOFn marker scan) container headers for real
-dims/depth — and falls back to a clearly-marked deterministic stub for
-everything else (PNG/JPEG raster + MP3/... need PIL/libvips/ffmpeg,
-absent here; a deployment swaps the fallback).
+PPM/PGM (netpbm), uncompressed 24-bpp BMP full-raster, 8-bit
+non-interlaced PNG full-raster (zlib inflate + RFC 2083 filter
+inversion); palette/16-bit/interlaced PNG (CRC-checked IHDR) and JPEG
+(SOFn marker scan) degrade to container-header dims/depth — and falls
+back to a clearly-marked deterministic stub for everything else
+(JPEG raster + MP3/... need PIL/libvips/ffmpeg, absent here; a
+deployment swaps the fallback).
 
 Decode/feature-extract runs through ``mapInPandas`` (Arrow-batched,
 vectorized) — the correct shape for CPU-heavy per-item work at scale:
@@ -112,6 +114,106 @@ def parse_png_header(payload: bytes) -> dict | None:
     }
 
 
+def decode_png_raster(payload: bytes) -> dict | None:
+    """REAL full-raster PNG decode, stdlib-only: zlib-inflate the IDAT
+    stream and invert the five scanline filters (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6) to recover the raw pixel bytes, returning the
+    exact int64 sum of all channel bytes — the same proof-of-decode
+    contract as the PPM/BMP paths. Scope: 8-bit depth, non-interlaced,
+    colour types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) — the
+    overwhelming share of real web corpora. Palette/16-bit/interlaced
+    or a corrupt IDAT stream return None and the caller keeps the
+    CRC-checked header dims with pixel_sum=None (header-only fallback).
+
+    Filter inversion is vectorized where the recurrence allows: None
+    and Up are pure numpy; Sub is a per-lane modular cumsum (the
+    recurrence recon[i] = raw[i] + recon[i-bpp] telescopes within each
+    byte lane); Average and Paeth are genuinely sequential along the
+    row (each byte needs the already-reconstructed left neighbour), so
+    they fall back to a per-byte loop — correct, and cheap relative to
+    the inflate; a deployment that decodes at corpus scale swaps this
+    stage for PIL/libvips via the documented fallback seam.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    hdr = parse_png_header(payload)
+    if hdr is None:
+        return None
+    width, height, bit_depth = hdr["width"], hdr["height"], hdr["bit_depth"]
+    color_type = hdr["color_type"]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    interlace = payload[28]  # last IHDR byte (offset 16 + 12)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        return None
+    # walk chunks, concatenating IDAT payloads (CRC-checked each)
+    idat, pos = [], 8
+    while pos + 12 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        end = pos + 8 + length
+        if end + 4 > len(payload):
+            return None
+        data = payload[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", payload, end)
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            return None
+        if ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos = end + 4
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    bpp = channels  # bytes per pixel at bit depth 8
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    filters, data = rows[:, 0], rows[:, 1:]
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f, row = int(filters[y]), data[y]
+        if f == 0:
+            out = row.copy()
+        elif f == 1:  # Sub: per-lane modular cumsum
+            out = (
+                np.cumsum(row.reshape(-1, bpp).astype(np.uint64), axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            out = row + prev  # uint8 wraps mod 256, as the spec requires
+        elif f in (3, 4):  # Average / Paeth: sequential along the row
+            out = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(out[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            return None
+        recon[y] = out
+        prev = out
+    return {
+        "kind": "image/png",
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "pixel_sum": int(recon.astype(np.int64).sum()),
+    }
+
+
 # SOF0-SOF15 minus DHT (C4), JPG (C8), DAC (CC) per ITU T.81 Table B.1
 _JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
@@ -163,17 +265,24 @@ def parse_jpeg_header(payload: bytes) -> dict | None:
 
 def decode_image_bytes(payload: bytes | None) -> dict | None:
     """REAL image decode for stdlib-parseable formats: binary netpbm
-    (P6 RGB / P5 grayscale) and uncompressed 24-bpp BMP decode the full
-    raster (kind, dims, bit_depth, and the exact int64 sum of all pixel
-    channel bytes — proof the raster was read); PNG and JPEG parse the
-    real container header (CRC-checked IHDR / SOFn scan) for kind, dims,
-    and bit depth with pixel_sum=None (raster decode needs zlib-inflate
-    + defilter / entropy decode — out of scope for a metadata pass).
+    (P6 RGB / P5 grayscale), uncompressed 24-bpp BMP, and 8-bit
+    non-interlaced PNG (zlib inflate + the five RFC 2083 scanline
+    filters — decode_png_raster) decode the full raster (kind, dims,
+    bit_depth, and the exact int64 sum of all pixel channel bytes —
+    proof the raster was read). PNGs outside that scope (palette,
+    16-bit, interlaced, corrupt IDAT) and JPEG fall back to the real
+    container-header parse (CRC-checked IHDR / SOFn scan) with
+    pixel_sum=None (JPEG raster needs entropy decode — out of scope).
     None for anything else (the caller falls back to the stub)."""
     import numpy as np
 
     if not payload:
         return None
+    png_full = None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        png_full = decode_png_raster(payload)
+    if png_full is not None:
+        return png_full
     png = parse_png_header(payload)
     if png is not None:
         return {k: v for k, v in png.items() if k != "color_type"}

@@ -579,8 +579,9 @@ def test_png_jpeg_header_parse():
 
 
 def test_image_headers_in_decode_images(spark):
-    """decode_images reports real PNG/JPEG dims + bit depth with NULL
-    pixel_sum (header-only), alongside the full-raster formats."""
+    """decode_images reports real PNG dims + FULL-RASTER pixel_sum
+    (8-bit non-interlaced scope), real JPEG dims + bit depth with NULL
+    pixel_sum (header-only), alongside the other full-raster formats."""
     from jsonschema_validator_spark.operators.multimodal import decode_images
 
     rows = [(1, _mk_png(12, 7)), (2, _mk_jpeg(33, 21)), (3, b"P6\n1 1\n255\nabc")]
@@ -588,10 +589,119 @@ def test_image_headers_in_decode_images(spark):
     got = {r.doc_id: r for r in decode_images(df, "doc_id", "payload").collect()}
     assert (got[1].kind, got[1].width, got[1].height, got[1].bit_depth) == (
         "image/png", 12, 7, 8)
-    assert got[1].pixel_sum is None
+    assert got[1].pixel_sum == 12 * 7 * 3 * 0x7F  # _mk_png raster is all 0x7f
     assert (got[2].kind, got[2].width, got[2].height, got[2].bit_depth) == (
         "image/jpeg", 33, 21, 8)
+    assert got[2].pixel_sum is None
     assert got[3].kind == "image/x-portable-pixmap" and got[3].pixel_sum == sum(b"abc")
+
+
+def _encode_png(pixels, width, height, channels, filters):
+    """Test-side PNG encoder, DISJOINT from decode_png_raster's filter
+    inversion: applies the RFC 2083 forward filters per scanline."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = channels
+    stride = width * bpp
+    raw = bytes(pixels)
+    assert len(raw) == height * stride
+
+    def chunk(t, data):
+        return (
+            struct.pack(">I", len(data)) + t + data
+            + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF)
+        )
+
+    out, prev = [], bytes(stride)
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        filt = bytearray()
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt.append((row[i] - pred) & 0xFF)
+        out.append(bytes([f]) + bytes(filt))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_raster_decode_all_filters():
+    """decode_png_raster inverts every RFC 2083 scanline filter
+    (None/Sub/Up/Average/Paeth) for gray, gray+alpha, RGB, and RGBA —
+    the encoder here applies the FORWARD filters independently, so the
+    round trip checks the inverse, not a shared implementation. Out-of-
+    scope payloads (palette, 16-bit, corrupt IDAT) degrade to the
+    header-only dict via decode_image_bytes."""
+    import struct
+    import zlib
+
+    from jsonschema_validator_spark.operators.multimodal import (
+        decode_image_bytes,
+        decode_png_raster,
+    )
+
+    for channels in (1, 2, 3, 4):
+        w, h = 9, 7
+        pixels = [(13 * i + 7 * channels) % 256 for i in range(w * h * channels)]
+        want = sum(pixels)
+        # every filter type appears at least once, incl. each as row 0
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]):
+            png = _encode_png(pixels, w, h, channels, filters)
+            got = decode_png_raster(png)
+            assert got is not None, (channels, filters)
+            assert (got["width"], got["height"], got["pixel_sum"]) == (
+                w, h, want), (channels, filters)
+
+    # out-of-scope: palette (color_type 3) falls back to header-only
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", b"\x00\x00\x00\xff\xff\xff")
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x01\x01\x00" * 2))
+           + chunk(b"IEND", b""))
+    assert decode_png_raster(pal) is None
+    meta = decode_image_bytes(pal)
+    assert meta == {"kind": "image/png", "width": 4, "height": 2,
+                    "bit_depth": 8, "pixel_sum": None}
+    # corrupt IDAT (bad zlib stream, valid chunk CRC): header-only too
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", b"not-zlib")
+           + chunk(b"IEND", b""))
+    assert decode_png_raster(bad) is None
+    assert decode_image_bytes(bad)["pixel_sum"] is None
+    # truncated raster (valid zlib, wrong length): header-only
+    short = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 12))  # 1 row of 2
+             + chunk(b"IEND", b""))
+    assert decode_png_raster(short) is None
+    assert decode_image_bytes(short)["width"] == 4
 
 
 def test_resize_real_ppm(spark):
