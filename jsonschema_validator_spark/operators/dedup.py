@@ -515,6 +515,105 @@ def ngram_overlap(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word k-gram, slide a window of w consecutive
+    hashes, keep each window's MINIMUM — the selected set is position-
+    independent and guarantees that any shared run of >= w+k-1 tokens
+    between two documents shares at least one fingerprint, which is the
+    property plain MinHash (a whole-document sketch) cannot give for
+    PARTIAL overlap detection (quote mining, section-level copying,
+    contamination by excerpt).
+
+    All Column algebra, zero Python: grams come from the shifted-slice
+    zip_with builder (word_ngrams — never index into a HOF-captured
+    array, the measured O(words^2) class bug), and the sliding minima
+    reuse the SAME builder shape: w shifted slices of the hash array
+    folded with least() (least() skips the nulls zip_with pads past the
+    end, so documents with fewer than w grams degrade to one global-min
+    fingerprint — the standard short-document convention). Hashes are
+    md5 hex strings compared lexicographically: engine-portable, so the
+    DuckDB oracle replays the selection byte-for-byte; a deployment
+    chasing shuffle bytes swaps md5 for xxhash64 (16 bytes vs 32) at
+    the cost of SQL-oracle portability.
+
+    Scale shape: output is (id, fingerprint) — ~n_grams/w rows per
+    document (winnowing's expected density is 2/(w+1)); downstream
+    joins shuffle only those short keys, never text.
+    """
+    from jsonschema_validator_spark.operators.textstats import word_ngrams
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    hs = F.transform(word_ngrams(toks, k, min_one=True), lambda g: F.md5(g))
+    width = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+    mins = F.slice(hs, 1, width)
+    for j in range(1, w):
+        mins = F.zip_with(mins, F.slice(hs, j + 1, width), lambda a, b: F.least(a, b))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(mins)).alias("fingerprint"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Partial-overlap document pairs by winnowing-fingerprint
+    containment: shared / min(|fp_a|, |fp_b|) >= threshold. Containment
+    (not Jaccard) is the right score for EXCERPT detection — a short
+    document wholly lifted from a long one has low Jaccard but
+    containment ~1.
+
+    Plan shape: the self-join is an equi-join on the fingerprint (never
+    all-pairs); per-doc sizes are an O(docs) relation broadcast back.
+    ``max_doc_freq`` is the skew guard: a fingerprint appearing in D
+    documents yields D(D-1)/2 join rows, so boilerplate grams are hot
+    keys — dropping fingerprints above the frequency cap (computed with
+    one count agg, same motivation as remove_boilerplate_lines) bounds
+    the quadratic blowup before the join. Output:
+    (id_a, id_b, n_shared, containment), id_a < id_b.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    if max_doc_freq is not None:
+        freq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
+        fp = (
+            fp.join(F.broadcast(freq.filter(F.col("__df") > max_doc_freq)),
+                    "fingerprint", "left_anti")
+        )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    cont = F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(cont >= threshold)
+        .select("id_a", "id_b", "n_shared", F.round(cont, 4).alias("containment"))
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen_fps: DataFrame,

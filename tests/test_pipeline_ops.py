@@ -383,6 +383,62 @@ def test_ngram_overlap_decontamination(spark):
     assert rows[2].n_grams == 11 and rows[2].n_overlap == 7
 
 
+def test_winnow_fingerprints_reference(spark):
+    """Winnowing selection replayed against an independent pure-Python
+    reference (explicit loops + hashlib, disjoint from the zip_with
+    builder), including the short-document (fewer than w grams) and
+    shorter-than-k degenerate cases."""
+    import hashlib
+
+    from jsonschema_validator_spark.operators.dedup import winnow_fingerprints
+
+    def ref(text, k, w):
+        toks = text.lower().split(" ")
+        grams = [" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 1))]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short doc"),                      # fewer tokens than k
+        (3, "a b c d e f"),                    # grams >= 1 but < w
+        (4, "Mixed CASE Text is Lowercased First the quick brown fox"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for doc_id, text in texts:
+        assert got[doc_id] == ref(text, 5, 4), doc_id
+
+
+def test_winnow_pairs_partial_overlap(spark):
+    """An excerpt lifted into another document is caught by containment
+    even when whole-document similarity is low; the max_doc_freq skew
+    guard removes boilerplate-driven pairs."""
+    from jsonschema_validator_spark.operators.dedup import winnow_pairs
+
+    base = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(20))  # first half of base
+    other = " ".join(f"z{i}" for i in range(40))
+    rows = [(1, base), (2, excerpt + " fresh tail content here"), (3, other)]
+    out = {(r.id_a, r.id_b): r for r in winnow_pairs(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        threshold=0.3).collect()}
+    assert (1, 2) in out and (1, 3) not in out and (2, 3) not in out
+    assert out[(1, 2)].containment >= 0.5  # excerpt half-contained
+
+    # boilerplate shared by EVERY doc creates hot fingerprints; the cap
+    # drops them so no pair survives on boilerplate alone
+    boiler = "subscribe to our newsletter terms of service apply today"
+    rows = [(i, f"unique{i} " * 10 + boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert winnow_pairs(df, threshold=0.3, max_doc_freq=2).count() == 0
+    assert winnow_pairs(df, threshold=0.3).count() == 15  # all C(6,2) pairs
+
+
 def test_resize_plumbing(spark, docs):
     """Resize contract: longer side capped, aspect preserved (within
     integer truncation), deterministic payloads, Arrow batch flow."""
