@@ -18,6 +18,20 @@ from jsonschema_validator_spark.streaming import (
 )
 
 
+def _stamp_arrival_order(*paths):
+    """FileStreamSource orders arrivals by MODIFICATION TIME; on a
+    loaded machine successive writes can land within one mtime tick and
+    the arrival order becomes tie-break-dependent (observed flake in
+    the loop-screen test: file 2 processed before file 1). Stamp
+    strictly increasing mtimes in argument order — argument order IS
+    the intended arrival order."""
+    import time as _time
+
+    now = _time.time()
+    for i, p in enumerate(paths):
+        os.utime(str(p), (now + i, now + i))
+
+
 @pytest.fixture(scope="module")
 def landed(tmp_path_factory):
     """A 'landing directory' with the dirty tiny fixture as one file."""
@@ -124,6 +138,7 @@ def test_conversation_completeness_stateful(spark, tmp_path):
                    f"{d}/f1.parquet")
     # file 2: a far-future row pushes the watermark past A/B + idle
     pq.write_table(tbl([("Z", 0, 10 * 86400)]), f"{d}/f2.parquet")
+    _stamp_arrival_order(f"{d}/f1.parquet", f"{d}/f2.parquet")
 
     schema = spark.read.parquet(d).schema
     stream = (
@@ -274,6 +289,7 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
     write(f"{src}/part-000.parquet", rows)
     sentinel = [(999, base + dt.timedelta(days=2))]
     write(f"{src}/part-001.parquet", sentinel)
+    _stamp_arrival_order(f"{src}/part-000.parquet", f"{src}/part-001.parquet")
 
     batch = spark.read.parquet(src).filter("user_id != 999")
     batch_sessions = sorted(
@@ -348,6 +364,7 @@ def test_transition_screen_stateful_cross_batch(spark, tmp_path):
     )
     pq.write_table(pa.Table.from_pandas(batch1, schema=schema), src / "a_batch1.parquet")
     pq.write_table(pa.Table.from_pandas(batch2, schema=schema), src / "b_batch2.parquet")
+    _stamp_arrival_order(src / "a_batch1.parquet", src / "b_batch2.parquet")
 
     stream = (
         spark.readStream.schema("conv_id string, turn_idx long, role string")
@@ -514,6 +531,7 @@ def test_loop_screen_stream_matches_batch_runs(spark, tmp_path):
     write(f"{src}/part-000.parquet", f1)
     write(f"{src}/part-001.parquet", f2)
     write(f"{src}/part-002.parquet", sentinel, day_offset=3)
+    _stamp_arrival_order(*(f"{src}/part-{i:03d}.parquet" for i in range(3)))
 
     batch = spark.read.parquet(src).filter("conv_id != 'zz-sentinel'")
     expect = sorted(
