@@ -2745,6 +2745,54 @@ ORDER BY ov.doc_id
 """
 
 
+def q_normalize_unicode_documents(spark, sf_dir):
+    """Unicode NFC canonicalization + control-char hygiene
+    (operators/cleaning.normalize_unicode): decomposed sequences
+    (combining acute/diaeresis) and C0 controls are PLANTED by doc_id
+    arithmetic, the engine normalizes through its Arrow-batched
+    ``unicodedata`` stage, and DuckDB's independent ``nfc_normalize``
+    implementation replays the exact output strings — a true
+    cross-library normalization oracle (ICU-equivalent tables on both
+    sides), not replayed arithmetic. ``changed`` is the corpus-health
+    rate a production pipeline tracks."""
+    from jsonschema_validator_spark.operators.cleaning import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" café naïve")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("xy "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    return (
+        normalize_unicode(planted, "text")
+        .select("doc_id", "norm_text", "changed")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_NORMALIZE_UNICODE = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+                THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+              WHEN doc_id % 3 = 1 THEN 'x' || chr(7) || 'y ' || text
+              ELSE text END AS text
+  FROM documents),
+n AS (
+  SELECT doc_id, text,
+         nfc_normalize(
+           regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')
+         ) AS norm_text
+  FROM planted)
+SELECT doc_id, norm_text, COALESCE(norm_text != text, FALSE) AS changed
+FROM n ORDER BY doc_id
+"""
+
+
 def q_winnow_pairs_documents(spark, sf_dir):
     """Partial-overlap (excerpt) detection via MOSS-style winnowing
     (operators/dedup.winnow_fingerprints / winnow_pairs): every word
@@ -5562,6 +5610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "winnow_pairs_documents": q_winnow_pairs_documents,
         "resumable_runner_events": q_resumable_runner_events,
+        "normalize_unicode_documents": q_normalize_unicode_documents,
         "repetition_documents": q_repetition_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "packing_documents": q_packing_documents,
@@ -5709,6 +5758,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination_documents": _ORACLE_DECONTAMINATION,
         "winnow_pairs_documents": _ORACLE_WINNOW_PAIRS,
         "resumable_runner_events": _ORACLE_RESUMABLE_RUNNER,
+        "normalize_unicode_documents": _ORACLE_NORMALIZE_UNICODE,
         "sample_documents": _ORACLE_SAMPLE,
         "curation_pipeline_documents": _ORACLE_CURATION,
         "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,

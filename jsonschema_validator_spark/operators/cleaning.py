@@ -104,3 +104,57 @@ def remove_boilerplate_lines(
             "n_removed"
         ),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "norm_text",
+    strip_controls: bool = True,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode NFC normalization + control-character hygiene — the
+    canonicalization pass every multilingual curation pipeline runs
+    before hashing, dedup, or tokenization (the same logical content
+    arrives from the web in composed AND decomposed forms, so every
+    downstream equality — exact dedup keys, winnowing fingerprints, BPE
+    merges — silently fractures without it).
+
+    NFC runs as an Arrow-batched pandas UDF over ``unicodedata`` — a
+    genuine Python-boundary case (Spark has no codepoint-normalization
+    builtin) and exactly the seam the multimodal decoders use: batches
+    stream through the worker, never a per-row Python call. Control
+    stripping (C0/C1 minus tab/newline) and optional whitespace
+    collapse are plain JVM regexp stages around it. DuckDB's
+    ``nfc_normalize`` + ``regexp_replace`` replay the whole pipeline,
+    so the operator is SQL-oracle-able end-to-end.
+
+    Output: input columns + ``out_col`` + ``changed`` (normalization
+    altered the string — the corpus-health metric worth tracking over
+    time; a sudden jump means an upstream producer changed encoder).
+    NULL text stays NULL with changed = false.
+    """
+    import pandas as pd
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # real (non-stringified) annotations: `from __future__ import
+    # annotations` turns inline hints into strings pyspark can't resolve
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = F.pandas_udf(_nfc_fn, "string")
+
+    out = F.col(text_col)
+    if strip_controls:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0b-\x1f\x7f-\x9f]", "")
+    out = _nfc(out)
+    if collapse_whitespace:
+        out = F.regexp_replace(F.trim(out), r"[ \t]+", " ")
+    return df.withColumn(out_col, out).withColumn(
+        "changed",
+        F.coalesce(F.col(out_col) != F.col(text_col), F.lit(False)),
+    )

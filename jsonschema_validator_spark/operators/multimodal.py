@@ -6,8 +6,9 @@ signatures — is real and tested. Decode is REAL for the formats the
 Python stdlib can parse in this container — WAV (``wave`` module),
 PPM/PGM (netpbm), uncompressed 24-bpp BMP full-raster, 8-bit
 non-interlaced PNG full-raster (zlib inflate + RFC 2083 filter
-inversion); palette/16-bit/interlaced PNG (CRC-checked IHDR) and JPEG
-(SOFn marker scan) degrade to container-header dims/depth — and falls
+inversion); palette/16-bit/interlaced PNG (CRC-checked IHDR), JPEG
+(SOFn marker scan), and GIF (logical-screen descriptor) degrade to
+container-header dims/depth — and falls
 back to a clearly-marked deterministic stub for everything else
 (JPEG raster + MP3/... need PIL/libvips/ffmpeg, absent here; a
 deployment swaps the fallback).
@@ -110,6 +111,30 @@ def parse_png_header(payload: bytes) -> dict | None:
         "height": height,
         "bit_depth": bit_depth,
         "color_type": color_type,
+        "pixel_sum": None,
+    }
+
+
+def parse_gif_header(payload: bytes) -> dict | None:
+    """REAL GIF header parse, stdlib-only: validates the GIF87a/GIF89a
+    signature and reads the logical-screen descriptor (width/height
+    little-endian u16 at offsets 6-9; colour resolution from the packed
+    byte's bits 4-6, spec 89a §18). Header-only — LZW raster decode is
+    out of scope — so pixel_sum is None, matching the JPEG contract."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack_from("<HH", payload, 6)
+    if width == 0 or height == 0:
+        return None
+    packed = payload[10]
+    colour_resolution = ((packed >> 4) & 0x7) + 1
+    return {
+        "kind": "image/gif",
+        "width": width,
+        "height": height,
+        "bit_depth": colour_resolution,
         "pixel_sum": None,
     }
 
@@ -289,6 +314,9 @@ def decode_image_bytes(payload: bytes | None) -> dict | None:
     jpg = parse_jpeg_header(payload)
     if jpg is not None:
         return {k: v for k, v in jpg.items() if k != "color_type"}
+    gif = parse_gif_header(payload)
+    if gif is not None:
+        return gif
     if payload[:2] in (b"P6", b"P5"):
         try:
             # netpbm header: magic, then 3 decimal tokens (width, height,

@@ -383,6 +383,33 @@ def test_ngram_overlap_decontamination(spark):
     assert rows[2].n_grams == 11 and rows[2].n_overlap == 7
 
 
+def test_normalize_unicode(spark):
+    """NFC composition, control stripping (tab/newline survive),
+    whitespace collapse, NULL passthrough, changed-flag semantics —
+    checked against unicodedata directly."""
+    import unicodedata
+
+    from jsonschema_validator_spark.operators.cleaning import normalize_unicode
+
+    decomposed = "café naïve"
+    rows = [
+        (1, decomposed),
+        (2, "bell\x07 and\x1b esc\x9f kept:\tok\nline"),
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in normalize_unicode(df, "text").collect()}
+    assert got[1].norm_text == unicodedata.normalize("NFC", decomposed) == "café naïve"
+    assert got[1].changed is True
+    assert got[2].norm_text == "bell and esc kept:\tok\nline" and got[2].changed
+    assert got[3].norm_text == "plain ascii" and got[3].changed is False
+    assert got[4].norm_text is None and got[4].changed is False
+
+    out = normalize_unicode(df, "text", collapse_whitespace=True).filter("id = 2")
+    assert out.collect()[0].norm_text == "bell and esc kept: ok\nline"
+
+
 def test_winnow_fingerprints_reference(spark):
     """Winnowing selection replayed against an independent pure-Python
     reference (explicit loops + hashlib, disjoint from the zip_with
@@ -701,6 +728,30 @@ def _encode_png(pixels, width, height, channels, filters):
         + chunk(b"IDAT", zlib.compress(b"".join(out)))
         + chunk(b"IEND", b"")
     )
+
+
+def test_gif_header_parse():
+    """GIF87a/89a logical-screen descriptor parses to real dims and
+    colour resolution; truncation and bad signatures return None."""
+    import struct
+
+    from jsonschema_validator_spark.operators.multimodal import (
+        decode_image_bytes,
+        parse_gif_header,
+    )
+
+    def mk(w, h, sig=b"GIF89a", packed=0b1_111_0_111):
+        return sig + struct.pack("<HH", w, h) + bytes([packed, 0, 0]) + b"\x00" * 8
+
+    got = parse_gif_header(mk(320, 200))
+    assert (got["kind"], got["width"], got["height"], got["bit_depth"]) == (
+        "image/gif", 320, 200, 8)
+    assert got["pixel_sum"] is None
+    assert parse_gif_header(mk(64, 64, sig=b"GIF87a", packed=0b0_010_0_010))["bit_depth"] == 3
+    assert parse_gif_header(mk(0, 10)) is None          # zero dims
+    assert parse_gif_header(mk(1, 1)[:9]) is None        # truncated
+    assert parse_gif_header(b"GIF90a" + b"\x00" * 10) is None
+    assert decode_image_bytes(mk(33, 21))["kind"] == "image/gif"
 
 
 def test_png_raster_decode_all_filters():
