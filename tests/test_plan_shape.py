@@ -411,3 +411,31 @@ def test_curation_summary_single_scan(spark):
     p = plan_of(out)
     assert p.count("Scan parquet") == 1, p
     assert p.count("Exchange") == 1, p
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Round-4 operators stay in their designed physical shapes:
+    winnow_fingerprints is a single-scan zero-shuffle projection;
+    winnow_pairs joins fingerprints by EQUI hash join only (never a
+    cartesian/nested-loop); normalize_unicode runs exactly ONE
+    Arrow-batched Python stage around JVM regexp stages."""
+    from jsonschema_validator_spark.operators.cleaning import normalize_unicode
+    from jsonschema_validator_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    p = plan_of(winnow_fingerprints(docs))
+    assert p.count("Scan parquet") == 1 and "Exchange" not in p, p
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "source" not in m.group(1), p  # only (doc_id, text) read
+
+    p = plan_of(winnow_pairs(docs, threshold=0.3))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "HashJoin" in p, p
+
+    p = plan_of(normalize_unicode(docs.select("doc_id", "text"), "text"))
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "BatchEvalPython" not in p, p  # never row-at-a-time Python

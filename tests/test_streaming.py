@@ -634,3 +634,96 @@ def test_stream_stat_partials_additive_across_batches(spark, tmp_path):
     d2 = merged[1]
     assert d2["part"] == "2024-07-02"
     assert d2["value__null_rate"] == 0.5 and d2["value__max"] == 10.0
+
+
+def test_loop_screen_rocksdb_state_store(spark, tmp_path):
+    """The SAME stateful loop screen runs unchanged on the RocksDB
+    state-store provider — the at-scale backend: the default
+    HDFS-backed provider keeps every partition's state map ON-HEAP in
+    the executor, so state capacity is bounded by executor memory; at
+    10^12 turns the open-conversation state must spill, which RocksDB
+    does natively (off-heap + local SST files, incremental checkpoint).
+    The operator contract is provider-independent; output is pinned
+    identical to the batch gaps-and-islands result."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.conversation import repeated_turn_runs
+    from jsonschema_validator_spark.streaming.stateful import loop_screen
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    f1 = [("a", 0, "x"), ("a", 1, "x"), ("b", 0, "y")]
+    f2 = [("a", 2, "x"), ("a", 3, "z"), ("b", 1, "y"), ("b", 2, "y")]
+    sentinel = [("zz-sentinel", 0, "s")]
+
+    def write(path, data, day_offset=0):
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in data], pa.string()),
+                "turn_idx": pa.array([r[1] for r in data], pa.int64()),
+                "text": pa.array([r[2] for r in data], pa.string()),
+                "ts": pa.array(
+                    [base + dt.timedelta(days=day_offset, seconds=r[1]) for r in data],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = str(tmp_path / "rocks_src")
+    os.makedirs(src)
+    write(f"{src}/part-000.parquet", f1)
+    write(f"{src}/part-001.parquet", f2)
+    write(f"{src}/part-002.parquet", sentinel, day_offset=3)
+    _stamp_arrival_order(*(f"{src}/part-{i:03d}.parquet" for i in range(3)))
+
+    batch = spark.read.parquet(src).filter("conv_id != 'zz-sentinel'")
+    expect = sorted(
+        (r["conv_id"], r["run_start"], r["run_len"])
+        for r in repeated_turn_runs(batch, min_run=3).collect()
+    )
+    assert expect == [("a", 0, 3), ("b", 0, 3)]  # both runs span the file cut
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("conv_id", "turn_idx", F.xxhash64(F.col("text")).alias("h"), "ts")
+    )
+    out = str(tmp_path / "rocks_out")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            loop_screen(stream, min_run=3, idle_timeout="1 hour", watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "rocks_cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # the run really used RocksDB (provider is baked into the query)
+        assert "RocksDB" in spark.conf.get(provider_key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    got = sorted(
+        (r["conv_id"], r["run_start"], r["run_len"])
+        for r in spark.read.parquet(out).filter("conv_id != 'zz-sentinel'").collect()
+    )
+    assert got == expect, (got, expect)
