@@ -322,3 +322,75 @@ def test_schema_api_batch_parity(spark, seed):
             if g != w:
                 failures.append((schema, v, f"api={g} python={w}"))
     assert not failures, failures[:5]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: winnowing guarantee + NFC canonicalization law (no Spark —
+# the pure-Python replica below is pinned equal to the Spark operator by
+# tests/test_pipeline_ops.py::test_winnow_fingerprints_reference, so the
+# properties proven here transfer to the Column implementation)
+# ---------------------------------------------------------------------------
+
+K, W = 5, 4
+
+
+def _winnow_ref(tokens):
+    import hashlib
+
+    grams = [
+        " ".join(tokens[i : i + K]) for i in range(max(len(tokens) - K + 1, 1))
+    ]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    if len(hs) < W:
+        return {min(hs)}
+    return {min(hs[i : i + W]) for i in range(len(hs) - W + 1)}
+
+
+words = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    shared=st.lists(words, min_size=K + W - 1, max_size=20),
+    pre_a=st.lists(words, max_size=10),
+    post_a=st.lists(words, max_size=10),
+    pre_b=st.lists(words, max_size=10),
+    post_b=st.lists(words, max_size=10),
+)
+def test_winnow_shared_run_guarantee(shared, pre_a, post_a, pre_b, post_b):
+    """The winnowing theorem (Schleimer/Wilkerson/Aiken §3): ANY two
+    documents sharing a contiguous token run of length >= w + k - 1
+    share at least one fingerprint, wherever the run sits in either
+    document. This is the property that makes the excerpt screen
+    complete (no false negatives above the threshold length)."""
+    a = pre_a + shared + post_a
+    b = pre_b + shared + post_b
+    assert _winnow_ref(a) & _winnow_ref(b), (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(doc=st.lists(words, min_size=1, max_size=40))
+def test_winnow_density_bound(doc):
+    """Fingerprint count never exceeds the window count (one min per
+    window before dedup), and is at least 1 for any non-empty text —
+    the size bound that makes the downstream self-join shuffle
+    predictable."""
+    fps = _winnow_ref(doc)
+    n_grams = max(len(doc) - K + 1, 1)
+    n_windows = max(n_grams - W + 1, 1)
+    assert 1 <= len(fps) <= n_windows
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=st.text(max_size=60))
+def test_nfc_idempotent_and_canonical(s):
+    """NFC normalization law the dedup stack relies on: idempotent, and
+    NFD(s) (the maximally-decomposed form) normalizes to the same
+    canonical string as s — so any two canonically-equivalent spellings
+    of the same content get the same exact-dedup key after
+    normalize_unicode."""
+    import unicodedata
+
+    nfc = unicodedata.normalize("NFC", s)
+    assert unicodedata.normalize("NFC", nfc) == nfc
+    assert unicodedata.normalize("NFC", unicodedata.normalize("NFD", s)) == nfc
