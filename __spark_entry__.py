@@ -1781,6 +1781,93 @@ FROM r GROUP BY shard, bin_idx ORDER BY shard, bin_idx
 """
 
 
+def q_packing_strategies_documents(spark, sf_dir):
+    """Packing-strategy comparison (operators/packing.py
+    strategy="size_desc" vs "arrival"): the same corpus packed into
+    500-token bins both ways, per-shard bins + padding waste side by
+    side, BOTH layouts hash-exact against the oracle (both are linear
+    scans, so the same recursive CTE replays each under a different
+    ORDER BY). size_desc's value is the CANONICAL layout (a pure
+    function of the token multiset, stable under upstream reordering)
+    — on this corpus the two tie on waste, which the contract pins
+    rather than hides. FFD (first_fit_desc), the genuine waste
+    reduction, has no SQL replay; its invariants are pinned in
+    tests/test_pipeline_ops.py."""
+    from jsonschema_validator_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard_pre"),
+    )
+
+    def shard_summary(strategy, tag):
+        packed = pack_sequences(
+            docs, "n_tok", budget=500, order_col="doc_id",
+            shard_col="shard_pre", strategy=strategy,
+        )
+        return (
+            packing_stats(packed, "n_tok")
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_bins_{tag}"),
+                F.sum(F.greatest(F.lit(500) - F.col("sum_tokens"), F.lit(0)))
+                .alias(f"waste_{tag}"),
+            )
+        )
+
+    arr = shard_summary("arrival", "arr")
+    sd = shard_summary("size_desc", "sd")
+    return arr.join(sd, "shard").orderBy("shard")
+
+
+_ORACLE_PACKING_STRATEGIES = """
+WITH RECURSIVE d AS (
+  SELECT (doc_id % 8)::INT AS shard, doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn,
+         row_number() OVER (PARTITION BY doc_id % 8
+                            ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+           AS rn_sd
+  FROM documents
+), r AS (
+  SELECT shard, rn, n_tok, 0::BIGINT AS bin_idx, n_tok::BIGINT AS running
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.n_tok,
+    CASE WHEN r.running + d.n_tok > 500 THEN r.bin_idx + 1 ELSE r.bin_idx END,
+    CASE WHEN r.running + d.n_tok > 500 THEN d.n_tok::BIGINT
+         ELSE r.running + d.n_tok END
+  FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
+), s AS (
+  SELECT shard, rn_sd, n_tok, 0::BIGINT AS bin_idx, n_tok::BIGINT AS running
+  FROM d WHERE rn_sd = 1
+  UNION ALL
+  SELECT d.shard, d.rn_sd, d.n_tok,
+    CASE WHEN s.running + d.n_tok > 500 THEN s.bin_idx + 1 ELSE s.bin_idx END,
+    CASE WHEN s.running + d.n_tok > 500 THEN d.n_tok::BIGINT
+         ELSE s.running + d.n_tok END
+  FROM s JOIN d ON d.shard = s.shard AND d.rn_sd = s.rn_sd + 1
+), ra AS (
+  SELECT shard, bin_idx, SUM(n_tok) AS tot FROM r GROUP BY shard, bin_idx),
+sa AS (
+  SELECT shard, bin_idx, SUM(n_tok) AS tot FROM s GROUP BY shard, bin_idx),
+f1 AS (
+  SELECT shard, COUNT(*)::BIGINT AS n_bins_arr,
+         SUM(GREATEST(500 - tot, 0))::BIGINT AS waste_arr
+  FROM ra GROUP BY shard),
+f2 AS (
+  SELECT shard, COUNT(*)::BIGINT AS n_bins_sd,
+         SUM(GREATEST(500 - tot, 0))::BIGINT AS waste_sd
+  FROM sa GROUP BY shard)
+SELECT shard, n_bins_arr, waste_arr, n_bins_sd, waste_sd
+FROM f1 JOIN f2 USING (shard) ORDER BY shard
+"""
+
+
 def q_sessionization_events(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): 30-min
     inactivity splits a user's event stream; per-session rollup. One
@@ -5611,6 +5698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs_documents": q_winnow_pairs_documents,
         "resumable_runner_events": q_resumable_runner_events,
         "normalize_unicode_documents": q_normalize_unicode_documents,
+        "packing_strategies_documents": q_packing_strategies_documents,
         "repetition_documents": q_repetition_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "packing_documents": q_packing_documents,
@@ -5759,6 +5847,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs_documents": _ORACLE_WINNOW_PAIRS,
         "resumable_runner_events": _ORACLE_RESUMABLE_RUNNER,
         "normalize_unicode_documents": _ORACLE_NORMALIZE_UNICODE,
+        "packing_strategies_documents": _ORACLE_PACKING_STRATEGIES,
         "sample_documents": _ORACLE_SAMPLE,
         "curation_pipeline_documents": _ORACLE_CURATION,
         "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,

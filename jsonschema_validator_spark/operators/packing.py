@@ -32,13 +32,40 @@ def pack_sequences(
     order_col: str,
     n_shards: int = 64,
     shard_col: str | None = None,
+    strategy: str = "arrival",
 ) -> DataFrame:
     """Returns the input columns + ``shard`` + ``bin_idx`` (0-based per
     shard). Deterministic: shard = xxhash64(order_col) % n_shards (or a
     caller-supplied ``shard_col`` — e.g. an engine-portable arithmetic
-    shard when an external system must reproduce the layout), scan
-    order = ascending order_col."""
+    shard when an external system must reproduce the layout).
+
+    ``strategy`` picks the per-shard packing discipline — all three are
+    deterministic and partition-independent; they trade waste against
+    replay simplicity:
+
+    - ``"arrival"``: next-fit in ascending order_col (stream-friendly:
+      preserves curriculum/temporal order inside bins; layout depends
+      on upstream arrival order).
+    - ``"size_desc"``: next-fit after sorting (tokens DESC, order_col)
+      — a CANONICAL layout: a pure function of the token multiset (+
+      tiebreak key), reproducible no matter how upstream stages permute
+      the corpus. NOT a waste guarantee — next-fit-decreasing can
+      strand MORE than arrival on adversarial mixes (measured: twenty
+      300s sorted adjacent each strand 200 where alternating 300/180
+      arrival pairs to 480; on the contract corpus the two tie
+      exactly). Still a linear scan, so the SQL oracle replays it with
+      the same recursive CTE as arrival under a different ORDER BY.
+    - ``"first_fit_desc"``: classic FFD (sorted desc, each doc into the
+      FIRST open bin with room; 11/9 OPT + 6/9 guarantee) — the real
+      waste reduction, but first-fit's bin scan has no SQL replay, so
+      its contract is invariant-based (per-bin sum <= budget, same doc
+      multiset, never more bins than either next-fit) rather than
+      hash-exact.
+    """
     import pandas as pd
+
+    if strategy not in ("arrival", "size_desc", "first_fit_desc"):
+        raise ValueError(f"unknown packing strategy {strategy!r}")
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -48,17 +75,35 @@ def pack_sequences(
     budget_ = int(budget)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        if strategy == "arrival":
+            pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values(
+                [token_col, order_col], ascending=[False, True], kind="mergesort"
+            ).reset_index(drop=True)
         toks = pdf[token_col].to_numpy()
         bins = []
-        bin_idx, running = 0, 0
-        for t in toks:
-            t = int(t)
-            if running > 0 and running + t > budget_:
-                bin_idx += 1
-                running = 0
-            running += t
-            bins.append(bin_idx)
+        if strategy == "first_fit_desc":
+            space: list[int] = []  # remaining room per open bin
+            for t in toks:
+                t = int(t)
+                for i, room in enumerate(space):
+                    if t <= room:
+                        space[i] = room - t
+                        bins.append(i)
+                        break
+                else:
+                    space.append(max(budget_ - t, 0))  # oversize: alone
+                    bins.append(len(space) - 1)
+        else:
+            bin_idx, running = 0, 0
+            for t in toks:
+                t = int(t)
+                if running > 0 and running + t > budget_:
+                    bin_idx += 1
+                    running = 0
+                running += t
+                bins.append(bin_idx)
         pdf["bin_idx"] = bins
         return pdf
 

@@ -383,6 +383,84 @@ def test_ngram_overlap_decontamination(spark):
     assert rows[2].n_grams == 11 and rows[2].n_overlap == 7
 
 
+def test_packing_strategies(spark):
+    """Neither next-fit order dominates the other (mix A: sorting helps
+    by grouping the pairable 250s; mix B: sorting HURTS by making the
+    300s adjacent) — FFD is never worse than either on both mixes. Plus
+    the FFD invariants (per-bin sum <= budget, oversize alone, same doc
+    multiset, partition-independence) and size_desc's canonical-layout
+    property (pure function of the token multiset, stable under
+    arrival-order permutation)."""
+    from jsonschema_validator_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    def bins(frame, strategy):
+        packed = pack_sequences(
+            frame, "n_tok", budget=500, order_col="doc_id",
+            shard_col="s", strategy=strategy,
+        )
+        stats = packing_stats(packed, "n_tok").collect()
+        return packed, {r.bin_idx: r.sum_tokens for r in stats}
+
+    # mix A — alternating 300/250 + one oversize 700: arrival next-fit
+    # overflows on EVERY adjacent pair (41 singleton bins); sorting
+    # makes the 250s adjacent so sorted next-fit pairs them (1 + 20 +
+    # 10 = 31); FFD matches
+    rows_a = [(i, 300 if i % 2 == 0 else 250) for i in range(40)] + [(200, 700)]
+    dfa = spark.createDataFrame(rows_a, "doc_id long, n_tok int").withColumn(
+        "s", F.lit(0)
+    )
+    _, arr = bins(dfa, "arrival")
+    _, sd = bins(dfa, "size_desc")
+    ffd_packed, ffd = bins(dfa, "first_fit_desc")
+    assert (len(arr), len(sd), len(ffd)) == (41, 31, 31)
+
+    # mix B — alternating 300/180 + 90s: arrival pairs 300+180=480, but
+    # sorting puts the twenty 300s adjacent and each strands (33 bins);
+    # FFD recovers (23) — sorting is NOT a waste guarantee, FFD is the
+    # robust upgrade
+    rows_b = [(i, 300 if i % 2 == 0 else 180) for i in range(40)]
+    rows_b += [(100 + i, 90) for i in range(10)]
+    dfb = spark.createDataFrame(rows_b, "doc_id long, n_tok int").withColumn(
+        "s", F.lit(0)
+    )
+    _, arr_b = bins(dfb, "arrival")
+    _, sd_b = bins(dfb, "size_desc")
+    _, ffd_b = bins(dfb, "first_fit_desc")
+    assert len(sd_b) > len(arr_b)  # sorting hurt here
+    assert len(ffd_b) <= min(len(arr_b), len(sd_b))
+    assert (len(arr_b), len(sd_b), len(ffd_b)) == (22, 32, 22)
+
+    # FFD invariants (mix A)
+    assert all(v <= 500 for v in ffd.values() if v != 700)
+    assert sorted(r.n_tok for r in ffd_packed.collect()) == sorted(
+        t for _, t in rows_a
+    )
+    assert sum(1 for v in ffd.values() if v == 700) == 1  # oversize alone
+    # size_desc is canonical: permuted arrival order, different
+    # partitioning, SAME layout
+    shuffled = dfa.orderBy(F.xxhash64("doc_id")).repartition(7)
+    _, sd2 = bins(shuffled, "size_desc")
+    assert sd == sd2
+    # FFD determinism under repartitioning
+    a = sorted((r.doc_id, r.bin_idx) for r in ffd_packed.collect())
+    b = sorted(
+        (r.doc_id, r.bin_idx)
+        for r in pack_sequences(
+            dfa.repartition(7), "n_tok", budget=500, order_col="doc_id",
+            shard_col="s", strategy="first_fit_desc",
+        ).collect()
+    )
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        pack_sequences(dfa, "n_tok", budget=500, order_col="doc_id", strategy="magic")
+
+
 def test_normalize_unicode(spark):
     """NFC composition, control stripping (tab/newline survive),
     whitespace collapse, NULL passthrough, changed-flag semantics —
