@@ -1781,6 +1781,64 @@ FROM r GROUP BY shard, bin_idx ORDER BY shard, bin_idx
 """
 
 
+def q_tree_depth_events(spark, sf_dir):
+    """Branched-transcript structure resolution (operators/trees.
+    tree_paths — POINTER DOUBLING, O(log depth) self-join rounds
+    instead of the O(depth) naive walk): parent pointers are PLANTED by
+    window arithmetic (each user's r-th event points to r-1, every 5th
+    branches to r-2 — a deterministic forest both engines replay), the
+    engine resolves every node's depth and root, and the output is the
+    (depth, n_nodes) histogram joined with per-root branch stats
+    totals. The DuckDB oracle rebuilds the same forest and walks it
+    with a recursive CTE — an independent algorithm (sequential
+    descent) against the doubling implementation."""
+    from pyspark.sql import Window
+
+    from jsonschema_validator_spark.operators.trees import tree_paths
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    withp = ev.select(
+        "event_id",
+        (F.row_number().over(w) - 1).alias("r"),
+        F.lag("event_id", 1).over(w).alias("l1"),
+        F.lag("event_id", 2).over(w).alias("l2"),
+    ).select(
+        "event_id",
+        F.when(F.col("r") == 0, F.lit(None).cast("long"))
+        .when((F.col("r") >= 2) & (F.col("r") % 5 == 0), F.col("l2"))
+        .otherwise(F.col("l1"))
+        .alias("parent"),
+    )
+    paths = tree_paths(withp, "event_id", "parent")
+    return (
+        paths.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("depth")
+    )
+
+
+_ORACLE_TREE_DEPTH = """
+WITH RECURSIVE t AS (
+  SELECT event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS r,
+         LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS l1,
+         LAG(event_id, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS l2
+  FROM events),
+n AS (
+  SELECT event_id AS id,
+         CASE WHEN r = 0 THEN NULL
+              WHEN r >= 2 AND r % 5 = 0 THEN l2
+              ELSE l1 END AS parent
+  FROM t),
+d AS (
+  SELECT id, 0::BIGINT AS depth FROM n WHERE parent IS NULL
+  UNION ALL
+  SELECT n.id, d.depth + 1 FROM n JOIN d ON n.parent = d.id)
+SELECT depth, COUNT(*)::BIGINT AS n_nodes FROM d GROUP BY depth ORDER BY depth
+"""
+
+
 def q_packing_strategies_documents(spark, sf_dir):
     """Packing-strategy comparison (operators/packing.py
     strategy="size_desc" vs "arrival"): the same corpus packed into
@@ -5699,6 +5757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_runner_events": q_resumable_runner_events,
         "normalize_unicode_documents": q_normalize_unicode_documents,
         "packing_strategies_documents": q_packing_strategies_documents,
+        "tree_depth_events": q_tree_depth_events,
         "repetition_documents": q_repetition_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "packing_documents": q_packing_documents,
@@ -5848,6 +5907,7 @@ def oracle_sql() -> dict[str, str]:
         "resumable_runner_events": _ORACLE_RESUMABLE_RUNNER,
         "normalize_unicode_documents": _ORACLE_NORMALIZE_UNICODE,
         "packing_strategies_documents": _ORACLE_PACKING_STRATEGIES,
+        "tree_depth_events": _ORACLE_TREE_DEPTH,
         "sample_documents": _ORACLE_SAMPLE,
         "curation_pipeline_documents": _ORACLE_CURATION,
         "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,

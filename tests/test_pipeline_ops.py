@@ -461,6 +461,54 @@ def test_packing_strategies(spark):
         pack_sequences(dfa, "n_tok", budget=500, order_col="doc_id", strategy="magic")
 
 
+def test_tree_paths_and_branch_stats(spark):
+    """Pointer-doubling depth/root on a branched forest matches a
+    hand-walked reference; deep chains resolve in O(log d) rounds;
+    cycles and orphan pointers raise instead of spinning."""
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.trees import (
+        TreeNotConverged,
+        branch_stats,
+        tree_paths,
+    )
+
+    #      1            10
+    #     / \            |
+    #    2   3          11
+    #    |   |\
+    #    4   5 6
+    #        |
+    #        7
+    edges = [(1, None), (2, 1), (3, 1), (4, 2), (5, 3), (6, 3), (7, 5),
+             (10, None), (11, 10)]
+    df = spark.createDataFrame(edges, "id long, parent long")
+    got = {r.id: (r.depth, r.root) for r in tree_paths(df, "id", "parent").collect()}
+    assert got == {1: (0, 1), 2: (1, 1), 3: (1, 1), 4: (2, 1), 5: (2, 1),
+                   6: (2, 1), 7: (3, 1), 10: (0, 10), 11: (1, 10)}
+
+    st = {r.root: r for r in branch_stats(df, "id", "parent").collect()}
+    a, b = st[1], st[10]
+    assert (a.n_nodes, a.max_depth, a.n_leaves, a.n_branch_points) == (7, 3, 3, 2)
+    assert (b.n_nodes, b.max_depth, b.n_leaves, b.n_branch_points) == (2, 1, 1, 0)
+
+    # deep chain: depth 500 resolves with max_iters=10 (2**10 >= 500)
+    chain = [(i, i - 1 if i > 0 else None) for i in range(501)]
+    deep = spark.createDataFrame(chain, "id long, parent long")
+    out = tree_paths(deep, "id", "parent", max_iters=10)
+    assert out.agg(F.max("depth")).collect()[0][0] == 500
+
+    # cycle: must raise, not spin
+    cyc = spark.createDataFrame([(1, 2), (2, 1), (3, None)], "id long, parent long")
+    with _pytest.raises(TreeNotConverged, match="unresolved"):
+        tree_paths(cyc, "id", "parent", max_iters=6)
+
+    # orphan pointer: parent id that exists nowhere
+    orph = spark.createDataFrame([(1, None), (2, 99)], "id long, parent long")
+    with _pytest.raises(TreeNotConverged, match="orphan"):
+        tree_paths(orph, "id", "parent")
+
+
 def test_normalize_unicode(spark):
     """NFC composition, control stripping (tab/newline survive),
     whitespace collapse, NULL passthrough, changed-flag semantics —
