@@ -1839,6 +1839,80 @@ SELECT depth, COUNT(*)::BIGINT AS n_nodes FROM d GROUP BY depth ORDER BY depth
 """
 
 
+def q_tree_linearize_events(spark, sf_dir):
+    """Branched-transcript linearization (operators/trees.
+    linearize_best_path): over the same planted forest as
+    tree_depth_events, pick each tree's best leaf (max value, NULL
+    loses, ties to smallest id) and emit its root->leaf id path — the
+    collapse step that turns a tree-of-thought transcript into ONE
+    training sequence. The oracle resolves roots by recursive descent
+    and rebuilds each winning path by recursive ASCENT with string
+    concatenation — two independent traversal algorithms against the
+    engine's doubling + per-tree Arrow walk."""
+    from pyspark.sql import Window
+
+    from jsonschema_validator_spark.operators.trees import linearize_best_path
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    nodes = ev.select(
+        "event_id",
+        "value",
+        (F.row_number().over(w) - 1).alias("r"),
+        F.lag("event_id", 1).over(w).alias("l1"),
+        F.lag("event_id", 2).over(w).alias("l2"),
+    ).select(
+        "event_id",
+        F.when(F.col("r") == 0, F.lit(None).cast("long"))
+        .when((F.col("r") >= 2) & (F.col("r") % 5 == 0), F.col("l2"))
+        .otherwise(F.col("l1"))
+        .alias("parent"),
+        "value",
+    )
+    return linearize_best_path(nodes, "event_id", "parent", "value").orderBy("root")
+
+
+_ORACLE_TREE_LINEARIZE = """
+WITH RECURSIVE t AS (
+  SELECT event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS r,
+         LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS l1,
+         LAG(event_id, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS l2
+  FROM events),
+n AS (
+  SELECT event_id AS id, value,
+         CASE WHEN r = 0 THEN NULL
+              WHEN r >= 2 AND r % 5 = 0 THEN l2
+              ELSE l1 END AS parent
+  FROM t),
+d AS (
+  SELECT id, id AS root FROM n WHERE parent IS NULL
+  UNION ALL
+  SELECT n.id, d.root FROM n JOIN d ON n.parent = d.id),
+lv AS (
+  SELECT n.id, d.root, COALESCE(n.value, '-infinity'::DOUBLE) AS score
+  FROM n JOIN d ON n.id = d.id
+  WHERE n.id NOT IN (SELECT parent FROM n WHERE parent IS NOT NULL)),
+best AS (
+  SELECT id, root FROM (
+    SELECT id, root,
+           row_number() OVER (PARTITION BY root ORDER BY score DESC, id) AS rk
+    FROM lv) WHERE rk = 1),
+walk AS (
+  SELECT b.root, b.id AS leaf_id, b.id AS cur,
+         CAST(b.id AS VARCHAR) AS path, 1 AS n_turns
+  FROM best b
+  UNION ALL
+  SELECT w.root, w.leaf_id, n.parent,
+         CAST(n.parent AS VARCHAR) || '->' || w.path, w.n_turns + 1
+  FROM walk w JOIN n ON w.cur = n.id WHERE n.parent IS NOT NULL)
+SELECT root, leaf_id, n_turns::INT AS n_turns, path FROM (
+  SELECT *, row_number() OVER (PARTITION BY leaf_id ORDER BY n_turns DESC) AS rk
+  FROM walk) WHERE rk = 1
+ORDER BY root
+"""
+
+
 def q_packing_strategies_documents(spark, sf_dir):
     """Packing-strategy comparison (operators/packing.py
     strategy="size_desc" vs "arrival"): the same corpus packed into
@@ -5758,6 +5832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_unicode_documents": q_normalize_unicode_documents,
         "packing_strategies_documents": q_packing_strategies_documents,
         "tree_depth_events": q_tree_depth_events,
+        "tree_linearize_events": q_tree_linearize_events,
         "repetition_documents": q_repetition_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "packing_documents": q_packing_documents,
@@ -5908,6 +5983,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_unicode_documents": _ORACLE_NORMALIZE_UNICODE,
         "packing_strategies_documents": _ORACLE_PACKING_STRATEGIES,
         "tree_depth_events": _ORACLE_TREE_DEPTH,
+        "tree_linearize_events": _ORACLE_TREE_LINEARIZE,
         "sample_documents": _ORACLE_SAMPLE,
         "curation_pipeline_documents": _ORACLE_CURATION,
         "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,

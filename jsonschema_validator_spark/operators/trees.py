@@ -123,6 +123,71 @@ def tree_paths(
     return state.select("id", F.col("dist").alias("depth"), "root")
 
 
+def linearize_best_path(
+    df: DataFrame,
+    id_col: str,
+    parent_col: str,
+    score_col: str,
+    max_iters: int = 40,
+) -> DataFrame:
+    """Collapse each tree to ONE root-to-leaf path — how a branched
+    transcript becomes a linear training sequence: pick the
+    highest-scoring leaf (ties to the smallest id, so the choice is a
+    pure function of the data) and emit its full ancestry in root-first
+    order.
+
+    Plan: tree_paths resolves (root, depth) for every node in O(log
+    depth) rounds; path EXTRACTION then groups by root and walks the
+    chosen leaf's parent chain in one Arrow batch per tree — the same
+    per-conversation-fits-in-a-worker assumption every conversation
+    operator in this package already makes (a path is bounded by the
+    context length, not the corpus). NULL scores never win unless the
+    whole tree is unscored (coalesced below every real score).
+
+    Output: (root, leaf_id, n_turns, path) with path the '->'-joined id
+    chain root -> leaf.
+    """
+    import pandas as pd
+
+    paths = tree_paths(df, id_col, parent_col, max_iters=max_iters)
+    nodes = df.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("parent"),
+        F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf"))).alias(
+            "score"
+        ),
+    ).join(paths.select("id", "root"), "id")
+    children = df.filter(F.col(parent_col).isNotNull()).select(
+        F.col(parent_col).alias("id"), F.lit(True).alias("__has_child")
+    ).distinct()
+    nodes = nodes.join(children, "id", "left").withColumn(
+        "__leaf", F.col("__has_child").isNull()
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = dict(zip(pdf["id"], pdf["parent"]))
+        leaves = pdf[pdf["__leaf"]]
+        # argmax score, tie -> smallest id (deterministic)
+        best = leaves.sort_values(["score", "id"], ascending=[False, True]).iloc[0]
+        chain, cur = [], best["id"]
+        while cur is not None and not pd.isna(cur):
+            chain.append(int(cur))
+            cur = parent.get(int(cur))
+        chain.reverse()
+        return pd.DataFrame(
+            {
+                "root": [chain[0]],
+                "leaf_id": [int(best["id"])],
+                "n_turns": [len(chain)],
+                "path": ["->".join(str(c) for c in chain)],
+            }
+        )
+
+    return nodes.groupBy("root").applyInPandas(
+        pick, "root long, leaf_id long, n_turns int, path string"
+    )
+
+
 def branch_stats(
     df: DataFrame, id_col: str, parent_col: str
 ) -> DataFrame:

@@ -509,6 +509,32 @@ def test_tree_paths_and_branch_stats(spark):
         tree_paths(orph, "id", "parent")
 
 
+def test_linearize_best_path(spark):
+    """One root-to-leaf path per tree: the max-score leaf wins (NULL
+    scores lose to any real score; ties to the smallest id), and the
+    emitted path is the exact ancestry in root-first order."""
+    from jsonschema_validator_spark.operators.trees import linearize_best_path
+
+    #      1 (root)                20 (root, all-NULL scores)
+    #     / \                       |
+    #    2   3                     21
+    #    |   | \
+    #    4   5  6     scores: leaf 4 = 0.9, leaf 7 = 0.9 (tie -> 4 wins
+    #        |        over nothing: different depth), leaf 6 = NULL
+    #        7
+    rows = [
+        (1, None, None), (2, 1, 0.1), (3, 1, 0.2), (4, 2, 0.9),
+        (5, 3, 0.5), (6, 3, None), (7, 5, 0.9),
+        (20, None, None), (21, 20, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, parent long, score double")
+    got = {r.root: r for r in linearize_best_path(df, "id", "parent", "score").collect()}
+    # leaves of tree 1: 4 (0.9), 6 (NULL), 7 (0.9) -> tie 4 vs 7 -> id 4
+    assert got[1].leaf_id == 4 and got[1].path == "1->2->4" and got[1].n_turns == 3
+    # all-NULL tree still yields its (only) leaf
+    assert got[20].leaf_id == 21 and got[20].path == "20->21"
+
+
 def test_normalize_unicode(spark):
     """NFC composition, control stripping (tab/newline survive),
     whitespace collapse, NULL passthrough, changed-flag semantics —
