@@ -1781,6 +1781,80 @@ FROM r GROUP BY shard, bin_idx ORDER BY shard, bin_idx
 """
 
 
+def q_audio_features_documents(spark, sf_dir):
+    """Windowed audio features over REAL decoded PCM (operators/
+    multimodal.audio_window_features): mono 16-bit WAVs are planted
+    with VARYING samples s_i = ((doc_id + i) % 200) - 100 (crossing
+    zero, so zcr is non-vacuous), the engine decodes them with the
+    stdlib wave parser and emits per-64-frame-window rms / zero-
+    crossing rate / peak. Every feature is exact-int arithmetic plus
+    one divide/sqrt, so the oracle replays each window bit-for-bit
+    without decoding anything — the strongest planted-payload check in
+    the multimodal family (per-window, not per-blob)."""
+    import pandas as pd  # noqa: F401  (mapInPandas below)
+
+    from jsonschema_validator_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(it):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            wavs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 80 + (d % 50) * 8
+                xs = ((d + np.arange(n)) % 200 - 100).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(xs.tobytes())
+                wavs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "wav": wavs}
+            )
+
+    planted = docs.select("doc_id").mapInPandas(gen, "doc_id long, wav binary")
+    out = audio_window_features(planted, "doc_id", "wav", win=64)
+    return out.select(
+        "doc_id", "win_idx", "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        "peak",
+    ).orderBy("doc_id", "win_idx")
+
+
+_ORACLE_AUDIO_FEATURES = """
+WITH d AS (SELECT doc_id, (80 + (doc_id % 50) * 8)::INT AS n FROM documents),
+w AS (SELECT doc_id, n, UNNEST(range(0, (n + 63) // 64)) AS win FROM d),
+win AS (
+  SELECT doc_id, win::INT AS win_idx,
+         (CASE WHEN (win + 1) * 64 <= n THEN 64 ELSE n - win * 64 END)::INT AS len,
+         (win * 64)::BIGINT AS s0
+  FROM w),
+v AS (
+  SELECT doc_id, win_idx, len,
+         list_transform(range(0, len), i -> (doc_id + s0 + i) % 200 - 100) AS xs
+  FROM win)
+SELECT doc_id, win_idx, len AS n_samples,
+       ROUND(sqrt(list_sum(list_transform(xs, x -> (x * x)::DOUBLE)) / len), 6)
+         AS rms,
+       ROUND(len(list_filter(range(1, len), i -> xs[i] * xs[i + 1] < 0))::DOUBLE
+             / (len - 1), 6) AS zcr,
+       list_max(list_transform(xs, x -> abs(x)))::BIGINT AS peak
+FROM v ORDER BY doc_id, win_idx
+"""
+
+
 def q_tree_depth_events(spark, sf_dir):
     """Branched-transcript structure resolution (operators/trees.
     tree_paths — POINTER DOUBLING, O(log depth) self-join rounds
@@ -5833,6 +5907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_strategies_documents": q_packing_strategies_documents,
         "tree_depth_events": q_tree_depth_events,
         "tree_linearize_events": q_tree_linearize_events,
+        "audio_features_documents": q_audio_features_documents,
         "repetition_documents": q_repetition_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "packing_documents": q_packing_documents,
@@ -5984,6 +6059,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_strategies_documents": _ORACLE_PACKING_STRATEGIES,
         "tree_depth_events": _ORACLE_TREE_DEPTH,
         "tree_linearize_events": _ORACLE_TREE_LINEARIZE,
+        "audio_features_documents": _ORACLE_AUDIO_FEATURES,
         "sample_documents": _ORACLE_SAMPLE,
         "curation_pipeline_documents": _ORACLE_CURATION,
         "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,

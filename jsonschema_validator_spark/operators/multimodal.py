@@ -115,6 +115,67 @@ def parse_png_header(payload: bytes) -> dict | None:
     }
 
 
+def audio_window_features(
+    df: DataFrame, id_col: str, payload_col: str, win: int = 64
+) -> DataFrame:
+    """Windowed signal features over REAL decoded 16-bit mono PCM — the
+    audio-curation primitives (silence trimming, clipping screens,
+    speech/music gating all start from these): per ``win``-frame window,
+
+      rms         sqrt(mean(sample^2)) — energy
+      zcr         sign-change rate, strict (s_i * s_{i+1} < 0) over the
+                  window's len-1 adjacent pairs — zeros break runs
+      peak        max |sample|
+
+    The last window keeps its true (shorter) length; n_samples reports
+    it. Non-WAV / non-16-bit / multi-channel payloads emit no rows
+    (channel handling belongs to an explicit downmix stage, not a
+    silent average). Arithmetic is exact-int inside (sum of squares,
+    sign products) with ONE float op per feature (divide/sqrt), so the
+    SQL oracle replays every output bit-for-bit. Arrow-batched
+    mapInPandas, one output row per (blob, window).
+    """
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {id_col: [], "win_idx": [], "n_samples": [],
+                   "rms": [], "zcr": [], "peak": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_wav_bytes(bytes(payload) if payload is not None else None)
+                if (
+                    meta is None
+                    or meta["sample_width"] != 2
+                    or meta["n_channels"] != 1
+                ):
+                    continue
+                import io
+                import wave
+
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    arr = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                for wi in range(0, max((len(arr) + win - 1) // win, 0)):
+                    xs = arr[wi * win : (wi + 1) * win]
+                    n = len(xs)
+                    out[id_col].append(int(doc_id))
+                    out["win_idx"].append(wi)
+                    out["n_samples"].append(n)
+                    out["rms"].append(float(np.sqrt(int((xs * xs).sum()) / n)))
+                    flips = int(((xs[:-1] * xs[1:]) < 0).sum()) if n > 1 else 0
+                    out["zcr"].append(float(flips / (n - 1)) if n > 1 else 0.0)
+                    out["peak"].append(int(np.abs(xs).max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        f"{id_col} long, win_idx int, n_samples int, rms double, zcr double, peak long",
+    )
+
+
 def parse_gif_header(payload: bytes) -> dict | None:
     """REAL GIF header parse, stdlib-only: validates the GIF87a/GIF89a
     signature and reads the logical-screen descriptor (width/height

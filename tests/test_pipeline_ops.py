@@ -882,6 +882,51 @@ def _encode_png(pixels, width, height, channels, filters):
     )
 
 
+def test_audio_window_features(spark):
+    """Windowed rms/zcr/peak against hand arithmetic: a 6-sample mono
+    WAV in 4-frame windows -> one full + one len-2 window; stereo and
+    non-WAV payloads emit no rows (explicit-downmix contract)."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from jsonschema_validator_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    def wav(samples, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.array(samples, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    xs = [3, -4, 0, 5, -2, -2]  # zero breaks the run: 3 strict flips in w0
+    rows = [
+        (1, wav(xs)),
+        (2, wav([1, -1, 1, -1], channels=2)),  # stereo: excluded
+        (3, b"not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wav binary")
+    got = {
+        (r.doc_id, r.win_idx): r
+        for r in audio_window_features(df, "doc_id", "wav", win=4).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1)}
+    w0, w1 = got[(1, 0)], got[(1, 1)]
+    assert w0.n_samples == 4 and w1.n_samples == 2
+    assert abs(w0.rms - math.sqrt((9 + 16 + 0 + 25) / 4)) < 1e-12
+    # strict sign flips in w0: (3,-4) yes, (-4,0) no, (0,5) no -> 1/3
+    assert abs(w0.zcr - 1 / 3) < 1e-12
+    assert w0.peak == 5
+    assert abs(w1.rms - math.sqrt((4 + 4) / 2)) < 1e-12 and w1.zcr == 0.0
+    assert w1.peak == 2
+
+
 def test_gif_header_parse():
     """GIF87a/89a logical-screen descriptor parses to real dims and
     colour resolution; truncation and bad signatures return None."""
