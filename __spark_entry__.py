@@ -1781,6 +1781,48 @@ FROM r GROUP BY shard, bin_idx ORDER BY shard, bin_idx
 """
 
 
+def q_retry_screen_events(spark, sf_dir):
+    """Near-identical adjacent turns (operators/conversation.
+    near_retry_screen): per-user adjacent props payloads compared by
+    banded levenshtein — exact repeats short-circuit to 0, distances
+    past the per-row cutoff clamp to cutoff+1 (not retries by
+    definition; the band keeps the DP O(n*cutoff)). Both engines
+    implement classic Levenshtein; the contract data is ASCII JSON, so
+    the byte-vs-codepoint divergence on multibyte text (documented in
+    the operator) cannot bite. The oracle replays the clamp with an
+    unbanded distance + CASE."""
+    from jsonschema_validator_spark.operators.conversation import near_retry_screen
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "props")
+    return near_retry_screen(
+        ev, group="user_id", order="event_id", text="props", max_ratio=0.25
+    ).orderBy("user_id", "event_id")
+
+
+_ORACLE_RETRY_SCREEN = """
+WITH p AS (
+  SELECT user_id, event_id, props,
+         LAG(props) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events),
+q AS (
+  SELECT user_id, event_id, prev, props,
+         GREATEST(length(prev), length(props), 1) AS ml,
+         CAST(FLOOR(GREATEST(length(prev), length(props), 1) * 0.25) AS INT)
+           AS cut
+  FROM p WHERE prev IS NOT NULL),
+d AS (
+  SELECT user_id, event_id, ml,
+         CASE WHEN prev = props THEN 0
+              WHEN levenshtein(prev, props) > cut THEN cut + 1
+              ELSE levenshtein(prev, props) END::BIGINT AS dist
+  FROM q)
+SELECT user_id, event_id, dist,
+       ROUND(dist / ml, 6) AS ratio,
+       dist / ml <= 0.25 AS is_retry
+FROM d ORDER BY user_id, event_id
+"""
+
+
 def q_audio_features_documents(spark, sf_dir):
     """Windowed audio features over REAL decoded PCM (operators/
     multimodal.audio_window_features): mono 16-bit WAVs are planted
@@ -5908,6 +5950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_depth_events": q_tree_depth_events,
         "tree_linearize_events": q_tree_linearize_events,
         "audio_features_documents": q_audio_features_documents,
+        "retry_screen_events": q_retry_screen_events,
         "repetition_documents": q_repetition_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "packing_documents": q_packing_documents,
@@ -6060,6 +6103,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_depth_events": _ORACLE_TREE_DEPTH,
         "tree_linearize_events": _ORACLE_TREE_LINEARIZE,
         "audio_features_documents": _ORACLE_AUDIO_FEATURES,
+        "retry_screen_events": _ORACLE_RETRY_SCREEN,
         "sample_documents": _ORACLE_SAMPLE,
         "curation_pipeline_documents": _ORACLE_CURATION,
         "curation_pipeline_v2_documents": _ORACLE_CURATION_V2,

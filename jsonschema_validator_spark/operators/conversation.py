@@ -437,6 +437,72 @@ def repeated_turn_runs(
     return runs
 
 
+def near_retry_screen(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    text: str = "text",
+    max_ratio: float = 0.25,
+) -> DataFrame:
+    """NEAR-identical adjacent turns: the retry-with-a-tiny-edit
+    signature (regenerations, tool retries with a new request id,
+    self-corrections that changed one token) that the EXACT loop screen
+    (repeated_turn_runs) cannot see. A pair flags when
+    levenshtein(prev, cur) / max(len) <= max_ratio.
+
+    Plan shape: one lag() window per conversation. Unlike the exact
+    screen, the payload genuinely must ride this shuffle (an edit
+    distance needs both strings) — the mitigations are (a) an EXACT
+    equality short-circuit evaluated first, so identical repeats cost a
+    string compare, never the O(n*m) DP, and (b) the JVM builtin
+    ``levenshtein`` with its threshold argument: passing the row's own
+    flag cutoff lets the implementation abandon the DP as soon as the
+    distance provably exceeds it — banded O(n*cutoff) instead of
+    O(n*m) on the (typical) wildly-different pairs. At 100 TB, cap
+    turn length upstream (context_truncation) before this screen.
+
+    Engine-parity note: Spark's levenshtein counts CODEPOINTS, DuckDB's
+    counts BYTES — identical on ASCII, divergent on multibyte text, so
+    the SQL-oracled contract plants ASCII and production multilingual
+    use should normalize first (cleaning.normalize_unicode).
+
+    Output per adjacent pair with a non-null previous turn:
+    (group, order, dist, ratio, is_retry); exact repeats have
+    dist 0 / ratio 0. Distances above the banded threshold report the
+    cutoff ceiling (they are not retries by definition; the exact value
+    is irrelevant) — the oracle replays the same clamp.
+    """
+    w = Window.partitionBy(group).orderBy(order)
+    pairs = (
+        df.select(group, order, F.col(text).alias("__cur"))
+        .withColumn("__prev", F.lag("__cur").over(w))
+        .filter(F.col("__prev").isNotNull())
+    )
+    prev, cur = F.col("__prev"), F.col("__cur")
+    max_len = F.greatest(F.length(prev), F.length(cur), F.lit(1))
+    # banded DP: the threshold form returns -1 when the distance
+    # provably exceeds the cutoff; map it to cutoff+1 (a clamp — the
+    # pair is not a retry, its exact distance is irrelevant). The
+    # per-row Column threshold needs the SQL form: the Python wrapper
+    # accepts only an int literal.
+    cutoff = F.floor(max_len * F.lit(float(max_ratio))).cast("int")
+    pairs = pairs.withColumn("__cutoff", cutoff)
+    banded = F.expr("levenshtein(__prev, __cur, __cutoff)")
+    cutoff = F.col("__cutoff")
+    dist = (
+        F.when(prev == cur, F.lit(0).cast("long"))
+        .when(banded < 0, (cutoff + 1).cast("long"))
+        .otherwise(banded.cast("long"))
+    )
+    return pairs.select(
+        group,
+        order,
+        dist.alias("dist"),
+        F.round(dist / max_len, 6).alias("ratio"),
+        (dist / max_len <= max_ratio).alias("is_retry"),
+    )
+
+
 def last_k_turns(
     df: DataFrame,
     k: int,

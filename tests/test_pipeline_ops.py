@@ -2572,6 +2572,30 @@ def test_transition_matrix_rates(spark):
     assert len(out) == 5
 
 
+def test_near_retry_screen(spark):
+    """Adjacent-turn edit-distance retry screen: tiny edits flag, exact
+    repeats short-circuit to 0, wildly-different pairs clamp at the
+    banded cutoff+1 instead of paying the full DP."""
+    from jsonschema_validator_spark.operators.conversation import near_retry_screen
+
+    t_long = "completely different text here" * 1
+    rows = [
+        ("c1", 0, "hello world"),
+        ("c1", 1, "hello worlds"),   # dist 1 / 12 -> retry
+        ("c1", 2, t_long),           # far: clamped to cutoff+1
+        ("c1", 3, t_long),           # exact repeat -> 0
+        ("c2", 0, "solo"),           # no pair
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r.turn_idx: r for r in near_retry_screen(df, max_ratio=0.25).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].dist == 1 and got[1].is_retry
+    assert abs(got[1].ratio - round(1 / 12, 6)) < 1e-12
+    # max_len 30 -> cutoff 7 -> clamp 8; 8/30 > 0.25 -> not a retry
+    assert got[2].dist == 8 and not got[2].is_retry
+    assert got[3].dist == 0 and got[3].ratio == 0.0 and got[3].is_retry
+
+
 def test_turn_gap_stats_exact_micros(spark):
     import datetime as dt
 
