@@ -394,3 +394,66 @@ def test_nfc_idempotent_and_canonical(s):
     nfc = unicodedata.normalize("NFC", s)
     assert unicodedata.normalize("NFC", nfc) == nfc
     assert unicodedata.normalize("NFC", unicodedata.normalize("NFD", s)) == nfc
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: packing-discipline invariants (no Spark — pure replicas of
+# the per-shard scan in operators/packing.pack_sequences, which
+# tests/test_pipeline_ops.py::test_packing_strategies pins against the
+# Spark operator on both engineered mixes)
+# ---------------------------------------------------------------------------
+
+
+def _nextfit_bins(sizes, budget):
+    out, cur, run = [], 0, 0
+    for t in sizes:
+        if run > 0 and run + t > budget:
+            cur += 1
+            run = 0
+        run += t
+        out.append(cur)
+    return out
+
+
+def _ffd_bins(sizes_desc, budget):
+    space, out = [], []
+    for t in sizes_desc:
+        for i, room in enumerate(space):
+            if t <= room:
+                space[i] = room - t
+                out.append(i)
+                break
+        else:
+            space.append(max(budget - t, 0))
+            out.append(len(space) - 1)
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 700), min_size=1, max_size=60),
+    budget=st.integers(100, 600),
+)
+def test_ffd_invariants(sizes, budget):
+    """For ANY size mix: first-fit never uses more bins than next-fit
+    on the SAME (descending) order — the provable domination; FFD vs
+    ARRIVAL-order next-fit is deliberately NOT asserted (an arrival
+    order that happens to equal an optimal consecutive packing makes
+    next-fit hit OPT while FFD can sit at 11/9 OPT). Every FFD bin
+    respects the budget unless it holds a single oversize item; the doc
+    multiset is preserved; at least one bin per oversize item."""
+    desc = sorted(sizes, reverse=True)
+    sd = _nextfit_bins(desc, budget)
+    ffd = _ffd_bins(desc, budget)
+    n_sd, n_ffd = len(set(sd)), len(set(ffd))
+    assert n_ffd <= n_sd
+    # bin contents respect the budget except single-oversize bins
+    by_bin = {}
+    for t, b in zip(desc, ffd):
+        by_bin.setdefault(b, []).append(t)
+    for items in by_bin.values():
+        assert sum(items) <= budget or (len(items) == 1 and items[0] > budget)
+    assert sorted(t for items in by_bin.values() for t in items) == sorted(sizes)
+    assert n_ffd >= sum(1 for t in sizes if t > budget) or not any(
+        t > budget for t in sizes
+    )
