@@ -5951,6 +5951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_linearize_events": q_tree_linearize_events,
         "audio_features_documents": q_audio_features_documents,
         "retry_screen_events": q_retry_screen_events,
+        "image_headers_documents": q_image_headers_documents,
+        "bpe_tokens_documents": q_bpe_tokens_documents,
+        "bpe_budget_documents": q_bpe_budget_documents,
         "repetition_documents": q_repetition_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "packing_documents": q_packing_documents,
@@ -6016,9 +6019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_schema_coverage_events": q_conversation_schema_coverage_events,
         "streaming_schema_coverage_events": q_streaming_schema_coverage_events,
         "reindex_events": q_reindex_events,
-        "image_headers_documents": q_image_headers_documents,
-        "bpe_tokens_documents": q_bpe_tokens_documents,
-        "bpe_budget_documents": q_bpe_budget_documents,
         # --- driver-verified green in earlier rounds (local gate keeps them) ---
         "keyword_verdicts_events": q_keyword_verdicts_events,
         "enum_membership_events": q_enum_membership_events,
