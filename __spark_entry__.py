@@ -3128,6 +3128,120 @@ FROM n ORDER BY doc_id
 """
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Fully distributed Lloyd k-means (operators/clustering.kmeans_summary):
+    k=4 centroids seeded from the 4 lowest vec_ids, 2 full iterations —
+    assignment is a shuffle-free arg-min scan over centroid literals
+    (deterministic left-to-right fold, (dist2, cid) tie-break), the
+    update is one (cluster, pos) aggregation with map-side combine, and
+    the driver only ever sees k x dim doubles per iteration. The oracle
+    replays both iterations exactly (same init, same fold, same
+    tie-break), so this is a value-hash check on an ITERATIVE algorithm
+    — verified sf-invariant at sf0.001/0.01/0.1."""
+    from jsonschema_validator_spark.operators.clustering import kmeans_summary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_summary(emb, "vec_id", "embedding", k=4, iters=2)
+
+
+_ORACLE_KMEANS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb
+       FROM v ORDER BY vec_id LIMIT 4),
+a0 AS (SELECT vec_id, v.emb, cid AS cluster,
+              list_sum(list_transform(v.emb, (x, i) -> (x - c0.emb[i]) * (x - c0.emb[i]))) AS dist2
+       FROM v CROSS JOIN c0
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+m1 AS (SELECT cluster, u.pos AS pos, avg(u.val) AS m
+       FROM (SELECT cluster, unnest(list_transform(emb, (x, i) -> {'pos': i, 'val': x})) AS u FROM a0)
+       GROUP BY cluster, u.pos),
+c1 AS (SELECT c0.cid, coalesce(g.emb, c0.emb) AS emb
+       FROM c0 LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS emb FROM m1 GROUP BY cluster) g
+       ON c0.cid = g.cluster),
+a1 AS (SELECT vec_id, v.emb, cid AS cluster,
+              list_sum(list_transform(v.emb, (x, i) -> (x - c1.emb[i]) * (x - c1.emb[i]))) AS dist2
+       FROM v CROSS JOIN c1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+m2 AS (SELECT cluster, u.pos AS pos, avg(u.val) AS m
+       FROM (SELECT cluster, unnest(list_transform(emb, (x, i) -> {'pos': i, 'val': x})) AS u FROM a1)
+       GROUP BY cluster, u.pos),
+c2 AS (SELECT c1.cid, coalesce(g.emb, c1.emb) AS emb
+       FROM c1 LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS emb FROM m2 GROUP BY cluster) g
+       ON c1.cid = g.cluster),
+a2 AS (SELECT vec_id, cid AS cluster,
+              list_sum(list_transform(v.emb, (x, i) -> (x - c2.emb[i]) * (x - c2.emb[i]))) AS dist2
+       FROM v CROSS JOIN c2
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1)
+SELECT cluster, count(*)::BIGINT AS n, round(sum(dist2), 4) AS inertia,
+       round(avg(dist2), 6) AS mean_dist2
+FROM a2 GROUP BY cluster ORDER BY cluster
+"""
+
+
+def q_bloom_ri_lineitem(spark, sf_dir):
+    """Referential integrity with Bloom semi-join reduction
+    (operators/integrity.bloom_orphans) — the 100 TB RI path: a compact
+    parent Bloom (built distributed, collected as O(n_bits/64) longs)
+    rides the child scan as a literal-array probe, splitting rows into
+    join-free definite orphans (no false negatives) and a
+    join-verified candidate sliver, so the exact anti-join's shuffle
+    shrinks from the whole child to members + false positives. Orphans
+    are planted by dropping every 100th order from the parent set; the
+    output is EXACTLY the plain anti-join, which is the oracle."""
+    from jsonschema_validator_spark.operators.integrity import bloom_orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    parent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 != 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_orphans(li, parent, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("orphan_value"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_ORACLE_BLOOM_RI = """
+SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+       round(sum(l_extendedprice), 2) AS orphan_value
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 100 <> 0)
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    """Multi-dimensional OLAP rollup (operators/stats.cube_profile):
+    CUBE(status, priority) — all four grouping sets (cell, two
+    marginals, grand total) from ONE shuffle via Catalyst's Expand,
+    with Spark's grouping_id bitmask matching DuckDB's GROUPING()
+    encoding bit-for-bit."""
+    from jsonschema_validator_spark.operators.stats import cube_profile
+
+    return cube_profile(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"], "o_totalprice"
+    )
+
+
+_ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+       count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
 def q_winnow_pairs_documents(spark, sf_dir):
     """Partial-overlap (excerpt) detection via MOSS-style winnowing
     (operators/dedup.winnow_fingerprints / winnow_pairs): every word
@@ -5943,6 +6057,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "bloom_ri_lineitem": q_bloom_ri_lineitem,
+        "cube_orders": q_cube_orders,
         "winnow_pairs_documents": q_winnow_pairs_documents,
         "resumable_runner_events": q_resumable_runner_events,
         "normalize_unicode_documents": q_normalize_unicode_documents,
@@ -6076,6 +6193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
+        "kmeans_embeddings": _ORACLE_KMEANS,
+        "bloom_ri_lineitem": _ORACLE_BLOOM_RI,
+        "cube_orders": _ORACLE_CUBE,
         "repetition_documents": _ORACLE_REPETITION,
         "pii_scrub_documents": _ORACLE_PII,
         "packing_documents": _ORACLE_PACKING,

@@ -22,6 +22,101 @@ def childless(parent: DataFrame, child: DataFrame, on: str | list[str]) -> DataF
     return parent.join(child.select(*on).distinct(), on, "left_anti")
 
 
+def build_bloom(df: DataFrame, key: str, n_bits: int = 1 << 14, n_hashes: int = 4) -> list[int]:
+    """Distributed Bloom-filter build over ``df[key]``: every key maps to
+    ``n_hashes`` bit positions via seeded xxhash64, positions are grouped
+    by 64-bit word and OR-merged JVM-side (``F.bit_or``), and only the
+    O(n_bits/64) word table is collected — at 100 TB the scan and the
+    bit-set both stay distributed; the driver sees at most ``n_bits/64``
+    longs (256 for the 16 Kib default), never the keys.
+
+    Returns the dense word list (index = position // 64). This is the
+    build side of a runtime semi-join filter: Spark's own
+    InjectRuntimeFilter does the same dance internally for shuffle
+    joins; building it explicitly lets a *pre-computed* parent filter be
+    reused across many child tables without re-scanning the parent."""
+    words = (
+        df.select(F.col(key).alias("k"))
+        .where(F.col("k").isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(n_bits)).alias(f"p{i}")
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            # call_function: pyspark's shiftleft wrapper only accepts an
+            # int literal shift; the SQL function takes a column.
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    dense = [0] * ((n_bits + 63) // 64)
+    for r in words:
+        dense[r["w"]] = r["word"]
+    return dense
+
+
+def bloom_might_contain(key_col, words: list[int], n_bits: int, n_hashes: int = 4):
+    """Pure-Column Bloom probe: AND over the ``n_hashes`` seeded
+    positions of (word & bit != 0). The word table rides the plan as an
+    array literal (broadcast with the task binary — no join, no shuffle,
+    whole-stage-codegen friendly). NULL keys probe NULL (caller decides
+    their fate, matching left_anti's null-never-matches)."""
+    table = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    probe = None
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(n_bits))
+        hit = (
+            F.element_at(table, (pos / 64).cast("int") + 1).bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
+            )
+            != 0
+        )
+        probe = hit if probe is None else (probe & hit)
+    return probe
+
+
+def bloom_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    on: str,
+    n_bits: int = 1 << 14,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Referential integrity with Bloom semi-join reduction — the 100 TB
+    path for `orphans`. A plain anti-join shuffles the FULL child table
+    on the key; here a compact parent Bloom (built distributed, shipped
+    as a literal) splits the child in one scan:
+
+    - probe says ABSENT (or key is NULL)  -> definite orphan, emitted
+      with NO join at all (a Bloom has no false negatives);
+    - probe says maybe-present            -> candidate verified by the
+      exact anti-join, whose probe side is now only true members plus
+      the ~(1-e^{-kn/m})^k false-positive sliver instead of everything.
+
+    Output is EXACTLY ``orphans(child, parent, on)`` — the Bloom only
+    reroutes rows between the join-free and join-verified branches, so
+    the plain anti-join stays the oracle. Reference analogy: `$ref`
+    resolution failure as a runtime violation (ref_.rs:43), checked
+    without materializing the resolved set per row."""
+    words = build_bloom(parent, on, n_bits=n_bits, n_hashes=n_hashes)
+    might = bloom_might_contain(F.col(on), words, n_bits, n_hashes)
+    definite = child.filter(F.col(on).isNull() | ~might)
+    candidates = child.filter(F.col(on).isNotNull() & might)
+    verified = candidates.join(parent.select(on).distinct(), on, "left_anti")
+    return definite.unionByName(verified.select(*definite.columns))
+
+
 def conversation_orphans(df: DataFrame, group: str = "conv_id", order: str = "turn_idx") -> DataFrame:
     """Conversations with no turn 0 — the transcripts-native RI rule
     (FIXTURES.md V2): every conv_id group must contain its root turn.

@@ -598,3 +598,23 @@ def mergeable_quantile(
         "n",
         F.round(F.lit(lo) + (F.col("idx") + 1) * F.lit(width), 6).alias("est"),
     )
+
+
+def cube_profile(df, dims: list[str], measure: str):
+    """Multi-dimensional OLAP rollup: one CUBE aggregation produces
+    every dimension subset's (count, sum) in a single shuffle — the
+    2^d GROUPING SETS share one exchange via Catalyst's Expand, so at
+    100 TB this costs one pass, not 2^d scans. `gid` is Spark's
+    grouping_id bitmask (1 bit = dimension rolled up), the same
+    encoding DuckDB's GROUPING() emits, which makes the oracle a
+    literal GROUP BY CUBE. Rolled-up cells carry NULL in their
+    dimension columns (standard SQL semantics)."""
+    return (
+        df.cube(*dims)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(measure), 2).alias("total"),
+        )
+        .orderBy("gid", *dims)
+    )
