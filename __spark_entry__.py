@@ -3178,6 +3178,51 @@ FROM a2 GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_cusum_events(spark, sf_dir):
+    """CUSUM change-point screen (operators/changepoint.cusum_screen):
+    a sustained +30 level shift is planted on event_type='error' from
+    2024-01-20; the one-sided CUSUM accumulates the drift and flags the
+    late-January days that no pointwise screen would (each day's mean
+    alone is within the control band). One (group, day) shuffle reduces
+    the raw table first; the sequential max-reset recurrence runs
+    Arrow-batched over the tiny per-group series. Oracle replays the
+    recurrence with a recursive CTE."""
+    from jsonschema_validator_spark.operators.changepoint import cusum_screen
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.col("value")
+        + F.when(
+            (F.col("event_type") == "error") & (F.to_date("ts") >= F.lit("2024-01-20")),
+            30.0,
+        ).otherwise(0.0),
+    )
+    return cusum_screen(ev, "event_type", "ts", "value").orderBy("event_type", "day")
+
+
+_ORACLE_CUSUM = """
+WITH RECURSIVE
+d AS (SELECT event_type AS g, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             avg(value + CASE WHEN event_type = 'error' AND ts::DATE >= DATE '2024-01-20'
+                              THEN 30.0 ELSE 0.0 END) AS x
+      FROM events GROUP BY 1, 2),
+p AS (SELECT g, avg(x) AS mu, stddev_samp(x) AS sd FROM d GROUP BY g),
+s AS (SELECT d.g, day, x, mu, coalesce(sd, 0) AS sd,
+             row_number() OVER (PARTITION BY d.g ORDER BY day) AS i
+      FROM d JOIN p USING (g)),
+c AS (SELECT g, day, x, mu, sd, i,
+             greatest(0, x - (mu + 0.5 * sd)) AS cusum
+      FROM s WHERE i = 1
+      UNION ALL
+      SELECT s.g, s.day, s.x, s.mu, s.sd, s.i,
+             greatest(0, c.cusum + (s.x - (s.mu + 0.5 * s.sd)))
+      FROM c JOIN s ON s.g = c.g AND s.i = c.i + 1)
+SELECT g AS event_type, day, round(x, 6) AS x, round(cusum, 6) AS cusum,
+       cusum > 4 * sd AS flag
+FROM c ORDER BY event_type, day
+"""
+
+
 def q_bloom_ri_lineitem(spark, sf_dir):
     """Referential integrity with Bloom semi-join reduction
     (operators/integrity.bloom_orphans) — the 100 TB RI path: a compact
@@ -6058,6 +6103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": q_kmeans_embeddings,
+        "cusum_events": q_cusum_events,
         "bloom_ri_lineitem": q_bloom_ri_lineitem,
         "cube_orders": q_cube_orders,
         "winnow_pairs_documents": q_winnow_pairs_documents,
@@ -6194,6 +6240,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": _ORACLE_KMEANS,
+        "cusum_events": _ORACLE_CUSUM,
         "bloom_ri_lineitem": _ORACLE_BLOOM_RI,
         "cube_orders": _ORACLE_CUBE,
         "repetition_documents": _ORACLE_REPETITION,
