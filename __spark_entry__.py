@@ -3178,6 +3178,97 @@ FROM a2 GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_gopher_rules_documents(spark, sf_dir):
+    """Gopher/MassiveText quality-rule battery (operators/quality_rules.
+    gopher_report): all eight published rules evaluated as ONE Column
+    expression tree per document — a single scan + single exchange for
+    the per-category rollup. Two planted categories make the line rules
+    non-vacuous on single-line corpus text: 'dupline' docs are six
+    repeats of their own first 8 words (kills the duplicate-line screen)
+    and 'bullet' docs put every word on its own '- ' line (kills the
+    bullet screen). The oracle recomputes every rule from the same
+    string arithmetic."""
+    from jsonschema_validator_spark.operators.quality_rules import gopher_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(F.lit("base").alias("cat"), "text")
+    first8 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    dup = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.lit("dupline").alias("cat"),
+        F.array_join(F.array_repeat(first8, 6), "\n").alias("text"),
+    )
+    bullet = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.lit("bullet").alias("cat"),
+        F.concat(F.lit("- "), F.replace(F.col("text"), F.lit(" "), F.lit("\n- "))).alias("text"),
+    )
+    # corpus soup lacks the required-stopword vocabulary, so every raw
+    # doc fails that rule; the boosted category appends it, making the
+    # full conjunction (n_pass) non-vacuous for long-enough docs
+    boosted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.lit("boosted").alias("cat"),
+        F.concat(F.col("text"), F.lit(" the and of that with")).alias("text"),
+    )
+    return gopher_report(
+        base.unionByName(dup).unionByName(bullet).unionByName(boosted), "text", "cat"
+    )
+
+
+_ORACLE_GOPHER = """
+WITH src AS (
+  SELECT 'base' AS cat, text FROM documents
+  UNION ALL
+  SELECT 'dupline',
+         array_to_string(list_transform(range(1, 7),
+           i -> array_to_string((string_split(text, ' '))[1:8], ' ')), chr(10))
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'bullet', '- ' || replace(text, ' ', chr(10) || '- ')
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT 'boosted', text || ' the and of that with'
+  FROM documents WHERE doc_id % 5 = 0),
+f AS (
+  SELECT cat,
+    len(string_split(text, ' ')) AS n_words,
+    list_sum(list_transform(string_split(text, ' '), t -> len(t)))::DOUBLE
+      / greatest(len(string_split(text, ' ')), 1) AS mwl,
+    ((len(text) - len(replace(text, '#', ''))) * 1.0
+      + (len(text) - len(replace(text, '...', ''))) / 3.0) AS symbols,
+    string_split(text, chr(10)) AS lines,
+    string_split(lower(text), ' ') AS ltoks,
+    string_split(text, ' ') AS toks
+  FROM src),
+g AS (
+  SELECT cat,
+    (n_words >= 50 AND n_words <= 100000) AS r_words,
+    (mwl >= 3 AND mwl <= 10) AS r_mwl,
+    (symbols / greatest(n_words, 1) <= 0.1) AS r_symbol,
+    (len(list_filter(lines, ln -> ln LIKE '- %' OR ln LIKE '* %' OR ln LIKE '• %'))::DOUBLE
+       / greatest(len(lines), 1) <= 0.9) AS r_bullet,
+    (len(list_filter(lines, ln -> ln LIKE '%...'))::DOUBLE
+       / greatest(len(lines), 1) <= 0.3) AS r_ellipsis,
+    (len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+       / greatest(n_words, 1) >= 0.8) AS r_alpha,
+    (len(list_intersect(ltoks,
+       ['the','be','to','of','and','that','have','with'])) >= 2) AS r_stopword,
+    ((len(lines) - len(list_distinct(lines)))::DOUBLE
+       / greatest(len(lines), 1) <= 0.3) AS r_dupline
+  FROM f)
+SELECT cat, count(*)::BIGINT AS n_docs,
+  sum((r_words AND r_mwl AND r_symbol AND r_bullet AND r_ellipsis
+       AND r_alpha AND r_stopword AND r_dupline)::INT)::BIGINT AS n_pass,
+  sum((NOT r_words)::INT)::BIGINT AS n_fail_words,
+  sum((NOT r_mwl)::INT)::BIGINT AS n_fail_mwl,
+  sum((NOT r_symbol)::INT)::BIGINT AS n_fail_symbol,
+  sum((NOT r_bullet)::INT)::BIGINT AS n_fail_bullet,
+  sum((NOT r_ellipsis)::INT)::BIGINT AS n_fail_ellipsis,
+  sum((NOT r_alpha)::INT)::BIGINT AS n_fail_alpha,
+  sum((NOT r_stopword)::INT)::BIGINT AS n_fail_stopword,
+  sum((NOT r_dupline)::INT)::BIGINT AS n_fail_dupline
+FROM g GROUP BY cat ORDER BY cat
+"""
+
+
 def q_cusum_events(spark, sf_dir):
     """CUSUM change-point screen (operators/changepoint.cusum_screen):
     a sustained +30 level shift is planted on event_type='error' from
@@ -6103,6 +6194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": q_kmeans_embeddings,
+        "gopher_rules_documents": q_gopher_rules_documents,
         "cusum_events": q_cusum_events,
         "bloom_ri_lineitem": q_bloom_ri_lineitem,
         "cube_orders": q_cube_orders,
@@ -6240,6 +6332,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": _ORACLE_KMEANS,
+        "gopher_rules_documents": _ORACLE_GOPHER,
         "cusum_events": _ORACLE_CUSUM,
         "bloom_ri_lineitem": _ORACLE_BLOOM_RI,
         "cube_orders": _ORACLE_CUBE,
