@@ -3178,6 +3178,54 @@ FROM a2 GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_rank_fusion_embeddings(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/similarity.rrf_fuse) of two
+    exact retrievers with genuinely different orderings — cosine top-20
+    and euclidean top-20 (norms vary, so the lists disagree) — fused by
+    1/(60+rank) and re-ranked to top-10. The fused relation is already
+    pruned by the retrievers (O(Q x k_in x lists)), so the fusion
+    shuffle is tiny regardless of corpus size. The oracle replays both
+    rankings and the fusion arithmetic exactly."""
+    from jsonschema_validator_spark.operators.similarity import brute_force_topk, rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    cos_r = brute_force_topk(emb, "vec_id", "embedding", qids, k=20)
+    l2_r = brute_force_topk(emb, "vec_id", "embedding", qids, k=20, metric="l2")
+    return rrf_fuse(
+        [cos_r.select("query_id", "rank", "neighbor_id"), l2_r.select("query_id", "rank", "neighbor_id")],
+        k=10,
+    ).orderBy("query_id", "rank")
+
+
+_ORACLE_RANK_FUSION = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2)),
+cosr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM (SELECT q.query_id, v.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qe, v.e) AS sim
+        FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+  QUALIFY rank <= 20),
+l2r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id) AS rank
+  FROM (SELECT q.query_id, v.vec_id AS neighbor_id,
+               list_sum(list_transform(q.qe, (x, i) -> (x - v.e[i]) * (x - v.e[i]))) AS d2
+        FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+  QUALIFY rank <= 20),
+u AS (SELECT query_id, neighbor_id, 1.0 / (60 + rank) AS s FROM cosr
+      UNION ALL
+      SELECT query_id, neighbor_id, 1.0 / (60 + rank) FROM l2r),
+f AS (SELECT query_id, neighbor_id, sum(s) AS rrf FROM u GROUP BY 1, 2)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id, round(rrf, 6) AS rrf
+FROM f QUALIFY rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def q_gopher_rules_documents(spark, sf_dir):
     """Gopher/MassiveText quality-rule battery (operators/quality_rules.
     gopher_report): all eight published rules evaluated as ONE Column
@@ -6194,6 +6242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": q_kmeans_embeddings,
+        "rank_fusion_embeddings": q_rank_fusion_embeddings,
         "gopher_rules_documents": q_gopher_rules_documents,
         "cusum_events": q_cusum_events,
         "bloom_ri_lineitem": q_bloom_ri_lineitem,
@@ -6332,6 +6381,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": _ORACLE_KMEANS,
+        "rank_fusion_embeddings": _ORACLE_RANK_FUSION,
         "gopher_rules_documents": _ORACLE_GOPHER,
         "cusum_events": _ORACLE_CUSUM,
         "bloom_ri_lineitem": _ORACLE_BLOOM_RI,

@@ -35,11 +35,13 @@ def _as_double(col: Column) -> Column:
 
 
 def brute_force_topk(
-    df: DataFrame, id_col: str, vec_col: str, query_ids: list, k: int = 5
+    df: DataFrame, id_col: str, vec_col: str, query_ids: list, k: int = 5,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact top-k neighbors for the given query ids:
     (query_id, rank, neighbor_id, sim). Query side is broadcast; ranking
-    ties break on neighbor_id for determinism."""
+    ties break on neighbor_id for determinism. metric: 'cosine' or 'l2'
+    (sim = negative squared distance, so DESC ordering works for both)."""
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
     )
@@ -51,11 +53,21 @@ def brute_force_topk(
     c = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce")
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if metric == "cosine":
+        score = cosine(F.col("qe"), F.col("ce"))
+    elif metric == "l2":
+        score = -F.aggregate(
+            F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     sims = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim"))
+        .select("query_id", "neighbor_id", score.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -662,4 +674,31 @@ def embedding_decontamination(
         hits.groupBy("t_id")
         .agg(F.count(F.lit(1)).alias("n_eval_hits"), F.max("sim").alias("max_sim"))
         .withColumnRenamed("t_id", id_col)
+    )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public) of N
+    ranking DataFrames, each (query_id, rank, neighbor_id, ...):
+    score = sum over lists of 1/(c + rank); a candidate absent from a
+    list contributes nothing (the union + groupBy IS the outer join).
+    Re-ranks to top-k with a neighbor_id tie-break. Shape at scale:
+    the fused relation is O(sum of list sizes) = O(Q * k_in * N_lists)
+    — already pruned by the upstream retrievers — so the one
+    (query_id, neighbor_id) shuffle here is tiny regardless of corpus
+    size."""
+    scored = None
+    for r in rankings:
+        s = r.select(
+            "query_id",
+            "neighbor_id",
+            (1.0 / (F.lit(float(c)) + F.col("rank"))).alias("s"),
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    fused = scored.groupBy("query_id", "neighbor_id").agg(F.sum("s").alias("rrf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("rrf", 6).alias("rrf"))
     )
