@@ -439,3 +439,66 @@ def test_round4_ops_plan_shapes(spark):
     p = plan_of(normalize_unicode(docs.select("doc_id", "text"), "text"))
     assert p.count("ArrowEvalPython") == 1, p
     assert "BatchEvalPython" not in p, p  # never row-at-a-time Python
+
+
+def test_round4b_ops_plan_shapes(spark):
+    """Second round-4 batch stays in designed shapes:
+
+    - kmeans assignment: single scan, ZERO exchanges (centroids are
+      literals — nearest-centroid is a pure projection);
+    - bloom definite-orphan branch: NO join operator at all (the Bloom
+      probe is a literal-array filter), and the candidate branch's
+      verify join is a broadcast hash anti-join, never nested-loop;
+    - cube_profile: exactly ONE Expand and one hash aggregation pair
+      (all 2^d grouping sets share one shuffle);
+    - CUSUM: the raw table reduces through a partial+final aggregate
+      BEFORE the single Arrow-batched recurrence stage (FlatMapGroups /
+      ArrowEvalPython), so per-row Python never touches the raw scan.
+    """
+    from jsonschema_validator_spark.operators.changepoint import cusum_screen
+    from jsonschema_validator_spark.operators.clustering import (
+        _init_centroids,
+        assign_nearest,
+    )
+    from jsonschema_validator_spark.operators.integrity import (
+        bloom_might_contain,
+        build_bloom,
+    )
+    from jsonschema_validator_spark.operators.stats import cube_profile
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = _init_centroids(emb, "vec_id", "embedding", 4)
+    p = plan_of(assign_nearest(emb, "vec_id", "embedding", cents))
+    assert "Exchange" not in p and p.count("Scan parquet") == 1, p
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    words = build_bloom(orders, "l_orderkey", n_bits=1 << 12)
+    might = bloom_might_contain(F.col("l_orderkey"), words, 1 << 12, 4)
+    p = plan_of(li.filter(F.col("l_orderkey").isNull() | ~might))
+    assert "Join" not in p, p  # definite orphans: filter only, no join
+    p = plan_of(
+        li.filter(F.col("l_orderkey").isNotNull() & might).join(
+            orders.distinct(), "l_orderkey", "left_anti"
+        )
+    )
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p, p
+    assert "HashJoin" in p and "LeftAnti" in p, p
+
+    p = plan_of(cube_profile(spark.read.parquet(f"{SF}/orders.parquet"),
+                             ["o_orderstatus", "o_orderpriority"], "o_totalprice"))
+    assert p.count("Expand") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan_of(cusum_screen(ev, "event_type", "ts", "value"))
+    assert "BatchEvalPython" not in p, p
+    assert "FlatMapGroupsInPandas" in p or "ArrowEvalPython" in p, p
+    # partial aggregation happens below the python stage: two HashAggregates
+    # (partial+final) for the daily reduction before any pandas operator
+    pre_python = p.split("FlatMapGroupsInPandas")[-1]
+    assert "HashAggregate" in pre_python, p
