@@ -210,3 +210,34 @@ def compact_parquet(
         "bytes": total,
         "rows": rows,
     }
+
+
+def align_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Reconcile an evolved frame to a target schema: present columns
+    CAST to the target type (widening), absent columns backfilled as
+    typed NULLs, extras dropped, order normalized. This is the half of
+    schema evolution parquet's mergeSchema cannot do (mergeSchema only
+    unions compatible columns; it aborts on type conflicts)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def read_evolved(spark: SparkSession, root: str, target_schema=None) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time): mergeSchema=true makes the scan
+    union all footers' columns (absent values read as NULL — the
+    Iceberg add-column semantic on plain parquet), then an optional
+    align_to_schema pins the frame to the caller's contract schema.
+    Scale note: mergeSchema reads every file footer at planning time —
+    for 100 TB tables prefer the Iceberg branch of read_table (schema
+    lives in table metadata, one read); this path is the migration/
+    landing-zone reader."""
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    return align_to_schema(df, target_schema) if target_schema is not None else df
