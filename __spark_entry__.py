@@ -3178,6 +3178,44 @@ FROM a2 GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_sequence_grammar_events(spark, sf_dir):
+    """Whole-history grammar screen (operators/conversation.
+    grammar_report): each user's event history collapses to an ordered
+    initial string (groupBy + in-value sort_array — no raw-table
+    window), then named regexes validate the WHOLE sentence: does the
+    history start with signup/view, does it contain an error run 'ee',
+    a purchase-then-error 'pe'. Subsumes adjacent-pair transition
+    screens (a transition matrix sees one edge; a grammar sees the
+    sentence). Oracle: string_agg ORDER BY + regexp_matches."""
+    from jsonschema_validator_spark.operators.conversation import grammar_report
+
+    ev = _t(spark, sf_dir, "events")
+    return grammar_report(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        {"starts_clean": "^[sv]", "has_error_run": "ee", "has_purchase_error": "pe"},
+        tiebreak="event_id",
+    )
+
+
+_ORACLE_SEQUENCE_GRAMMAR = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+         count(*)::BIGINT AS n_turns
+  FROM events GROUP BY user_id),
+f AS (SELECT regexp_matches(seq, '^[sv]') AS starts_clean,
+             regexp_matches(seq, 'ee') AS has_error_run,
+             regexp_matches(seq, 'pe') AS has_purchase_error,
+             n_turns FROM s)
+SELECT starts_clean, has_error_run, has_purchase_error,
+       count(*)::BIGINT AS n_groups, round(avg(n_turns), 4) AS avg_len
+FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def q_schema_evolution_documents(spark, sf_dir):
     """Schema-evolution landing-zone read (sources/tables.read_evolved +
     align_to_schema): generation g0 lands (doc_id, text, lang), g1 adds
@@ -6315,6 +6353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": q_kmeans_embeddings,
+        "sequence_grammar_events": q_sequence_grammar_events,
         "schema_evolution_documents": q_schema_evolution_documents,
         "rank_fusion_embeddings": q_rank_fusion_embeddings,
         "gopher_rules_documents": q_gopher_rules_documents,
@@ -6455,6 +6494,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": _ORACLE_KMEANS,
+        "sequence_grammar_events": _ORACLE_SEQUENCE_GRAMMAR,
         "schema_evolution_documents": _ORACLE_SCHEMA_EVOLUTION,
         "rank_fusion_embeddings": _ORACLE_RANK_FUSION,
         "gopher_rules_documents": _ORACLE_GOPHER,

@@ -679,3 +679,65 @@ def curation_summary(
             F.concat_ws("|", F.transform("__arr", lambda x: x["h"]))
         ).alias("fingerprint"),
     )
+
+
+def sequence_string(
+    df: DataFrame,
+    group: str,
+    order: str,
+    token: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-group ordered token-initial string: one groupBy collects
+    (order, initial) structs, sort_array orders them WITHIN the
+    aggregated value (no window, no skew-prone sort of the raw table),
+    array_join flattens to the sequence string. Output is one row per
+    group with seq length = group size — bounded by the longest
+    conversation, the same per-group envelope every conversation
+    operator here assumes. The sequence string is the input to
+    whole-history GRAMMAR validation (regex over role/event initials),
+    which subsumes adjacent-pair transition screens: a transition
+    matrix sees one edge at a time; a grammar sees the whole sentence."""
+    key = F.struct(F.col(order).alias("o"), *( [F.col(tiebreak).alias("t")] if tiebreak else [] ))
+    return (
+        df.groupBy(group)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(key.alias("k"), F.substring(F.col(token), 1, 1).alias("c"))
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+
+
+def grammar_report(
+    df: DataFrame,
+    group: str,
+    order: str,
+    token: str,
+    patterns: dict[str, str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Whole-sequence grammar screen: every named regex in `patterns`
+    becomes a boolean over the per-group sequence string, rolled up as
+    (pattern combination) -> n_groups, avg length. One groupBy for the
+    sequences + one for the rollup."""
+    seqs = sequence_string(df, group, order, token, tiebreak=tiebreak)
+    flags = [F.col("seq").rlike(p).alias(name) for name, p in patterns.items()]
+    return (
+        seqs.select(*flags, "n_turns")
+        .groupBy(*[name for name in patterns])
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(F.avg("n_turns"), 4).alias("avg_len"),
+        )
+        .orderBy(*[name for name in patterns])
+    )

@@ -166,3 +166,43 @@ def test_kmeans_iters_monotone_inertia(spark, iters):
         )
 
     assert inertia(iters + 1) <= inertia(iters) + 1e-9
+
+
+# -------------------------------------------------------- seq grammar
+
+
+def test_sequence_string_orders_and_tiebreaks(spark):
+    import datetime
+
+    from jsonschema_validator_spark.operators.conversation import sequence_string
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, 2, "beta"),
+        ("u1", t0, 1, "alpha"),  # same ts: tiebreak on id
+        ("u1", datetime.datetime(2024, 1, 2), 3, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, id long, tok string")
+    out = sequence_string(df, "g", "ts", "tok", tiebreak="id").collect()[0]
+    assert out["seq"] == "abg"
+    assert out["n_turns"] == 3
+
+
+def test_grammar_report_pattern_combinations(spark):
+    import datetime
+
+    from jsonschema_validator_spark.operators.conversation import grammar_report
+
+    t = lambda i: datetime.datetime(2024, 1, 1, i)
+    rows = (
+        [("good", t(i), i, x) for i, x in enumerate(["signup", "click", "purchase"])]
+        + [("bad", t(i), i, x) for i, x in enumerate(["error", "error", "click"])]
+    )
+    df = spark.createDataFrame(rows, "g string, ts timestamp, id long, tok string")
+    out = {
+        (r["starts_clean"], r["has_error_run"]): r["n_groups"]
+        for r in grammar_report(
+            df, "g", "ts", "tok", {"starts_clean": "^[sv]", "has_error_run": "ee"}, tiebreak="id"
+        ).collect()
+    }
+    assert out == {(True, False): 1, (False, True): 1}
