@@ -3178,6 +3178,43 @@ FROM a2 GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_snapshot_diff_documents(spark, sf_dir):
+    """Snapshot-to-snapshot diff (operators/merge.snapshot_diff_summary)
+    — the audit view behind snapdir/Iceberg version pinning: new
+    version drops every 13th doc, edits every surviving 17th doc's
+    text, and adds a fresh doc per 19th — the diff shuffles only
+    (key, content-hash), never payloads, and the rollup answers 'what
+    did this commit do'. Oracle counts each planted class
+    arithmetically."""
+    from jsonschema_validator_spark.operators.merge import snapshot_diff_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", "lang", "source")
+    survivors = old.filter(F.col("doc_id") % 13 != 0)
+    edited = survivors.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = old.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    new = edited.unionByName(added)
+    return snapshot_diff_summary(old, new, "doc_id", ["text", "lang", "source"])
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+SELECT 'added' AS change, count(*)::BIGINT AS n FROM documents WHERE doc_id % 19 = 0
+UNION ALL
+SELECT 'changed', count(*)::BIGINT
+FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
+UNION ALL
+SELECT 'removed', count(*)::BIGINT FROM documents WHERE doc_id % 13 = 0
+ORDER BY change
+"""
+
+
 def q_benford_orders(spark, sf_dir):
     """Benford first-digit screen (operators/anomaly.benford_screen):
     one (group, digit) count + 9-wide conditional-sum pivot = single
@@ -6422,6 +6459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": q_kmeans_embeddings,
+        "snapshot_diff_documents": q_snapshot_diff_documents,
         "benford_orders": q_benford_orders,
         "sequence_grammar_events": q_sequence_grammar_events,
         "schema_evolution_documents": q_schema_evolution_documents,
@@ -6564,6 +6602,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": _ORACLE_KMEANS,
+        "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,
         "benford_orders": _ORACLE_BENFORD,
         "sequence_grammar_events": _ORACLE_SEQUENCE_GRAMMAR,
         "schema_evolution_documents": _ORACLE_SCHEMA_EVOLUTION,

@@ -69,3 +69,50 @@ def merge_upsert(
             ]
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    compare: list[str],
+) -> DataFrame:
+    """Row-level diff between two table versions (the audit view behind
+    snapdir/Iceberg snapshot lineage — sources/tables.read_table pins
+    the versions, this explains what changed between them):
+    (key..., change) with change in {'added', 'removed', 'changed'};
+    unchanged rows are dropped. Change detection hashes the compared
+    columns (xxhash64 over the per-column SAFE-cast strings — one hash arg
+    per column, so no concatenation ambiguity), so wide rows compare
+    as one long, and the full
+    outer join shuffles only (key, hash) — never payloads. NULL compare
+    values hash via a sentinel so NULL != '' and NULL-to-value edits
+    count as changes."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def slim(df: DataFrame, tag: str) -> DataFrame:
+        h = F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare]
+        )
+        return df.select(*keys, h.alias(f"__h_{tag}"), F.lit(True).alias(f"__in_{tag}"))
+
+    j = slim(old, "old").join(slim(new, "new"), keys, "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return j.select(*keys, change.alias("change")).filter(F.col("change").isNotNull())
+
+
+def snapshot_diff_summary(
+    old: DataFrame, new: DataFrame, key: str | list[str], compare: list[str]
+) -> DataFrame:
+    """(change, n) rollup of snapshot_diff — the one-line answer to
+    'what did this commit do to the table'."""
+    return (
+        snapshot_diff(old, new, key, compare)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )

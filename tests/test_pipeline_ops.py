@@ -2726,3 +2726,30 @@ def test_split_leakage_flags_straddling_groups(spark):
     assert set(out) == {"fpB", "fpC"}
     assert out["fpB"]["n_units"] == 2 and out["fpB"]["splits"] == "test,train"
     assert out["fpC"]["n_splits"] == 3 and out["fpC"]["splits"] == "test,train,val"
+
+
+def test_snapshot_diff_classes_and_null_edits(spark):
+    """added/removed/changed classification, unchanged rows dropped,
+    and NULL-to-value edits count as changes (sentinel hashing)."""
+    from jsonschema_validator_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, "d", "z")],
+        "id long, t string, u string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", ""), (2, "b", "x"), (3, "C", "y"), (5, "e", "w")],
+        "id long, t string, u string",
+    )
+    out = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()}
+    assert out == {1: "changed", 3: "changed", 4: "removed", 5: "added"}  # 2 unchanged
+
+
+def test_snapshot_diff_plan_shuffles_hash_not_payload(spark):
+    from jsonschema_validator_spark.operators.merge import snapshot_diff
+
+    old = spark.range(10).select(F.col("id"), F.concat(F.lit("p"), F.col("id")).alias("t"))
+    new = spark.range(10).select(F.col("id"), F.concat(F.lit("p"), F.col("id")).alias("t"))
+    plan = snapshot_diff(old, new, "id", ["t"])._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
