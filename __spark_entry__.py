@@ -3178,6 +3178,40 @@ FROM a2 GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_label_noise_embeddings(spark, sf_dir):
+    """kNN label-agreement screen (operators/similarity.
+    knn_label_agreement): per labeled vector, the fraction of its 10
+    exact cosine neighbors sharing its label; per-label rollup with
+    suspect counts (agreement < 0.5). The exact O(N^2) diagnostic for
+    the labeled-subset scale; the banded-LSH candidate path is the
+    corpus-scale twin (same contract as brute vs lsh/ivf top-k). Oracle
+    replays the kNN and the agreement arithmetic."""
+    from jsonschema_validator_spark.operators.similarity import knn_label_agreement
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label_agreement(emb, "vec_id", "embedding", "label", k=10)
+
+
+_ORACLE_LABEL_NOISE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS nid, b.label AS nlab,
+         list_cosine_similarity(a.e, b.e) AS sim
+  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+nn AS (
+  SELECT qid, qlab, nlab,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM sims QUALIFY rank <= 10),
+pp AS (
+  SELECT qid, qlab, avg((nlab = qlab)::INT::DOUBLE) AS agree
+  FROM nn GROUP BY qid, qlab)
+SELECT qlab AS label, count(*)::BIGINT AS n_points,
+       round(avg(agree), 4) AS mean_agreement,
+       sum((agree < 0.5)::INT)::BIGINT AS n_suspect
+FROM pp GROUP BY qlab ORDER BY label
+"""
+
+
 def q_snapshot_diff_documents(spark, sf_dir):
     """Snapshot-to-snapshot diff (operators/merge.snapshot_diff_summary)
     — the audit view behind snapdir/Iceberg version pinning: new
@@ -6459,6 +6493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": q_kmeans_embeddings,
+        "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "benford_orders": q_benford_orders,
         "sequence_grammar_events": q_sequence_grammar_events,
@@ -6602,6 +6637,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "kmeans_embeddings": _ORACLE_KMEANS,
+        "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,
         "benford_orders": _ORACLE_BENFORD,
         "sequence_grammar_events": _ORACLE_SEQUENCE_GRAMMAR,

@@ -702,3 +702,54 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("rrf", 6).alias("rrf"))
     )
+
+
+def knn_label_agreement(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str, k: int = 10
+) -> DataFrame:
+    """Label-noise screen: for every labeled vector, the fraction of
+    its k exact nearest neighbors (cosine) sharing its label; rolled up
+    per label as (label, n_points, mean_agreement, n_suspect) with
+    suspect = agreement < 0.5 — the points a relabeling pass should
+    re-examine first.
+
+    This is the O(N^2) exact diagnostic for the LABELED subset (label
+    audits run on sample-scale labeled sets, not the raw corpus); the
+    cosine is the same deterministic JVM fold as brute_force_topk and
+    ranking ties break on neighbor id. At corpus scale the same
+    agreement statistic composes with the banded-LSH candidate
+    generation (cosine_near_duplicates) instead of the cross join —
+    this operator IS the truth baseline those paths are measured
+    against, the same contract as brute_force_topk vs lsh/ivf_topk."""
+    a = df.select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qe"),
+        F.col(label_col).alias("qlab"),
+    )
+    b = df.select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(vec_col)).alias("ce"),
+        F.col(label_col).alias("nlab"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sims = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "qlab", "nid", "nlab", cosine(F.col("qe"), F.col("ce")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    per_point = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("qid", "qlab")
+        .agg(F.avg((F.col("nlab") == F.col("qlab")).cast("double")).alias("agree"))
+    )
+    return (
+        per_point.groupBy(F.col("qlab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("agree"), 4).alias("mean_agreement"),
+            F.sum((F.col("agree") < 0.5).cast("long")).alias("n_suspect"),
+        )
+        .orderBy("label")
+    )

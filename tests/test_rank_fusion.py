@@ -64,3 +64,21 @@ def test_rrf_rank_is_dense_and_bounded(spark):
     fused = rrf_fuse([a.select("query_id", "rank", "neighbor_id")], k=2)
     ranks = sorted(r["rank"] for r in fused.collect())
     assert ranks == [1, 2]
+
+
+def test_knn_label_agreement_flags_planted_mislabels(spark):
+    """Two tight blobs; three points of blob A carry blob B's label —
+    their agreement is ~0 and they surface as suspects under B."""
+    from jsonschema_validator_spark.operators.similarity import knn_label_agreement
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 5) * 0.01, 0.0], 0))        # blob A, label 0
+    for i in range(20, 40):
+        rows.append((i, [0.0, 10.0 + (i % 5) * 0.01], 1))        # blob B, label 1
+    for i in range(40, 43):
+        rows.append((i, [10.0 + (i % 3) * 0.02, 0.0], 1))        # mislabeled: in A, label 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in knn_label_agreement(df, "vec_id", "embedding", "label", k=5).collect()}
+    assert out[0]["mean_agreement"] > 0.9 and out[0]["n_suspect"] == 0
+    assert out[1]["n_suspect"] == 3  # exactly the planted mislabels
