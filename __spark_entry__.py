@@ -6480,6 +6480,40 @@ FROM r GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_cohort_retention_events(spark, sf_dir):
+    """Cohort retention triangle (operators/sessions.cohort_retention):
+    purchasers cohorted by first-purchase period (3-day grid), counted
+    at every period offset they buy again in. ONE shuffle on user_id
+    does all per-entity work (min period + collect_set of periods —
+    bounded by calendar length, not event count), then the
+    (cohort, offset) rollup is O(cohorts * offsets) regardless of input
+    size; the offset-0 size join is broadcast. Oracle replays the
+    first-seen / return arithmetic."""
+    from jsonschema_validator_spark.operators.sessions import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return cohort_retention(ev, entity="user_id", ts="ts", unit_days=3).orderBy(
+        "cohort", "offset"
+    )
+
+
+_ORACLE_COHORT_RETENTION = """
+WITH a AS (
+  SELECT DISTINCT user_id AS e,
+         CAST(floor(date_diff('day', DATE '1970-01-01', ts::DATE) / 3.0) AS BIGINT) AS p
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type = 'purchase'),
+f AS (SELECT e, min(p) AS cohort FROM a GROUP BY e),
+c AS (
+  SELECT f.cohort, a.p - f.cohort AS "offset", count(*)::BIGINT AS n_active
+  FROM a JOIN f USING (e) GROUP BY 1, 2)
+SELECT c.cohort, c."offset", c.n_active, s.n_active AS cohort_size,
+       round(c.n_active / CAST(s.n_active AS DOUBLE), 6) AS retention
+FROM c JOIN (SELECT cohort, n_active FROM c WHERE "offset" = 0) s USING (cohort)
+ORDER BY c.cohort, c."offset"
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6492,6 +6526,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
+        "cohort_retention_events": q_cohort_retention_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -6636,6 +6671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
+        "cohort_retention_events": _ORACLE_COHORT_RETENTION,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

@@ -152,3 +152,53 @@ def funnel(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts: str = "ts",
+    unit_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle: entities are cohorted by their
+    first-active period (``floor(days_since_epoch / unit_days)``) and
+    counted at every period offset they return in. Returns
+    (cohort, offset, n_active, cohort_size, retention) — offset 0 is the
+    cohort itself (retention 1.0 by construction).
+
+    Scale: ONE shuffle on the entity key does all the per-entity work —
+    ``groupBy(entity).agg(min(period), collect_set(period))`` — because
+    the distinct-period set per entity is bounded by the calendar length
+    (periods), not by event count, so the collected set stays tiny even
+    for whale entities at 10^12 rows. The (cohort, offset) rollup and
+    the offset-0 size join then run on a relation whose cardinality is
+    O(cohorts * offsets), independent of input size. NULL entities are
+    excluded (they are not a trackable cohort member).
+    """
+    day = F.datediff(F.col(ts).cast("date"), F.lit("1970-01-01").cast("date"))
+    period = F.floor(day / F.lit(float(unit_days))).cast("long")
+    per_entity = (
+        df.filter(F.col(entity).isNotNull() & F.col(ts).isNotNull())
+        .select(F.col(entity).alias("__e"), period.alias("__p"))
+        .groupBy("__e")
+        .agg(F.min("__p").alias("cohort"), F.collect_set("__p").alias("__ps"))
+    )
+    active = per_entity.select(
+        "cohort", F.explode("__ps").alias("__p")
+    ).select("cohort", (F.col("__p") - F.col("cohort")).alias("offset"))
+    counts = active.groupBy("cohort", "offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = counts.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )

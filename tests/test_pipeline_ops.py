@@ -2753,3 +2753,55 @@ def test_snapshot_diff_plan_shuffles_hash_not_payload(spark):
     plan = snapshot_diff(old, new, "id", ["t"])._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan and "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_planted_triangle(spark):
+    """Two cohorts with known return patterns: the triangle is exact."""
+    from jsonschema_validator_spark.operators.sessions import cohort_retention
+
+    # unit_days=1 -> period == day. Cohort day 0: users a,b (a returns
+    # day 1 and 2, b returns day 2). Cohort day 1: user c (returns day 3).
+    rows = [
+        ("a", "1970-01-01 10:00:00"),
+        ("a", "1970-01-02 10:00:00"),
+        ("a", "1970-01-03 10:00:00"),
+        ("a", "1970-01-03 11:00:00"),  # same period twice -> counted once
+        ("b", "1970-01-01 12:00:00"),
+        ("b", "1970-01-03 12:00:00"),
+        ("c", "1970-01-02 09:00:00"),
+        ("c", "1970-01-04 09:00:00"),
+        (None, "1970-01-01 00:00:00"),  # NULL entity excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (r["cohort"], r["offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in cohort_retention(df, "user_id", "ts", unit_days=1).collect()
+    }
+    assert out == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (1, 2, 0.5),
+        (0, 2): (2, 2, 1.0),
+        (1, 0): (1, 1, 1.0),
+        (1, 2): (1, 1, 1.0),
+    }
+
+
+def test_cohort_retention_one_entity_shuffle(spark):
+    """The per-entity stage is one aggregation: collect_set bounds state
+    by calendar periods, and no window over the raw table appears."""
+    from jsonschema_validator_spark.operators.sessions import cohort_retention
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).cast("string").alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 86400).alias("ts"),
+    )
+    plan = (
+        cohort_retention(df, "user_id", "ts", unit_days=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_set" in plan
+    assert "Window" not in plan
