@@ -741,3 +741,58 @@ def grammar_report(
         )
         .orderBy(*[name for name in patterns])
     )
+
+
+def markov_surprisal(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+) -> DataFrame:
+    """Per-conversation anomaly score under the corpus's own first-order
+    transition model: mean and max surprisal -log2 P(next_role | role),
+    where P is the global MLE transition matrix. The probabilistic
+    complement of grammar_report — a conversation can satisfy every
+    regex yet be wildly atypical (e.g. all error->error loops), and mean
+    surprisal surfaces exactly that; max surprisal pins the single most
+    improbable edge.
+
+    Every observed pair has P > 0 by construction (the model is fit on
+    the same relation it scores), so no smoothing is needed and the
+    score is exact. NULL roles coalesce to the '(null)' sentinel BEFORE
+    both modeling and scoring, so unknown-role turns are scored as a
+    real category, never silently dropped by the equi-join.
+
+    Scale: one lead() window over the pre-projected (group, order, role)
+    frame produces the pair relation ONCE; the model is derived from its
+    O(roles^2) aggregate (prefix totals from the aggregate, never a
+    second corpus pass) and joins back BROADCAST; the final per-group
+    collapse is map-side partial. Conversations with a single turn have
+    no transitions and are absent, matching the explode-based operator
+    convention.
+    """
+    w = Window.partitionBy(group).orderBy("__o")
+    sent = F.coalesce(F.col(role).cast("string"), F.lit("(null)"))
+    pairs = (
+        df.select(group, F.col(order).alias("__o"), sent.alias("__r"))
+        .withColumn("__next", F.lead("__r").over(w))
+        .withColumn("__has_next", F.lead("__o").over(w).isNotNull())
+        .filter(F.col("__has_next"))
+        .select(group, "__r", "__next")
+    )
+    counts = pairs.groupBy("__r", "__next").agg(F.count(F.lit(1)).alias("__n"))
+    pref = counts.groupBy("__r").agg(F.sum("__n").alias("__ntot"))
+    model = counts.join(pref, "__r").select(
+        "__r",
+        "__next",
+        (F.col("__n").cast("double") / F.col("__ntot")).alias("__p"),
+    )
+    return (
+        pairs.join(F.broadcast(model), ["__r", "__next"])
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(-F.avg(F.log2("__p")), 6).alias("mean_surprisal"),
+            F.round(F.max(-F.log2("__p")), 6).alias("max_surprisal"),
+        )
+    )

@@ -2805,3 +2805,33 @@ def test_cohort_retention_one_entity_shuffle(spark):
     )
     assert "collect_set" in plan
     assert "Window" not in plan
+
+
+def test_markov_surprisal_planted(spark):
+    """Hand-computed transition model: the uniform-history conversation
+    scores low, the one taking the rare edge scores its -log2 exactly,
+    and a NULL role is scored as a real category (not dropped)."""
+    import math
+
+    from jsonschema_validator_spark.operators.conversation import markov_surprisal
+
+    # corpus pairs: (a->b) x3, (b->a) x2, (a->a) x1, (b->None) x1
+    rows = [
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "a"), ("c1", 3, "b"),
+        ("c2", 0, "a"), ("c2", 1, "b"), ("c2", 2, "a"),
+        ("c3", 0, "a"), ("c3", 1, "a"),
+        ("c4", 0, "b"), ("c4", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {r["conv_id"]: r for r in markov_surprisal(df).collect()}
+    # P(b|a)=3/4, P(a|a)=1/4, P(a|b)=2/3, P(null|b)=1/3
+    s_ab = -math.log2(3 / 4)
+    s_ba = -math.log2(2 / 3)
+    s_aa = -math.log2(1 / 4)
+    s_bn = -math.log2(1 / 3)
+    assert out["c1"]["n_transitions"] == 3
+    assert abs(out["c1"]["mean_surprisal"] - round((s_ab + s_ba + s_ab) / 3, 6)) < 1e-6
+    assert abs(out["c3"]["max_surprisal"] - round(s_aa, 6)) < 1e-6
+    # NULL-role edge is present and scored, not silently equi-join-dropped
+    assert out["c4"]["n_transitions"] == 1
+    assert abs(out["c4"]["mean_surprisal"] - round(s_bn, 6)) < 1e-6
