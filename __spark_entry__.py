@@ -6553,6 +6553,61 @@ GROUP BY g ORDER BY g
 """
 
 
+def q_cohen_kappa_documents(spark, sf_dir):
+    """Inter-annotator agreement (operators/agreement.cohen_kappa):
+    chance-corrected label agreement per source between two planted
+    deterministic annotators — A grades on a length gate, B agrees
+    except on every 7th doc (and abstains with NULL on every 11th,
+    which must be EXCLUDED, not counted as a category). One confusion
+    shuffle; po/pe/kappa all derive from the O(groups x k^2) aggregate.
+    Oracle replays the confusion-matrix arithmetic."""
+    from jsonschema_validator_spark.operators.agreement import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 300, F.lit("good")).otherwise(F.lit("bad"))
+    b = F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.when(a == "good", F.lit("bad")).otherwise(F.lit("good")),
+        ).otherwise(a)
+    )
+    rated = docs.select("source", a.alias("rater_a"), b.alias("rater_b"))
+    return cohen_kappa(rated, "rater_a", "rater_b", group="source").orderBy("source")
+
+
+_ORACLE_COHEN_KAPPA = """
+WITH rated AS (
+  SELECT source,
+         CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS a,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              WHEN doc_id % 7 = 0 THEN
+                CASE WHEN n_chars >= 300 THEN 'bad' ELSE 'good' END
+              ELSE CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END
+         END AS b
+  FROM documents),
+cm AS (
+  SELECT source, a, b, count(*)::BIGINT AS n
+  FROM rated WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY source, a, b),
+tot AS (
+  SELECT source, sum(n)::BIGINT AS n,
+         sum(CASE WHEN a = b THEN n ELSE 0 END)::BIGINT AS agree
+  FROM cm GROUP BY source),
+ma AS (SELECT source, a AS c, sum(n) AS na FROM cm GROUP BY source, a),
+mb AS (SELECT source, b AS c, sum(n) AS nb FROM cm GROUP BY source, b),
+ch AS (
+  SELECT ma.source, sum(ma.na::DOUBLE * mb.nb) AS dot
+  FROM ma JOIN mb ON ma.source = mb.source AND ma.c = mb.c
+  GROUP BY ma.source)
+SELECT tot.source, tot.n,
+       round(agree::DOUBLE / tot.n, 6) AS po,
+       round(dot / (tot.n::DOUBLE * tot.n), 6) AS pe,
+       round((agree::DOUBLE / tot.n - dot / (tot.n::DOUBLE * tot.n))
+             / (1.0 - dot / (tot.n::DOUBLE * tot.n)), 6) AS kappa
+FROM tot JOIN ch ON tot.source = ch.source
+ORDER BY tot.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6567,6 +6622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "cohort_retention_events": q_cohort_retention_events,
         "markov_surprisal_events": q_markov_surprisal_events,
+        "cohen_kappa_documents": q_cohen_kappa_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -6713,6 +6769,7 @@ def oracle_sql() -> dict[str, str]:
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "cohort_retention_events": _ORACLE_COHORT_RETENTION,
         "markov_surprisal_events": _ORACLE_MARKOV_SURPRISAL,
+        "cohen_kappa_documents": _ORACLE_COHEN_KAPPA,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

@@ -2835,3 +2835,31 @@ def test_markov_surprisal_planted(spark):
     # NULL-role edge is present and scored, not silently equi-join-dropped
     assert out["c4"]["n_transitions"] == 1
     assert abs(out["c4"]["mean_surprisal"] - round(s_bn, 6)) < 1e-6
+
+
+def test_cohen_kappa_hand_computed(spark):
+    """Classic 2x2 worked example: po=0.7, marginals A(yes)=0.5,
+    B(yes)=0.6 -> pe=0.5, kappa=0.4; NULL ratings excluded."""
+    from jsonschema_validator_spark.operators.agreement import cohen_kappa
+
+    rows = (
+        [("yes", "yes")] * 4
+        + [("yes", "no")] * 1
+        + [("no", "yes")] * 2
+        + [("no", "no")] * 3
+        + [("yes", None), (None, "no")]  # abstentions drop
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 10
+    assert r["po"] == 0.7 and r["pe"] == 0.5 and r["kappa"] == 0.4
+
+
+def test_cohen_kappa_degenerate_pe_one_is_null(spark):
+    """Both raters constant and identical -> pe=1, kappa NULL (not a
+    division error), per the try_divide contract."""
+    from jsonschema_validator_spark.operators.agreement import cohen_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
