@@ -6608,6 +6608,86 @@ ORDER BY tot.source
 """
 
 
+def q_bradley_terry_events(spark, sf_dir):
+    """Preference ratings (operators/preference.bradley_terry): pairwise
+    outcomes are derived deterministically from adjacent events per user
+    (earlier event_type vs next event_type; higher value wins, ties and
+    self-matches excluded), then reduced by ONE map-side-combinable
+    win-matrix aggregation to O(k^2) cells over k = |event_type| items.
+    Two MM rounds (Hunter 2004) run driver-side on that k^2 relation in
+    sorted-item order — Elo is order-dependent and unusable as a batch
+    semantic; BT's likelihood depends only on win counts, so the oracle
+    replays both MM rounds exactly in SQL."""
+    from jsonschema_validator_spark.operators.preference import bradley_terry
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    paired = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+        F.col("value").alias("va"),
+        F.lead("value").over(w).alias("vb"),
+    ).filter(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+        & F.col("va").isNotNull()
+        & F.col("vb").isNotNull()
+        & (F.col("va") != F.col("vb"))
+    )
+    pairs = paired.select(
+        F.when(F.col("va") > F.col("vb"), F.col("a")).otherwise(F.col("b")).alias("winner"),
+        F.when(F.col("va") > F.col("vb"), F.col("b")).otherwise(F.col("a")).alias("loser"),
+    )
+    return bradley_terry(pairs, iters=2).orderBy("item")
+
+
+_ORACLE_BRADLEY_TERRY = """
+WITH e AS (
+  SELECT user_id AS g, event_id AS o, event_type AS r, value AS v FROM events),
+p AS (
+  SELECT r AS a, lead(r) OVER (PARTITION BY g ORDER BY o) AS b,
+         v AS va, lead(v) OVER (PARTITION BY g ORDER BY o) AS vb
+  FROM e),
+m AS (
+  SELECT CASE WHEN va > vb THEN a ELSE b END AS w,
+         CASE WHEN va > vb THEN b ELSE a END AS l
+  FROM p
+  WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b
+    AND va IS NOT NULL AND vb IS NOT NULL AND va <> vb),
+wl AS (SELECT w, l, count(*)::BIGINT AS n FROM m GROUP BY w, l),
+items AS (SELECT w AS i FROM wl UNION SELECT l FROM wl),
+wins AS (
+  SELECT items.i, coalesce(sum(wl.n), 0)::BIGINT AS wins
+  FROM items LEFT JOIN wl ON wl.w = items.i GROUP BY items.i),
+adj AS (
+  SELECT least(w, l) AS i, greatest(w, l) AS j, sum(n) AS n FROM wl GROUP BY 1, 2),
+sym AS (SELECT i, j, n FROM adj UNION ALL SELECT j, i, n FROM adj),
+k AS (SELECT count(*)::DOUBLE AS k FROM items),
+r1 AS (
+  SELECT wins.i, wins.wins / (sum(sym.n) / 2.0) AS newpi
+  FROM wins JOIN sym ON sym.i = wins.i GROUP BY wins.i, wins.wins),
+p1 AS (
+  SELECT i, newpi * (SELECT k FROM k) / (SELECT sum(newpi) FROM r1) AS pi FROM r1),
+r2 AS (
+  SELECT wins.i,
+         wins.wins / sum(sym.n / (pa.pi + pb.pi)) AS newpi
+  FROM wins
+  JOIN sym ON sym.i = wins.i
+  JOIN p1 pa ON pa.i = sym.i
+  JOIN p1 pb ON pb.i = sym.j
+  GROUP BY wins.i, wins.wins),
+p2 AS (
+  SELECT i, newpi * (SELECT k FROM k) / (SELECT sum(newpi) FROM r2) AS pi FROM r2),
+ng AS (SELECT i, sum(n)::BIGINT AS n_games FROM sym GROUP BY i)
+SELECT p2.i AS item, wins.wins AS wins, ng.n_games AS n_games,
+       round(p2.pi, 6) AS rating
+FROM p2 JOIN wins ON wins.i = p2.i JOIN ng ON ng.i = p2.i
+ORDER BY item
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6623,6 +6703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_events": q_cohort_retention_events,
         "markov_surprisal_events": q_markov_surprisal_events,
         "cohen_kappa_documents": q_cohen_kappa_documents,
+        "bradley_terry_events": q_bradley_terry_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -6770,6 +6851,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_events": _ORACLE_COHORT_RETENTION,
         "markov_surprisal_events": _ORACLE_MARKOV_SURPRISAL,
         "cohen_kappa_documents": _ORACLE_COHEN_KAPPA,
+        "bradley_terry_events": _ORACLE_BRADLEY_TERRY,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

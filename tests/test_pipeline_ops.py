@@ -2863,3 +2863,50 @@ def test_cohen_kappa_degenerate_pe_one_is_null(spark):
     df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
     r = cohen_kappa(df, "a", "b").collect()[0]
     assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+
+
+def test_bradley_terry_hand_computed(spark):
+    """A beats B 3-1: round-1 MM gives pi=(1.5, 0.5), and round 2 is a
+    fixed point of the same update, so iters=2 returns exactly those
+    ratings. NULL sides and self-matches carry no information and drop."""
+    from jsonschema_validator_spark.operators.preference import bradley_terry
+
+    rows = (
+        [("A", "B")] * 3
+        + [("B", "A")]
+        + [("A", None), (None, "B"), ("A", "A")]  # excluded rows
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {r["item"]: r for r in bradley_terry(df, iters=2).collect()}
+    assert set(out) == {"A", "B"}
+    assert out["A"]["wins"] == 3 and out["B"]["wins"] == 1
+    assert out["A"]["n_games"] == 4 and out["B"]["n_games"] == 4
+    assert out["A"]["rating"] == 1.5 and out["B"]["rating"] == 0.5
+
+
+def test_bradley_terry_never_loser_stays_finite(spark):
+    """An undefeated item would have an infinite MLE strength; the
+    finite-iteration contract keeps it finite and top-ranked, and a
+    never-winner rates 0 (wins/denom with wins=0)."""
+    from jsonschema_validator_spark.operators.preference import bradley_terry
+
+    rows = [("A", "B")] * 5 + [("B", "C")] * 5
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {r["item"]: r for r in bradley_terry(df, iters=2).collect()}
+    import math
+
+    assert all(math.isfinite(r["rating"]) for r in out.values())
+    assert out["A"]["rating"] > out["B"]["rating"] > out["C"]["rating"]
+    assert out["C"]["rating"] == 0.0 and out["C"]["wins"] == 0
+
+
+def test_bradley_terry_item_bound_raises(spark):
+    """The operator rates ITEMS (models/policies), not rows: a distinct
+    item count above max_items is a contract error, not a silent
+    driver-side blowup."""
+    from jsonschema_validator_spark.operators.preference import bradley_terry
+
+    rows = [(f"i{k}", f"i{k+1}") for k in range(10)]
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    with pytest.raises(ValueError, match="distinct items"):
+        bradley_terry(df, max_items=5)
