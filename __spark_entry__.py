@@ -6688,6 +6688,133 @@ ORDER BY item
 """
 
 
+def q_roc_auc_documents(spark, sf_dir):
+    """Rank-based ROC-AUC (operators/evaluation.roc_auc): exact
+    Mann-Whitney with midrank ties, per source, of a deterministic
+    quality score against a length-gate label. The corpus is reduced to
+    the O(sources x distinct-scores) relation by ONE aggregation before
+    the cumulative-rank window runs — the window never sees raw rows
+    (270 distinct scores stand in for any row count). Oracle replays
+    the block-midrank arithmetic."""
+    from jsonschema_validator_spark.operators.evaluation import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        ((F.least(F.col("n_chars"), F.lit(400)) + F.col("doc_id") % 50) / 450.0).alias(
+            "score"
+        ),
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    return roc_auc(scored, "score", "label", group="source").orderBy("source")
+
+
+_ORACLE_ROC_AUC = """
+WITH d AS (
+  SELECT source,
+         (least(n_chars, 400) + (doc_id % 50)) / 450.0 AS s,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (SELECT source, s, count(*)::BIGINT AS n, sum(y)::BIGINT AS np
+      FROM d GROUP BY source, s),
+r AS (
+  SELECT source, n, np,
+         coalesce(sum(n) OVER (PARTITION BY source ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (n + 1) / 2.0 AS midrank
+  FROM b),
+a AS (
+  SELECT source, sum(n)::BIGINT AS n, sum(np)::BIGINT AS n_pos,
+         sum(np * midrank) AS rpos
+  FROM r GROUP BY source)
+SELECT source, n, n_pos, (n - n_pos)::BIGINT AS n_neg,
+       round((rpos - n_pos::DOUBLE * (n_pos + 1) / 2.0)
+             / (n_pos::DOUBLE * (n - n_pos)), 6) AS auc
+FROM a ORDER BY source
+"""
+
+
+def q_calibration_documents(spark, sf_dir):
+    """Reliability-diagram bins (operators/evaluation.calibration_bins):
+    decile bins of the probability-like score vs the empirical positive
+    rate, per source — the per-bin signed gap is the miscalibration a
+    scorer ships to downstream sampling weights. One groupBy; empty
+    bins are absent by contract. Oracle replays the bin arithmetic."""
+    from jsonschema_validator_spark.operators.evaluation import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        ((F.least(F.col("n_chars"), F.lit(400)) + F.col("doc_id") % 50) / 450.0).alias(
+            "score"
+        ),
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10, group="source").orderBy(
+        "source", "bin"
+    )
+
+
+_ORACLE_CALIBRATION = """
+WITH d AS (
+  SELECT source,
+         (least(n_chars, 400) + (doc_id % 50)) / 450.0 AS s,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+  FROM documents)
+SELECT source,
+       least(floor(s * 10), 9)::INT AS bin,
+       count(*)::BIGINT AS n,
+       round(avg(s), 6) AS mean_score,
+       round(avg(y::DOUBLE), 6) AS pos_rate,
+       round(avg(y::DOUBLE) - avg(s), 6) AS gap
+FROM d GROUP BY source, bin ORDER BY source, bin
+"""
+
+
+def q_ab_test_events(spark, sf_dir):
+    """Two-proportion z-test (operators/evaluation.ab_test): users are
+    deterministically armed by id parity, conversion is a value
+    threshold at the corpus median, and each event_type is its own
+    experiment. ONE aggregation to (n, x) per arm; z is pure arithmetic
+    on that relation, with NULL (not 0) for a variance-free pooled
+    rate. Oracle replays the pooled-SE arithmetic."""
+    from jsonschema_validator_spark.operators.evaluation import ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    armed = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        (F.col("value") > 35).cast("int").alias("conv"),
+    )
+    return ab_test(armed, "arm", "conv", group="event_type").orderBy("event_type")
+
+
+_ORACLE_AB_TEST = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value > 35 THEN 1 ELSE 0 END AS c
+  FROM events),
+a AS (
+  SELECT event_type,
+         sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_control,
+         sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_treatment,
+         sum(CASE WHEN arm = 'A' THEN c ELSE 0 END)::BIGINT AS xc,
+         sum(CASE WHEN arm = 'B' THEN c ELSE 0 END)::BIGINT AS xt
+  FROM d WHERE c IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_control, n_treatment,
+       round(xc::DOUBLE / n_control, 6) AS rate_control,
+       round(xt::DOUBLE / n_treatment, 6) AS rate_treatment,
+       round(xt::DOUBLE / n_treatment - xc::DOUBLE / n_control, 6) AS lift,
+       round((xt::DOUBLE / n_treatment - xc::DOUBLE / n_control)
+             / sqrt(((xc + xt)::DOUBLE / (n_control + n_treatment))
+                    * (1 - (xc + xt)::DOUBLE / (n_control + n_treatment))
+                    * (1.0 / n_control + 1.0 / n_treatment)), 6) AS z
+FROM a ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6704,6 +6831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_surprisal_events": q_markov_surprisal_events,
         "cohen_kappa_documents": q_cohen_kappa_documents,
         "bradley_terry_events": q_bradley_terry_events,
+        "roc_auc_documents": q_roc_auc_documents,
+        "calibration_documents": q_calibration_documents,
+        "ab_test_events": q_ab_test_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -6852,6 +6982,9 @@ def oracle_sql() -> dict[str, str]:
         "markov_surprisal_events": _ORACLE_MARKOV_SURPRISAL,
         "cohen_kappa_documents": _ORACLE_COHEN_KAPPA,
         "bradley_terry_events": _ORACLE_BRADLEY_TERRY,
+        "roc_auc_documents": _ORACLE_ROC_AUC,
+        "calibration_documents": _ORACLE_CALIBRATION,
+        "ab_test_events": _ORACLE_AB_TEST,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

@@ -1,0 +1,210 @@
+"""Offline evaluation screens — scoring a quality/classifier column
+against outcome labels: rank-based ROC-AUC (Mann-Whitney), calibration
+bins + expected calibration error, and two-proportion A/B z-tests.
+These are the gates behind "did the new quality scorer actually rank
+good documents higher" and "did arm B convert better than arm A".
+
+Reference parity note: outside the reference validator's scope
+(macisamuele/jsonschema-validator validates keywords); this is the
+training-data-pipeline tier of SURVEY.md §2, same family as
+agreement/preference.
+
+Scale: every operator reduces the raw table with ONE map-side-
+combinable aggregation before anything per-row-order happens. ROC-AUC
+aggregates to the O(groups x distinct-scores) relation FIRST and only
+then runs its cumulative-rank window over that reduced relation — the
+window never sees raw rows, so a 10^12-row input with a few thousand
+distinct scores sorts a few thousand rows per group. Calibration and
+the A/B test are single groupBy aggregations with pure-arithmetic
+finishes (no second pass, no collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    score: str,
+    label: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Per-group ROC-AUC of ``score`` against boolean/0-1 ``label``.
+
+    Exact Mann-Whitney form with midrank tie handling:
+    AUC = (R+ - n+(n+ + 1)/2) / (n+ * n-), where R+ is the sum of
+    average ranks (ascending score) of the positive rows. Ties share
+    their block's midrank, so a constant score yields AUC = 0.5, not a
+    rank-order artifact. Rows with NULL score or label are excluded
+    (an unscored or unlabeled row is not evidence). Degenerate groups
+    (no positives or no negatives) yield NULL auc via try_divide.
+
+    Returns (group?, n, n_pos, n_neg, auc), auc rounded to 6.
+    """
+    gcols = [group] if group else []
+    labeled = df.filter(F.col(score).isNotNull() & F.col(label).isNotNull()).select(
+        *gcols,
+        F.col(score).cast("double").alias("__s"),
+        F.col(label).cast("int").alias("__y"),
+    )
+    # ONE aggregation to the distinct-score relation; the window below
+    # runs on this reduced table only.
+    blocks = labeled.groupBy(*gcols, "__s").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__np"),
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy("__s")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__s")
+    )
+    ranked = blocks.withColumn(
+        "__before", F.coalesce(F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    ).withColumn(
+        "__midrank", F.col("__before") + (F.col("__n") + 1) / 2.0
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__n").alias("n"),
+        F.sum("__np").alias("n_pos"),
+        F.sum(F.col("__np") * F.col("__midrank")).alias("__rpos"),
+    )
+    n_pos = F.col("n_pos").cast("double")
+    n_neg = (F.col("n") - F.col("n_pos")).cast("double")
+    u = F.col("__rpos") - n_pos * (n_pos + 1) / 2.0
+    return agg.select(
+        *gcols,
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(F.try_divide(u, n_pos * n_neg), 6).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: str,
+    label: str,
+    n_bins: int = 10,
+    group: str | None = None,
+) -> DataFrame:
+    """Reliability-diagram bins for a probability-like ``score`` in
+    [0, 1] against boolean/0-1 ``label``.
+
+    Bin b = min(floor(score * n_bins), n_bins - 1) (the closed top edge
+    lands 1.0 in the last bin). Returns one row per (group?, bin):
+    (bin, n, mean_score, pos_rate, gap) where gap = pos_rate -
+    mean_score — the signed per-bin miscalibration. NULL score/label
+    rows are excluded. Empty bins simply don't appear (downstream ECE
+    weights by n, so an absent bin contributes 0 exactly).
+    """
+    gcols = [group] if group else []
+    labeled = df.filter(F.col(score).isNotNull() & F.col(label).isNotNull()).select(
+        *gcols,
+        F.col(score).cast("double").alias("__s"),
+        F.col(label).cast("int").alias("__y"),
+    )
+    b = F.least(F.floor(F.col("__s") * n_bins), F.lit(n_bins - 1)).cast("int")
+    per = labeled.groupBy(*gcols, b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__s").alias("__ms"),
+        F.avg(F.col("__y").cast("double")).alias("__pr"),
+    )
+    return per.select(
+        *gcols,
+        "bin",
+        "n",
+        F.round("__ms", 6).alias("mean_score"),
+        F.round("__pr", 6).alias("pos_rate"),
+        F.round(F.col("__pr") - F.col("__ms"), 6).alias("gap"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score: str,
+    label: str,
+    n_bins: int = 10,
+    group: str | None = None,
+) -> DataFrame:
+    """ECE = sum_b (n_b / N) * |pos_rate_b - mean_score_b| over the
+    same bins as :func:`calibration_bins` (shares the one-aggregation
+    reduction; this is a rollup of that relation, not a second corpus
+    pass). Returns (group?, n, ece), ece rounded to 6.
+    """
+    gcols = [group] if group else []
+    labeled = df.filter(F.col(score).isNotNull() & F.col(label).isNotNull()).select(
+        *gcols,
+        F.col(score).cast("double").alias("__s"),
+        F.col(label).cast("int").alias("__y"),
+    )
+    b = F.least(F.floor(F.col("__s") * n_bins), F.lit(n_bins - 1)).cast("int")
+    per = labeled.groupBy(*gcols, b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__s").alias("__ms"),
+        F.avg(F.col("__y").cast("double")).alias("__pr"),
+    )
+    return (
+        per.groupBy(*gcols)
+        .agg(
+            F.sum("__n").alias("n"),
+            (
+                F.sum(F.col("__n") * F.abs(F.col("__pr") - F.col("__ms")))
+                / F.sum("__n")
+            ).alias("__ece"),
+        )
+        .select(*gcols, "n", F.round("__ece", 6).alias("ece"))
+    )
+
+
+def ab_test(
+    df: DataFrame,
+    arm: str,
+    converted: str,
+    group: str | None = None,
+    control: str = "A",
+    treatment: str = "B",
+) -> DataFrame:
+    """Two-proportion z-test per group between two named arms.
+
+    ``converted`` is boolean/0-1. Rows in other arms or with NULL
+    conversion are excluded. z = (p_t - p_c) / sqrt(p(1-p)(1/n_c +
+    1/n_t)) with p the pooled rate; a degenerate pooled rate (0 or 1)
+    or an empty arm yields NULL z via try_divide — a test with no
+    variance has no z-score, and hiding that behind 0 would read as
+    "no effect". One aggregation; the finish is pure arithmetic.
+
+    Returns (group?, n_control, n_treatment, rate_control,
+    rate_treatment, lift, z), rates/lift/z rounded to 6.
+    """
+    gcols = [group] if group else []
+    armed = df.filter(
+        F.col(arm).isin(control, treatment) & F.col(converted).isNotNull()
+    ).select(
+        *gcols,
+        F.col(arm).alias("__arm"),
+        F.col(converted).cast("int").alias("__c"),
+    )
+    is_c = F.col("__arm") == control
+    agg = armed.groupBy(*gcols).agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(~is_c, 1).otherwise(0)).alias("n_treatment"),
+        F.sum(F.when(is_c, F.col("__c")).otherwise(0)).alias("__xc"),
+        F.sum(F.when(~is_c, F.col("__c")).otherwise(0)).alias("__xt"),
+    )
+    nc = F.col("n_control").cast("double")
+    nt = F.col("n_treatment").cast("double")
+    pc = F.try_divide(F.col("__xc"), nc)
+    pt = F.try_divide(F.col("__xt"), nt)
+    pooled = F.try_divide(F.col("__xc") + F.col("__xt"), nc + nt)
+    se = F.sqrt(pooled * (1 - pooled) * (F.try_divide(F.lit(1.0), nc) + F.try_divide(F.lit(1.0), nt)))
+    return agg.select(
+        *gcols,
+        "n_control",
+        "n_treatment",
+        F.round(pc, 6).alias("rate_control"),
+        F.round(pt, 6).alias("rate_treatment"),
+        F.round(pt - pc, 6).alias("lift"),
+        F.round(F.try_divide(pt - pc, F.when(se > 0, se)), 6).alias("z"),
+    )

@@ -2910,3 +2910,80 @@ def test_bradley_terry_item_bound_raises(spark):
     df = spark.createDataFrame(rows, "winner string, loser string")
     with pytest.raises(ValueError, match="distinct items"):
         bradley_terry(df, max_items=5)
+
+
+def test_roc_auc_hand_computed(spark):
+    """Scores (0.1-, 0.2+, 0.3-, 0.4+): positives rank 2 and 4 ->
+    U = (2+4) - 2*3/2 = 3 of 4 pairs -> AUC 0.75. A constant score is
+    all one midrank block -> AUC exactly 0.5. Perfect separation -> 1."""
+    from jsonschema_validator_spark.operators.evaluation import roc_auc
+
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.2, 1), (0.3, 0), (0.4, 1)], "score double, label int"
+    )
+    r = roc_auc(df, "score", "label").collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"], r["auc"]) == (4, 2, 2, 0.75)
+
+    const = spark.createDataFrame(
+        [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)], "score double, label int"
+    )
+    assert roc_auc(const, "score", "label").collect()[0]["auc"] == 0.5
+
+    sep = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], "score double, label int"
+    )
+    assert roc_auc(sep, "score", "label").collect()[0]["auc"] == 1.0
+
+
+def test_roc_auc_degenerate_single_class_is_null(spark):
+    """No negatives -> n_pos * n_neg = 0 -> NULL auc via try_divide,
+    never a division error or a fake 0.5."""
+    from jsonschema_validator_spark.operators.evaluation import roc_auc
+
+    df = spark.createDataFrame([(0.3, 1), (0.7, 1)], "score double, label int")
+    r = roc_auc(df, "score", "label").collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_calibration_bins_and_ece(spark):
+    """Two populated deciles: bin 1 (score .15, rate 0 over 2 rows,
+    gap -.15) and bin 9 (score .95, rate 1 over 2 rows, gap +.05);
+    top edge 1.0 lands in bin 9, absent bins don't appear.
+    ECE = (2*.15 + 2*.05)/4 = 0.1."""
+    from jsonschema_validator_spark.operators.evaluation import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    df = spark.createDataFrame(
+        [(0.15, 0), (0.15, 0), (0.9, 1), (1.0, 1)], "score double, label int"
+    )
+    bins = {r["bin"]: r for r in calibration_bins(df, "score", "label").collect()}
+    assert set(bins) == {1, 9}
+    assert bins[1]["n"] == 2 and bins[1]["pos_rate"] == 0.0 and bins[1]["gap"] == -0.15
+    assert bins[9]["n"] == 2 and bins[9]["pos_rate"] == 1.0 and bins[9]["gap"] == 0.05
+    ece = expected_calibration_error(df, "score", "label").collect()[0]
+    assert ece["n"] == 4 and ece["ece"] == 0.1
+
+
+def test_ab_test_hand_computed(spark):
+    """A: 1/4 convert, B: 3/4 -> lift 0.5, pooled p = .5, se =
+    sqrt(.25*(1/4+1/4)) ~ .353553 -> z ~ 1.414214. Variance-free case
+    (all convert) -> NULL z, and off-arm rows are excluded."""
+    from jsonschema_validator_spark.operators.evaluation import ab_test
+
+    rows = (
+        [("A", 1), ("A", 0), ("A", 0), ("A", 0)]
+        + [("B", 1), ("B", 1), ("B", 1), ("B", 0)]
+        + [("C", 1), ("A", None)]  # other arm / NULL conversion drop
+    )
+    df = spark.createDataFrame(rows, "arm string, conv int")
+    r = ab_test(df, "arm", "conv").collect()[0]
+    assert (r["n_control"], r["n_treatment"]) == (4, 4)
+    assert r["rate_control"] == 0.25 and r["rate_treatment"] == 0.75
+    assert r["lift"] == 0.5 and r["z"] == 1.414214
+
+    allconv = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 1)], "arm string, conv int"
+    )
+    assert ab_test(allconv, "arm", "conv").collect()[0]["z"] is None
