@@ -6815,6 +6815,177 @@ FROM a ORDER BY event_type
 """
 
 
+def q_fleiss_kappa_documents(spark, sf_dir):
+    """Multi-rater agreement (operators/agreement.fleiss_kappa): three
+    deterministic raters per doc (length gate; gate flipped every 7th;
+    gate flipped every 5th with a NULL abstention every 13th), per
+    source. Abstaining items fall off the fixed-n design and are
+    counted in n_excluded rather than silently mixed. ONE shuffle to
+    the (source, item, label) count relation; everything else is a
+    rollup. Oracle replays P_i / p_j / kappa arithmetic."""
+    from jsonschema_validator_spark.operators.agreement import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    gate = F.when(F.col("n_chars") >= 300, F.lit("good")).otherwise(F.lit("bad"))
+    flip = F.when(gate == "good", F.lit("bad")).otherwise(F.lit("good"))
+    r1 = docs.select("source", F.col("doc_id").alias("item"), gate.alias("label"))
+    r2 = docs.select(
+        "source",
+        F.col("doc_id").alias("item"),
+        F.when(F.col("doc_id") % 7 == 0, flip).otherwise(gate).alias("label"),
+    )
+    r3 = docs.select(
+        "source",
+        F.col("doc_id").alias("item"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 0, flip)
+        .otherwise(gate)
+        .alias("label"),
+    )
+    ratings = r1.unionByName(r2).unionByName(r3)
+    return fleiss_kappa(ratings, "item", "label", n_raters=3, group="source").orderBy(
+        "source"
+    )
+
+
+_ORACLE_FLEISS_KAPPA = """
+WITH g AS (
+  SELECT source, doc_id,
+         CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS gate
+  FROM documents),
+r AS (
+  SELECT source, doc_id, gate AS label FROM g
+  UNION ALL
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN CASE WHEN gate = 'good' THEN 'bad' ELSE 'good' END
+              ELSE gate END
+  FROM g
+  UNION ALL
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              WHEN doc_id % 5 = 0
+              THEN CASE WHEN gate = 'good' THEN 'bad' ELSE 'good' END
+              ELSE gate END
+  FROM g),
+c AS (SELECT source, doc_id, label, count(*)::BIGINT AS n
+      FROM r WHERE label IS NOT NULL GROUP BY 1, 2, 3),
+pi AS (SELECT source, doc_id, sum(n) AS ni, sum(n * n) AS sq
+       FROM c GROUP BY 1, 2),
+kept AS (SELECT source, doc_id, (sq - 3.0) / 6.0 AS p FROM pi WHERE ni = 3),
+exc AS (SELECT source, count(*)::BIGINT AS n_excluded
+        FROM pi WHERE ni <> 3 GROUP BY source),
+pb AS (SELECT source, count(*)::BIGINT AS n_items, avg(p) AS pbar
+       FROM kept GROUP BY source),
+cj AS (SELECT c.source, c.label, sum(c.n) AS cj
+       FROM c JOIN kept k ON c.source = k.source AND c.doc_id = k.doc_id
+       GROUP BY 1, 2),
+pe AS (SELECT source, sum(cj * cj) AS sqj, sum(cj) AS tot FROM cj GROUP BY source)
+SELECT pb.source, n_items, coalesce(exc.n_excluded, 0)::BIGINT AS n_excluded,
+       round(pbar, 6) AS pbar,
+       round(sqj / (tot::DOUBLE * tot), 6) AS pe,
+       round((pbar - sqj / (tot::DOUBLE * tot))
+             / (1.0 - sqj / (tot::DOUBLE * tot)), 6) AS kappa
+FROM pb JOIN pe USING (source) LEFT JOIN exc USING (source)
+ORDER BY source
+"""
+
+
+def q_pagerank_events(spark, sf_dir):
+    """Transition-graph centrality (operators/graph.pagerank): the raw
+    stream reduces to the weighted event_type transition graph by ONE
+    groupBy(src, dst); exactly 3 power steps (d=0.85) from uniform with
+    dangling mass redistributed — fixed iterations, not a convergence
+    threshold, so the result is a pure function of the edge multiset
+    and the oracle replays each step. Self-loops (retries) are real
+    transitions and kept."""
+    from jsonschema_validator_spark.operators.graph import pagerank
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    return pagerank(edges, iters=3, damping=0.85).orderBy("node")
+
+
+_ORACLE_PAGERANK = """
+WITH e0 AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS b
+  FROM events),
+e AS (SELECT a AS s, b AS d, count(*)::DOUBLE AS w FROM e0
+      WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
+outw AS (SELECT s, sum(w) AS ow FROM e GROUP BY s),
+t AS (SELECT e.s, e.d, e.w / outw.ow AS p FROM e JOIN outw USING (s)),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+k AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+p0 AS (SELECT node, 1.0 / (SELECT n FROM k) AS pr FROM nodes),
+d0 AS (SELECT coalesce(sum(pr), 0) AS m FROM p0
+       WHERE node NOT IN (SELECT s FROM outw)),
+p1 AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM k)
+         + 0.85 * (coalesce(inf.v, 0) + (SELECT m FROM d0) / (SELECT n FROM k)) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT t.d AS node, sum(p0.pr * t.p) AS v
+    FROM p0 JOIN t ON t.s = p0.node GROUP BY t.d) inf USING (node)),
+d1 AS (SELECT coalesce(sum(pr), 0) AS m FROM p1
+       WHERE node NOT IN (SELECT s FROM outw)),
+p2 AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM k)
+         + 0.85 * (coalesce(inf.v, 0) + (SELECT m FROM d1) / (SELECT n FROM k)) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT t.d AS node, sum(p1.pr * t.p) AS v
+    FROM p1 JOIN t ON t.s = p1.node GROUP BY t.d) inf USING (node)),
+d2 AS (SELECT coalesce(sum(pr), 0) AS m FROM p2
+       WHERE node NOT IN (SELECT s FROM outw)),
+p3 AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM k)
+         + 0.85 * (coalesce(inf.v, 0) + (SELECT m FROM d2) / (SELECT n FROM k)) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT t.d AS node, sum(p2.pr * t.p) AS v
+    FROM p2 JOIN t ON t.s = p2.node GROUP BY t.d) inf USING (node))
+SELECT node, round(pr, 6) AS rank FROM p3 ORDER BY node
+"""
+
+
+def q_reading_ease_documents(spark, sf_dir):
+    """Flesch reading ease (operators/textstats.reading_ease): three
+    regex counts per row — \\S+ words, [.!?]+ sentence runs (floored at
+    1), [aeiouy]+ vowel groups as the syllable heuristic (vowel groups
+    never cross whitespace, which keeps this pure zero-shuffle Column
+    algebra). flesch is NULL (not an error) on empty text. Oracle
+    replays the identical regex counts and arithmetic."""
+    from jsonschema_validator_spark.operators.textstats import reading_ease
+
+    docs = _t(spark, sf_dir, "documents")
+    return reading_ease(docs, "text").select(
+        "doc_id", "words", "sentences", "syllables", "flesch"
+    ).orderBy("doc_id")
+
+
+_ORACLE_READING_EASE = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS words,
+         greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)::BIGINT
+           AS sentences,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))::BIGINT
+           AS syllables
+  FROM documents)
+SELECT doc_id, words, sentences, syllables,
+       CASE WHEN words = 0 THEN NULL
+            ELSE round(206.835 - 1.015 * (words::DOUBLE / sentences)
+                       - 84.6 * (syllables::DOUBLE / words), 6) END AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6834,6 +7005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_documents": q_roc_auc_documents,
         "calibration_documents": q_calibration_documents,
         "ab_test_events": q_ab_test_events,
+        "fleiss_kappa_documents": q_fleiss_kappa_documents,
+        "pagerank_events": q_pagerank_events,
+        "reading_ease_documents": q_reading_ease_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -6985,6 +7159,9 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc_documents": _ORACLE_ROC_AUC,
         "calibration_documents": _ORACLE_CALIBRATION,
         "ab_test_events": _ORACLE_AB_TEST,
+        "fleiss_kappa_documents": _ORACLE_FLEISS_KAPPA,
+        "pagerank_events": _ORACLE_PAGERANK,
+        "reading_ease_documents": _ORACLE_READING_EASE,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

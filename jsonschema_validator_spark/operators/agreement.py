@@ -76,3 +76,72 @@ def cohen_kappa(
         F.round(pe, 6).alias("pe"),
         F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item: str,
+    label: str,
+    n_raters: int,
+    group: str | None = None,
+) -> DataFrame:
+    """Per-group Fleiss' kappa over one-row-per-RATING input
+    (item, label) — the m-rater generalization of Cohen's kappa for
+    labeling pools where each item is rated by ``n_raters`` annotators
+    (not necessarily the same ones, which is exactly Fleiss' setting).
+
+    Items whose rating count differs from ``n_raters`` are EXCLUDED and
+    counted in n_excluded — Fleiss' P_i is undefined off the fixed-n
+    design, and silently mixing counts would skew chance agreement.
+    NULL labels are dropped first (an abstention is not a rating), so
+    an item with an abstaining rater lands in n_excluded. Degenerate
+    groups (all raters unanimous on one category everywhere -> pe = 1)
+    yield NULL kappa via try_divide.
+
+    Scale: ONE shuffle to the (group, item, label) count relation;
+    P_i, the category marginals p_j, and kappa are all rollups of that
+    aggregate. Returns (group?, n_items, n_excluded, pbar, pe, kappa).
+    """
+    gcols = [group] if group else []
+    rated = df.filter(F.col(label).isNotNull())
+    c = rated.groupBy(
+        *gcols, F.col(item).alias("__i"), F.col(label).cast("string").alias("__l")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    per_item = c.groupBy(*gcols, "__i").agg(
+        F.sum("__n").alias("__ni"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__sq"),
+    )
+    n = float(n_raters)
+    kept = per_item.filter(F.col("__ni") == n_raters).withColumn(
+        "__pi", (F.col("__sq") - n) / (n * (n - 1.0))
+    )
+    pbar = kept.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_items"), F.avg("__pi").alias("__pbar")
+    )
+    excluded = per_item.filter(F.col("__ni") != n_raters).groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_excluded")
+    )
+    # category marginals over KEPT items only (the design Fleiss assumes)
+    kept_counts = c.join(
+        kept.select(*gcols, "__i"), [*gcols, "__i"]
+    )
+    pj = kept_counts.groupBy(*gcols, "__l").agg(F.sum("__n").alias("__cj"))
+    pe = pj.groupBy(*gcols).agg(
+        F.sum(F.col("__cj") * F.col("__cj")).alias("__sqj"),
+        F.sum("__cj").alias("__tot"),
+    )
+    if gcols:
+        joined = pbar.join(pe, gcols).join(excluded, gcols, "left")
+    else:
+        joined = pbar.crossJoin(pe).join(excluded, F.lit(True), "left")
+    pe_col = F.col("__sqj") / (F.col("__tot").cast("double") * F.col("__tot"))
+    return joined.select(
+        *gcols,
+        "n_items",
+        F.coalesce(F.col("n_excluded"), F.lit(0)).alias("n_excluded"),
+        F.round("__pbar", 6).alias("pbar"),
+        F.round(pe_col, 6).alias("pe"),
+        F.round(
+            F.try_divide(F.col("__pbar") - pe_col, F.lit(1.0) - pe_col), 6
+        ).alias("kappa"),
+    )

@@ -453,3 +453,34 @@ def bigram_logprob(
             F.avg(F.log2(F.col("__cb") / F.col("__ca"))).alias("mean_logp"),
         )
     )
+
+
+def reading_ease(df: DataFrame, text: str = "text") -> DataFrame:
+    """Flesch reading-ease per row from three regex counts — the
+    standard quality-score feature for prose-level filtering.
+
+    Heuristics (documented contract, replayable in any regex engine):
+    words = count of ``\\S+`` runs; sentences = count of ``[.!?]+``
+    runs, floored at 1 so a fragment still scores; syllables = count of
+    ``[aeiouy]+`` runs in the lowercased text (vowel groups never cross
+    whitespace, so no per-word loop is needed — this is what keeps the
+    operator pure Column algebra with zero shuffles). Empty/NULL text
+    yields NULL flesch via try_divide, never a division error.
+
+    flesch = 206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+    Returns the input columns plus (words, sentences, syllables,
+    flesch), counts as longs, flesch rounded to 6.
+    """
+    t = F.coalesce(F.col(text), F.lit(""))
+    words = F.regexp_count(t, F.lit(r"\S+")).cast("long")
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)).cast("long")
+    syllables = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    out = df.withColumn("words", words).withColumn("sentences", sentences).withColumn(
+        "syllables", syllables
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * F.try_divide(F.col("words"), F.col("sentences"))
+        - 84.6 * F.try_divide(F.col("syllables"), F.col("words"))
+    )
+    return out.withColumn("flesch", F.round(flesch, 6))

@@ -2987,3 +2987,78 @@ def test_ab_test_hand_computed(spark):
         [("A", 1), ("A", 1), ("B", 1)], "arm string, conv int"
     )
     assert ab_test(allconv, "arm", "conv").collect()[0]["z"] is None
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """Two items, 3 raters: item 1 unanimous 'x' (P_i = 1), item 2
+    split 2x/1y (P_i = (4+1-3)/6 = 1/3) -> pbar = 2/3. Marginals:
+    x 5/6, y 1/6 -> pe = 25/36 + 1/36 = 26/36. kappa = (24/36-26/36)
+    /(1-26/36) = -0.2. An item with an abstention is excluded."""
+    from jsonschema_validator_spark.operators.agreement import fleiss_kappa
+
+    rows = (
+        [(1, "x")] * 3
+        + [(2, "x"), (2, "x"), (2, "y")]
+        + [(3, "x"), (3, "x"), (3, None)]  # abstention -> excluded
+    )
+    df = spark.createDataFrame(rows, "item int, label string")
+    r = fleiss_kappa(df, "item", "label", n_raters=3).collect()[0]
+    assert r["n_items"] == 2 and r["n_excluded"] == 1
+    assert r["pbar"] == round(2 / 3, 6)
+    assert r["pe"] == round(26 / 36, 6)
+    assert r["kappa"] == -0.2
+
+
+def test_fleiss_kappa_unanimous_pe_one_is_null(spark):
+    """Every rater one category everywhere -> pe = 1 -> NULL kappa."""
+    from jsonschema_validator_spark.operators.agreement import fleiss_kappa
+
+    df = spark.createDataFrame(
+        [(1, "x")] * 2 + [(2, "x")] * 2, "item int, label string"
+    )
+    r = fleiss_kappa(df, "item", "label", n_raters=2).collect()[0]
+    assert r["pbar"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    """A <-> B is symmetric: every step preserves uniform (0.5, 0.5)
+    exactly, and total rank mass stays 1."""
+    from jsonschema_validator_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("A", "B"), ("B", "A")], "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    assert out == {"A": 0.5, "B": 0.5}
+
+
+def test_pagerank_dangling_and_sink_gain(spark):
+    """A -> B with B dangling: B receives A's mass plus its share of
+    the redistributed dangling mass, so rank(B) > rank(A); the ranks
+    sum to 1 within rounding. One power step replayed by hand:
+    pr(A) = 0.075 + 0.85 * 0.25 = 0.2875, pr(B) = 0.075 + 0.85 *
+    (0.5 + 0.25) = 0.7125."""
+    from jsonschema_validator_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("A", "B")], "src string, dst string")
+    one = {r["node"]: r["rank"] for r in pagerank(df, iters=1).collect()}
+    assert one == {"A": 0.2875, "B": 0.7125}
+    three = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    assert three["B"] > three["A"]
+    assert abs(sum(three.values()) - 1.0) < 1e-5
+
+
+def test_reading_ease_hand_computed(spark):
+    """'See spot run. See spot!' -> 5 words, 2 sentence runs, 5 vowel
+    groups -> 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975. Empty text
+    scores NULL with 0 words and the 1-sentence floor."""
+    from jsonschema_validator_spark.operators.textstats import reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "See spot run. See spot!"), (2, ""), (3, None)], "id int, text string"
+    )
+    out = {r["id"]: r for r in reading_ease(df, "text").collect()}
+    r1 = out[1]
+    assert (r1["words"], r1["sentences"], r1["syllables"]) == (5, 2, 5)
+    assert r1["flesch"] == 119.6975
+    for i in (2, 3):
+        assert out[i]["words"] == 0 and out[i]["sentences"] == 1
+        assert out[i]["flesch"] is None
