@@ -6986,6 +6986,193 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_bm25_documents(spark, sf_dir):
+    """Lexical retrieval baseline (operators/search.bm25): BM25 top-20
+    for the fixed query {hash, spark, window} with the [a-z]+ tokenizer
+    contract. The explode is filtered to query terms BEFORE aggregation
+    — the shuffled posting relation is O(docs x |query|), never
+    O(docs x doc-length); corpus constants and per-term df broadcast
+    back. Ties break on doc_id so the top-k cut is deterministic.
+    Oracle replays the Robertson idf and tf normalization."""
+    from jsonschema_validator_spark.operators.search import bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    res = bm25(docs, ["hash", "spark", "window"], id_col="doc_id", text="text")
+    return res.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+_ORACLE_BM25 = """
+WITH b2 AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))::BIGINT AS dl
+  FROM documents),
+corpus AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM b2),
+post AS (
+  SELECT doc_id, dl, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM b2)
+  WHERE t IN ('hash', 'spark', 'window')
+  GROUP BY doc_id, dl, t),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM post GROUP BY term),
+sc AS (
+  SELECT p.doc_id,
+         ln(1.0 + ((SELECT n FROM corpus) - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * 2.2)
+         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (SELECT avgdl FROM corpus)))
+           AS s
+  FROM post p JOIN dfreq d USING (term))
+SELECT doc_id, count(*)::BIGINT AS n_terms, round(sum(s), 6) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_gini_events(spark, sf_dir):
+    """Concentration screen (operators/stats.gini): Gini coefficient of
+    per-user event counts per event_type — "is 1% of users generating
+    90% of the traffic". Exact tie-invariant sorted-rank form over the
+    O(groups x distinct-counts) block relation (the AUC pattern: one
+    aggregation first, the rank cumsum window never sees raw rows);
+    negative inputs abort via an in-plan assert. Oracle replays the
+    block-rank arithmetic."""
+    from jsonschema_validator_spark.operators.stats import gini
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return gini(counts, "n_events", group="event_type").orderBy("event_type")
+
+
+_ORACLE_GINI = """
+WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS x
+           FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, x::DOUBLE AS x, count(*)::BIGINT AS m FROM c GROUP BY 1, 2),
+r AS (SELECT event_type, x, m,
+        coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0
+      FROM b),
+a AS (SELECT event_type, sum(m)::BIGINT AS n, sum(x * m) AS total,
+        sum(x * (m * r0 + m * (m + 1) / 2.0)) AS ix
+      FROM r GROUP BY event_type)
+SELECT event_type, n, round(total, 6) AS total,
+       round((2.0 * ix - (n + 1) * total) / (n * total), 6) AS gini
+FROM a ORDER BY event_type
+"""
+
+
+def q_trend_events(spark, sf_dir):
+    """Volume trend (operators/stats.linear_trend): OLS slope /
+    intercept / r^2 of daily event counts per event_type over epoch-day
+    x — the drift direction behind the volume-anomaly screen. Closed
+    form from ONE aggregation of five power sums; no window, no second
+    pass. Oracle replays the identical sums arithmetic."""
+    from jsonschema_validator_spark.operators.stats import linear_trend
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return linear_trend(daily, "x", "y", group="event_type").orderBy("event_type")
+
+
+_ORACLE_TREND = """
+WITH d AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS x,
+         count(*)::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, ts::DATE),
+a AS (SELECT event_type, count(*)::BIGINT AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM d GROUP BY event_type)
+SELECT event_type, n,
+  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+  round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 6)
+    AS intercept,
+  round(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+        / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+FROM a ORDER BY event_type
+"""
+
+
+def q_kaplan_meier_events(spark, sf_dir):
+    """Censoring-aware time-to-conversion curve (operators/survival.
+    kaplan_meier): per-user days from first event to first PURCHASE,
+    right-censored at a 7-day observation window when no purchase
+    landed inside it (naive mean time-to-purchase is biased low
+    exactly because of those users), cohorted by the user's first
+    event_type. One-row-per-user input reduces to the O(cohorts x
+    distinct-durations) block relation; at-risk cumsum and the
+    exp-sum-ln product run over that reduced relation only, with
+    d = n handled by a flag (Spark nulls ln(0), other engines -inf).
+    Oracle replays the product-limit arithmetic."""
+    from jsonschema_validator_spark.operators.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("et"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+        F.min_by("et", "event_id").alias("cohort"),
+    )
+    in_window = F.col("first_buy").isNotNull() & (
+        F.col("first_buy") <= F.col("first_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    subj = per_user.select(
+        "cohort",
+        F.when(
+            in_window, F.datediff(F.to_date("first_buy"), F.to_date("first_ts"))
+        )
+        .otherwise(F.lit(7))
+        .alias("dur"),
+        in_window.cast("int").alias("ev"),
+    )
+    return kaplan_meier(subj, "dur", "ev", group="cohort").orderBy("cohort", "t")
+
+
+_ORACLE_KAPLAN_MEIER = """
+WITH e AS (SELECT user_id, event_id, ts, event_type,
+                  coalesce(event_type, '(null)') AS et FROM events),
+u AS (SELECT user_id, min(ts) AS f,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+             arg_min(et, event_id) AS cohort
+      FROM e GROUP BY user_id),
+s AS (SELECT cohort,
+        CASE WHEN p IS NOT NULL AND p <= f + INTERVAL 7 DAY
+             THEN date_diff('day', f::DATE, p::DATE)::DOUBLE
+             ELSE 7.0 END AS t,
+        CASE WHEN p IS NOT NULL AND p <= f + INTERVAL 7 DAY
+             THEN 1 ELSE 0 END AS ev
+      FROM u),
+b AS (SELECT cohort, t, count(*)::BIGINT AS m, sum(ev)::BIGINT AS d
+      FROM s GROUP BY cohort, t),
+r AS (SELECT cohort, t, m, d,
+        (sum(m) OVER (PARTITION BY cohort)
+         - coalesce(sum(m) OVER (PARTITION BY cohort ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n
+      FROM b),
+c AS (SELECT cohort, t, n, d,
+        CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             THEN 0.0
+             ELSE exp(sum(CASE WHEN d < n THEN ln(1.0 - d::DOUBLE / n) END)
+                 OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS surv
+      FROM r)
+SELECT cohort, t, n AS n_risk, d AS n_events, round(surv, 6) AS survival
+FROM c WHERE d > 0 ORDER BY cohort, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7008,6 +7195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa_documents": q_fleiss_kappa_documents,
         "pagerank_events": q_pagerank_events,
         "reading_ease_documents": q_reading_ease_documents,
+        "bm25_documents": q_bm25_documents,
+        "gini_events": q_gini_events,
+        "trend_events": q_trend_events,
+        "kaplan_meier_events": q_kaplan_meier_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -7162,6 +7353,10 @@ def oracle_sql() -> dict[str, str]:
         "fleiss_kappa_documents": _ORACLE_FLEISS_KAPPA,
         "pagerank_events": _ORACLE_PAGERANK,
         "reading_ease_documents": _ORACLE_READING_EASE,
+        "bm25_documents": _ORACLE_BM25,
+        "gini_events": _ORACLE_GINI,
+        "trend_events": _ORACLE_TREND,
+        "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

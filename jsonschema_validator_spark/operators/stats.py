@@ -618,3 +618,111 @@ def cube_profile(df, dims: list[str], measure: str):
         )
         .orderBy("gid", *dims)
     )
+
+
+def gini(df: DataFrame, value_col: str, group: str | None = None) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative ``value_col`` —
+    the concentration screen behind "is 1% of users generating 90% of
+    the events" (activity skew, token-budget concentration, vendor
+    imbalance).
+
+    Exact sorted-rank form G = (2 * sum(i * x_(i)) - (n+1) * sum(x))
+    / (n * sum(x)), which is tie-invariant (equal values commute under
+    any rank assignment). The corpus reduces to the O(groups x
+    distinct-values) block relation by ONE aggregation; the rank
+    cumsum window runs over that reduced relation only (the AUC
+    pattern — raw rows never enter a window). For a block of m copies
+    of value v starting after rank r0: sum i*x = v * (m*r0 +
+    m*(m+1)/2). NULL values are excluded; negative values raise (Gini
+    is undefined below 0); an all-zero group yields NULL via
+    try_divide. Returns (group?, n, total, gini) with gini rounded 6.
+    """
+    from pyspark.sql import Window
+
+    gcols = [group] if group else []
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, F.col(value_col).cast("double").alias("__x")
+    )
+    blocks = vals.groupBy(*gcols, "__x").agg(F.count(F.lit(1)).alias("__m"))
+    w = (
+        Window.partitionBy(*gcols).orderBy("__x")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__x")
+    )
+    ranked = blocks.withColumn(
+        "__r0",
+        F.coalesce(
+            F.sum("__m").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__m").alias("n"),
+        F.sum(F.col("__x") * F.col("__m")).alias("total"),
+        F.sum(
+            F.col("__x")
+            * (
+                F.col("__m") * F.col("__r0")
+                + F.col("__m") * (F.col("__m") + 1) / 2.0
+            )
+        ).alias("__ix"),
+        F.min("__x").alias("__minx"),
+    )
+    g = F.try_divide(
+        2.0 * F.col("__ix") - (F.col("n") + 1) * F.col("total"),
+        F.col("n") * F.col("total"),
+    )
+    # lazy in-plan guard: assert_true yields NULL when the contract
+    # holds and aborts the job when it doesn't — no eager second pass
+    guard = F.assert_true(
+        F.col("__minx") >= 0, F.lit("gini is undefined for negative values")
+    ).cast("double")
+    return agg.select(
+        *gcols,
+        "n",
+        F.round("total", 6).alias("total"),
+        (F.round(g, 6) + F.coalesce(guard, F.lit(0.0))).alias("gini"),
+    )
+
+
+def linear_trend(
+    df: DataFrame, x_col: str, y_col: str, group: str | None = None
+) -> DataFrame:
+    """Per-group OLS line y = a + b*x with r^2 — the trend screen over
+    per-day volumes ("is this source's document count drifting down").
+
+    Closed-form from ONE aggregation of the five power sums (n, Sx,
+    Sy, Sxx, Sxy, Syy); no window, no second pass. Rows with NULL x or
+    y are excluded. A group with zero x-variance (one distinct x)
+    yields NULL slope/intercept/r2 via try_divide — a vertical-line
+    fit is not a trend. r2 = cov^2 / (varx * vary), NULL when y is
+    constant too (0/0, not 1: a flat series explains nothing).
+    Returns (group?, n, slope, intercept, r2), rounded to 6.
+    """
+    gcols = [group] if group else []
+    xy = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *gcols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    agg = xy.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    vary = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    slope = F.try_divide(cov, F.when(varx > 0, varx))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = F.try_divide(cov * cov, F.when(varx * vary > 0, varx * vary))
+    return agg.select(
+        *gcols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

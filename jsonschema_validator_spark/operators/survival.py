@@ -1,0 +1,86 @@
+"""Survival analysis — the Kaplan-Meier product-limit estimator, the
+standard right-censoring-aware form of "how long do users stay
+active": naive mean lifetimes are biased low because still-active
+users haven't finished their lifetime yet, and KM is the estimator
+that uses them correctly (they stay in the at-risk denominator until
+their censoring time, then leave without an event).
+
+Reference parity note: outside the reference validator's scope
+(macisamuele/jsonschema-validator validates keywords); this is the
+analytics tier of SURVEY.md §2.
+
+Scale: one-row-per-subject input reduces by ONE aggregation to the
+O(groups x distinct-durations) block relation; the at-risk cumsum and
+the cumulative product (as exp-of-summed-logs) are windows over that
+reduced relation only — raw subjects never enter a window (the AUC /
+gini pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration: str,
+    event: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve per group.
+
+    ``duration`` is the observed time (event time if ``event`` = 1,
+    censoring time if 0); rows with NULL duration or event are
+    excluded. Output has one row per (group?, t) where at least one
+    EVENT occurred (censoring-only times move the at-risk count but
+    are not curve steps, per the standard estimator):
+
+        S(t) = prod_{t_j <= t} (1 - d_j / n_j)
+
+    with d_j events and n_j at risk at t_j. The product is computed as
+    exp(sum(ln(1 - d/n))) over the ordered block relation; a step
+    where everyone at risk dies (d = n) sets survival to exactly 0.0
+    from there on (tracked by a flag, not ln(0), which Spark nulls and
+    other engines -inf). Returns (group?, t, n_risk, n_events,
+    survival), survival rounded to 6.
+    """
+    gcols = [group] if group else []
+    subj = df.filter(F.col(duration).isNotNull() & F.col(event).isNotNull()).select(
+        *gcols,
+        F.col(duration).cast("double").alias("__t"),
+        F.col(event).cast("int").alias("__e"),
+    )
+    blocks = subj.groupBy(*gcols, "__t").agg(
+        F.count(F.lit(1)).alias("__m"), F.sum("__e").alias("__d")
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy("__t")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__t")
+    )
+    before = F.coalesce(
+        F.sum("__m").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    total = F.sum("__m").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    risked = blocks.withColumn("__n", total - before)
+    factor = 1.0 - F.col("__d") / F.col("__n")
+    stepped = risked.withColumn(
+        "__lnf", F.when(factor > 0, F.log(factor))
+    ).withColumn("__dead", (factor == 0).cast("int"))
+    upto = w.rowsBetween(Window.unboundedPreceding, 0)
+    curve = stepped.withColumn(
+        "__surv",
+        F.when(F.max("__dead").over(upto) == 1, F.lit(0.0)).otherwise(
+            F.exp(F.sum("__lnf").over(upto))
+        ),
+    )
+    return curve.filter(F.col("__d") > 0).select(
+        *gcols,
+        F.col("__t").alias("t"),
+        F.col("__n").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.round("__surv", 6).alias("survival"),
+    )

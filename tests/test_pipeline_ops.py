@@ -3062,3 +3062,110 @@ def test_reading_ease_hand_computed(spark):
     for i in (2, 3):
         assert out[i]["words"] == 0 and out[i]["sentences"] == 1
         assert out[i]["flesch"] is None
+
+
+def test_bm25_ranks_relevance_and_saturates(spark):
+    """'spark spark spark' outranks a single mention in a longer doc;
+    a doc with zero query terms is absent; tf saturates (k1 bound) so
+    the 3x doc scores < 3x the 1x doc's per-term contribution."""
+    from jsonschema_validator_spark.operators.search import bm25
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark join merge filter table window"),
+            (3, "join merge filter"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25(df, ["spark"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["score"] > out[2]["score"]
+    assert out[1]["score"] < 3 * out[2]["score"]
+    assert out[1]["n_terms"] == 1
+
+
+def test_bm25_multi_term_and_empty_query_raises(spark):
+    """n_terms counts DISTINCT matched query terms; empty query is a
+    contract error."""
+    from jsonschema_validator_spark.operators.search import bm25
+
+    df = spark.createDataFrame(
+        [(1, "spark window spark"), (2, "window only")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in bm25(df, ["spark", "window"]).collect()}
+    assert out[1]["n_terms"] == 2 and out[2]["n_terms"] == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25(df, [])
+
+
+def test_gini_hand_computed(spark):
+    """Perfect equality -> 0; (1,1,1,97) concentrates: G = (2*(1+2+3+
+    4*97) - 5*100)/(4*100) = (2*394 - 500)/400 = 0.72. Ties across
+    partitions stay exact (tie-invariant block form)."""
+    from jsonschema_validator_spark.operators.stats import gini
+
+    eq = spark.createDataFrame([(5.0,)] * 4, "v double")
+    assert gini(eq, "v").collect()[0]["gini"] == 0.0
+
+    sk = spark.createDataFrame([(1.0,), (1.0,), (1.0,), (97.0,)], "v double")
+    r = gini(sk, "v").collect()[0]
+    assert r["n"] == 4 and r["total"] == 100.0 and r["gini"] == 0.72
+
+
+def test_gini_negative_raises_and_zero_total_null(spark):
+    from jsonschema_validator_spark.operators.stats import gini
+    from pyspark.errors import SparkRuntimeException
+
+    neg = spark.createDataFrame([(1.0,), (-2.0,)], "v double")
+    with pytest.raises(SparkRuntimeException):
+        gini(neg, "v").collect()
+    zero = spark.createDataFrame([(0.0,), (0.0,)], "v double")
+    assert gini(zero, "v").collect()[0]["gini"] is None
+
+
+def test_linear_trend_exact_line_and_degenerates(spark):
+    """y = 2x + 1 exactly -> slope 2, intercept 1, r2 1. One distinct
+    x -> NULL everything; constant y -> slope 0 but NULL r2 (0/0)."""
+    from jsonschema_validator_spark.operators.stats import linear_trend
+
+    line = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 3.0), (2.0, 5.0)], "x double, y double"
+    )
+    r = linear_trend(line, "x", "y").collect()[0]
+    assert (r["slope"], r["intercept"], r["r2"]) == (2.0, 1.0, 1.0)
+
+    vert = spark.createDataFrame([(1.0, 1.0), (1.0, 5.0)], "x double, y double")
+    rv = linear_trend(vert, "x", "y").collect()[0]
+    assert rv["slope"] is None and rv["r2"] is None
+
+    flat = spark.createDataFrame([(0.0, 4.0), (1.0, 4.0)], "x double, y double")
+    rf = linear_trend(flat, "x", "y").collect()[0]
+    assert rf["slope"] == 0.0 and rf["intercept"] == 4.0 and rf["r2"] is None
+
+
+def test_kaplan_meier_textbook(spark):
+    """Durations (1 event, 2 censored, 3 event, 4 event) of 4 subjects:
+    S(1) = 3/4; t=2 censored (no step row) but shrinks the risk set;
+    S(3) = 3/4 * 1/2 = 0.375; S(4) = 0 (last subject dies, d = n flag
+    path, not ln(0))."""
+    from jsonschema_validator_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1)], "dur double, ev int"
+    )
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(out) == {1.0, 3.0, 4.0}  # censoring time 2.0 is not a step
+    assert out[1.0]["n_risk"] == 4 and out[1.0]["survival"] == 0.75
+    assert out[3.0]["n_risk"] == 2 and out[3.0]["survival"] == 0.375
+    assert out[4.0]["n_risk"] == 1 and out[4.0]["survival"] == 0.0
+
+
+def test_kaplan_meier_all_censored_no_steps(spark):
+    """All-censored input has no event times -> empty curve, not a
+    division error."""
+    from jsonschema_validator_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame([(1.0, 0), (2.0, 0)], "dur double, ev int")
+    assert kaplan_meier(df, "dur", "ev").count() == 0
