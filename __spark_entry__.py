@@ -7173,6 +7173,73 @@ FROM c WHERE d > 0 ORDER BY cohort, t
 """
 
 
+def q_funnel_events(spark, sf_dir):
+    """Ordered-step conversion (operators/funnel.funnel): signup ->
+    view -> click -> purchase per user, each step strictly after the
+    previous and the whole chain within 72h of the user's first
+    signup (24h converts nobody at the contract sfs; 72h gives the
+    full gradient, e.g. 150 -> 105 -> 57 -> 21 at sf0.01). ONE shuffle: slim (user, ts, step) rows fold greedily
+    through a k-slot JVM aggregate over the per-user sorted array —
+    not k-1 sequential self-joins. The oracle IS the k-join
+    formulation (independent algorithm, same greedy semantics)."""
+    from jsonschema_validator_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        ["signup", "view", "click", "purchase"],
+        subject="user_id",
+        step="event_type",
+        ts="ts",
+        within_seconds=72 * 3600,
+    ).orderBy("step_idx")
+
+
+_ORACLE_FUNNEL = """
+WITH ev AS (
+  SELECT user_id AS u, ts, event_type AS s FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+t1 AS (SELECT u, min(ts) AS t FROM ev WHERE s = 'signup' GROUP BY u),
+t2 AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN t1 ON e.u = t1.u
+       WHERE e.s = 'view' AND e.ts > t1.t
+         AND e.ts <= t1.t + INTERVAL 72 HOUR GROUP BY e.u),
+t3 AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN t2 ON e.u = t2.u
+       JOIN t1 ON e.u = t1.u
+       WHERE e.s = 'click' AND e.ts > t2.t
+         AND e.ts <= t1.t + INTERVAL 72 HOUR GROUP BY e.u),
+t4 AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN t3 ON e.u = t3.u
+       JOIN t1 ON e.u = t1.u
+       WHERE e.s = 'purchase' AND e.ts > t3.t
+         AND e.ts <= t1.t + INTERVAL 72 HOUR GROUP BY e.u),
+n AS (SELECT (SELECT count(*) FROM t1) AS n1, (SELECT count(*) FROM t2) AS n2,
+             (SELECT count(*) FROM t3) AS n3, (SELECT count(*) FROM t4) AS n4),
+h AS (SELECT
+        (SELECT avg(date_diff('us', t1.t, t2.t) / 3600000000.0)
+           FROM t2 JOIN t1 USING (u)) AS h2,
+        (SELECT avg(date_diff('us', t1.t, t3.t) / 3600000000.0)
+           FROM t3 JOIN t1 USING (u)) AS h3,
+        (SELECT avg(date_diff('us', t1.t, t4.t) / 3600000000.0)
+           FROM t4 JOIN t1 USING (u)) AS h4)
+SELECT step_idx, step, n_reached, conversion, mean_hours_to_step FROM (
+  SELECT 1::INT AS step_idx, 'signup' AS step, n1::BIGINT AS n_reached,
+         round(CASE WHEN n1 > 0 THEN n1 / n1::DOUBLE END, 6) AS conversion,
+         CASE WHEN n1 > 0 THEN 0.0 END AS mean_hours_to_step FROM n
+  UNION ALL
+  SELECT 2::INT, 'view', n2::BIGINT,
+         round(CASE WHEN n1 > 0 THEN n2 / n1::DOUBLE END, 6),
+         round(h2, 6) FROM n, h
+  UNION ALL
+  SELECT 3::INT, 'click', n3::BIGINT,
+         round(CASE WHEN n1 > 0 THEN n3 / n1::DOUBLE END, 6),
+         round(h3, 6) FROM n, h
+  UNION ALL
+  SELECT 4::INT, 'purchase', n4::BIGINT,
+         round(CASE WHEN n1 > 0 THEN n4 / n1::DOUBLE END, 6),
+         round(h4, 6) FROM n, h)
+ORDER BY step_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7199,6 +7266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_events": q_gini_events,
         "trend_events": q_trend_events,
         "kaplan_meier_events": q_kaplan_meier_events,
+        "funnel_events": q_funnel_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -7357,6 +7425,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_events": _ORACLE_GINI,
         "trend_events": _ORACLE_TREND,
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
+        "funnel_events": _ORACLE_FUNNEL,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

@@ -3169,3 +3169,72 @@ def test_kaplan_meier_all_censored_no_steps(spark):
 
     df = spark.createDataFrame([(1.0, 0), (2.0, 0)], "dur double, ev int")
     assert kaplan_meier(df, "dur", "ev").count() == 0
+
+
+def test_funnel_greedy_strict_order(spark):
+    """u1 completes a->b->c in order; u2 has b before a (b doesn't
+    count, funnel stalls at a); u3's b ties a's timestamp exactly
+    (strictly-after contract: tie does not advance)."""
+    from datetime import datetime as dt
+
+    from jsonschema_validator_spark.operators.funnel import funnel
+
+    rows = [
+        ("u1", "a", dt(2024, 1, 1, 0)),
+        ("u1", "b", dt(2024, 1, 1, 1)),
+        ("u1", "c", dt(2024, 1, 1, 2)),
+        ("u2", "b", dt(2024, 1, 1, 0)),
+        ("u2", "a", dt(2024, 1, 1, 1)),
+        ("u3", "a", dt(2024, 1, 1, 0)),
+        ("u3", "b", dt(2024, 1, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = {r["step_idx"]: r for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert out[1]["n_reached"] == 3 and out[1]["mean_hours_to_step"] == 0.0
+    assert out[2]["n_reached"] == 1 and out[2]["mean_hours_to_step"] == 1.0
+    assert out[3]["n_reached"] == 1 and out[3]["conversion"] == round(1 / 3, 6)
+    assert out[3]["mean_hours_to_step"] == 2.0
+
+
+def test_funnel_window_anchored_at_first_entry(spark):
+    """Greedy entry: t1 is the FIRST a even though a later a would
+    let b fit the window — documented one-pass divergence from
+    backtracking funnels. u5's b lands inside its window and counts."""
+    from datetime import datetime as dt
+
+    from jsonschema_validator_spark.operators.funnel import funnel
+
+    rows = [
+        ("u4", "a", dt(2024, 1, 1, 0)),
+        ("u4", "a", dt(2024, 1, 3, 0)),
+        ("u4", "b", dt(2024, 1, 3, 1)),   # >24h after FIRST a
+        ("u5", "a", dt(2024, 1, 1, 0)),
+        ("u5", "b", dt(2024, 1, 1, 23)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = {r["step_idx"]: r for r in funnel(df, ["a", "b"], within_seconds=24 * 3600).collect()}
+    assert out[1]["n_reached"] == 2
+    assert out[2]["n_reached"] == 1  # u5 only
+
+
+def test_funnel_repeated_steps_and_empty_raises(spark):
+    """['a','a'] needs two distinct a events; empty steps is a
+    contract error; NULL subject rows are excluded."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.funnel import funnel
+
+    rows = [
+        ("u6", "a", dt(2024, 1, 1, 0)),
+        ("u6", "a", dt(2024, 1, 1, 5)),
+        ("u7", "a", dt(2024, 1, 1, 0)),
+        (None, "a", dt(2024, 1, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = {r["step_idx"]: r for r in funnel(df, ["a", "a"]).collect()}
+    assert out[1]["n_reached"] == 2 and out[2]["n_reached"] == 1
+    assert out[2]["mean_hours_to_step"] == 5.0
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel(df, [])
