@@ -7240,6 +7240,110 @@ ORDER BY step_idx
 """
 
 
+def q_rolling_events(spark, sf_dir):
+    """Trailing rolling control band (operators/timeseries.
+    rolling_stats): 7-day moving mean/stddev of daily value means per
+    event_type, with the screen z-score computed against the PRIOR
+    window (rows -7..-1) so a spike cannot inflate its own band — a
+    planted +40 one-day shift on 'error' at 2024-01-15 flags exactly
+    once. Pure JVM window algebra over the (group, day)-reduced
+    relation; warm-up rows (prior window <2 rows / zero variance)
+    render z 0.0 / sd 0.0 by query contract (the operator keeps them
+    NULL). Oracle replays both window frames."""
+    from jsonschema_validator_spark.operators.timeseries import rolling_stats
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v",
+        F.col("value")
+        + F.when(
+            (F.col("event_type") == "error")
+            & (F.to_date("ts") == F.lit("2024-01-15").cast("date")),
+            F.lit(40.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    out = rolling_stats(ev, "event_type", "ts", "v", window=7, k_sigma=3.0)
+    return out.select(
+        "event_type",
+        "day",
+        "x",
+        "n_window",
+        "ma",
+        F.coalesce("sd", F.lit(0.0)).alias("sd"),
+        F.coalesce("z_prior", F.lit(0.0)).alias("z_prior"),
+        "flag",
+    ).orderBy("event_type", "day")
+
+
+_ORACLE_ROLLING = """
+WITH d AS (
+  SELECT event_type AS g, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         avg(value + CASE WHEN event_type = 'error' AND ts::DATE = DATE '2024-01-15'
+                          THEN 40.0 ELSE 0.0 END) AS x
+  FROM events GROUP BY 1, 2),
+r AS (SELECT g, day, x,
+        count(x) OVER w1 AS nw, avg(x) OVER w1 AS ma,
+        stddev_samp(x) OVER w1 AS sd,
+        avg(x) OVER w0 AS pma, stddev_samp(x) OVER w0 AS psd
+      FROM d WINDOW
+        w1 AS (PARTITION BY g ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        w0 AS (PARTITION BY g ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT g AS event_type, day, round(x, 6) AS x, nw::BIGINT AS n_window,
+       round(ma, 6) AS ma, round(coalesce(sd, 0), 6) AS sd,
+       round(coalesce(CASE WHEN psd > 0 THEN (x - pma) / psd END, 0), 6) AS z_prior,
+       coalesce(CASE WHEN psd > 0 THEN abs((x - pma) / psd) > 3.0 END, false) AS flag
+FROM r ORDER BY event_type, day
+"""
+
+
+def q_ewma_events(spark, sf_dir):
+    """EWMA one-step-ahead residual screen (operators/timeseries.
+    ewma_screen): the exponentially-forgetting sibling of the CUSUM
+    screen — tracks a drifting level (alpha 0.3) and flags days whose
+    prediction residual breaks 3 sigma of the series' own stddev. The
+    same planted +40 'error' spike flags at onset (and the recovery
+    day, whose residual is the inflated level unwinding — both
+    deterministic). Sequential recurrence Arrow-batched per group
+    over the (group, day)-reduced relation; oracle replays it with a
+    recursive CTE."""
+    from jsonschema_validator_spark.operators.timeseries import ewma_screen
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v",
+        F.col("value")
+        + F.when(
+            (F.col("event_type") == "error")
+            & (F.to_date("ts") == F.lit("2024-01-15").cast("date")),
+            F.lit(40.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    return ewma_screen(ev, "event_type", "ts", "v", alpha=0.3, h_sigma=3.0).orderBy(
+        "event_type", "day"
+    )
+
+
+_ORACLE_EWMA = """
+WITH RECURSIVE
+d AS (
+  SELECT event_type AS g, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         avg(value + CASE WHEN event_type = 'error' AND ts::DATE = DATE '2024-01-15'
+                          THEN 40.0 ELSE 0.0 END) AS x
+  FROM events GROUP BY 1, 2),
+p AS (SELECT g, coalesce(stddev_samp(x), 0) AS sd FROM d GROUP BY g),
+s AS (SELECT d.g, day, x, sd,
+             row_number() OVER (PARTITION BY d.g ORDER BY day) AS i
+      FROM d JOIN p USING (g)),
+c AS (SELECT g, day, x, sd, i, x AS ewma, 0.0::DOUBLE AS residual
+      FROM s WHERE i = 1
+      UNION ALL
+      SELECT s.g, s.day, s.x, s.sd, s.i,
+             0.3 * s.x + 0.7 * c.ewma, s.x - c.ewma
+      FROM c JOIN s ON s.g = c.g AND s.i = c.i + 1)
+SELECT g AS event_type, day, round(x, 6) AS x, round(ewma, 6) AS ewma,
+       round(residual, 6) AS residual, abs(residual) > 3.0 * sd AS flag
+FROM c ORDER BY event_type, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7267,6 +7371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_events": q_trend_events,
         "kaplan_meier_events": q_kaplan_meier_events,
         "funnel_events": q_funnel_events,
+        "rolling_events": q_rolling_events,
+        "ewma_events": q_ewma_events,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -7426,6 +7532,8 @@ def oracle_sql() -> dict[str, str]:
         "trend_events": _ORACLE_TREND,
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
         "funnel_events": _ORACLE_FUNNEL,
+        "rolling_events": _ORACLE_ROLLING,
+        "ewma_events": _ORACLE_EWMA,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

@@ -1,0 +1,136 @@
+"""Per-group time-series screens over the daily-aggregated relation:
+trailing rolling statistics (the moving-control-band complement to the
+global median/MAD screen in operators/anomaly.py) and an EWMA
+one-step-ahead residual screen (the exponentially-forgetting sibling
+of operators/changepoint.py's CUSUM — EWMA tracks a drifting level
+and flags points that break from the RECENT past, where MAD compares
+to the whole history and CUSUM accumulates sustained shifts).
+
+Reference parity note: outside the reference validator's scope
+(macisamuele/jsonschema-validator validates keywords); this is the
+analytics tier of SURVEY.md §2.
+
+Scale shape (the changepoint.py contract): the raw table is reduced
+FIRST by one (group, day) aggregation — the only full-data shuffle.
+``rolling_stats`` is then pure JVM window algebra over that tiny
+relation; ``ewma_screen``'s recurrence is inherently sequential per
+group and runs inside one Arrow-batched applyInPandas with O(1)
+state, exactly the escape hatch SURVEY §2.5 reserves. No per-row
+Python ever touches the raw table (input_hint contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _daily(df: DataFrame, group: str, ts: str, value) -> DataFrame:
+    day = F.date_format(F.date_trunc("day", F.col(ts)), "yyyy-MM-dd")
+    return df.groupBy(F.col(group).alias("g"), day.alias("day")).agg(
+        value.alias("x")
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    value=None,
+    window: int = 7,
+    k_sigma: float = 3.0,
+) -> DataFrame:
+    """Trailing rolling mean/stddev + prior-window z-score per group
+    over the daily series (daily event COUNTS when ``value`` is None,
+    else daily means of the column name passed).
+
+    ROWS semantics over observed days, ordered by day: ``ma``/``sd``
+    cover the trailing ``window`` rows INCLUDING the current one;
+    the screen statistic ``z_prior`` compares x to the window that
+    EXCLUDES it (rows -window..-1) so a spike cannot mask itself by
+    inflating its own control band. z_prior is NULL while the prior
+    window has <2 rows or zero variance. flag = |z_prior| > k_sigma
+    (NULL z -> false: a warm-up day is not an anomaly). Returns
+    (group, day, x, n_window, ma, sd, z_prior, flag), floats rounded
+    to 6.
+    """
+    val = F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    daily = _daily(df, group, ts, val)
+    w_incl = Window.partitionBy("g").orderBy("day").rowsBetween(-(window - 1), 0)
+    w_prior = Window.partitionBy("g").orderBy("day").rowsBetween(-window, -1)
+    prior_ma = F.avg("x").over(w_prior)
+    prior_sd = F.stddev_samp("x").over(w_prior)
+    z = F.when(
+        prior_sd.isNotNull() & (prior_sd > 0), (F.col("x") - prior_ma) / prior_sd
+    )
+    out = daily.select(
+        F.col("g").alias(group),
+        "day",
+        F.round("x", 6).alias("x"),
+        F.count("x").over(w_incl).alias("n_window"),
+        F.round(F.avg("x").over(w_incl), 6).alias("ma"),
+        F.round(F.stddev_samp("x").over(w_incl), 6).alias("sd"),
+        F.round(z, 6).alias("z_prior"),
+        F.coalesce(F.abs(z) > k_sigma, F.lit(False)).alias("flag"),
+    )
+    return out
+
+
+def ewma_screen(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    value=None,
+    alpha: float = 0.3,
+    h_sigma: float = 3.0,
+) -> DataFrame:
+    """EWMA level + one-step-ahead residual screen per group over the
+    daily series (daily event COUNTS when ``value`` is None, else
+    daily means of the named column).
+
+    s_1 = x_1; s_i = alpha * x_i + (1 - alpha) * s_{i-1}. The screen
+    statistic is the prediction residual r_i = x_i - s_{i-1} (r_1 = 0
+    by convention: the first observation defines the level), flagged
+    when |r| > h_sigma * sd with sd the group series' own sample
+    stddev (self-referencing control limits, the cusum_screen
+    convention; single-day groups get sd 0 and never flag). Returns
+    (group, day, x, ewma, residual, flag), floats rounded to 6.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    import pandas as pd
+
+    val = F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    daily = _daily(df, group, ts, val)
+    params = daily.groupBy("g").agg(F.stddev_samp("x").alias("sd"))
+    series = daily.join(params, "g")
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        sd = pdf["sd"].iloc[0]
+        sd = 0.0 if pd.isna(sd) else sd
+        s, ew, res = None, [], []
+        for x in pdf["x"]:
+            res.append(0.0 if s is None else x - s)
+            s = x if s is None else alpha * x + (1.0 - alpha) * s
+            ew.append(s)
+        pdf["ewma"] = ew
+        pdf["residual"] = res
+        pdf["flag"] = pdf["residual"].abs() > h_sigma * sd
+        return pdf[["g", "day", "x", "ewma", "residual", "flag"]]
+
+    return (
+        series.groupBy("g")
+        .applyInPandas(
+            _run,
+            schema="g string, day string, x double, ewma double, residual double, flag boolean",
+        )
+        .select(
+            F.col("g").alias(group),
+            "day",
+            F.round("x", 6).alias("x"),
+            F.round("ewma", 6).alias("ewma"),
+            F.round("residual", 6).alias("residual"),
+            "flag",
+        )
+    )

@@ -3238,3 +3238,68 @@ def test_funnel_repeated_steps_and_empty_raises(spark):
     assert out[2]["mean_hours_to_step"] == 5.0
     with _pytest.raises(ValueError, match="non-empty"):
         funnel(df, [])
+
+
+def test_rolling_stats_prior_window_screen(spark):
+    """Series 10,10,10,100 with window 3: the spike day's z_prior uses
+    the PRIOR window (10,10,10: ma 10, sd 0 -> wait, sd of equal rows
+    is 0 -> z NULL) — so use 10,12,8,100: prior ma 10, sd 2, z 45.
+    The spike cannot inflate its own band; its own-window sd explodes
+    only in the inclusive ma/sd columns."""
+    from datetime import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import rolling_stats
+
+    rows = [
+        ("g", dt(2024, 1, 1), 10.0),
+        ("g", dt(2024, 1, 2), 12.0),
+        ("g", dt(2024, 1, 3), 8.0),
+        ("g", dt(2024, 1, 4), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {r["day"]: r for r in rolling_stats(df, "grp", "ts", "v", window=3).collect()}
+    d4 = out["2024-01-04"]
+    assert d4["x"] == 100.0 and d4["n_window"] == 3
+    assert d4["z_prior"] == 45.0 and d4["flag"] is True
+    # warm-up rows: day 1 has no prior window, day 2 a 1-row prior
+    assert out["2024-01-01"]["z_prior"] is None and out["2024-01-01"]["flag"] is False
+    assert out["2024-01-02"]["z_prior"] is None
+    # inclusive trailing stats on day 3: mean(10,12,8)=10
+    assert out["2024-01-03"]["ma"] == 10.0
+
+
+def test_ewma_screen_recurrence_and_alpha_contract(spark):
+    """x = 10, 10, 20 with alpha 0.5: s = 10, 10, 15; residuals
+    0, 0, 10. sd of (10,10,20) = 5.7735; 10 > 1.5*sd with h=1.5 ->
+    only the jump day flags. alpha outside (0,1] raises."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from jsonschema_validator_spark.operators.timeseries import ewma_screen
+
+    rows = [
+        ("g", dt(2024, 1, 1), 10.0),
+        ("g", dt(2024, 1, 2), 10.0),
+        ("g", dt(2024, 1, 3), 20.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {r["day"]: r for r in
+           ewma_screen(df, "grp", "ts", "v", alpha=0.5, h_sigma=1.5).collect()}
+    assert out["2024-01-01"]["ewma"] == 10.0 and out["2024-01-01"]["residual"] == 0.0
+    assert out["2024-01-03"]["ewma"] == 15.0 and out["2024-01-03"]["residual"] == 10.0
+    assert [out[d]["flag"] for d in sorted(out)] == [False, False, True]
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma_screen(df, "grp", "ts", "v", alpha=0.0)
+
+
+def test_ewma_single_day_group_never_flags(spark):
+    from datetime import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import ewma_screen
+
+    df = spark.createDataFrame(
+        [("g", dt(2024, 1, 1), 42.0)], "grp string, ts timestamp, v double"
+    )
+    r = ewma_screen(df, "grp", "ts", "v").collect()[0]
+    assert r["ewma"] == 42.0 and r["residual"] == 0.0 and r["flag"] is False
