@@ -7344,6 +7344,43 @@ FROM c ORDER BY event_type, day
 """
 
 
+def q_select_canonical_documents(spark, sf_dir):
+    """Canonical-survivor selection per duplicate cluster
+    (operators/dedup.select_canonical) — the keep/drop decision after
+    connected_components: within each cluster keep the max-n_chars doc,
+    ties broken by min id, as ONE min(struct(-score, id)) aggregation
+    (no window over members — a whale cluster collapses map-side).
+    Clusters are planted deterministically as doc_id % 50 (~10 docs
+    each at sf0.01; in production the labels come from
+    connected_components — the operator only sees (id, component)
+    either way). The oracle picks survivors with an INDEPENDENT
+    algorithm: a row_number window ordered (n_chars DESC, id)."""
+    from jsonschema_validator_spark.operators.dedup import select_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 50).alias("component")
+    )
+    return select_canonical(
+        docs, comps, id_col="doc_id", prefer=F.col("n_chars")
+    ).orderBy("doc_id")
+
+
+_ORACLE_SELECT_CANONICAL = """
+WITH l AS (SELECT doc_id AS id, doc_id % 50 AS component, n_chars FROM documents),
+r AS (SELECT id, component, n_chars,
+        row_number() OVER (PARTITION BY component
+                           ORDER BY n_chars DESC, id) AS rn
+      FROM l),
+c AS (SELECT component, id AS cid FROM r WHERE rn = 1),
+m AS (SELECT component, count(*)::BIGINT AS n_members FROM l GROUP BY component)
+SELECT l.id AS doc_id, l.component, c.cid AS canonical_id,
+       l.id = c.cid AS is_canonical, m.n_members
+FROM l JOIN c USING (component) JOIN m USING (component)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7373,6 +7410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
+        "select_canonical_documents": q_select_canonical_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -7534,6 +7572,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": _ORACLE_FUNNEL,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,
+        "select_canonical_documents": _ORACLE_SELECT_CANONICAL,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

@@ -672,3 +672,67 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def select_canonical(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    prefer: Column | None = None,
+    comp_id: str = "id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Canonical-representative selection per duplicate cluster — the
+    keep/drop decision that completes the dedup chain (pairs ->
+    connected_components -> ONE survivor per component): within each
+    component keep the row maximizing ``prefer`` (a numeric quality /
+    length score evaluated against ``df``; default: none, so the
+    min-id convention alone decides), ties broken by MIN id so the
+    choice is deterministic under any partitioning. Rows of ``df``
+    absent from ``components`` are singletons: their own component and
+    canonical. NULL ``prefer`` scores rank WORST (a scoreless doc
+    never beats a scored one; an all-NULL component falls back to min
+    id).
+
+    Scale shape: one left equi-join of slim (id, score) rows against
+    the component labels, one groupBy(component) aggregation (max
+    score + tie-break as a single ``min(struct(-score, id))`` — no
+    window over members, per the skew doctrine: a whale cluster
+    collapses map-side), one broadcast-back equi-join. Payload columns
+    never shuffle; re-join them by id downstream.
+
+    Returns (id_col, component, canonical_id, is_canonical,
+    n_members) — ``df.filter(is_canonical)`` after a payload re-join
+    is the deduplicated corpus.
+    """
+    p = F.lit(0.0) if prefer is None else prefer.cast("double")
+    labeled = (
+        df.select(F.col(id_col).alias("__id"), p.alias("__p"))
+        .join(
+            components.select(
+                F.col(comp_id).alias("__id"), F.col(comp_col).alias("__c")
+            ),
+            "__id",
+            "left",
+        )
+        .withColumn("__c", F.coalesce(F.col("__c"), F.col("__id")))
+    )
+    # min(struct(neg_score, id)): max score first, then min id; NULL
+    # score -> +inf neg_score ranks last
+    neg = F.when(F.col("__p").isNull(), F.lit(float("inf"))).otherwise(
+        -F.col("__p")
+    )
+    best = labeled.groupBy("__c").agg(
+        F.min(F.struct(neg.alias("np"), F.col("__id").alias("cid"))).alias("__b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        labeled.join(best, "__c")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__c").alias(comp_col),
+            F.col("__b.cid").alias("canonical_id"),
+            (F.col("__id") == F.col("__b.cid")).alias("is_canonical"),
+            "n_members",
+        )
+    )

@@ -3303,3 +3303,49 @@ def test_ewma_single_day_group_never_flags(spark):
     )
     r = ewma_screen(df, "grp", "ts", "v").collect()[0]
     assert r["ewma"] == 42.0 and r["residual"] == 0.0 and r["flag"] is False
+
+
+def test_select_canonical_max_score_tie_min_id(spark):
+    """Cluster {1,2,3}: doc 2 and 3 tie on score 9 -> canonical 2
+    (min id among max score); singleton doc 4 (absent from the
+    component frame) is its own canonical; NULL score (doc 1 in
+    cluster 10) never beats a scored doc."""
+    from pyspark.sql import functions as SF
+
+    from jsonschema_validator_spark.operators.dedup import select_canonical
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 9.0), (3, 9.0), (4, 1.0)], "doc_id int, score double"
+    )
+    comps = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "id int, component int"
+    )
+    out = {r["doc_id"]: r for r in
+           select_canonical(docs, comps, prefer=SF.col("score")).collect()}
+    assert out[1]["canonical_id"] == 2 and out[1]["is_canonical"] is False
+    assert out[2]["is_canonical"] is True and out[2]["n_members"] == 3
+    assert out[4]["component"] == 4 and out[4]["is_canonical"] is True
+    assert out[4]["n_members"] == 1
+
+
+def test_select_canonical_all_null_scores_fall_back_to_min_id(spark):
+    from pyspark.sql import functions as SF
+
+    from jsonschema_validator_spark.operators.dedup import select_canonical
+
+    docs = spark.createDataFrame(
+        [(7, None), (8, None)], "doc_id int, score double"
+    )
+    comps = spark.createDataFrame([(7, 1), (8, 1)], "id int, component int")
+    out = {r["doc_id"]: r for r in
+           select_canonical(docs, comps, prefer=SF.col("score")).collect()}
+    assert out[7]["is_canonical"] is True and out[8]["canonical_id"] == 7
+
+
+def test_select_canonical_no_prefer_is_min_id_convention(spark):
+    from jsonschema_validator_spark.operators.dedup import select_canonical
+
+    docs = spark.createDataFrame([(5,), (6,)], "doc_id int")
+    comps = spark.createDataFrame([(5, 1), (6, 1)], "id int, component int")
+    out = {r["doc_id"]: r for r in select_canonical(docs, comps).collect()}
+    assert out[5]["is_canonical"] is True and out[6]["is_canonical"] is False
