@@ -7381,6 +7381,157 @@ ORDER BY doc_id
 """
 
 
+def q_k_anonymity_events(spark, sf_dir):
+    """k-anonymity + l-diversity audit (operators/privacy.k_anonymity):
+    equivalence classes of the release tuple (event_type, day, hour)
+    with class sizes, k=5 violations, and user_id diversity (l=2) —
+    the structured-column re-identification screen complementing the
+    PII text scrubber. ONE aggregation, count + countDistinct fused;
+    NULL quasi values would form real classes. ~3600 classes at
+    sf0.01 with both violation kinds non-vacuous."""
+    from jsonschema_validator_spark.operators.privacy import k_anonymity
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "user_id",
+    )
+    return k_anonymity(
+        ev, ["event_type", "day", "hour"], k=5, sensitive="user_id", l=2
+    ).orderBy("event_type", "day", "hour")
+
+
+_ORACLE_K_ANONYMITY = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       extract(hour FROM ts)::INT AS hour,
+       count(*)::BIGINT AS class_size,
+       count(DISTINCT user_id)::BIGINT AS n_sensitive,
+       count(*) < 5 AS k_violation,
+       count(DISTINCT user_id) < 2 AS l_violation
+FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_k_anonymity_summary_events(spark, sf_dir):
+    """Release-gate rollup of the k-anonymity audit
+    (privacy.k_anonymity_summary): one verdict row — class count,
+    min class size, violating classes, rows at risk, l-violations.
+    Same single-shuffle class relation plus one global aggregation."""
+    from jsonschema_validator_spark.operators.privacy import k_anonymity_summary
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "user_id",
+    )
+    return k_anonymity_summary(
+        ev, ["event_type", "day", "hour"], k=5, sensitive="user_id", l=2
+    )
+
+
+_ORACLE_K_ANONYMITY_SUMMARY = """
+WITH c AS (
+  SELECT count(*)::BIGINT AS class_size,
+         count(DISTINCT user_id)::BIGINT AS n_sensitive
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts), extract(hour FROM ts))
+SELECT count(*)::BIGINT AS n_classes, sum(class_size)::BIGINT AS n_rows,
+       min(class_size)::BIGINT AS min_class_size,
+       sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)::BIGINT AS n_k_violations,
+       sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::BIGINT
+         AS rows_at_risk,
+       sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END)::BIGINT AS n_l_violations
+FROM c
+"""
+
+
+def q_mutual_information_documents(spark, sf_dir):
+    """Categorical dependence screen (operators/stats.
+    mutual_information): MI / entropies / sqrt-NMI between lang and
+    source — the split-leakage audit statistic ("is my partition
+    independent of the label?"); near 0 here because the synthetic
+    corpus draws them independently, and the oracle replays the exact
+    p*log terms (every one a ratio of integer counts). One (a, b)
+    aggregation; marginals are windows over the tiny joint relation."""
+    from jsonschema_validator_spark.operators.stats import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+_ORACLE_MUTUAL_INFORMATION = """
+WITH j AS (SELECT lang, source, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+e AS (SELECT c,
+        sum(c) OVER (PARTITION BY lang) AS ca,
+        sum(c) OVER (PARTITION BY source) AS cb,
+        sum(c) OVER () AS n
+      FROM j),
+a AS (SELECT max(n)::BIGINT AS n,
+        sum((c / n::DOUBLE) * ln((c * n)::DOUBLE / (ca * cb))) AS mi,
+        sum((c / n::DOUBLE) * ln(n::DOUBLE / ca)) AS h_a,
+        sum((c / n::DOUBLE) * ln(n::DOUBLE / cb)) AS h_b
+      FROM e)
+SELECT n, round(mi, 6) AS mi, round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+       round(CASE WHEN h_a > 0 AND h_b > 0 THEN mi / sqrt(h_a * h_b) END, 6) AS nmi
+FROM a
+"""
+
+
+def q_isotonic_documents(spark, sf_dir):
+    """Isotonic (PAV) calibration map (operators/evaluation.
+    isotonic_calibration): the non-parametric monotone recalibration
+    of the decile reliability diagram (calibration_documents), same
+    score/label construction, per source. Rows reduce to integer
+    (n, pos) blocks per distinct score in ONE shuffle; the sequential
+    PAV merge runs Arrow-batched per source over that block relation.
+    The oracle is the INDEPENDENT minimax characterization
+    fitted(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) — exact because
+    every candidate is a ratio of integer sums (equal rationals round
+    to equal doubles), so an iterative pooling algorithm is value-
+    hash-checked against a closed-form window replay."""
+    from jsonschema_validator_spark.operators.evaluation import isotonic_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        ((F.least(F.col("n_chars"), F.lit(400)) + F.col("doc_id") % 50) / 450.0).alias(
+            "score"
+        ),
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    return isotonic_calibration(scored, "score", "label", group="source").orderBy(
+        "source", "score"
+    )
+
+
+_ORACLE_ISOTONIC = """
+WITH d AS (
+  SELECT source, (least(n_chars, 400) + (doc_id % 50)) / 450.0 AS s,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (SELECT source, s, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+      FROM d GROUP BY 1, 2),
+o AS (SELECT source, s, n, pos,
+        row_number() OVER (PARTITION BY source ORDER BY s) AS i,
+        sum(n) OVER (PARTITION BY source ORDER BY s) AS cn,
+        sum(pos) OVER (PARTITION BY source ORDER BY s) AS cp
+      FROM b),
+pairs AS (SELECT a.source, a.i AS j, c.i AS k,
+            (c.cp - (a.cp - a.pos))::DOUBLE / (c.cn - (a.cn - a.n)) AS m
+          FROM o a JOIN o c ON a.source = c.source AND a.i <= c.i),
+rmin AS (SELECT source, j, k,
+           min(m) OVER (PARTITION BY source, j ORDER BY k DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+         FROM pairs),
+fit AS (SELECT source, k AS i, max(rm) AS p_cal FROM rmin GROUP BY source, k)
+SELECT o.source, o.s AS score, o.n, o.pos, round(f.p_cal, 6) AS p_cal
+FROM o JOIN fit f ON o.source = f.source AND o.i = f.i
+ORDER BY o.source, score
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7411,6 +7562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
         "select_canonical_documents": q_select_canonical_documents,
+        "k_anonymity_events": q_k_anonymity_events,
+        "k_anonymity_summary_events": q_k_anonymity_summary_events,
+        "mutual_information_documents": q_mutual_information_documents,
+        "isotonic_documents": q_isotonic_documents,
         "kmeans_embeddings": q_kmeans_embeddings,
         "label_noise_embeddings": q_label_noise_embeddings,
         "snapshot_diff_documents": q_snapshot_diff_documents,
@@ -7573,6 +7728,10 @@ def oracle_sql() -> dict[str, str]:
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,
         "select_canonical_documents": _ORACLE_SELECT_CANONICAL,
+        "k_anonymity_events": _ORACLE_K_ANONYMITY,
+        "k_anonymity_summary_events": _ORACLE_K_ANONYMITY_SUMMARY,
+        "mutual_information_documents": _ORACLE_MUTUAL_INFORMATION,
+        "isotonic_documents": _ORACLE_ISOTONIC,
         "kmeans_embeddings": _ORACLE_KMEANS,
         "label_noise_embeddings": _ORACLE_LABEL_NOISE,
         "snapshot_diff_documents": _ORACLE_SNAPSHOT_DIFF,

@@ -208,3 +208,74 @@ def ab_test(
         F.round(pt - pc, 6).alias("lift"),
         F.round(F.try_divide(pt - pc, F.when(se > 0, se)), 6).alias("z"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score: str,
+    label: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Isotonic (PAV) calibration map per group — the non-parametric
+    upgrade of :func:`calibration_bins`: instead of fixed decile bins,
+    pool-adjacent-violators fits the best monotone-increasing
+    probability curve (L2), which is what production score
+    recalibration actually deploys.
+
+    Scale shape: rows reduce by ONE (group, score) aggregation to
+    integer-count blocks (n, sum_label) — the only full-data shuffle;
+    the inherently sequential PAV merge then runs Arrow-batched per
+    group over the O(distinct scores) block relation with a simple
+    stack (the changepoint.py escape-hatch contract). Every fitted
+    value is an exact ratio of integer sums, so the independent
+    minimax characterization fitted(i) = max_{j<=i} min_{k>=i}
+    mean(y[j..k]) replays it bit-for-bit in SQL.
+
+    Rows with NULL score or label are excluded. Returns one row per
+    (group?, score): (score, n, pos, p_cal), p_cal rounded to 6 and
+    non-decreasing in score within each group.
+    """
+    import pandas as pd
+
+    gcols = [group] if group else []
+    blocks = (
+        df.filter(F.col(score).isNotNull() & F.col(label).isNotNull())
+        .groupBy(*gcols, F.col(score).cast("double").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label).cast("long")).alias("pos"),
+        )
+    )
+
+    def _pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("s").reset_index(drop=True)
+        # stack of [n, pos, span] merged blocks; merge while the mean
+        # would decrease (violating monotonicity)
+        stack: list[list[int]] = []
+        for n_i, p_i in zip(pdf["n"], pdf["pos"]):
+            cur = [int(n_i), int(p_i), 1]
+            while stack and stack[-1][1] * cur[0] >= cur[1] * stack[-1][0]:
+                top = stack.pop()
+                cur = [top[0] + cur[0], top[1] + cur[1], top[2] + cur[2]]
+            stack.append(cur)
+        fitted = []
+        for n_b, p_b, span in stack:
+            fitted.extend([p_b / n_b] * span)
+        pdf["p_cal"] = fitted
+        return pdf
+
+    out_schema = ", ".join(
+        ([f"{group} string"] if group else [])
+        + ["s double", "n bigint", "pos bigint", "p_cal double"]
+    )
+    if group:
+        fitted = blocks.groupBy(group).applyInPandas(_pav, schema=out_schema)
+    else:
+        fitted = blocks.groupBy().applyInPandas(_pav, schema=out_schema)
+    return fitted.select(
+        *gcols,
+        F.col("s").alias(score),
+        "n",
+        "pos",
+        F.round("p_cal", 6).alias("p_cal"),
+    )

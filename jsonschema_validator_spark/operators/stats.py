@@ -726,3 +726,64 @@ def linear_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def mutual_information(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    the entropies and sqrt-normalized NMI — the dependence screen
+    behind split-leakage and label-bias audits ("is my train/test
+    split independent of the label / language / source?"): MI 0 iff
+    the columns are independent, NMI ~1 at determinism.
+
+    Scale shape: ONE (a, b) aggregation reduces the table to the
+    O(|A| x |B|) joint relation — the only full-data shuffle; the
+    marginals are windows over that tiny relation (the gini/AUC
+    pattern: raw rows never enter a window) and everything collapses
+    to a single global sum. NULL categories are real categories
+    (groupBy keeps them). Returns one row: (n, mi, h_a, h_b, nmi),
+    floats in nats rounded to 6; NMI is NULL when either entropy is 0
+    (a constant column carries no information to normalize by).
+    """
+    from pyspark.sql import Window
+
+    joint = df.groupBy(F.col(a).alias("__a"), F.col(b).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy(F.lit(1))
+    e = joint.select(
+        "__c",
+        F.sum("__c").over(wa).alias("__ca"),
+        F.sum("__c").over(wb).alias("__cb"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    # every term is a ratio of integer counts: p log p terms replay
+    # exactly in any engine
+    p = F.col("__c") / F.col("__n")
+    mi_term = p * F.log(
+        (F.col("__c") * F.col("__n")) / (F.col("__ca") * F.col("__cb"))
+    )
+    # H(a): sum over joint cells of p * ln(n/ca) counts each a-row
+    # cell-wise — identical to the marginal-sum form
+    ha_term = p * F.log(F.col("__n") / F.col("__ca"))
+    hb_term = p * F.log(F.col("__n") / F.col("__cb"))
+    agg = e.agg(
+        F.max("__n").alias("n"),
+        F.sum(mi_term).alias("mi"),
+        F.sum(ha_term).alias("h_a"),
+        F.sum(hb_term).alias("h_b"),
+    )
+    return agg.select(
+        "n",
+        F.round("mi", 6).alias("mi"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round(
+            F.when(
+                (F.col("h_a") > 0) & (F.col("h_b") > 0),
+                F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")),
+            ),
+            6,
+        ).alias("nmi"),
+    )

@@ -3349,3 +3349,86 @@ def test_select_canonical_no_prefer_is_min_id_convention(spark):
     comps = spark.createDataFrame([(5, 1), (6, 1)], "id int, component int")
     out = {r["doc_id"]: r for r in select_canonical(docs, comps).collect()}
     assert out[5]["is_canonical"] is True and out[6]["is_canonical"] is False
+
+
+def test_k_anonymity_classes_and_null_qi(spark):
+    """(a,x) twice -> size-2 class; (b,NULL) once -> NULL is a real
+    class and a k=2 violation; NULL sensitive doesn't count toward
+    diversity."""
+    from jsonschema_validator_spark.operators.privacy import k_anonymity
+
+    rows = [("a", "x", "s1"), ("a", "x", None), ("b", None, "s2")]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, sens string")
+    out = {(r["q1"], r["q2"]): r for r in
+           k_anonymity(df, ["q1", "q2"], k=2, sensitive="sens", l=2).collect()}
+    ax = out[("a", "x")]
+    assert ax["class_size"] == 2 and ax["k_violation"] is False
+    assert ax["n_sensitive"] == 1 and ax["l_violation"] is True
+    bn = out[("b", None)]
+    assert bn["class_size"] == 1 and bn["k_violation"] is True
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        k_anonymity(df, [])
+    with _pytest.raises(ValueError, match=">= 1"):
+        k_anonymity(df, ["q1"], k=0)
+
+
+def test_k_anonymity_summary_rollup(spark):
+    from jsonschema_validator_spark.operators.privacy import k_anonymity_summary
+
+    rows = [("a", "s1")] * 5 + [("b", "s2")] * 2 + [("c", "s3")]
+    df = spark.createDataFrame(rows, "q string, sens string")
+    r = k_anonymity_summary(df, ["q"], k=3, sensitive="sens", l=2).collect()[0]
+    assert r["n_classes"] == 3 and r["n_rows"] == 8
+    assert r["min_class_size"] == 1 and r["n_k_violations"] == 2
+    assert r["rows_at_risk"] == 3 and r["n_l_violations"] == 3
+
+
+def test_mutual_information_independent_and_deterministic(spark):
+    """Perfectly independent 2x2 -> every log term ln(1) -> MI exactly
+    0; a deterministic copy -> NMI exactly 1; a constant column ->
+    NMI NULL (nothing to normalize by)."""
+    from jsonschema_validator_spark.operators.stats import mutual_information
+
+    indep = spark.createDataFrame(
+        [("a", "x")] * 2 + [("a", "y")] * 2 + [("b", "x")] * 2 + [("b", "y")] * 2,
+        "u string, v string",
+    )
+    r = mutual_information(indep, "u", "v").collect()[0]
+    assert r["n"] == 8 and r["mi"] == 0.0 and r["nmi"] == 0.0
+
+    det = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")], "u string, v string"
+    )
+    rd = mutual_information(det, "u", "v").collect()[0]
+    assert rd["nmi"] == 1.0 and rd["mi"] == rd["h_a"] == rd["h_b"]
+
+    const = spark.createDataFrame([("a", "x"), ("a", "y")], "u string, v string")
+    rc = mutual_information(const, "u", "v").collect()[0]
+    assert rc["mi"] == 0.0 and rc["nmi"] is None
+
+
+def test_isotonic_pav_pools_violators(spark):
+    """Block means 0.8, 0.2, 0.5 all pool to 0.5 (exactly the grand
+    mean 6/12); an already-increasing sequence is untouched; output is
+    non-decreasing."""
+    from jsonschema_validator_spark.operators.evaluation import isotonic_calibration
+
+    rows = (
+        [(1.0, 1)] * 4 + [(1.0, 0)]
+        + [(2.0, 1)] + [(2.0, 0)] * 4
+        + [(3.0, 1)] + [(3.0, 0)]
+    )
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["score"]: r for r in isotonic_calibration(df, "score", "label").collect()}
+    assert [out[s]["p_cal"] for s in (1.0, 2.0, 3.0)] == [0.5, 0.5, 0.5]
+
+    inc = spark.createDataFrame(
+        [(1.0, 0)] * 4 + [(1.0, 1)] + [(2.0, 1)] * 1 + [(2.0, 0)] * 1
+        + [(3.0, 1)] * 4 + [(3.0, 0)],
+        "score double, label int",
+    )
+    oi = {r["score"]: r["p_cal"] for r in
+          isotonic_calibration(inc, "score", "label").collect()}
+    assert oi == {1.0: 0.2, 2.0: 0.5, 3.0: 0.8}
