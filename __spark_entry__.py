@@ -7173,19 +7173,25 @@ FROM c WHERE d > 0 ORDER BY cohort, t
 """
 
 
-def q_funnel_events(spark, sf_dir):
-    """Ordered-step conversion (operators/funnel.funnel): signup ->
-    view -> click -> purchase per user, each step strictly after the
-    previous and the whole chain within 72h of the user's first
-    signup (24h converts nobody at the contract sfs; 72h gives the
-    full gradient, e.g. 150 -> 105 -> 57 -> 21 at sf0.01). ONE shuffle: slim (user, ts, step) rows fold greedily
-    through a k-slot JVM aggregate over the per-user sorted array —
-    not k-1 sequential self-joins. The oracle IS the k-join
-    formulation (independent algorithm, same greedy semantics)."""
-    from jsonschema_validator_spark.operators.funnel import funnel
+def q_funnel_fold_events(spark, sf_dir):
+    """Ordered-step conversion, single-shuffle fold variant
+    (operators/funnel.funnel_fold — the strictly-after /
+    entry-anchored-window sibling of funnel_events' k-join
+    sessions.funnel): signup -> view -> click -> purchase per user,
+    each step STRICTLY after the previous and the whole chain within
+    72h of the user's FIRST signup (24h converts nobody at the
+    contract sfs; 72h gives the full gradient, e.g.
+    150 -> 105 -> 57 -> 21 at sf0.01 — different numbers than
+    funnel_events because the window anchors at entry, not at each
+    previous step, and ties never advance). ONE shuffle: slim
+    (user, ts, step) rows fold greedily through a k-slot JVM
+    aggregate over the per-user sorted array — not k-1 sequential
+    self-joins. The oracle IS the k-join formulation (independent
+    algorithm, same greedy semantics)."""
+    from jsonschema_validator_spark.operators.funnel import funnel_fold
 
     ev = _t(spark, sf_dir, "events")
-    return funnel(
+    return funnel_fold(
         ev,
         ["signup", "view", "click", "purchase"],
         subject="user_id",
@@ -7195,7 +7201,7 @@ def q_funnel_events(spark, sf_dir):
     ).orderBy("step_idx")
 
 
-_ORACLE_FUNNEL = """
+_ORACLE_FUNNEL_FOLD = """
 WITH ev AS (
   SELECT user_id AS u, ts, event_type AS s FROM events
   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
@@ -7558,7 +7564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_events": q_gini_events,
         "trend_events": q_trend_events,
         "kaplan_meier_events": q_kaplan_meier_events,
-        "funnel_events": q_funnel_events,
+        "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
         "select_canonical_documents": q_select_canonical_documents,
@@ -7724,7 +7730,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_events": _ORACLE_GINI,
         "trend_events": _ORACLE_TREND,
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
-        "funnel_events": _ORACLE_FUNNEL,
+        "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,
         "select_canonical_documents": _ORACLE_SELECT_CANONICAL,

@@ -1,22 +1,30 @@
-"""Funnel analysis — ordered-step conversion ("signup -> view ->
-click -> purchase") per subject: how many subjects reached step k by
-performing the k steps IN ORDER, each strictly after the previous one
-(and optionally within a window of step 1). The product-analytics
-staple next to cohort retention (operators/retention.py).
+"""Single-shuffle funnel analysis — ordered-step conversion
+("signup -> view -> click -> purchase") per subject: how many
+subjects reached step k by performing the k steps IN ORDER, each
+STRICTLY after the previous one (and optionally within a window of
+step 1). The fold-based sibling of operators/sessions.funnel, which
+is the skew-robust default (k tiny-relation joins, nothing collected
+per group). Choose THIS variant when k is large (k joins = k
+shuffles; the fold is always exactly one) or when you need what the
+join form can't express: strictly-after steps (>= there lets one
+timestamp satisfy several steps), repeated step names, and the
+entry-anchored window (there the window chains off each previous
+step).
 
 Reference parity note: outside the reference validator's scope
 (macisamuele/jsonschema-validator validates keywords); this is the
 analytics tier of SURVEY.md §2.
 
 Scale: ONE shuffle. Events are pre-filtered to funnel steps and
-pre-projected to slim (subject, ts, step_idx) rows, collected sorted
-per subject, and greedy-matched by a JVM ``aggregate`` fold over a
-k-slot state array — no per-row Python, no k sequential self-joins
-(the naive formulation shuffles the table k-1 times). Per-subject
-state is O(k); the collected array is bounded by the subject's
-funnel-step event count — at 10^12-turn scale pre-dedup hot subjects
-to one event per (subject, step, coarse time bucket) upstream if a
-single subject can hold millions of funnel events. The final rollup
+pre-projected to slim (subject, ts, step) rows, collected sorted per
+subject, and greedy-matched by a JVM ``aggregate`` fold over a
+k-slot state array — no per-row Python. The skew study's warning
+about per-group collects applies: the collected array is bounded by
+the subject's FUNNEL-STEP event count (already far below its raw
+event count), and at 10^12-turn scale a whale subject needs upstream
+pre-dedup to one event per (subject, step, coarse time bucket) —
+sessions.funnel needs no such guard, which is why it stays the
+default. The final rollup
 is one global aggregation of k conditional sums.
 """
 
@@ -26,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def funnel(
+def funnel_fold(
     df: DataFrame,
     steps: list[str],
     subject: str = "user_id",

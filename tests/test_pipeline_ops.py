@@ -3171,13 +3171,13 @@ def test_kaplan_meier_all_censored_no_steps(spark):
     assert kaplan_meier(df, "dur", "ev").count() == 0
 
 
-def test_funnel_greedy_strict_order(spark):
+def test_funnel_fold_greedy_strict_order(spark):
     """u1 completes a->b->c in order; u2 has b before a (b doesn't
     count, funnel stalls at a); u3's b ties a's timestamp exactly
     (strictly-after contract: tie does not advance)."""
     from datetime import datetime as dt
 
-    from jsonschema_validator_spark.operators.funnel import funnel
+    from jsonschema_validator_spark.operators.funnel import funnel_fold as funnel
 
     rows = [
         ("u1", "a", dt(2024, 1, 1, 0)),
@@ -3196,13 +3196,13 @@ def test_funnel_greedy_strict_order(spark):
     assert out[3]["mean_hours_to_step"] == 2.0
 
 
-def test_funnel_window_anchored_at_first_entry(spark):
+def test_funnel_fold_window_anchored_at_first_entry(spark):
     """Greedy entry: t1 is the FIRST a even though a later a would
     let b fit the window — documented one-pass divergence from
     backtracking funnels. u5's b lands inside its window and counts."""
     from datetime import datetime as dt
 
-    from jsonschema_validator_spark.operators.funnel import funnel
+    from jsonschema_validator_spark.operators.funnel import funnel_fold as funnel
 
     rows = [
         ("u4", "a", dt(2024, 1, 1, 0)),
@@ -3217,14 +3217,14 @@ def test_funnel_window_anchored_at_first_entry(spark):
     assert out[2]["n_reached"] == 1  # u5 only
 
 
-def test_funnel_repeated_steps_and_empty_raises(spark):
+def test_funnel_fold_repeated_steps_and_empty_raises(spark):
     """['a','a'] needs two distinct a events; empty steps is a
     contract error; NULL subject rows are excluded."""
     from datetime import datetime as dt
 
     import pytest as _pytest
 
-    from jsonschema_validator_spark.operators.funnel import funnel
+    from jsonschema_validator_spark.operators.funnel import funnel_fold as funnel
 
     rows = [
         ("u6", "a", dt(2024, 1, 1, 0)),
