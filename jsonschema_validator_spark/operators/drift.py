@@ -318,3 +318,125 @@ def embedding_centroid_drift(
             ).alias("cos_dist"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    z_crit: float = 2.576,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum drift test between two named groups —
+    the nonparametric location-shift screen complementing KS (shape) and
+    PSI (mass): sensitive to a median shift even when KS's sup-gap is
+    diluted across the support.
+
+    Rank arithmetic runs entirely on the per-distinct-value reduced
+    relation: one groupBy(value) counts rows (and group-A rows) per
+    value, a cumulative window over distinct values yields each value's
+    average (midrank) tie rank, and the rank-sum / tie-correction terms
+    are exact sums over that tiny relation. The single-partition window
+    orders DISTINCT values only — for continuous columns at extreme
+    cardinality, pre-bucket with ``value_histogram`` and the same
+    midrank arithmetic stays exact on the bucketed relation. NULL values
+    are excluded. Normal approximation with tie-corrected variance:
+    sigma^2 = n1*n2/12 * ((N+1) - sum(t^3-t)/(N*(N-1))). Returns one
+    row: n1, n2, u, mu, sigma, z, flag (|z| > z_crit).
+    """
+    v = F.col(value_col).cast("double")
+    d = df.filter(
+        v.isNotNull() & F.col(group_col).isin(group_a, group_b)
+    ).select(v.alias("__v"), (F.col(group_col) == group_a).alias("__isa"))
+    vc = d.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum(F.col("__isa").cast("long")).alias("__ta"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    vc = vc.withColumn(
+        "__rank", F.sum("__t").over(w) - F.col("__t") + (F.col("__t") + 1) / 2
+    )
+    agg = vc.agg(
+        F.sum("__ta").alias("n1"),
+        (F.sum("__t") - F.sum("__ta")).alias("n2"),
+        F.sum(F.col("__rank") * F.col("__ta")).alias("__r1"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias("__ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    u = F.col("__r1") - n1 * (n1 + 1) / 2
+    mu = n1 * n2 / 2
+    sigma = F.sqrt(
+        n1 * n2 / 12 * ((nn + 1) - F.col("__ties") / (nn * (nn - 1)))
+    )
+    z = (u - mu) / sigma
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u, 6).alias("u"),
+        F.round(mu, 6).alias("mu"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > z_crit).alias("flag"),
+    )
+
+
+def jensen_shannon(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 20,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Leave-one-out Jensen-Shannon divergence per partition: each
+    partition's bucketed value distribution vs the distribution of ALL
+    OTHER partitions pooled — "which slice diverges from the corpus",
+    symmetric and bounded in [0, 1] bit (unlike PSI, which explodes on
+    empty buckets, and KS, which only sees the worst single gap).
+
+    ONE groupBy(part, bucket).count() histogram pass; the divergence is
+    Column algebra over the densified (part x bucket) grid (distinct
+    parts cross-join the fixed bucket ids — bounded, both tiny — so
+    zero-count buckets contribute their q*log2(q/m) mass instead of
+    silently vanishing). 0*log(0/x) terms are 0 by convention (handled
+    with when-guards, not NaN arithmetic). Returns per part:
+    n, jsd_bits, flag.
+    """
+    spark = df.sparkSession
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(part_col).alias("__p"),
+            bucketize(F.col(value_col).cast("double"), lo, hi, buckets).alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    grid = counts.select("__p").distinct().crossJoin(
+        spark.range(buckets).select(F.col("id").cast("int").alias("__b"))
+    )
+    dense = grid.join(counts, ["__p", "__b"], "left").select(
+        "__p", "__b", F.coalesce("__c", F.lit(0)).alias("__c")
+    )
+    wp = Window.partitionBy("__p")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    dense = (
+        dense.withColumn("__np", F.sum("__c").over(wp))
+        .withColumn("__nb", F.sum("__c").over(wb))
+        .withColumn("__n", F.sum("__c").over(wall))
+    )
+    p = F.col("__c") / F.col("__np")
+    q = (F.col("__nb") - F.col("__c")) / (F.col("__n") - F.col("__np"))
+    m = (p + q) / 2
+    lg2 = F.log(F.lit(2.0))
+    term = F.when(p > 0, p * F.log(p / m) / lg2 / 2).otherwise(F.lit(0.0)) + F.when(
+        q > 0, q * F.log(q / m) / lg2 / 2
+    ).otherwise(F.lit(0.0))
+    return (
+        dense.groupBy(F.col("__p").alias(part_col))
+        .agg(F.max("__np").alias("n"), F.round(F.sum(term), 6).alias("jsd_bits"))
+        .withColumn("flag", F.col("jsd_bits") > threshold)
+    )

@@ -787,3 +787,141 @@ def mutual_information(df: DataFrame, a: str, b: str) -> DataFrame:
             6,
         ).alias("nmi"),
     )
+
+
+def chi_squared(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Chi-squared test of independence + Cramér's V between two
+    categorical columns — the classical sibling of
+    ``mutual_information`` (reference scope: enum/dependency keyword
+    semantics lifted to a table-level dependence screen; cf.
+    /root/reference/src/keywords/type_.rs for the per-row contract this
+    generalizes).
+
+    ONE joint ``groupBy(a, b)`` aggregation over the data; everything
+    after runs on the tiny joint relation. Zero-observed cells still
+    contribute (0-E)^2/E = E, so the cell grid is densified by
+    cross-joining the two marginal relations (bounded: r x c category
+    pairs, both marginals are tiny) and left-joining observed counts.
+    NULL categories are real levels (null-safe join keys). Returns one
+    row: n, r, c, dof, chi2, cramers_v. Every expected count is a ratio
+    of integer counts — exact replay in any engine.
+    """
+    from pyspark.sql import Window
+
+    joint = df.groupBy(
+        F.col(a).cast("string").alias("__a"), F.col(b).cast("string").alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    # marginal keys are renamed so the grid-vs-joint join is not an
+    # ambiguous self-join (all three relations share joint's lineage)
+    ma = joint.groupBy(F.col("__a").alias("__ga")).agg(F.sum("__c").alias("__ca"))
+    mb = joint.groupBy(F.col("__b").alias("__gb")).agg(F.sum("__c").alias("__cb"))
+    grid = ma.crossJoin(mb)  # bounded: r*c cells, both sides tiny
+    cells = grid.join(
+        joint,
+        F.col("__ga").eqNullSafe(F.col("__a")) & F.col("__gb").eqNullSafe(F.col("__b")),
+        "left",
+    ).select(
+        F.col("__ga").alias("__a"),
+        F.col("__gb").alias("__b"),
+        "__ca",
+        "__cb",
+        F.coalesce("__c", F.lit(0)).alias("__c"),
+    )
+    w = Window.partitionBy()
+    cells = cells.withColumn("__n", F.sum("__c").over(w))
+    e = F.col("__ca") * F.col("__cb") / F.col("__n")
+    term = F.pow(F.col("__c") - e, F.lit(2.0)) / e
+    agg = cells.agg(
+        F.max("__n").alias("n"),
+        # struct-wrapped so a NULL category counts as a real level
+        F.count_distinct(F.struct("__a")).alias("r"),
+        F.count_distinct(F.struct("__b")).alias("c"),
+        F.sum(term).alias("__chi2"),
+    )
+    min_dof = F.least(F.col("r") - 1, F.col("c") - 1)
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round("__chi2", 6).alias("chi2"),
+        F.round(
+            # NULL when either dimension is a single level (dof 0):
+            # independence is vacuous there, not "infinitely associated"
+            F.when(min_dof > 0, F.sqrt(F.col("__chi2") / (F.col("n") * min_dof))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected): Pearson correlation of
+    average ranks. Ranks come from the per-distinct-value reduced
+    relation — cumulative counts over distinct values give each value's
+    average rank (ties share the mean of their rank block), and the
+    mapping joins back to rows by value. The single-partition sort is
+    over DISTINCT values only; the join-back is shuffle-parallel, so
+    high-cardinality columns cost a fine-grained equi-join rather than a
+    global row sort. Rows with NULL in either column are excluded
+    (standard pairwise deletion). Returns one row: n, rho.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        df.select(F.col(x).cast("double").alias("__x"), F.col(y).cast("double").alias("__y"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        vc = d.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return vc.select(
+            col,
+            (F.sum("__cnt").over(w) - F.col("__cnt") + (F.col("__cnt") + 1) / 2).alias(
+                f"__r{col}"
+            ),
+        )
+
+    ranked = d.join(rank_map("__x"), "__x").join(rank_map("__y"), "__y")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(f"__r__x", f"__r__y"), 6).alias("rho"),
+    )
+
+
+def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F statistic across the groups of ``group_col`` —
+    the k-sample mean-shift screen (the parametric complement of the
+    KS/PSI drift pair). ONE aggregation pass collects per-group
+    (n, sum, sumsq); between/within sums of squares are exact integer-
+    weighted arithmetic on the k-row relation. NULL values are excluded;
+    a NULL group key is a real group. Returns one row:
+    k, n, ss_between, ss_within, df1, df2, f_stat.
+    """
+    v = F.col(value_col).cast("double")
+    g = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n").alias("n"),
+        F.sum("__s").alias("__gs"),
+        # SS_within = sum_g (ss_g - s_g^2/n_g)
+        F.sum(F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")).alias("__ssw"),
+        # sum_g s_g^2/n_g, for SS_between = that - gs^2/n
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__sb"),
+    )
+    ssb = F.col("__sb") - F.col("__gs") * F.col("__gs") / F.col("n")
+    df1 = F.col("k") - 1
+    df2 = F.col("n") - F.col("k")
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round("__ssw", 6).alias("ss_within"),
+        df1.alias("df1"),
+        df2.alias("df2"),
+        F.round((ssb / df1) / (F.col("__ssw") / df2), 6).alias("f_stat"),
+    )

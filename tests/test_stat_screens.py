@@ -1,0 +1,136 @@
+"""Hand-computed oracles for the round-4 statistical screens:
+chi_squared / spearman_rho / anova_f (operators/stats.py) and
+mann_whitney_u / jensen_shannon (operators/drift.py). Every expected
+value below is worked by hand in the comment next to it."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jsonschema_validator_spark.operators.drift import jensen_shannon, mann_whitney_u
+from jsonschema_validator_spark.operators.stats import anova_f, chi_squared, spearman_rho
+
+
+def test_chi_squared_exact_independence_is_zero(spark):
+    # 2x2 with identical margins in every cell: observed == expected
+    rows = [("x", "u")] * 10 + [("x", "v")] * 10 + [("y", "u")] * 10 + [("y", "v")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_squared(df, "a", "b").collect()[0]
+    assert r["n"] == 40 and r["r"] == 2 and r["c"] == 2 and r["dof"] == 1
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_chi_squared_perfect_association_with_zero_cells(spark):
+    # (x,u) x4 and (y,v) x4 only: the two zero-observed cells must
+    # contribute E=2 each. chi2 = 4 cells * (4-2)^2/2 resp (0-2)^2/2 = 8
+    # = n, so Cramér's V = sqrt(8/(8*1)) = 1 (perfect 2x2 association).
+    rows = [("x", "u")] * 4 + [("y", "v")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_squared(df, "a", "b").collect()[0]
+    assert r["chi2"] == 8.0
+    assert r["cramers_v"] == 1.0
+
+
+def test_chi_squared_null_is_a_level(spark):
+    rows = [(None, "u")] * 3 + [("y", "v")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_squared(df, "a", "b").collect()[0]
+    assert r["r"] == 2 and r["n"] == 6 and r["cramers_v"] == 1.0
+
+
+def test_spearman_monotone_and_known_value(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)], "x double, y double"
+    )
+    assert spearman_rho(df, "x", "y").collect()[0]["rho"] == 1.0
+    # ranks of x = ranks of y = identity; y-permutation (1,3,2,4):
+    # Pearson corr = 4/5 (worked: cov terms 2.25-0.25-0.25+2.25 = 4,
+    # each variance 5)
+    df2 = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)], "x double, y double"
+    )
+    r = spearman_rho(df2, "x", "y").collect()[0]
+    assert r["n"] == 4 and r["rho"] == pytest.approx(0.8, abs=1e-9)
+
+
+def test_spearman_excludes_null_pairs(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 9.0), (3.0, None), (3.0, 3.0)],
+        "x double, y double",
+    )
+    r = spearman_rho(df, "x", "y").collect()[0]
+    assert r["n"] == 3 and r["rho"] == 1.0
+
+
+def test_anova_known_f(spark):
+    # a=[1,2,3] (mean 2), b=[2,3,4] (mean 3), grand 2.5:
+    # ssb = 3*.25 + 3*.25 = 1.5, ssw = 2 + 2 = 4, f = 1.5/(4/4) = 1.5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_f(df, "v", "g").collect()[0]
+    assert r["k"] == 2 and r["n"] == 6 and r["df1"] == 1 and r["df2"] == 4
+    assert r["ss_between"] == pytest.approx(1.5, abs=1e-9)
+    assert r["ss_within"] == pytest.approx(4.0, abs=1e-9)
+    assert r["f_stat"] == pytest.approx(1.5, abs=1e-9)
+
+
+def test_mann_whitney_separated_and_tied(spark):
+    # A=[1,2,3] vs B=[4,5,6]: U = 0, mu = 4.5,
+    # sigma = sqrt(9/12 * 7) = sqrt(5.25), z = -4.5/sqrt(5.25)
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0), ("B", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "v", "g", "A", "B").collect()[0]
+    assert r["n1"] == 3 and r["n2"] == 3 and r["u"] == 0.0 and r["mu"] == 4.5
+    assert r["sigma"] == pytest.approx(math.sqrt(5.25), abs=1e-6)
+    assert r["z"] == pytest.approx(-4.5 / math.sqrt(5.25), abs=1e-6)
+    assert not r["flag"]
+    # tie across the two samples: A=[1,2], B=[2,3] -> midranks 1, 2.5,
+    # 2.5, 4; U = 0.5, mu = 2, var = 1/3*(5 - 6/12) = 1.5
+    rows2 = [("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)]
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    r2 = mann_whitney_u(df2, "v", "g", "A", "B").collect()[0]
+    assert r2["u"] == 0.5 and r2["mu"] == 2.0
+    assert r2["sigma"] == pytest.approx(math.sqrt(1.5), abs=1e-6)
+
+
+def test_mann_whitney_ignores_other_groups_and_nulls(spark):
+    rows = [("A", 1.0), ("B", 2.0), ("C", 99.0), ("A", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "v", "g", "A", "B").collect()[0]
+    assert r["n1"] == 1 and r["n2"] == 1
+
+
+def test_jsd_identical_is_zero_and_disjoint_is_one_bit(spark):
+    # identical part distributions -> jsd 0 everywhere
+    rows = [("p1", float(v)) for v in (5, 15)] * 6 + [
+        ("p2", float(v)) for v in (5, 15)
+    ] * 6
+    df = spark.createDataFrame(rows, "p string, v double")
+    out = {r["p"]: r for r in jensen_shannon(df, "v", "p", 0.0, 20.0, 2).collect()}
+    assert out["p1"]["jsd_bits"] == 0.0 and out["p2"]["jsd_bits"] == 0.0
+    assert not out["p1"]["flag"]
+    # disjoint supports -> exactly 1 bit each (leave-one-out rest is
+    # the other part)
+    rows2 = [("p1", 1.0)] * 8 + [("p2", 19.0)] * 8
+    df2 = spark.createDataFrame(rows2, "p string, v double")
+    out2 = {r["p"]: r for r in jensen_shannon(df2, "v", "p", 0.0, 20.0, 2).collect()}
+    assert out2["p1"]["jsd_bits"] == 1.0 and out2["p1"]["flag"]
+    assert out2["p2"]["jsd_bits"] == 1.0
+
+
+def test_jsd_leave_one_out_pools_the_rest(spark):
+    # three parts: p1 and p2 identical on bucket 0, p3 on bucket 1.
+    # For p3 the rest pools p1+p2 (all bucket 0) -> 1 bit; for p1 the
+    # rest is half bucket-0 (p2) half bucket-1 (p3): p = (1,0),
+    # q = (.5,.5), m = (.75,.25); jsd = .5*(1*log2(1/.75))
+    # + .5*(.5*log2(.5/.75) + .5*log2(.5/.25))
+    rows = [("p1", 1.0)] * 4 + [("p2", 1.0)] * 4 + [("p3", 19.0)] * 4
+    df = spark.createDataFrame(rows, "p string, v double")
+    out = {r["p"]: r for r in jensen_shannon(df, "v", "p", 0.0, 20.0, 2).collect()}
+    expected_p1 = 0.5 * math.log2(1 / 0.75) + 0.5 * (
+        0.5 * math.log2(0.5 / 0.75) + 0.5 * math.log2(0.5 / 0.25)
+    )
+    assert out["p1"]["jsd_bits"] == pytest.approx(expected_p1, abs=1e-6)
+    assert out["p3"]["jsd_bits"] == 1.0
