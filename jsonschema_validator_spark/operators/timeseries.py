@@ -134,3 +134,38 @@ def ewma_screen(
             "flag",
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    group: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes over the per-day reduced series — up to ~29% contamination
+    tolerance where the OLS `stats.linear_trend` slope follows a single
+    corrupted day. Rows first reduce to (group, day, mean) in one
+    shuffle; the pairwise slope relation is a bounded self-join
+    (days-per-group squared — calendar-bounded, NOT data-bounded, so a
+    year is ~66k pairs per group) and the median is exact
+    percentile(0.5). Day gaps use real datediff spacing. Fully
+    declarative: no Arrow stage. Returns per group: n_days, n_pairs,
+    slope_per_day."""
+    d = _daily(df, group, ts, F.avg(F.col(value).cast("double")))
+    a = d.select(F.col("g"), F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = d.select(F.col("g"), F.col("day").alias("d2"), F.col("x").alias("x2"))
+    pairs = a.join(b, "g").filter(F.col("d1") < F.col("d2"))
+    slope = (F.col("x2") - F.col("x1")) / F.datediff(
+        F.to_date("d2"), F.to_date("d1")
+    )
+    return (
+        pairs.groupBy(F.col("g").alias(group))
+        .agg(
+            (
+                (F.lit(1) + F.sqrt(F.lit(1) + F.lit(8) * F.count(F.lit(1)))) / 2
+            ).cast("bigint").alias("n_days"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile(slope, F.lit(0.5)), 6).alias("slope_per_day"),
+        )
+    )

@@ -3305,6 +3305,38 @@ def test_ewma_single_day_group_never_flags(spark):
     assert r["ewma"] == 42.0 and r["residual"] == 0.0 and r["flag"] is False
 
 
+def test_theil_sen_median_slope_resists_outlier_day(spark):
+    """Days 1..5 with values 10,12,14,100,18: four clean points lie on
+    slope 2/day; day 4 is corrupted. The 10 pairwise slopes sort to
+    {-82, 2 x6, 30, 44, 86} -> median 2.0, while the OLS slope over the
+    same days is ~5.2. Also: gap-aware spacing — datediff, not rank."""
+    from datetime import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import theil_sen
+
+    rows = [
+        ("g", dt(2024, 1, 1), 10.0),
+        ("g", dt(2024, 1, 2), 12.0),
+        ("g", dt(2024, 1, 3), 14.0),
+        ("g", dt(2024, 1, 4), 100.0),
+        ("g", dt(2024, 1, 5), 18.0),
+        # two-day gap group: slope must divide by the real 2-day spacing
+        ("h", dt(2024, 1, 1), 0.0),
+        ("h", dt(2024, 1, 3), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {
+        r["grp"]: r
+        for r in theil_sen(df, group="grp", ts="ts", value="v").collect()
+    }
+    g = out["g"]
+    assert g["n_days"] == 5 and g["n_pairs"] == 10
+    assert g["slope_per_day"] == 2.0
+    h = out["h"]
+    assert h["n_days"] == 2 and h["n_pairs"] == 1
+    assert h["slope_per_day"] == 4.0
+
+
 def test_select_canonical_max_score_tie_min_id(spark):
     """Cluster {1,2,3}: doc 2 and 3 tie on score 9 -> canonical 2
     (min id among max score); singleton doc 4 (absent from the
