@@ -169,3 +169,63 @@ def theil_sen(
             F.round(F.percentile(slope, F.lit(0.5)), 6).alias("slope_per_day"),
         )
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per group over the daily-mean
+    series — the significance companion to ``theil_sen`` (same bounded
+    pairwise relation): S = sum over day pairs i<j of sign(x_j - x_i),
+    tie-corrected Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18,
+    and the continuity-corrected z = (S -/+ 1)/sqrt(Var) (0 when S=0 or
+    Var=0). Distribution-free: no normality or linearity assumption,
+    unlike the OLS slope t-test. Three aggregations over the reduced
+    daily relation (pair signs, day count, tie runs) joined on the
+    group key; the raw table shuffles once. Returns per group:
+    n_days, s_stat, var_s, z, trend in {increasing, decreasing, none}
+    at ``z_crit``."""
+    d = _daily(df, group, ts, F.avg(F.col(value).cast("double")))
+    a = d.select(F.col("g"), F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = d.select(F.col("g"), F.col("day").alias("d2"), F.col("x").alias("x2"))
+    s = (
+        a.join(b, "g")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("g")
+        .agg(F.sum(F.signum(F.col("x2") - F.col("x1"))).cast("bigint").alias("s_stat"))
+    )
+    n = d.groupBy("g").agg(F.count(F.lit(1)).alias("n_days"))
+    t = F.count(F.lit(1))
+    ties = (
+        d.groupBy("g", "x")
+        .agg((t * (t - 1) * (2 * t + 5)).alias("tt"))
+        .groupBy("g")
+        .agg(F.sum("tt").alias("tie_term"))
+    )
+    nn = F.col("n_days").cast("double")
+    var_s = (
+        nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term").cast("double")
+    ) / 18.0
+    ss = F.col("s_stat").cast("double")
+    z = F.when((ss == 0) | (var_s <= 0), F.lit(0.0)).otherwise(
+        (ss - F.signum(ss)) / F.sqrt(var_s)
+    )
+    return (
+        n.join(s, "g")
+        .join(ties, "g")
+        .select(
+            F.col("g").alias(group),
+            "n_days",
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(z, 6).alias("z"),
+            F.when(z > z_crit, F.lit("increasing"))
+            .when(z < -z_crit, F.lit("decreasing"))
+            .otherwise(F.lit("none"))
+            .alias("trend"),
+        )
+    )

@@ -3337,6 +3337,37 @@ def test_theil_sen_median_slope_resists_outlier_day(spark):
     assert h["slope_per_day"] == 4.0
 
 
+def test_mann_kendall_hand_computed_cases(spark):
+    """g: strictly increasing 1..5 -> S=10, no ties, Var=5*4*15/18,
+    z=(10-1)/sqrt(16.6667)=2.204541, increasing. h: values 1,1,2 ->
+    S=2, tie run t=2 subtracts 18, Var=(66-18)/18=2.666667,
+    z=1/sqrt(2.666667)=0.612372, none. k: constant pair -> S=0,
+    Var=0, z=0, none (the 0/0 guard)."""
+    from datetime import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import mann_kendall
+
+    rows = (
+        [("g", dt(2024, 1, i), float(i)) for i in range(1, 6)]
+        + [("h", dt(2024, 1, 1), 1.0), ("h", dt(2024, 1, 2), 1.0),
+           ("h", dt(2024, 1, 3), 2.0)]
+        + [("k", dt(2024, 1, 1), 7.0), ("k", dt(2024, 1, 2), 7.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {
+        r["grp"]: r
+        for r in mann_kendall(df, group="grp", ts="ts", value="v").collect()
+    }
+    g = out["g"]
+    assert (g["n_days"], g["s_stat"], g["var_s"]) == (5, 10, 16.666667)
+    assert g["z"] == 2.204541 and g["trend"] == "increasing"
+    h = out["h"]
+    assert (h["s_stat"], h["var_s"], h["z"]) == (2, 2.666667, 0.612372)
+    assert h["trend"] == "none"
+    k = out["k"]
+    assert (k["s_stat"], k["var_s"], k["z"], k["trend"]) == (0, 0.0, 0.0, "none")
+
+
 def test_select_canonical_max_score_tie_min_id(spark):
     """Cluster {1,2,3}: doc 2 and 3 tie on score 9 -> canonical 2
     (min id among max score); singleton doc 4 (absent from the
