@@ -7179,6 +7179,69 @@ FROM z ORDER BY event_type
 """
 
 
+def q_acf_events(spark, sf_dir):
+    """Serial-dependence screen (operators/timeseries.acf_ljung_box):
+    sample autocorrelation r_1..r_7 of daily event counts per
+    event_type plus the cumulative Ljung-Box Q against the pinned
+    chi-square 95% table — the i.i.d.-premise check behind the KS/PSI
+    drift suite. One shuffle to the daily relation; lags + both
+    aggregations run over that reduced series. Oracle replays the
+    lag-window covariance and Q cumsum arithmetic."""
+    from jsonschema_validator_spark.operators.timeseries import acf_ljung_box
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return acf_ljung_box(ev, group="event_type", ts="ts", max_lag=7).orderBy(
+        "event_type", "lag"
+    )
+
+
+def _acf_oracle_sql(max_lag: int = 7) -> str:
+    crit = [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+            15.507, 16.919, 18.307][:max_lag]
+    lag_cols = ",\n         ".join(
+        f"lag(x, {k}) OVER w - mu AS d{k}" for k in range(1, max_lag + 1)
+    )
+    num_cols = ", ".join(
+        f"sum(d0 * d{k}) AS num{k}" for k in range(1, max_lag + 1)
+    )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT g, n_days, {k} AS lag, num{k} / den AS r FROM a WHERE den > 0"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT event_type AS g,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT g, avg(x) AS mu FROM d GROUP BY g),
+l AS (
+  SELECT d.g, (x - mu) AS d0,
+         {lag_cols}
+  FROM d JOIN m USING (g)
+  WINDOW w AS (PARTITION BY d.g ORDER BY day)),
+a AS (
+  SELECT g, count(*)::BIGINT AS n_days, sum(d0 * d0) AS den, {num_cols}
+  FROM l GROUP BY g),
+u AS (
+  {unions}),
+q AS (
+  SELECT g, lag, n_days, r,
+         n_days * (n_days + 2.0)
+           * sum(r * r / (n_days - lag))
+             OVER (PARTITION BY g ORDER BY lag) AS q_stat
+  FROM u WHERE r IS NOT NULL)
+SELECT g AS event_type, lag, n_days, round(r, 6) AS r,
+       round(q_stat, 6) AS q_stat,
+       ({crit}[lag])::DOUBLE AS q_crit_95,
+       q_stat > ({crit}[lag])::DOUBLE AS reject
+FROM q ORDER BY event_type, lag
+"""
+
+
+_ORACLE_ACF = _acf_oracle_sql(7)
+
+
 def q_kaplan_meier_events(spark, sf_dir):
     """Censoring-aware time-to-conversion curve (operators/survival.
     kaplan_meier): per-user days from first event to first PURCHASE,
@@ -7805,6 +7868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
         "theil_sen_events": q_theil_sen_events,
         "mann_kendall_events": q_mann_kendall_events,
+        "acf_events": q_acf_events,
         "chi_squared_lineitem": q_chi_squared_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
         "anova_events": q_anova_events,
@@ -7991,6 +8055,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_events": _ORACLE_TREND,
         "theil_sen_events": _ORACLE_THEIL_SEN,
         "mann_kendall_events": _ORACLE_MANN_KENDALL,
+        "acf_events": _ORACLE_ACF,
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,

@@ -171,6 +171,91 @@ def theil_sen(
     )
 
 
+def acf_ljung_box(
+    df: DataFrame,
+    group: str = "event_type",
+    ts: str = "ts",
+    value: str | None = None,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation r_k (lags 1..max_lag) + Ljung-Box
+    portmanteau Q per group over the daily series (daily COUNTS when
+    ``value`` is None, else daily means) — the serial-dependence screen
+    the i.i.d.-assuming drift tests (KS/PSI) silently require: a series
+    that fails here violates their premise, and residual
+    autocorrelation after a fix means the anomaly model is missing a
+    seasonal term.
+
+    r_k = sum_{t>k}(x_t - xbar)(x_{t-k} - xbar) / sum(x_t - xbar)^2
+    over observed-day order (standard regular-spacing ACF; gap days
+    are not imputed). Q_k = n(n+2) * sum_{j<=k} r_j^2/(n-j), compared
+    to the chi-square 95% critical value at df=k (pinned constants,
+    df 1..10). Lags with no overlap (k >= n) or a zero-variance series
+    produce no row. One raw-table shuffle into the daily relation; the
+    lag window + both aggregations run over that reduced series; the
+    per-(group, lag) Q cumsum is over <= max_lag rows per group.
+    Returns (group, lag, n_days, r, q_stat, q_crit_95, reject)."""
+    if not 1 <= max_lag <= 10:
+        raise ValueError("max_lag must be in 1..10 (pinned chi-square table)")
+    _CHI2_95 = [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+                15.507, 16.919, 18.307]
+    val = (
+        F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    )
+    daily = _daily(df, group, ts, val)
+    means = daily.groupBy("g").agg(F.avg("x").alias("mu"))
+    w = Window.partitionBy("g").orderBy("day")
+    dev = F.col("x") - F.col("mu")
+    lagged = daily.join(means, "g").select(
+        "g",
+        dev.alias("d0"),
+        *[
+            (F.lag("x", k).over(w) - F.col("mu")).alias(f"d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = lagged.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("d0") * F.col("d0")).alias("den"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    long = agg.filter(F.col("den") > 0).select(
+        "g",
+        "n_days",
+        "den",
+        F.posexplode(
+            F.array(*[F.col(f"num{k}") for k in range(1, max_lag + 1)])
+        ).alias("k0", "num"),
+    ).select(
+        "g",
+        "n_days",
+        (F.col("k0") + 1).alias("lag"),
+        (F.col("num") / F.col("den")).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    nn = F.col("n_days").cast("double")
+    wq = (
+        Window.partitionBy("g")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    q = nn * (nn + 2) * F.sum(
+        F.col("r") * F.col("r") / (nn - F.col("lag"))
+    ).over(wq)
+    crit = F.element_at(F.array(*[F.lit(c) for c in _CHI2_95]), F.col("lag"))
+    return long.select(
+        F.col("g").alias(group),
+        "lag",
+        "n_days",
+        F.round("r", 6).alias("r"),
+        F.round(q, 6).alias("q_stat"),
+        crit.alias("q_crit_95"),
+        (q > crit).alias("reject"),
+    )
+
+
 def mann_kendall(
     df: DataFrame,
     group: str = "event_type",

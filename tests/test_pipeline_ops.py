@@ -3337,6 +3337,36 @@ def test_theil_sen_median_slope_resists_outlier_day(spark):
     assert h["slope_per_day"] == 4.0
 
 
+def test_acf_ljung_box_hand_computed(spark):
+    """g: one event per day-slot repeated 1,2,3,4 times over 4 days ->
+    daily counts 1,2,3,4, mu=2.5, den=5; r1=1.25/5=0.25,
+    r2=-1.5/5=-0.3, r3=-2.25/5=-0.45; Q1=24*0.0625/3=0.5,
+    Q2=0.5+24*0.09/2=1.58, Q3=1.58+24*0.2025=6.44 — none reject at
+    the 95% chi-square line. Lags 4..7 have no overlap -> no rows.
+    h: constant series -> den=0 -> zero rows (zero-variance guard)."""
+    from datetime import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import acf_ljung_box
+
+    rows = [
+        ("g", dt(2024, 1, day, hour))
+        for day in range(1, 5)
+        for hour in range(day)
+    ] + [("h", dt(2024, 1, d)) for d in range(1, 4)]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    out = acf_ljung_box(df, group="grp", ts="ts", max_lag=7).collect()
+    assert all(r["grp"] == "g" for r in out) and len(out) == 3
+    byl = {r["lag"]: r for r in out}
+    assert [byl[k]["r"] for k in (1, 2, 3)] == [0.25, -0.3, -0.45]
+    assert [byl[k]["q_stat"] for k in (1, 2, 3)] == [0.5, 1.58, 6.44]
+    assert byl[3]["q_crit_95"] == 7.815
+    assert not any(r["reject"] for r in out)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_lag"):
+        acf_ljung_box(df, group="grp", ts="ts", max_lag=11)
+
+
 def test_mann_kendall_hand_computed_cases(spark):
     """g: strictly increasing 1..5 -> S=10, no ties, Var=5*4*15/18,
     z=(10-1)/sqrt(16.6667)=2.204541, increasing. h: values 1,1,2 ->
