@@ -7242,6 +7242,49 @@ FROM q ORDER BY event_type, lag
 _ORACLE_ACF = _acf_oracle_sql(7)
 
 
+def q_wasserstein_events(spark, sf_dir):
+    """Exact empirical Wasserstein-1 drift (operators/drift.
+    wasserstein_1) of `value` per event_type vs the pooled global
+    distribution — the mass-transport magnitude the KS sup-gap and
+    bucketed PSI can't see (a uniform 0.1 shift and one far outlier
+    give very different W1 at similar KS). No binning: integral
+    |F_p - F_global| dx over the observed value grid, computed with
+    distributed CDF cumsum windows per partition. Oracle replays the
+    identical grid + window arithmetic."""
+    from jsonschema_validator_spark.operators.drift import wasserstein_1
+
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_1(ev, "value", "event_type").orderBy("part")
+
+
+_ORACLE_WASSERSTEIN = """
+WITH c AS (
+  SELECT event_type AS part, value::DOUBLE AS v, count(*)::BIGINT AS n
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+b AS (SELECT v, sum(n)::BIGINT AS m FROM c GROUP BY v),
+pooled AS (SELECT DISTINCT v FROM (SELECT v FROM c UNION ALL SELECT v FROM b)),
+parts AS (SELECT DISTINCT part FROM c),
+grid AS (SELECT part, v FROM parts CROSS JOIN pooled),
+j AS (
+  SELECT g.part, g.v, coalesce(c.n, 0) AS n, coalesce(b.m, 0) AS m
+  FROM grid g
+  LEFT JOIN c ON g.part = c.part AND g.v = c.v
+  LEFT JOIN b ON g.v = b.v),
+w AS (
+  SELECT part, n, m,
+         sum(n) OVER (PARTITION BY part ORDER BY v) * 1.0
+           / sum(n) OVER (PARTITION BY part) AS cp,
+         sum(m) OVER (PARTITION BY part ORDER BY v) * 1.0
+           / sum(m) OVER (PARTITION BY part) AS cq,
+         lead(v) OVER (PARTITION BY part ORDER BY v) - v AS gap
+  FROM j)
+SELECT part, sum(n)::BIGINT AS n_rows, sum(m)::BIGINT AS n_base,
+       round(sum(coalesce(abs(cp - cq) * gap, 0.0)), 6) AS w1
+FROM w GROUP BY part ORDER BY part
+"""
+
+
 def q_kaplan_meier_events(spark, sf_dir):
     """Censoring-aware time-to-conversion curve (operators/survival.
     kaplan_meier): per-user days from first event to first PURCHASE,
@@ -7869,6 +7912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_events": q_theil_sen_events,
         "mann_kendall_events": q_mann_kendall_events,
         "acf_events": q_acf_events,
+        "wasserstein_events": q_wasserstein_events,
         "chi_squared_lineitem": q_chi_squared_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
         "anova_events": q_anova_events,
@@ -8056,6 +8100,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_events": _ORACLE_THEIL_SEN,
         "mann_kendall_events": _ORACLE_MANN_KENDALL,
         "acf_events": _ORACLE_ACF,
+        "wasserstein_events": _ORACLE_WASSERSTEIN,
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,

@@ -440,3 +440,75 @@ def jensen_shannon(
         .agg(F.max("__np").alias("n"), F.round(F.sum(term), 6).alias("jsd_bits"))
         .withColumn("flag", F.col("jsd_bits") > threshold)
     )
+
+
+def wasserstein_1(
+    df: DataFrame,
+    value: Column | str,
+    partition_col: str,
+    baseline_partition: str | None = None,
+) -> DataFrame:
+    """EXACT empirical Wasserstein-1 (earth-mover) distance per
+    partition vs a baseline distribution — the magnitude-aware
+    complement to ``ks_psi``: KS reports the worst single CDF gap and
+    PSI needs a bucket grid, while W1 = integral |F_p - F_q| dx weights
+    every gap by how far the mass must MOVE, so a uniform small shift
+    and one extreme outlier score very differently. No binning: exact
+    over the observed values.
+
+    baseline_partition=None pools all partitions (each part vs global,
+    the ks_psi convention); else vs the named partition. NULL values
+    and NULL partition keys are excluded (documented, matching
+    value_histogram). Shape: one (part, value) count shuffle over the
+    raw table; the pooled distinct-value grid is parts x distinct
+    values — data-bounded but DISTRIBUTED end-to-end (grid build is a
+    broadcast cross of the tiny parts relation against the distinct
+    values; the CDF cumsum windows partition by part). Returns
+    (part, n_rows, n_base, w1) with w1 rounded to 6.
+    """
+    vcol = F.col(value) if isinstance(value, str) else value
+    c = (
+        df.filter(vcol.isNotNull() & F.col(partition_col).isNotNull())
+        .groupBy(
+            F.col(partition_col).alias("part"),
+            vcol.cast("double").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if baseline_partition is None:
+        base = c.groupBy("v").agg(F.sum("n").alias("m"))
+    else:
+        base = (
+            c.filter(F.col("part") == baseline_partition)
+            .groupBy("v")
+            .agg(F.sum("n").alias("m"))
+        )
+    pooled = c.select("v").union(base.select("v")).distinct()
+    parts = c.select("part").distinct()
+    grid = pooled.crossJoin(F.broadcast(parts))
+    j = (
+        grid.join(c, ["part", "v"], "left")
+        .join(base, "v", "left")
+        .select("part", "v", F.coalesce("n", F.lit(0)).alias("n"),
+                F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    w_part = Window.partitionBy("part")
+    w_cum = Window.partitionBy("part").orderBy("v")
+    cum_p = F.sum("n").over(w_cum) / F.sum("n").over(w_part)
+    cum_q = F.sum("m").over(w_cum) / F.sum("m").over(w_part)
+    gap = F.lead("v").over(w_cum) - F.col("v")
+    term = F.abs(cum_p - cum_q) * gap
+    return (
+        j.select(
+            "part",
+            F.col("n"),
+            F.col("m"),
+            F.coalesce(term, F.lit(0.0)).alias("t"),
+        )
+        .groupBy("part")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("m").cast("long").alias("n_base"),
+            F.round(F.sum("t"), 6).alias("w1"),
+        )
+    )

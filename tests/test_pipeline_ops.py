@@ -3337,6 +3337,30 @@ def test_theil_sen_median_slope_resists_outlier_day(spark):
     assert h["slope_per_day"] == 4.0
 
 
+def test_wasserstein_1_hand_computed(spark):
+    """a = {0,0,1}, b = {1,1,2} vs named baseline b: pooled grid
+    {0,1,2}; F_a = 2/3, 1, 1; F_b = 0, 2/3, 1; W1 = |2/3-0|*1 +
+    |1-2/3|*1 = 1.0 exactly (the point-mass transport answer: move
+    each unit one step). Identical distribution -> 0. Also the
+    magnitude-vs-KS contrast: b vs shifted-by-2 c has the SAME KS (1
+    at the gap) but double the W1."""
+    from jsonschema_validator_spark.operators.drift import wasserstein_1
+
+    rows = (
+        [("a", 0.0), ("a", 0.0), ("a", 1.0)]
+        + [("b", 1.0), ("b", 1.0), ("b", 2.0)]
+        + [("c", 3.0), ("c", 3.0), ("c", 4.0)]
+    )
+    df = spark.createDataFrame(rows, "p string, v double")
+    out = {
+        r["part"]: r
+        for r in wasserstein_1(df, "v", "p", baseline_partition="b").collect()
+    }
+    assert out["a"]["w1"] == 1.0 and out["b"]["w1"] == 0.0
+    assert out["c"]["w1"] == 2.0
+    assert out["a"]["n_rows"] == 3 and out["a"]["n_base"] == 3
+
+
 def test_acf_ljung_box_hand_computed(spark):
     """g: one event per day-slot repeated 1,2,3,4 times over 4 days ->
     daily counts 1,2,3,4, mu=2.5, den=5; r1=1.25/5=0.25,
