@@ -7285,6 +7285,61 @@ FROM w GROUP BY part ORDER BY part
 """
 
 
+def q_pass_rate_sla_events(spark, sf_dir):
+    """Uncertainty-aware per-day SLA verdict (operators/stats.
+    pass_rate_wilson) on the events_v1 row-validity conjunction (the
+    same keyword set keyword_verdicts_events counts violations for):
+    pass rate + Wilson 95% interval per day, verdict breach / at_risk /
+    met at SLA 0.95 — breach only when the CI's UPPER bound is below
+    the line, so a thin partition can't page anyone on noise. One
+    map-side-combinable aggregation. Oracle replays the conjunction and
+    the Wilson algebra."""
+    from jsonschema_validator_spark.operators.stats import pass_rate_wilson
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    ok = (
+        F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("event_type").isNull() | F.col("event_type").isin(EVENT_TYPES))
+        & (F.col("value").isNull() | ((F.col("value") >= 0) & (F.col("value") <= 1000)))
+    )
+    return pass_rate_wilson(ev, ok, "day", sla=0.95).orderBy("part")
+
+
+_ORACLE_PASS_RATE_SLA = """
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         (event_id IS NOT NULL AND ts IS NOT NULL
+          AND (event_type IS NULL OR event_type IN
+               ('click','view','purchase','signup','error'))
+          AND (value IS NULL OR (value >= 0 AND value <= 1000))) AS ok
+  FROM events),
+a AS (
+  SELECT day AS part, count(*)::BIGINT AS n,
+         sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS passed
+  FROM ev GROUP BY day),
+w AS (
+  SELECT part, n, passed,
+         passed * 1.0 / n AS p,
+         1.959964 * 1.959964 AS z2,
+         1.959964 AS z
+  FROM a),
+ci AS (
+  SELECT part, n, passed, p,
+         (p + z2 / (2 * n) - z * sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+           / (1 + z2 / n) AS lo,
+         (p + z2 / (2 * n) + z * sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+           / (1 + z2 / n) AS hi
+  FROM w)
+SELECT part, n, passed, round(p, 6) AS rate,
+       round(lo, 6) AS wilson_lo, round(hi, 6) AS wilson_hi,
+       CASE WHEN hi < 0.95 THEN 'breach'
+            WHEN lo >= 0.95 THEN 'met'
+            ELSE 'at_risk' END AS verdict
+FROM ci ORDER BY part
+"""
+
+
 def q_kaplan_meier_events(spark, sf_dir):
     """Censoring-aware time-to-conversion curve (operators/survival.
     kaplan_meier): per-user days from first event to first PURCHASE,
@@ -7932,6 +7987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_events": q_gini_events,
         "trend_events": q_trend_events,
         "kaplan_meier_events": q_kaplan_meier_events,
+        "pass_rate_sla_events": q_pass_rate_sla_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8102,6 +8158,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_events": _ORACLE_ACF,
         "wasserstein_events": _ORACLE_WASSERSTEIN,
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
+        "pass_rate_sla_events": _ORACLE_PASS_RATE_SLA,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -5,7 +5,7 @@ stats. One scan, one shuffle, all columns (SURVEY.md §4.1 fused pass)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -924,4 +924,49 @@ def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         df1.alias("df1"),
         df2.alias("df2"),
         F.round((ssb / df1) / (F.col("__ssw") / df2), 6).alias("f_stat"),
+    )
+
+
+def pass_rate_wilson(
+    df: DataFrame,
+    ok: Column,
+    partition_col: str,
+    sla: float = 0.95,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-partition validation pass-rate with a Wilson score interval
+    and an uncertainty-aware SLA verdict — the decision layer the raw
+    rate can't give: a 3-row partition at 2/3 and a 3M-row partition at
+    0.6667 have the same point rate but opposite evidence. Wilson (not
+    Wald) stays inside [0,1] and behaves at rate 0/1 and tiny n.
+
+    verdict per partition: 'breach' when the UPPER bound is below the
+    SLA (confidently failing), 'met' when the LOWER bound clears it
+    (confidently passing), else 'at_risk' (the CI straddles the line —
+    collect more rows before paging anyone). One aggregation, map-side
+    combinable; O(partitions) output. Returns (part, n, passed, rate,
+    wilson_lo, wilson_hi, verdict), floats rounded to 6."""
+    agg = df.groupBy(F.col(partition_col).alias("part")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ok.cast("int")).alias("passed"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("passed") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2 * n)
+    half = z * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    lo = (center - half) / denom
+    hi = (center + half) / denom
+    return agg.select(
+        "part",
+        "n",
+        "passed",
+        F.round(p, 6).alias("rate"),
+        F.round(lo, 6).alias("wilson_lo"),
+        F.round(hi, 6).alias("wilson_hi"),
+        F.when(hi < sla, F.lit("breach"))
+        .when(lo >= sla, F.lit("met"))
+        .otherwise(F.lit("at_risk"))
+        .alias("verdict"),
     )

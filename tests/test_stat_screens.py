@@ -134,3 +134,45 @@ def test_jsd_leave_one_out_pools_the_rest(spark):
     )
     assert out["p1"]["jsd_bits"] == pytest.approx(expected_p1, abs=1e-6)
     assert out["p3"]["jsd_bits"] == 1.0
+
+
+def test_pass_rate_wilson_hand_computed(spark):
+    # part A: 9/10 pass. Wilson at z=1.959964, n=10, p=0.9:
+    #   z2=3.84146, denom=1+z2/n=1.384146, center=0.9+z2/20=1.092073
+    #   half=z*sqrt((0.9*0.1+z2/40)/10)=1.959964*sqrt(0.0186036)=0.267323
+    #   lo=(1.092073-0.267323)/1.384146=0.595854 -> at_risk at SLA 0.95
+    # part B: 0/4 pass -> hi=(z2/8+z*sqrt(z2/(16*4))/... with p=0
+    #   center=z2/8=0.480183, half=z*sqrt((z2/16)/4)=0.480183*... compute:
+    #   half=1.959964*sqrt(0.240091/16)... use algebra: lo must clamp >= 0
+    #   and hi < 0.95 -> breach.
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.stats import pass_rate_wilson
+
+    rows = [("A", 1)] * 9 + [("A", 0)] + [("B", 0)] * 4
+    df = spark.createDataFrame(rows, "g string, ok int")
+    out = {
+        r["part"]: r
+        for r in pass_rate_wilson(df, F.col("ok") == 1, "g", sla=0.95).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert (a["n"], a["passed"], a["rate"]) == (10, 9, 0.9)
+    assert a["wilson_lo"] == pytest.approx(0.595850, abs=1e-4)
+    assert a["verdict"] == "at_risk"
+    # p=0: interval is [0, z2/(n+z2)] = [0, 3.84146/7.84146] = [0, 0.489907]
+    assert (b["n"], b["passed"], b["rate"]) == (4, 0, 0.0)
+    assert b["wilson_lo"] == 0.0
+    assert b["wilson_hi"] == pytest.approx(0.489907, abs=1e-4)
+    assert b["verdict"] == "breach"
+
+
+def test_pass_rate_wilson_confident_met(spark):
+    # 10000 rows all passing: p=1, lo = n/(n+z2) ~ 0.999616 >= 0.95 -> met
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.stats import pass_rate_wilson
+
+    df = spark.range(10000).selectExpr("'A' AS g", "1 AS ok")
+    r = pass_rate_wilson(df, F.col("ok") == 1, "g", sla=0.95).collect()[0]
+    assert r["rate"] == 1.0 and r["verdict"] == "met"
+    assert r["wilson_hi"] == 1.0
