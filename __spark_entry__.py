@@ -7866,6 +7866,44 @@ FROM t
 """
 
 
+def q_kruskal_wallis_events(spark, sf_dir):
+    """Kruskal-Wallis H across ALL event_type groups of value
+    (operators/stats.kruskal_wallis) — the k-sample nonparametric
+    location screen: rank-based sibling of anova_f, k-group
+    generalization of mann_whitney_u. Rank arithmetic entirely on the
+    O(distinct-values x groups) block relation with exact midrank ties
+    and the tie-corrected statistic; NULL event_type is a real group.
+    Oracle replays the midrank algebra with window functions."""
+    from jsonschema_validator_spark.operators.stats import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "value", "event_type")
+
+
+_ORACLE_KRUSKAL_WALLIS = """
+WITH d AS (SELECT value::DOUBLE AS v, event_type AS g
+           FROM events WHERE value IS NOT NULL),
+vg AS (SELECT v, g, count(*)::BIGINT AS tg FROM d GROUP BY 1, 2),
+vc AS (SELECT v, sum(tg)::BIGINT AS t FROM vg GROUP BY 1),
+r AS (SELECT v, t,
+             sum(t) OVER (ORDER BY v) - t + (t + 1) / 2.0 AS rnk
+      FROM vc),
+b AS (SELECT vg.g, vg.tg, r.rnk FROM vg JOIN r ON vg.v = r.v),
+pg AS (SELECT g, sum(tg)::BIGINT AS ng, sum(rnk * tg) AS rg
+       FROM b GROUP BY 1),
+a AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+             sum(rg * rg / ng) AS rr
+      FROM pg),
+tt AS (SELECT sum(t * t * t - t) AS ties FROM r)
+SELECT k, n, k - 1 AS dof,
+       round(12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0), 6) AS h_stat,
+       round(CASE WHEN 1.0 - ties / (n * 1.0 * n * n - n) > 0 THEN
+             (12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0))
+             / (1.0 - ties / (n * 1.0 * n * n - n)) END, 6) AS h_corrected
+FROM a, tt
+"""
+
+
 def q_mann_whitney_events(spark, sf_dir):
     """Mann-Whitney U rank-sum drift (operators/drift.mann_whitney_u)
     between the click and purchase value samples — the nonparametric
@@ -7971,6 +8009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_squared_lineitem": q_chi_squared_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
         "anova_events": q_anova_events,
+        "kruskal_wallis_events": q_kruskal_wallis_events,
         "mann_whitney_events": q_mann_whitney_events,
         "jsd_events": q_jsd_events,
         "cohort_retention_events": q_cohort_retention_events,
@@ -8169,6 +8208,7 @@ def oracle_sql() -> dict[str, str]:
         "chi_squared_lineitem": _ORACLE_CHI_SQUARED,
         "spearman_lineitem": _ORACLE_SPEARMAN,
         "anova_events": _ORACLE_ANOVA,
+        "kruskal_wallis_events": _ORACLE_KRUSKAL_WALLIS,
         "mann_whitney_events": _ORACLE_MANN_WHITNEY,
         "jsd_events": _ORACLE_JSD,
         "isotonic_documents": _ORACLE_ISOTONIC,

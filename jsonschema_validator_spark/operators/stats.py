@@ -970,3 +970,64 @@ def pass_rate_wilson(
         .otherwise(F.lit("at_risk"))
         .alias("verdict"),
     )
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Kruskal-Wallis H across the groups of ``group_col`` — the
+    k-sample nonparametric location screen: the rank-based sibling of
+    anova_f (which assumes normal-ish residuals) and the k-group
+    generalization of the Mann-Whitney pair test. Flags "at least one
+    partition's value distribution sits elsewhere" without any
+    distributional assumption.
+
+    Rank arithmetic never touches raw rows: one groupBy(value, group)
+    reduces to the O(distinct-values x groups) block relation, midranks
+    come from a cumulative window over DISTINCT values only, and the
+    per-group rank sums / tie terms are exact sums over that tiny
+    relation (same contract as spearman_rho / mann_whitney_u; for
+    continuous columns at extreme cardinality pre-bucket first and the
+    midrank arithmetic stays exact on buckets). NULL values are
+    excluded; a NULL group key is a real group.
+
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1); tie correction
+    C = 1 - sum(t^3-t)/(N^3-N); h_corrected = H/C (NULL when every
+    row ties on one value, where the statistic is undefined). Returns
+    one row: k, n, dof, h_stat, h_corrected.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    d = df.filter(v.isNotNull()).select(
+        v.alias("__v"), F.col(group_col).alias("__g")
+    )
+    vg = d.groupBy("__v", "__g").agg(F.count(F.lit(1)).alias("__tg"))
+    vc = vg.groupBy("__v").agg(F.sum("__tg").alias("__t"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    vc = vc.withColumn(
+        "__rank", F.sum("__t").over(w) - F.col("__t") + (F.col("__t") + 1) / 2
+    )
+    blocks = vg.join(vc, "__v")
+    per_group = blocks.groupBy("__g").agg(
+        F.sum("__tg").alias("__ng"),
+        F.sum(F.col("__rank") * F.col("__tg")).alias("__rg"),
+    )
+    agg = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__ng").alias("n"),
+        F.sum(F.col("__rg") * F.col("__rg") / F.col("__ng")).alias("__rr"),
+    )
+    ties = vc.agg(
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias(
+            "__ties"
+        )
+    )
+    n = F.col("n").cast("double")
+    h = 12.0 / (n * (n + 1)) * F.col("__rr") - 3.0 * (n + 1)
+    c = 1.0 - F.col("__ties") / (n * n * n - n)
+    return agg.crossJoin(ties).select(
+        "k",
+        "n",
+        (F.col("k") - 1).alias("dof"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(F.when(c > 0, h / c), 6).alias("h_corrected"),
+    )

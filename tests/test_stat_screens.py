@@ -176,3 +176,45 @@ def test_pass_rate_wilson_confident_met(spark):
     r = pass_rate_wilson(df, F.col("ok") == 1, "g", sla=0.95).collect()[0]
     assert r["rate"] == 1.0 and r["verdict"] == "met"
     assert r["wilson_hi"] == 1.0
+
+
+def test_kruskal_wallis_textbook_no_ties(spark):
+    # Classic 3-group example, no ties. Values 1..9 split:
+    #   A={1,2,3} ranks 1,2,3 -> R=6;  B={4,5,6} -> R=15; C={7,8,9} -> R=24
+    # H = 12/(9*10) * (36/3 + 225/3 + 576/3) - 3*10
+    #   = 0.133333*(12+75+192) - 30 = 0.133333*279 - 30 = 7.2
+    from jsonschema_validator_spark.operators.stats import kruskal_wallis
+
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0),
+            ("B", 4.0), ("B", 5.0), ("B", 6.0),
+            ("C", 7.0), ("C", 8.0), ("C", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert (r["k"], r["n"], r["dof"]) == (3, 9, 2)
+    assert r["h_stat"] == pytest.approx(7.2, abs=1e-6)
+    assert r["h_corrected"] == pytest.approx(7.2, abs=1e-6)  # C=1, no ties
+
+
+def test_kruskal_wallis_ties_and_degenerate(spark):
+    # All 6 rows share one value: midrank 3.5 everywhere.
+    #   R_A = 3*3.5 = 10.5, R_B = 10.5; H = 12/(6*7)*(110.25/3*2) - 21
+    #   = 0.285714*73.5 - 21 = 0. C = 1 - (216-6)/(216-6) = 0 -> NULL.
+    from jsonschema_validator_spark.operators.stats import kruskal_wallis
+
+    rows = [("A", 5.0)] * 3 + [("B", 5.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert r["h_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r["h_corrected"] is None
+
+
+def test_kruskal_wallis_null_group_is_real_and_null_values_drop(spark):
+    from jsonschema_validator_spark.operators.stats import kruskal_wallis
+
+    rows = [("A", 1.0), ("A", 2.0), (None, 8.0), (None, 9.0), ("A", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    # 4 usable rows, 2 groups; ranks 1,2 vs 3,4 -> R_A=3, R_null=7
+    # H = 12/(4*5)*(9/2+49/2) - 15 = 0.6*29 - 15 = 2.4
+    assert (r["k"], r["n"]) == (2, 4)
+    assert r["h_stat"] == pytest.approx(2.4, abs=1e-6)
