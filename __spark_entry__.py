@@ -1054,6 +1054,85 @@ FROM agg ORDER BY part_a, part_b
 """
 
 
+def q_drift_fdr_events(spark, sf_dir):
+    """Multiple-testing layer over the ALL-PAIRS day drift matrix
+    (operators/drift.drift_matrix + ks_p_asymptotic +
+    operators/stats.bh_fdr): 30 days -> 435 simultaneous KS tests;
+    at per-test alpha=0.05 ~22 pairs would flag by CHANCE alone.
+    Each pair's Smirnov asymptotic p (5-term alternating series, pure
+    exp arithmetic) feeds Benjamini-Hochberg step-up, bounding the
+    expected false-discovery fraction among flags at 5%. Everything
+    after the single histogram scan runs on O(pairs) rows. Oracle
+    replays histogram, ECDF sup-gap, the p series, and the BH
+    reverse-running-min exactly."""
+    from jsonschema_validator_spark.operators.drift import (
+        drift_matrix,
+        ks_p_asymptotic,
+    )
+    from jsonschema_validator_spark.operators.stats import bh_fdr
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    m = drift_matrix(ev, F.col("value"), "day", buckets=20, lo=0.0, hi=500.0)
+    m = m.select(
+        "part_a",
+        "part_b",
+        "n_a",
+        "n_b",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round(
+            ks_p_asymptotic(F.col("ks_stat"), F.col("n_a"), F.col("n_b")), 6
+        ).alias("p_value"),
+    )
+    return bh_fdr(m, "p_value", ["part_a", "part_b"], alpha=0.05).orderBy(
+        "part_a", "part_b"
+    )
+
+
+_ORACLE_DRIFT_FDR = """
+WITH hist AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         LEAST(19, GREATEST(0, CAST(FLOOR(value / 25.0) AS INT))) AS bucket,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+parts AS (SELECT DISTINCT part FROM hist),
+grid AS (SELECT p.part, b.bucket FROM parts p
+         CROSS JOIN (SELECT UNNEST(RANGE(20))::INT AS bucket) b),
+dense AS (SELECT g.part, g.bucket, COALESCE(h.n, 0) AS n
+          FROM grid g LEFT JOIN hist h ON g.part = h.part AND g.bucket = h.bucket),
+pairs AS (SELECT a.part AS part_a, b.part AS part_b, a.bucket, a.n AS na, b.n AS nb
+          FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.part < b.part),
+scored AS (SELECT part_a, part_b, bucket, na, nb,
+                  na::DOUBLE / SUM(na) OVER w AS p,
+                  nb::DOUBLE / SUM(nb) OVER w AS q
+           FROM pairs WINDOW w AS (PARTITION BY part_a, part_b)),
+terms AS (SELECT part_a, part_b, na, nb,
+                 ABS(SUM(p) OVER wc - SUM(q) OVER wc) AS ecdf_diff
+          FROM scored WINDOW wc AS (PARTITION BY part_a, part_b ORDER BY bucket)),
+agg AS (SELECT part_a, part_b, SUM(na)::BIGINT AS n_a, SUM(nb)::BIGINT AS n_b,
+               MAX(ecdf_diff) AS ks_raw
+        FROM terms GROUP BY 1, 2),
+lam AS (SELECT *, (n_a::DOUBLE * n_b / (n_a + n_b)) * ks_raw * ks_raw AS lam2
+        FROM agg),
+pv AS (SELECT part_a, part_b, n_a, n_b, ROUND(ks_raw, 6) AS ks_stat,
+              ROUND(LEAST(GREATEST(2.0 * (
+                    EXP(-2.0 * lam2) - EXP(-8.0 * lam2) + EXP(-18.0 * lam2)
+                    - EXP(-32.0 * lam2) + EXP(-50.0 * lam2)), 0.0), 1.0),
+                    6) AS p_value
+       FROM lam),
+ranked AS (SELECT *,
+                  ROW_NUMBER() OVER (ORDER BY p_value, part_a, part_b) AS rank,
+                  COUNT(*) OVER () AS m
+           FROM pv),
+qv AS (SELECT *,
+              ROUND(LEAST(MIN(p_value * m * 1.0 / rank)
+                          OVER (ORDER BY rank DESC), 1.0), 6) AS q_value
+       FROM ranked)
+SELECT part_a, part_b, n_a, n_b, ks_stat, p_value, rank, m, q_value,
+       q_value <= 0.05 AS reject
+FROM qv ORDER BY part_a, part_b
+"""
+
+
 def q_json_profile_events(spark, sf_dir):
     """Schema PROFILING (operators/profile.py json_key_profile): per
     top-level key of a JSON column — presence, per-type-tag counts,
@@ -8149,6 +8228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram_documents": q_length_histogram_documents,
         "drift_events_value": q_drift_events_value,
         "drift_matrix_events": q_drift_matrix_events,
+        "drift_fdr_events": q_drift_fdr_events,
         "json_profile_events": q_json_profile_events,
         "schema_drift_events": q_schema_drift_events,
         "violation_triage_events": q_violation_triage_events,
@@ -8327,6 +8407,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram_documents": _ORACLE_LENGTH_HIST,
         "drift_events_value": _ORACLE_DRIFT,
         "drift_matrix_events": _ORACLE_DRIFT_MATRIX,
+        "drift_fdr_events": _ORACLE_DRIFT_FDR,
         "json_profile_events": _ORACLE_JSON_PROFILE,
         "violation_triage_events": _ORACLE_VIOLATION_TRIAGE,
         "volume_anomaly_events": _ORACLE_VOLUME_ANOMALY,

@@ -512,3 +512,25 @@ def wasserstein_1(
             F.round(F.sum("t"), 6).alias("w1"),
         )
     )
+
+
+def ks_p_asymptotic(
+    d: Column, n_a: Column, n_b: Column, terms: int = 5
+) -> Column:
+    """Two-sample KS asymptotic p-value (Smirnov 1948): with effective
+    sample size ne = n_a*n_b/(n_a+n_b) and lambda^2 = ne*D^2,
+    p = 2 * sum_{k=1..terms} (-1)^(k-1) exp(-2 k^2 lambda^2), clamped
+    to [0, 1] (the alternating series overshoots 1 at D -> 0; each
+    added term is exponentially smaller, 5 terms is < 1e-9 off for
+    lambda >= 0.5). Asymptotic in ne — a SCREENING p for the FDR
+    layer, not an exact small-sample test. Pure exp/arithmetic, so an
+    external SQL engine replays it bit-for-bit."""
+    ne = n_a.cast("double") * n_b.cast("double") / (
+        n_a.cast("double") + n_b.cast("double")
+    )
+    lam2 = ne * d * d
+    s = None
+    for k in range(1, terms + 1):
+        term = F.exp(-2.0 * k * k * lam2) * (1.0 if k % 2 == 1 else -1.0)
+        s = term if s is None else s + term
+    return F.least(F.greatest(2.0 * s, F.lit(0.0)), F.lit(1.0))

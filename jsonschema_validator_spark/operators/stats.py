@@ -1031,3 +1031,54 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         F.round(h, 6).alias("h_stat"),
         F.round(F.when(c > 0, h / c), 6).alias("h_corrected"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    test_cols: list[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a relation of
+    hypothesis tests — the multiple-testing layer every wide screen
+    needs: run KS over 365x364/2 day pairs at per-test alpha=0.05 and
+    ~3,300 pairs flag by CHANCE; BH bounds the expected FALSE-discovery
+    fraction among flags at alpha instead.
+
+    q_i = min_{j >= i} (p_(j) * m / j) — the reverse running min of the
+    step-up bound, clamped to 1; reject where q <= alpha. Ranking ties
+    break deterministically on ``test_cols`` so q-values are stable
+    across runs and partitionings.
+
+    Scale shape: the input is a relation of TESTS, not data rows —
+    O(tests) by construction (435 pairs for 30 parts, ~66k for 365) —
+    so the two single-partition rank windows are bounded regardless of
+    input size; the data-sized work happened upstream in whatever
+    produced the p-values. Adds (rank, m, q_value, reject); p-values
+    must be in [0, 1] and non-null (filter upstream).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(p_col).asc()] + [F.col(c).asc() for c in test_cols]
+    w_rank = Window.orderBy(*order)
+    w_all = Window.partitionBy()
+    w_rev = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        df.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "q_value",
+            F.round(
+                F.least(
+                    F.min(
+                        F.col(p_col) * F.col("m") / F.col("rank")
+                    ).over(w_rev),
+                    F.lit(1.0),
+                ),
+                6,
+            ),
+        )
+    )
+    return ranked.withColumn("reject", F.col("q_value") <= alpha)

@@ -218,3 +218,46 @@ def test_kruskal_wallis_null_group_is_real_and_null_values_drop(spark):
     # H = 12/(4*5)*(9/2+49/2) - 15 = 0.6*29 - 15 = 2.4
     assert (r["k"], r["n"]) == (2, 4)
     assert r["h_stat"] == pytest.approx(2.4, abs=1e-6)
+
+
+def test_bh_fdr_step_up_textbook(spark):
+    # p = .01 .02 .03 .04 .5, m=5: raw bounds are .05 .05 .05 .05 .5;
+    # reverse running min -> q = .05 for ranks 1-4, .5 for rank 5.
+    from jsonschema_validator_spark.operators.stats import bh_fdr
+
+    rows = [("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.04), ("t5", 0.5)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    out = {r["test"]: r for r in bh_fdr(df, "p", ["test"], alpha=0.05).collect()}
+    assert all(out[t]["q_value"] == 0.05 and out[t]["reject"] for t in ("t1", "t2", "t3", "t4"))
+    assert out["t5"]["q_value"] == 0.5 and not out["t5"]["reject"]
+    assert out["t1"]["rank"] == 1 and out["t1"]["m"] == 5
+
+
+def test_bh_fdr_rejects_fewer_than_per_test_alpha(spark):
+    # p=.04 alone would reject at alpha=.05; with a second p=.1 the BH
+    # bound is .04*2/1=.08 -> q=.08 -> neither rejects. Step-up, not
+    # per-test thresholding.
+    from jsonschema_validator_spark.operators.stats import bh_fdr
+
+    df = spark.createDataFrame([("a", 0.04), ("b", 0.1)], "test string, p double")
+    out = {r["test"]: r for r in bh_fdr(df, "p", ["test"], alpha=0.05).collect()}
+    assert out["a"]["q_value"] == 0.08 and not out["a"]["reject"]
+    assert out["b"]["q_value"] == 0.1 and not out["b"]["reject"]
+
+
+def test_ks_p_asymptotic_bounds(spark):
+    # D=0 -> alternating series sums to 1, doubled = 2, clamps to 1.
+    # ne=100, D=0.5 -> lam2=25 -> p ~ 2*exp(-50) ~ 4e-22 -> rounds to 0.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.drift import ks_p_asymptotic
+
+    df = spark.createDataFrame([(0.0, 200, 200), (0.5, 200, 200)], "d double, na int, nb int")
+    rows = df.select(
+        "d", ks_p_asymptotic(F.col("d"), F.col("na"), F.col("nb")).alias("p")
+    ).collect()
+    out = {r["d"]: r["p"] for r in rows}
+    assert out[0.0] == 1.0
+    assert out[0.5] == pytest.approx(2 * math.exp(-2 * 100 * 0.25), rel=1e-6)
