@@ -3912,6 +3912,39 @@ FROM viol GROUP BY 1, 2 ORDER BY keyword, path
 """
 
 
+def q_seasonal_volume_events(spark, sf_dir):
+    """Weekday-seasonal leave-one-out volume screen (operators/anomaly.
+    seasonal_volume): each day's row count vs the exact LOO mean of the
+    other same-weekday days — kills the Sunday false alarms a global
+    median/MAD baseline produces and stops a broken day from dragging
+    its own baseline. One count shuffle to the O(days) relation; the
+    weekday rollup broadcasts back. Oracle replays the LOO algebra."""
+    from jsonschema_validator_spark.operators.anomaly import seasonal_volume
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_volume(ev, "ts", ratio_thr=1.5).orderBy("day")
+
+
+_ORACLE_SEASONAL_VOLUME = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         dayofweek(ts)::INT AS weekday,
+         count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2),
+wk AS (SELECT weekday, sum(n) AS ws, count(*)::BIGINT AS n_same_weekday
+       FROM daily GROUP BY 1),
+j AS (SELECT d.day, d.weekday, d.n, w.n_same_weekday,
+             CASE WHEN w.n_same_weekday > 1
+                  THEN (w.ws - d.n) / (w.n_same_weekday - 1) END AS loo
+      FROM daily d JOIN wk w USING (weekday)),
+r AS (SELECT *, CASE WHEN loo > 0 THEN n / loo END AS ratio FROM j)
+SELECT day, weekday, n, n_same_weekday,
+       round(loo, 6) AS loo_mean, round(ratio, 6) AS ratio,
+       COALESCE(ratio > 1.5 OR ratio < 1.0 / 1.5, FALSE) AS is_anomaly
+FROM r ORDER BY day
+"""
+
+
 def q_volume_anomaly_events(spark, sf_dir):
     """Robust per-day volume anomaly (operators/anomaly.volume_anomaly):
     median/MAD band over the per-day counts — one scan, O(days) series
@@ -8233,6 +8266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_events": q_schema_drift_events,
         "violation_triage_events": q_violation_triage_events,
         "volume_anomaly_events": q_volume_anomaly_events,
+        "seasonal_volume_events": q_seasonal_volume_events,
         "cardinality_drift_events": q_cardinality_drift_events,
         "conversation_schema_events": q_conversation_schema_events,
         "entropy_documents": q_entropy_documents,
@@ -8411,6 +8445,7 @@ def oracle_sql() -> dict[str, str]:
         "json_profile_events": _ORACLE_JSON_PROFILE,
         "violation_triage_events": _ORACLE_VIOLATION_TRIAGE,
         "volume_anomaly_events": _ORACLE_VOLUME_ANOMALY,
+        "seasonal_volume_events": _ORACLE_SEASONAL_VOLUME,
         "cardinality_drift_events": _ORACLE_CARDINALITY_DRIFT,
         "conversation_schema_events": _ORACLE_CONVERSATION_SCHEMA,
         "entropy_documents": _ORACLE_ENTROPY,

@@ -290,3 +290,62 @@ def benford_screen(
         F.round(chi2, 4).alias("chi2"),
         (chi2 > 15.507).alias("flag"),
     )
+
+
+def seasonal_volume(
+    df: DataFrame,
+    ts_col: str,
+    ratio_thr: float = 1.5,
+    value: Column | None = None,
+) -> DataFrame:
+    """Weekday-seasonal volume screen: each day's volume vs the
+    leave-one-out mean of the OTHER same-weekday days — the screen
+    volume_anomaly (global median/MAD) can't be: weekly traffic shape
+    makes every Sunday a false alarm against a global baseline, and a
+    pooled weekday mean lets a broken day mask itself by dragging its
+    own baseline. Leave-one-out is exact arithmetic on the aggregated
+    relation: loo = (sum_weekday - n_day) / (count_weekday - 1).
+
+    ``value=None`` screens row counts; pass an aggregatable Column to
+    screen any additive volume. Flags ratio outside
+    [1/ratio_thr, ratio_thr]. Weekdays with a single observed day have
+    no peer evidence: loo_mean/ratio NULL, never flagged. Days with no
+    rows never appear (screen presence with density_check). Scale
+    shape: one count shuffle to the O(days) relation; the weekday
+    rollup is a broadcast join back. Returns (day, weekday, n,
+    n_same_weekday, loo_mean, ratio, is_anomaly); weekday is 0=Sunday.
+    """
+    day = F.to_date(F.col(ts_col))
+    agg = F.coalesce(
+        (value if value is not None else F.count(F.lit(1))).cast("double"),
+        F.lit(0.0),
+    )
+    daily = (
+        df.groupBy(day.alias("__d"))
+        .agg(agg.alias("n"))
+        .select(
+            F.date_format("__d", "yyyy-MM-dd").alias("day"),
+            (F.dayofweek("__d") - 1).alias("weekday"),
+            "n",
+        )
+    )
+    wk = daily.groupBy("weekday").agg(
+        F.sum("n").alias("__ws"), F.count(F.lit(1)).alias("n_same_weekday")
+    )
+    j = daily.join(F.broadcast(wk), "weekday")
+    loo = F.when(
+        F.col("n_same_weekday") > 1,
+        (F.col("__ws") - F.col("n")) / (F.col("n_same_weekday") - 1),
+    )
+    ratio = F.when(loo > 0, F.col("n") / loo)
+    return j.select(
+        "day",
+        "weekday",
+        "n",
+        "n_same_weekday",
+        F.round(loo, 6).alias("loo_mean"),
+        F.round(ratio, 6).alias("ratio"),
+        F.coalesce(
+            (ratio > ratio_thr) | (ratio < 1.0 / ratio_thr), F.lit(False)
+        ).alias("is_anomaly"),
+    )

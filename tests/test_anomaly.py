@@ -231,3 +231,42 @@ def test_benford_excludes_zero_and_null(spark):
     row = benford_screen(df, "v").collect()[0]
     assert row["n"] == 2  # zero and NULL have no significant digit
     assert row["c1"] == 1 and row["c4"] == 1  # 123 -> 1, 0.045 -> 4
+
+
+def test_seasonal_volume_planted_spike_flags_only_itself(spark):
+    from datetime import datetime
+
+    from jsonschema_validator_spark.operators.anomaly import seasonal_volume
+
+    # Three weeks of Mondays/Tuesdays: Mondays carry 10 rows each except
+    # the middle one (30 rows, a 3x spike vs its LOO mean of 10);
+    # Tuesdays uniform at 10. 2024-01-01 is a Monday.
+    rows = []
+    for day, n in [("2024-01-01", 10), ("2024-01-08", 30), ("2024-01-15", 10),
+                   ("2024-01-02", 10), ("2024-01-09", 10), ("2024-01-16", 10)]:
+        rows += [(datetime.fromisoformat(day + "T12:00:00"),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["day"]: r for r in seasonal_volume(df, "ts", ratio_thr=1.5).collect()}
+    spike = out["2024-01-08"]
+    assert spike["weekday"] == 1 and spike["n_same_weekday"] == 3
+    assert spike["loo_mean"] == 10.0 and spike["ratio"] == 3.0
+    assert spike["is_anomaly"]
+    # its Monday peers compare against a LOO mean POLLUTED by the spike
+    # ((30+10)/2 = 20 -> ratio 0.5 < 1/1.5) — they flag too, which is the
+    # honest two-sided reading with only 3 peers; Tuesdays stay quiet.
+    for d in ("2024-01-02", "2024-01-09", "2024-01-16"):
+        assert out[d]["ratio"] == 1.0 and not out[d]["is_anomaly"]
+
+
+def test_seasonal_volume_single_peer_never_flags(spark):
+    from datetime import datetime
+
+    from jsonschema_validator_spark.operators.anomaly import seasonal_volume
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 3, 9),)] * 50, "ts timestamp"
+    )
+    r = seasonal_volume(df, "ts").collect()[0]
+    assert r["n_same_weekday"] == 1
+    assert r["loo_mean"] is None and r["ratio"] is None
+    assert not r["is_anomaly"]
