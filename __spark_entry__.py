@@ -3912,6 +3912,61 @@ FROM viol GROUP BY 1, 2 ORDER BY keyword, path
 """
 
 
+def q_fuzzy_pairs_documents(spark, sf_dir):
+    """Edit-distance fuzzy match (operators/dedup.edit_distance_pairs,
+    Ed-Join-style rarest-q-gram prefix blocking + exact levenshtein
+    verify): 40-char lowercased document name prefixes, plus a PLANTED
+    one-char mutation of every 7th doc (id+100000) that the blocking
+    MUST recover at dist<=1 — one edit kills at most q grams, so a
+    rarest-(q*d+1)-gram signature always survives. No cartesian: the
+    candidate join touches signature grams only. Oracle replays gram
+    generation, the global rarity order, and the verify filter."""
+    from jsonschema_validator_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring(F.lower(F.col("text")), 1, 40).alias("name"),
+    )
+    mut = base.filter((F.col("id") % 7 == 0) & (F.length("name") >= 6)).select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat(
+            F.substring("name", 1, 4), F.lit("x"), F.substring("name", 6, 35)
+        ).alias("name"),
+    )
+    allr = base.unionByName(mut)
+    return edit_distance_pairs(allr, "id", "name", max_dist=1, q=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_ORACLE_FUZZY_PAIRS = """
+WITH base AS (SELECT doc_id AS id, substr(lower(text), 1, 40) AS name
+              FROM documents),
+mut AS (SELECT id + 100000 AS id,
+               concat(substr(name, 1, 4), 'x', substr(name, 6, 35)) AS name
+        FROM base WHERE id % 7 = 0 AND length(name) >= 6),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+d AS (SELECT id, name AS t FROM allr
+      WHERE name IS NOT NULL AND length(name) >= 3),
+grams AS (SELECT DISTINCT id, substr(t, i, 3) AS gram
+          FROM (SELECT id, t, unnest(range(1, length(t) - 1)) AS i FROM d)),
+freq AS (SELECT gram, count(*)::BIGINT AS f FROM grams GROUP BY 1),
+sig AS (SELECT id, gram FROM (
+          SELECT g.id, g.gram,
+                 row_number() OVER (PARTITION BY g.id
+                                    ORDER BY f.f, g.gram) AS r
+          FROM grams g JOIN freq f USING (gram)) s
+        WHERE r <= 4),
+cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM sig a JOIN sig b USING (gram) WHERE a.id < b.id),
+v AS (SELECT c.id_a, c.id_b, levenshtein(da.t, db.t) AS dist
+      FROM cands c JOIN d da ON c.id_a = da.id JOIN d db ON c.id_b = db.id
+      WHERE abs(length(da.t) - length(db.t)) <= 1)
+SELECT id_a, id_b, dist FROM v WHERE dist <= 1 ORDER BY id_a, id_b
+"""
+
+
 def q_seasonal_volume_events(spark, sf_dir):
     """Weekday-seasonal leave-one-out volume screen (operators/anomaly.
     seasonal_volume): each day's row count vs the exact LOO mean of the
@@ -8267,6 +8322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_triage_events": q_violation_triage_events,
         "volume_anomaly_events": q_volume_anomaly_events,
         "seasonal_volume_events": q_seasonal_volume_events,
+        "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
         "cardinality_drift_events": q_cardinality_drift_events,
         "conversation_schema_events": q_conversation_schema_events,
         "entropy_documents": q_entropy_documents,
@@ -8446,6 +8502,7 @@ def oracle_sql() -> dict[str, str]:
         "violation_triage_events": _ORACLE_VIOLATION_TRIAGE,
         "volume_anomaly_events": _ORACLE_VOLUME_ANOMALY,
         "seasonal_volume_events": _ORACLE_SEASONAL_VOLUME,
+        "fuzzy_pairs_documents": _ORACLE_FUZZY_PAIRS,
         "cardinality_drift_events": _ORACLE_CARDINALITY_DRIFT,
         "conversation_schema_events": _ORACLE_CONVERSATION_SCHEMA,
         "entropy_documents": _ORACLE_ENTROPY,

@@ -736,3 +736,87 @@ def select_canonical(
             "n_members",
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """Fuzzy-match join: all pairs within ``max_dist`` Levenshtein edits,
+    without the all-pairs cartesian — the entity-resolution primitive
+    (typo'd titles, OCR'd names, near-identical prompts) the exact /
+    shingle dedup family can't express because one edit rewrites q
+    shingles but only one CHARACTER.
+
+    Ed-Join-style prefix filtering (Xiao, Wang & Lin, PVLDB 2008 — a
+    public algorithm): one edit destroys at most ``q`` of a string's
+    positional q-grams, so two strings within ``max_dist`` edits share
+    a gram among their ``k = max_dist*q + 1`` globally-RAREST grams
+    (grams totally ordered by corpus frequency then value). Candidates
+    come from an equi-join on those signature grams only — the join key
+    is rare by construction, so the blocking is skew-resistant where a
+    naive any-shared-gram join explodes on stopword grams. An exact
+    ``levenshtein`` + length filter then verifies, so precision is
+    always exact; strings shorter than ``q`` characters get no grams
+    and are skipped (compare tiny strings exactly — they don't need
+    blocking).
+
+    Scale shape: grams explode to O(rows x len); the frequency rollup
+    and the per-string rarest-k window shuffle that relation once
+    (window partitioned by string id — bounded by string length); the
+    candidate join touches signature grams only. Returns
+    (id_a, id_b, dist) with id_a < id_b, distinct.
+    """
+    from pyspark.sql import Window
+
+    k = max_dist * q + 1
+    t = F.col("__t")
+    d = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).filter(t.isNotNull() & (F.length(t) >= q))
+    grams = d.select(
+        "__id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - q + 1),
+                    lambda i: t.substr(i, F.lit(q)),
+                )
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__f"))
+    w = Window.partitionBy("__id").orderBy("__f", "gram")
+    sig = (
+        grams.join(freq, "gram")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("__id", "gram")
+    )
+    cands = (
+        sig.alias("a")
+        .join(sig.alias("b"), "gram")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = d.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta"))
+    tb = d.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(
+            (
+                F.abs(F.length("__ta") - F.length("__tb")) <= max_dist
+            )
+            & (F.levenshtein("__ta", "__tb") <= max_dist)
+        )
+        .select(
+            "id_a", "id_b", F.levenshtein("__ta", "__tb").alias("dist")
+        )
+    )

@@ -3549,3 +3549,56 @@ def test_isotonic_pav_pools_violators(spark):
     oi = {r["score"]: r["p_cal"] for r in
           isotonic_calibration(inc, "score", "label").collect()}
     assert oi == {1.0: 0.2, 2.0: 0.5, 3.0: 0.8}
+
+
+def test_edit_distance_pairs_recovers_every_planted_typo(spark):
+    # 20 distinct base strings; every 3rd gets a one-char mutation at
+    # position 7. Ed-Join guarantee: one edit kills at most q=3 grams,
+    # so a rarest-4-gram signature always shares a gram -> every planted
+    # pair MUST appear at dist 1, and the plan is cartesian-free.
+    from jsonschema_validator_spark.operators.dedup import edit_distance_pairs
+
+    base = [(i, f"synthetic record number {i:04d} of the corpus") for i in range(20)]
+    mut = [
+        (i + 1000, s[:6] + "Z" + s[7:])
+        for i, s in base
+        if i % 3 == 0
+    ]
+    df = spark.createDataFrame(base + mut, "id long, name string")
+    out = edit_distance_pairs(df, "id", "name", max_dist=1, q=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    for i, _ in base:
+        if i % 3 == 0:
+            assert pairs.get((i, i + 1000)) == 1, (i, pairs)
+    # completeness AND precision: match a brute-force all-pairs oracle
+    # exactly (bases like ...0009/...0019 legitimately sit at dist 1)
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = base + mut
+    truth = {
+        (ia, ib): lev(sa, sb)
+        for x, (ia, sa) in enumerate(rows)
+        for ib, sb in rows[x + 1:]
+        if lev(sa, sb) <= 1
+    }
+    assert pairs == truth
+
+
+def test_edit_distance_pairs_skips_short_and_null(spark):
+    from jsonschema_validator_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, None), (4, "exact same string"), (5, "exact same string")],
+        "id long, name string",
+    )
+    out = edit_distance_pairs(df, "id", "name", max_dist=1, q=3).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(4, 5, 0)]
