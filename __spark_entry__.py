@@ -7507,6 +7507,52 @@ FROM ci ORDER BY part
 """
 
 
+def q_quality_trend_events(spark, sf_dir):
+    """Cochran-Armitage trend test (operators/stats.cochran_armitage)
+    on the per-day events_v1 validity rate — the significance layer
+    over pass_rate_sla_events: weights each day by its size and asks
+    whether the PROPORTION trends with time, which neither per-day
+    Wilson verdicts nor an unweighted slope can answer. The screened
+    rule is a tight value<=120 band (the permissive events_v1
+    conjunction never fails on this table, which would leave Var(T)=0
+    and the statistic undefined — a band the data actually violates
+    makes the trend verdict decide real rows). One aggregation; scores
+    assigned on the O(days) relation. Oracle replays the
+    score/variance algebra."""
+    from jsonschema_validator_spark.operators.stats import cochran_armitage
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", _day("ts"))
+    ok = F.col("value").isNotNull() & (F.col("value") <= 120)
+    return cochran_armitage(ev, ok, "day")
+
+
+_ORACLE_QUALITY_TREND = """
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         (value IS NOT NULL AND value <= 120) AS ok
+  FROM events),
+a AS (SELECT day, count(*)::BIGINT AS n,
+             sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS r
+      FROM ev GROUP BY 1),
+s AS (SELECT *, row_number() OVER (ORDER BY day) - 1 AS sc FROM a),
+t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+             sum(r)::BIGINT AS passed,
+             sum(sc * n) AS sn, sum(sc * sc * n) AS ssn, sum(sc * r) AS sr
+      FROM s),
+c AS (SELECT *, passed * 1.0 / n AS pbar,
+             sr - (passed * 1.0 / n) * sn AS tstat,
+             (passed * 1.0 / n) * (1.0 - passed * 1.0 / n)
+               * (ssn - sn * 1.0 * sn / n) AS vart
+      FROM t)
+SELECT k, n, passed, round(tstat, 6) AS t_stat, round(vart, 6) AS var_t,
+       round(CASE WHEN vart > 0 THEN tstat / sqrt(vart) END, 6) AS z,
+       CASE WHEN vart > 0 AND tstat / sqrt(vart) < -2.576 THEN 'degrading'
+            WHEN vart > 0 AND tstat / sqrt(vart) > 2.576 THEN 'improving'
+            ELSE 'stable' END AS trend
+FROM c
+"""
+
+
 def q_kaplan_meier_events(spark, sf_dir):
     """Censoring-aware time-to-conversion curve (operators/survival.
     kaplan_meier): per-user days from first event to first PURCHASE,
@@ -8194,6 +8240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_events": q_trend_events,
         "kaplan_meier_events": q_kaplan_meier_events,
         "pass_rate_sla_events": q_pass_rate_sla_events,
+        "quality_trend_events": q_quality_trend_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8368,6 +8415,7 @@ def oracle_sql() -> dict[str, str]:
         "wasserstein_events": _ORACLE_WASSERSTEIN,
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
         "pass_rate_sla_events": _ORACLE_PASS_RATE_SLA,
+        "quality_trend_events": _ORACLE_QUALITY_TREND,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

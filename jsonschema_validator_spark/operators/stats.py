@@ -1082,3 +1082,63 @@ def bh_fdr(
         )
     )
     return ranked.withColumn("reject", F.col("q_value") <= alpha)
+
+
+def cochran_armitage(
+    df: DataFrame,
+    ok: Column,
+    partition_col: str,
+    z_crit: float = 2.576,
+) -> DataFrame:
+    """Cochran-Armitage trend test on a per-partition pass rate — the
+    significance layer for "is validity DEGRADING over time": a plain
+    slope over daily rates ignores that a 100-row day and a 1M-row day
+    carry different evidence, and per-day Wilson verdicts can't say
+    whether the drift is systematic. CA scores the ordered partitions
+    0..k-1 and tests a linear trend in the PROPORTION, weighting each
+    day by its size.
+
+    T = sum_i s_i * (r_i - n_i * pbar); Var(T) = pbar * (1 - pbar) *
+    (sum s_i^2 n_i - (sum s_i n_i)^2 / N); z = T / sqrt(Var). Scores
+    are the dense order of ``partition_col`` (0-based), assigned on the
+    O(partitions) aggregated relation. One map-side-combinable
+    aggregation of the data; everything after runs on k rows. Var = 0
+    (pbar 0 or 1, or a single partition) -> z NULL, never flagged.
+    Returns one row: k, n, passed, t_stat, var_t, z, trend
+    ('degrading' z < -z_crit / 'improving' z > z_crit / 'stable').
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(partition_col).alias("part")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(ok.cast("int")).alias("r")
+    )
+    scored = agg.withColumn(
+        "s", F.row_number().over(Window.orderBy("part")) - 1
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("r").alias("passed"),
+        F.sum(F.col("s") * F.col("n")).alias("__sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).alias("__ssn"),
+        F.sum(F.col("s") * F.col("r")).alias("__sr"),
+    )
+    nn = F.col("n").cast("double")
+    pbar = F.col("passed") / nn
+    t = F.col("__sr") - pbar * F.col("__sn")
+    var_t = pbar * (1.0 - pbar) * (
+        F.col("__ssn") - F.col("__sn") * F.col("__sn") / nn
+    )
+    z = F.when(var_t > 0, t / F.sqrt(var_t))
+    return tot.select(
+        "k",
+        "n",
+        "passed",
+        F.round(t, 6).alias("t_stat"),
+        F.round(var_t, 6).alias("var_t"),
+        F.round(z, 6).alias("z"),
+        F.when(z < -z_crit, F.lit("degrading"))
+        .when(z > z_crit, F.lit("improving"))
+        .otherwise(F.lit("stable"))
+        .alias("trend"),
+    )

@@ -261,3 +261,37 @@ def test_ks_p_asymptotic_bounds(spark):
     out = {r["d"]: r["p"] for r in rows}
     assert out[0.0] == 1.0
     assert out[0.5] == pytest.approx(2 * math.exp(-2 * 100 * 0.25), rel=1e-6)
+
+
+def test_cochran_armitage_hand_computed_degrading(spark):
+    # 3 days, scores 0,1,2: (n, r) = (10, 10), (10, 5), (10, 0).
+    # N=30, R=15, pbar=.5. sn=0*10+1*10+2*10=30, ssn=0+10+40=50,
+    # sr=0*10+1*5+2*0=5. T = 5 - .5*30 = -10.
+    # Var = .25*(50 - 900/30) = .25*20 = 5. z = -10/sqrt(5) = -4.472136.
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.stats import cochran_armitage
+
+    rows = (
+        [("d1", 1)] * 10
+        + [("d2", 1)] * 5 + [("d2", 0)] * 5
+        + [("d3", 0)] * 10
+    )
+    df = spark.createDataFrame(rows, "day string, ok int")
+    r = cochran_armitage(df, F.col("ok") == 1, "day").collect()[0]
+    assert (r["k"], r["n"], r["passed"]) == (3, 30, 15)
+    assert r["t_stat"] == pytest.approx(-10.0)
+    assert r["var_t"] == pytest.approx(5.0)
+    assert r["z"] == pytest.approx(-4.472136, abs=1e-6)
+    assert r["trend"] == "degrading"
+
+
+def test_cochran_armitage_degenerate_all_pass_is_stable(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.stats import cochran_armitage
+
+    rows = [("d1", 1)] * 5 + [("d2", 1)] * 5
+    df = spark.createDataFrame(rows, "day string, ok int")
+    r = cochran_armitage(df, F.col("ok") == 1, "day").collect()[0]
+    assert r["var_t"] == 0.0 and r["z"] is None and r["trend"] == "stable"
