@@ -3912,6 +3912,72 @@ FROM viol GROUP BY 1, 2 ORDER BY keyword, path
 """
 
 
+def q_fk_discovery_lineitem(spark, sf_dir):
+    """Foreign-key DISCOVERY (operators/integrity.fk_profile): rank
+    three candidate inclusion dependencies — the two real TPC-H FKs
+    (lineitem.l_orderkey -> orders.o_orderkey, orders.o_custkey ->
+    customer.c_custkey) and one spurious pair (events.user_id ->
+    customer.c_custkey) whose partial containment quantifies how
+    non-FK it is. Both sides reduce to distinct key sets before the
+    semi-join; one row per candidate. Oracle replays the
+    containment/uniqueness algebra."""
+    from jsonschema_validator_spark.operators.integrity import fk_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    a = fk_profile(li, "l_orderkey", od, "o_orderkey")
+    b = fk_profile(od, "o_custkey", cu, "c_custkey")
+    c = fk_profile(ev, "user_id", cu, "c_custkey")
+    return a.unionByName(b).unionByName(c).orderBy("candidate")
+
+
+_ORACLE_FK_DISCOVERY = """
+WITH cand AS (
+  SELECT 'l_orderkey->o_orderkey' AS candidate,
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)::BIGINT AS n_child,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS n_child_distinct,
+         (SELECT count(*) FROM orders WHERE o_orderkey IS NOT NULL)::BIGINT AS n_parent,
+         (SELECT count(DISTINCT o_orderkey) FROM orders)::BIGINT AS n_parent_distinct,
+         (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL) c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = c.l_orderkey))::BIGINT AS contained
+  UNION ALL
+  SELECT 'o_custkey->c_custkey',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL)::BIGINT,
+         (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT,
+         (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL)::BIGINT,
+         (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL) c
+            WHERE EXISTS (SELECT 1 FROM customer p
+                          WHERE p.c_custkey = c.o_custkey))::BIGINT
+  UNION ALL
+  SELECT 'user_id->c_custkey',
+         (SELECT count(*) FROM events WHERE user_id IS NOT NULL)::BIGINT,
+         (SELECT count(DISTINCT user_id) FROM events)::BIGINT,
+         (SELECT count(*) FROM customer WHERE c_custkey IS NOT NULL)::BIGINT,
+         (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT,
+         (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+            WHERE user_id IS NOT NULL) c
+            WHERE EXISTS (SELECT 1 FROM customer p
+                          WHERE p.c_custkey = c.user_id))::BIGINT
+)
+SELECT candidate, n_child, n_child_distinct, n_parent, n_parent_distinct,
+       contained,
+       round(CASE WHEN n_child_distinct > 0
+                  THEN contained * 1.0 / n_child_distinct END, 6) AS containment,
+       round(CASE WHEN n_parent > 0
+                  THEN n_parent_distinct * 1.0 / n_parent END, 6) AS parent_uniqueness,
+       COALESCE(contained * 1.0 / n_child_distinct = 1.0
+                AND n_parent_distinct * 1.0 / n_parent = 1.0,
+                FALSE) AS fk_like
+FROM cand ORDER BY candidate
+"""
+
+
 def q_fuzzy_pairs_documents(spark, sf_dir):
     """Edit-distance fuzzy match (operators/dedup.edit_distance_pairs,
     Ed-Join-style rarest-q-gram prefix blocking + exact levenshtein
@@ -8370,6 +8436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly_events": q_volume_anomaly_events,
         "seasonal_volume_events": q_seasonal_volume_events,
         "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
+        "fk_discovery_lineitem": q_fk_discovery_lineitem,
         "cardinality_drift_events": q_cardinality_drift_events,
         "conversation_schema_events": q_conversation_schema_events,
         "entropy_documents": q_entropy_documents,
@@ -8551,6 +8618,7 @@ def oracle_sql() -> dict[str, str]:
         "volume_anomaly_events": _ORACLE_VOLUME_ANOMALY,
         "seasonal_volume_events": _ORACLE_SEASONAL_VOLUME,
         "fuzzy_pairs_documents": _ORACLE_FUZZY_PAIRS,
+        "fk_discovery_lineitem": _ORACLE_FK_DISCOVERY,
         "cardinality_drift_events": _ORACLE_CARDINALITY_DRIFT,
         "conversation_schema_events": _ORACLE_CONVERSATION_SCHEMA,
         "entropy_documents": _ORACLE_ENTROPY,

@@ -126,3 +126,73 @@ def conversation_orphans(df: DataFrame, group: str = "conv_id", order: str = "tu
         .agg(F.min(order).alias("first_turn"), F.count(F.lit(1)).alias("n_turns"))
         .filter(F.col("first_turn") != 0)
     )
+
+
+def fk_profile(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    label: str | None = None,
+) -> DataFrame:
+    """Foreign-key DISCOVERY profile for one (child_col -> parent_col)
+    candidate: where ``orphans`` enforces a DECLARED relationship, this
+    measures whether an undeclared one plausibly exists — the schema-
+    inference complement, for corpora that arrive without constraints.
+
+    Reports containment (fraction of the child's distinct values
+    present among the parent's distinct values) and the parent's key
+    uniqueness; ``fk_like`` requires both to be exactly 1.0 — the
+    inclusion-dependency + key-property definition of a foreign key.
+    Partial containment quantifies HOW non-FK a spurious candidate is
+    (0.4 = wrong column, 0.999 = an FK with dirty rows worth orphans()).
+
+    NULL child values are excluded (SQL FK semantics: a NULL reference
+    violates nothing); NULL parent values can match nothing. Scale
+    shape: both sides reduce to DISTINCT key sets before the semi-join,
+    so the join shuffles keys only — never data rows; output is one
+    row. Returns (candidate, n_child, n_child_distinct, n_parent,
+    n_parent_distinct, contained, containment, parent_uniqueness,
+    fk_like)."""
+    name = label or f"{child_col}->{parent_col}"
+    ck = child.select(F.col(child_col).alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    pk = parent.select(F.col(parent_col).alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    c_stats = ck.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.countDistinct("__k").alias("n_child_distinct"),
+    )
+    p_stats = pk.agg(
+        F.count(F.lit(1)).alias("n_parent"),
+        F.countDistinct("__k").alias("n_parent_distinct"),
+    )
+    contained = (
+        ck.distinct()
+        .join(pk.distinct(), "__k", "left_semi")
+        .agg(F.count(F.lit(1)).alias("contained"))
+    )
+    row = c_stats.crossJoin(p_stats).crossJoin(contained)
+    containment = F.when(
+        F.col("n_child_distinct") > 0,
+        F.col("contained") / F.col("n_child_distinct"),
+    )
+    uniq = F.when(
+        F.col("n_parent") > 0,
+        F.col("n_parent_distinct") / F.col("n_parent"),
+    )
+    return row.select(
+        F.lit(name).alias("candidate"),
+        "n_child",
+        "n_child_distinct",
+        "n_parent",
+        "n_parent_distinct",
+        "contained",
+        F.round(containment, 6).alias("containment"),
+        F.round(uniq, 6).alias("parent_uniqueness"),
+        F.coalesce(
+            (containment == 1.0) & (uniq == 1.0), F.lit(False)
+        ).alias("fk_like"),
+    )

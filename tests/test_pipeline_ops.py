@@ -3602,3 +3602,37 @@ def test_edit_distance_pairs_skips_short_and_null(spark):
     )
     out = edit_distance_pairs(df, "id", "name", max_dist=1, q=3).collect()
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(4, 5, 0)]
+
+
+def test_fk_profile_true_partial_and_dirty(spark):
+    from jsonschema_validator_spark.operators.integrity import fk_profile
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    true_child = spark.createDataFrame([(1,), (1,), (2,), (None,)], "fk long")
+    r = fk_profile(true_child, "fk", parent, "pk").collect()[0]
+    # NULL child excluded: 3 rows, 2 distinct, both contained
+    assert (r["n_child"], r["n_child_distinct"], r["contained"]) == (3, 2, 2)
+    assert r["containment"] == 1.0 and r["parent_uniqueness"] == 1.0
+    assert r["fk_like"]
+
+    dirty_child = spark.createDataFrame([(1,), (2,), (99,), (98,)], "fk long")
+    r = fk_profile(dirty_child, "fk", parent, "pk", label="dirty").collect()[0]
+    assert r["candidate"] == "dirty"
+    assert r["containment"] == 0.5 and not r["fk_like"]
+
+    dup_parent = spark.createDataFrame([(1,), (1,), (2,)], "pk long")
+    r = fk_profile(true_child, "fk", dup_parent, "pk").collect()[0]
+    # containment holds but the parent key is not unique -> not FK-like
+    assert r["containment"] == 1.0
+    assert r["parent_uniqueness"] == pytest.approx(2 / 3, abs=1e-6)
+    assert not r["fk_like"]
+
+
+def test_fk_profile_empty_child_never_claims_fk(spark):
+    from jsonschema_validator_spark.operators.integrity import fk_profile
+
+    parent = spark.createDataFrame([(1,)], "pk long")
+    child = spark.createDataFrame([(None,)], "fk long")
+    r = fk_profile(child, "fk", parent, "pk").collect()[0]
+    assert r["n_child_distinct"] == 0 and r["containment"] is None
+    assert not r["fk_like"]
