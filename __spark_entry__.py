@@ -7573,6 +7573,42 @@ FROM ci ORDER BY part
 """
 
 
+def q_median_ci_events(spark, sf_dir):
+    """Exact per-event_type median of value with a distribution-free
+    order-statistic CI (operators/stats.median_ci) — the value-column
+    sibling of the Wilson pass-rate interval: endpoints are sample
+    values at binomial-quantile ranks, valid on heavy tails where a
+    mean +/- z*sd band is meaningless. All order statistics resolve on
+    the per-group distinct-value block relation. Oracle replays the
+    rank algebra."""
+    from jsonschema_validator_spark.operators.stats import median_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return median_ci(ev, "value", "event_type").orderBy("part")
+
+
+_ORACLE_MEDIAN_CI = """
+WITH d AS (SELECT event_type AS part, value::DOUBLE AS v
+           FROM events WHERE value IS NOT NULL),
+b AS (SELECT part, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+w AS (SELECT part, v, c,
+             sum(c) OVER (PARTITION BY part ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY part) AS n
+      FROM b),
+r AS (SELECT *,
+             GREATEST(1.0, FLOOR((n - 1.959964 * sqrt(n)) / 2.0)) AS lr,
+             LEAST(n * 1.0, CEIL((n + 1.959964 * sqrt(n)) / 2.0 + 1.0)) AS ur,
+             CEIL(n / 2.0) AS m1, FLOOR(n / 2.0) + 1 AS m2
+      FROM w)
+SELECT part, any_value(n)::BIGINT AS n,
+       round((min(CASE WHEN cum >= m1 THEN v END)
+              + min(CASE WHEN cum >= m2 THEN v END)) / 2.0, 6) AS median,
+       round(min(CASE WHEN cum >= lr THEN v END), 6) AS ci_lo,
+       round(min(CASE WHEN cum >= ur THEN v END), 6) AS ci_hi
+FROM r GROUP BY part ORDER BY part
+"""
+
+
 def q_quality_trend_events(spark, sf_dir):
     """Cochran-Armitage trend test (operators/stats.cochran_armitage)
     on the per-day events_v1 validity rate — the significance layer
@@ -8307,6 +8343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_events": q_kaplan_meier_events,
         "pass_rate_sla_events": q_pass_rate_sla_events,
         "quality_trend_events": q_quality_trend_events,
+        "median_ci_events": q_median_ci_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8483,6 +8520,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
         "pass_rate_sla_events": _ORACLE_PASS_RATE_SLA,
         "quality_trend_events": _ORACLE_QUALITY_TREND,
+        "median_ci_events": _ORACLE_MEDIAN_CI,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -1142,3 +1142,64 @@ def cochran_armitage(
         .otherwise(F.lit("stable"))
         .alias("trend"),
     )
+
+
+def median_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group exact median with a DISTRIBUTION-FREE confidence
+    interval from order statistics — the value-column sibling of
+    pass_rate_wilson: the interval endpoints are the sample values at
+    binomial-quantile ranks l = max(1, floor((n - z*sqrt(n))/2)) and
+    u = min(n, ceil((n + z*sqrt(n))/2 + 1)) (normal approximation to
+    Binomial(n, 1/2) — no distributional assumption on the VALUES, the
+    randomness is in which order statistics bracket the true median).
+    A mean +/- z*sd band is meaningless on the heavy-tailed columns
+    this screens; this one is exact-coverage-conservative on anything.
+
+    All order statistics come off the per-group distinct-value block
+    relation: one groupBy(group, value) count, a cumulative window per
+    group over DISTINCT values, and each rank resolves as
+    min(value | cum >= rank) — raw rows are never sorted or windowed.
+    NULL values excluded; the median averages the two central order
+    statistics for even n. Returns (part, n, median, ci_lo, ci_hi).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    d = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("part"), v.alias("__v")
+    )
+    blocks = d.groupBy("part", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("part").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    blocks = blocks.withColumn("__cum", F.sum("__c").over(w))
+    n_col = F.sum("__c").over(Window.partitionBy("part"))
+    blocks = blocks.withColumn("__n", n_col)
+    nn = F.col("__n").cast("double")
+    l_rank = F.greatest(F.lit(1.0), F.floor((nn - z * F.sqrt(nn)) / 2.0))
+    u_rank = F.least(nn, F.ceil((nn + z * F.sqrt(nn)) / 2.0 + 1.0))
+    m1 = F.ceil(nn / 2.0)
+    m2 = F.floor(nn / 2.0) + 1
+    cum = F.col("__cum")
+    return (
+        blocks.groupBy("part")
+        .agg(
+            F.first("__n").alias("n"),
+            F.min(F.when(cum >= l_rank, F.col("__v"))).alias("ci_lo"),
+            F.min(F.when(cum >= m1, F.col("__v"))).alias("__m1"),
+            F.min(F.when(cum >= m2, F.col("__v"))).alias("__m2"),
+            F.min(F.when(cum >= u_rank, F.col("__v"))).alias("ci_hi"),
+        )
+        .select(
+            "part",
+            "n",
+            F.round((F.col("__m1") + F.col("__m2")) / 2.0, 6).alias("median"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+        )
+    )

@@ -295,3 +295,45 @@ def test_cochran_armitage_degenerate_all_pass_is_stable(spark):
     df = spark.createDataFrame(rows, "day string, ok int")
     r = cochran_armitage(df, F.col("ok") == 1, "day").collect()[0]
     assert r["var_t"] == 0.0 and r["z"] is None and r["trend"] == "stable"
+
+
+def test_median_ci_hand_computed(spark):
+    # 9 values 1..9 in one group: n=9, sqrt(n)=3, z~1.96.
+    #   l = max(1, floor((9-5.879892)/2)) = floor(1.56) = 1
+    #   u = min(9, ceil((9+5.879892)/2 + 1)) = ceil(8.44) = 9
+    #   median = x_5 = 5 (odd n: m1=m2=5)
+    from jsonschema_validator_spark.operators.stats import median_ci
+
+    rows = [("g", float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = median_ci(df, "v", "g").collect()[0]
+    assert (r["n"], r["median"]) == (9, 5.0)
+    assert (r["ci_lo"], r["ci_hi"]) == (1.0, 9.0)
+
+
+def test_median_ci_even_n_averages_central_and_ties(spark):
+    # 4 values 1,2,2,7: median = (x_2 + x_3)/2 = (2+2)/2 = 2.
+    # l = max(1, floor((4-3.92)/2)) = max(1, 0) = 1 -> x_1 = 1
+    # u = min(4, ceil((4+3.92)/2+1)) = min(4, 5) = 4 -> x_4 = 7
+    from jsonschema_validator_spark.operators.stats import median_ci
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 7.0)], "g string, v double"
+    )
+    r = median_ci(df, "v", "g").collect()[0]
+    assert (r["n"], r["median"], r["ci_lo"], r["ci_hi"]) == (4, 2.0, 1.0, 7.0)
+
+
+def test_median_ci_large_group_brackets_true_median(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.stats import median_ci
+
+    df = spark.range(10001).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    r = median_ci(df, "v", "g").collect()[0]
+    assert r["median"] == 5000.0
+    assert r["ci_lo"] < 5000.0 < r["ci_hi"]
+    # interval is tight at n=10001: ~ +/- z*sqrt(n)/2 ~ 98 ranks
+    assert r["ci_hi"] - r["ci_lo"] < 250
