@@ -3912,6 +3912,61 @@ FROM viol GROUP BY 1, 2 ORDER BY keyword, path
 """
 
 
+def q_join_cardinality_lineitem(spark, sf_dir):
+    """Pre-flight join-size screen (operators/profile.join_cardinality):
+    EXACT output cardinality of lineitem x orders on orderkey and of
+    the events-on-user_id SELF-join (the sum-of-squares quadratic-skew
+    diagnostic), each from per-key count relations — the decision
+    "salt this key / broadcast that side" made BEFORE the 100-TB join
+    runs, at the cost of two aggregations and a distinct-key join.
+    Oracle replays the count-product algebra and the deterministic
+    hottest-key tie-break."""
+    from jsonschema_validator_spark.operators.profile import join_cardinality
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    a = join_cardinality(li, "l_orderkey", od, "o_orderkey")
+    b = join_cardinality(ev, "user_id", ev, "user_id")
+    return a.unionByName(b).orderBy("candidate")
+
+
+_ORACLE_JOIN_CARDINALITY = """
+WITH ca1 AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c FROM lineitem
+             WHERE l_orderkey IS NOT NULL GROUP BY 1),
+cb1 AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c FROM orders
+        WHERE o_orderkey IS NOT NULL GROUP BY 1),
+j1 AS (SELECT a.k, a.c * b.c AS prod FROM ca1 a JOIN cb1 b USING (k)),
+ca2 AS (SELECT user_id AS k, count(*)::BIGINT AS c FROM events
+        WHERE user_id IS NOT NULL GROUP BY 1),
+j2 AS (SELECT a.k, a.c * b.c AS prod FROM ca2 a JOIN ca2 b USING (k)),
+r1 AS (SELECT 'l_orderkeyxo_orderkey' AS candidate,
+        (SELECT COALESCE(sum(c), 0) FROM ca1)::BIGINT AS n_left,
+        (SELECT COALESCE(sum(c), 0) FROM cb1)::BIGINT AS n_right,
+        (SELECT count(*) FROM j1)::BIGINT AS matched_keys,
+        (SELECT COALESCE(sum(prod), 0) FROM j1)::BIGINT AS join_rows,
+        (SELECT k FROM j1 ORDER BY prod DESC, k DESC LIMIT 1) AS top_key,
+        (SELECT prod FROM j1 ORDER BY prod DESC, k DESC LIMIT 1)::BIGINT
+          AS top_key_rows),
+r2 AS (SELECT 'user_idxuser_id',
+        (SELECT COALESCE(sum(c), 0) FROM ca2)::BIGINT,
+        (SELECT COALESCE(sum(c), 0) FROM ca2)::BIGINT,
+        (SELECT count(*) FROM j2)::BIGINT,
+        (SELECT COALESCE(sum(prod), 0) FROM j2)::BIGINT,
+        (SELECT k FROM j2 ORDER BY prod DESC, k DESC LIMIT 1),
+        (SELECT prod FROM j2 ORDER BY prod DESC, k DESC LIMIT 1)::BIGINT)
+SELECT candidate, n_left, n_right, matched_keys, join_rows,
+       round(CASE WHEN n_left > 0 THEN join_rows * 1.0 / n_left END, 6)
+         AS expansion_left,
+       round(CASE WHEN n_right > 0 THEN join_rows * 1.0 / n_right END, 6)
+         AS expansion_right,
+       top_key, top_key_rows,
+       round(CASE WHEN join_rows > 0 THEN top_key_rows * 1.0 / join_rows END,
+             6) AS top_share
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u ORDER BY candidate
+"""
+
+
 def q_fk_discovery_lineitem(spark, sf_dir):
     """Foreign-key DISCOVERY (operators/integrity.fk_profile): rank
     three candidate inclusion dependencies — the two real TPC-H FKs
@@ -8474,6 +8529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_volume_events": q_seasonal_volume_events,
         "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
         "fk_discovery_lineitem": q_fk_discovery_lineitem,
+        "join_cardinality_lineitem": q_join_cardinality_lineitem,
         "cardinality_drift_events": q_cardinality_drift_events,
         "conversation_schema_events": q_conversation_schema_events,
         "entropy_documents": q_entropy_documents,
@@ -8657,6 +8713,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_volume_events": _ORACLE_SEASONAL_VOLUME,
         "fuzzy_pairs_documents": _ORACLE_FUZZY_PAIRS,
         "fk_discovery_lineitem": _ORACLE_FK_DISCOVERY,
+        "join_cardinality_lineitem": _ORACLE_JOIN_CARDINALITY,
         "cardinality_drift_events": _ORACLE_CARDINALITY_DRIFT,
         "conversation_schema_events": _ORACLE_CONVERSATION_SCHEMA,
         "entropy_documents": _ORACLE_ENTROPY,

@@ -153,3 +153,70 @@ def infer_schema(profile_rows, n_docs: int) -> dict:
     if required:
         out["required"] = sorted(required)
     return out
+
+
+def join_cardinality(
+    left: DataFrame,
+    left_col: str,
+    right: DataFrame,
+    right_col: str,
+    label: str | None = None,
+) -> DataFrame:
+    """EXACT size of an equi-join without running it — the pre-flight
+    explosion screen for 100-TB plans: join_rows = sum_k c_l(k)*c_r(k)
+    computed from the two per-key count relations, so the cost is two
+    aggregations plus a join of DISTINCT KEYS, never the |L|x|R|
+    blowup being diagnosed. Self-joins (pass the same frame twice)
+    give the sum-of-squares quadratic-skew diagnostic.
+
+    Reports the hottest key and its share of the output: one whale key
+    contributing 60% of join_rows means salting/AQE-skew-join BEFORE
+    running, not after the stage straggles. Top-key ties break to the
+    larger key (struct max), deterministically. NULL keys never join
+    (SQL semantics) and are excluded everywhere. join_rows is exact,
+    not an estimate; BIGINT overflow needs join_rows > 9.2e18 — at
+    that size the answer is "don't run this join" regardless. Returns
+    one row: (candidate, n_left, n_right, matched_keys, join_rows,
+    expansion_left, expansion_right, top_key, top_key_rows,
+    top_share)."""
+    name = label or f"{left_col}x{right_col}"
+    ca = (
+        left.filter(F.col(left_col).isNotNull())
+        .groupBy(F.col(left_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__ca"))
+    )
+    cb = (
+        right.filter(F.col(right_col).isNotNull())
+        .groupBy(F.col(right_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    j = ca.join(cb, "__k").select(
+        "__k", (F.col("__ca") * F.col("__cb")).alias("__prod")
+    )
+    jstats = j.agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.coalesce(F.sum("__prod"), F.lit(0)).alias("join_rows"),
+        F.max(F.struct(F.col("__prod"), F.col("__k"))).alias("__top"),
+    )
+    nl = ca.agg(F.coalesce(F.sum("__ca"), F.lit(0)).alias("n_left"))
+    nr = cb.agg(F.coalesce(F.sum("__cb"), F.lit(0)).alias("n_right"))
+    row = nl.crossJoin(nr).crossJoin(jstats)
+    jr = F.col("join_rows").cast("double")
+    return row.select(
+        F.lit(name).alias("candidate"),
+        "n_left",
+        "n_right",
+        "matched_keys",
+        "join_rows",
+        F.round(
+            F.when(F.col("n_left") > 0, jr / F.col("n_left")), 6
+        ).alias("expansion_left"),
+        F.round(
+            F.when(F.col("n_right") > 0, jr / F.col("n_right")), 6
+        ).alias("expansion_right"),
+        F.col("__top.__k").alias("top_key"),
+        F.col("__top.__prod").alias("top_key_rows"),
+        F.round(
+            F.when(F.col("join_rows") > 0, F.col("__top.__prod") / jr), 6
+        ).alias("top_share"),
+    )

@@ -3636,3 +3636,38 @@ def test_fk_profile_empty_child_never_claims_fk(spark):
     r = fk_profile(child, "fk", parent, "pk").collect()[0]
     assert r["n_child_distinct"] == 0 and r["containment"] is None
     assert not r["fk_like"]
+
+
+def test_join_cardinality_exact_and_skew_share(spark):
+    from jsonschema_validator_spark.operators.profile import join_cardinality
+
+    left = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] * 1 + [(9,)] * 5 + [(None,)], "k long"
+    )
+    right = spark.createDataFrame([(1,)] * 4 + [(2,)] * 2 + [(7,)], "k long")
+    r = join_cardinality(left, "k", right, "k").collect()[0]
+    # matched keys 1 (3*4=12 rows) and 2 (1*2=2 rows); 9 and 7 and NULL
+    # never join. join_rows = 14; whale key 1 carries 12/14.
+    assert (r["n_left"], r["n_right"]) == (9, 7)  # NULL excluded
+    assert (r["matched_keys"], r["join_rows"]) == (2, 14)
+    assert (r["top_key"], r["top_key_rows"]) == (1, 12)
+    assert r["top_share"] == pytest.approx(12 / 14, abs=1e-6)
+    assert r["expansion_left"] == pytest.approx(14 / 9, abs=1e-6)
+
+    # verify against the actually-executed join
+    truth = left.filter("k IS NOT NULL").join(right, "k").count()
+    assert truth == r["join_rows"]
+
+
+def test_join_cardinality_self_join_sum_of_squares_and_empty(spark):
+    from jsonschema_validator_spark.operators.profile import join_cardinality
+
+    df = spark.createDataFrame([(5,)] * 4 + [(6,)] * 2, "k long")
+    r = join_cardinality(df, "k", df, "k").collect()[0]
+    assert r["join_rows"] == 16 + 4 and r["top_key"] == 5
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    r = join_cardinality(a, "k", b, "k").collect()[0]
+    assert (r["matched_keys"], r["join_rows"]) == (0, 0)
+    assert r["top_key"] is None and r["top_share"] is None
