@@ -7628,6 +7628,39 @@ FROM ci ORDER BY part
 """
 
 
+def q_association_lift_events(spark, sf_dir):
+    """Association-rule drill-down (operators/stats.association_lift)
+    between event_type and weekday — the per-CELL complement of the
+    chi-squared screen: which (type, weekday) combinations are over- /
+    under-represented (lift >/< 1), catching a regression that only
+    corrupts one combination while both marginals stay flat. One joint
+    aggregation; marginals are windows over the O(levels^2) relation.
+    Oracle replays the support/confidence/lift algebra."""
+    from jsonschema_validator_spark.operators.stats import association_lift
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("etype"),
+        (F.dayofweek(F.to_date("ts")) - 1).alias("weekday"),
+    )
+    return association_lift(ev, "etype", "weekday").orderBy("a", "b")
+
+
+_ORACLE_ASSOCIATION_LIFT = """
+WITH d AS (SELECT event_type AS a, dayofweek(ts)::INT AS b FROM events),
+joint AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM d GROUP BY 1, 2),
+m AS (SELECT *,
+             sum(n_ab) OVER (PARTITION BY a) AS n_a,
+             sum(n_ab) OVER (PARTITION BY b) AS n_b,
+             sum(n_ab) OVER () AS n
+      FROM joint)
+SELECT a, b, n_ab, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(n_ab * 1.0 / n, 6) AS support,
+       round(n_ab * 1.0 / n_a, 6) AS confidence,
+       round(n * 1.0 * n_ab / (n_a * n_b), 6) AS lift
+FROM m ORDER BY a, b
+"""
+
+
 def q_median_ci_events(spark, sf_dir):
     """Exact per-event_type median of value with a distribution-free
     order-statistic CI (operators/stats.median_ci) — the value-column
@@ -8399,6 +8432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_rate_sla_events": q_pass_rate_sla_events,
         "quality_trend_events": q_quality_trend_events,
         "median_ci_events": q_median_ci_events,
+        "association_lift_events": q_association_lift_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8577,6 +8611,7 @@ def oracle_sql() -> dict[str, str]:
         "pass_rate_sla_events": _ORACLE_PASS_RATE_SLA,
         "quality_trend_events": _ORACLE_QUALITY_TREND,
         "median_ci_events": _ORACLE_MEDIAN_CI,
+        "association_lift_events": _ORACLE_ASSOCIATION_LIFT,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

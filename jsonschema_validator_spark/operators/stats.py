@@ -1203,3 +1203,57 @@ def median_ci(
             F.round("ci_hi", 6).alias("ci_hi"),
         )
     )
+
+
+def association_lift(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Association-rule screen between two categorical columns: for
+    every observed (a, b) level pair, support, confidence P(b|a) and
+    lift P(a,b)/(P(a)P(b)) — the per-CELL drill-down of chi_squared
+    (which says "the columns are dependent" in one number but not
+    WHICH combinations drive it). lift > 1 over-represented, < 1
+    under-represented; a pipeline regression that only corrupts
+    (source=X, lang=Y) shows up here while the marginals stay flat.
+
+    One joint aggregation; marginals come from windows OVER the
+    O(levels_a x levels_b) joint relation, never a second scan. NULL
+    is a real level in both columns (matching chi_squared — the
+    "missingness co-occurs with a category" signal is usually the
+    interesting one). ``min_support`` prunes rare cells AFTER the
+    exact arithmetic. Returns (a, b, n_ab, n_a, n_b, support,
+    confidence, lift), floats rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    joint = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wn = Window.partitionBy()
+    joint = (
+        joint.withColumn("n_a", F.sum("n_ab").over(wa))
+        .withColumn("n_b", F.sum("n_ab").over(wb))
+        .withColumn("__n", F.sum("n_ab").over(wn))
+    )
+    nn = F.col("__n").cast("double")
+    support = F.col("n_ab") / nn
+    return (
+        joint.filter(support >= min_support)
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(support, 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                nn * F.col("n_ab") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )

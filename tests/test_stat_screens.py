@@ -337,3 +337,33 @@ def test_median_ci_large_group_brackets_true_median(spark):
     assert r["ci_lo"] < 5000.0 < r["ci_hi"]
     # interval is tight at n=10001: ~ +/- z*sqrt(n)/2 ~ 98 ranks
     assert r["ci_hi"] - r["ci_lo"] < 250
+
+
+def test_association_lift_hand_computed(spark):
+    # N=8: (x,u)x3 (x,v)x1 (y,u)x1 (y,v)x3.
+    # n_x=4, n_y=4, n_u=4, n_v=4.
+    # lift(x,u) = 8*3/(4*4) = 1.5 (over-represented);
+    # lift(x,v) = 8*1/16 = 0.5; confidence(x->u) = 3/4.
+    from jsonschema_validator_spark.operators.stats import association_lift
+
+    rows = [("x", "u")] * 3 + [("x", "v")] + [("y", "u")] + [("y", "v")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {(r["a"], r["b"]): r for r in association_lift(df, "a", "b").collect()}
+    assert out[("x", "u")]["lift"] == 1.5
+    assert out[("x", "u")]["confidence"] == 0.75
+    assert out[("x", "u")]["support"] == 0.375
+    assert out[("x", "v")]["lift"] == 0.5
+    assert out[("y", "v")]["n_a"] == 4 and out[("y", "v")]["n_b"] == 4
+
+
+def test_association_lift_null_level_and_min_support(spark):
+    from jsonschema_validator_spark.operators.stats import association_lift
+
+    rows = [(None, "u")] * 4 + [("y", "v")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = association_lift(df, "a", "b").collect()
+    # NULL is a real level: 2 cells, each perfectly associated (lift 2)
+    assert len(out) == 2 and all(r["lift"] == 2.0 for r in out)
+    # min_support prunes cells below threshold
+    pruned = association_lift(df, "a", "b", min_support=0.6).collect()
+    assert pruned == []
