@@ -6455,6 +6455,75 @@ FROM cross_b
 """
 
 
+def q_streaming_pass_rate_events(spark, sf_dir):
+    """Streaming twin of the Wilson SLA screen (streaming/validate.
+    stream_pass_rate + operators/stats.pass_rate_wilson_from_counts):
+    micro-batches append additive (day, n, passed) partials through the
+    exactly-once sink; merging the sink and applying the Wilson algebra
+    must reproduce the one-shot batch verdict exactly — the pager
+    decision stays correct mid-ingest. The screened rule is the tight
+    value<=120 band (genuine pass/fail mix; same rule as
+    quality_trend_events). The oracle IS the batch SQL."""
+    import tempfile
+
+    from jsonschema_validator_spark.operators.stats import (
+        pass_rate_wilson_from_counts,
+    )
+    from jsonschema_validator_spark.streaming.validate import stream_pass_rate
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    root = tempfile.mkdtemp(prefix="stream_passrate_")
+    src_dir = f"{root}/in"
+    ev.repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    out_dir = f"{root}/out"
+    q = stream_pass_rate(
+        spark,
+        src_dir,
+        schema,
+        out_dir,
+        lambda df: F.col("value").isNotNull() & (F.col("value") <= 120),
+        lambda df: _day(F.col("ts")),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    parts = spark.read.parquet(f"{out_dir}/pass_partials").select(
+        "part", "n", "passed"
+    )
+    return pass_rate_wilson_from_counts(parts, sla=0.95).orderBy("part")
+
+
+_ORACLE_STREAMING_PASS_RATE = """
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         (value IS NOT NULL AND value <= 120) AS ok
+  FROM events),
+a AS (
+  SELECT day AS part, count(*)::BIGINT AS n,
+         sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS passed
+  FROM ev GROUP BY day),
+w AS (
+  SELECT part, n, passed,
+         passed * 1.0 / n AS p,
+         1.959964 * 1.959964 AS z2,
+         1.959964 AS z
+  FROM a),
+ci AS (
+  SELECT part, n, passed, p,
+         (p + z2 / (2 * n) - z * sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+           / (1 + z2 / n) AS lo,
+         (p + z2 / (2 * n) + z * sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+           / (1 + z2 / n) AS hi
+  FROM w)
+SELECT part, n, passed, round(p, 6) AS rate,
+       round(lo, 6) AS wilson_lo, round(hi, 6) AS wilson_hi,
+       CASE WHEN hi < 0.95 THEN 'breach'
+            WHEN lo >= 0.95 THEN 'met'
+            ELSE 'at_risk' END AS verdict
+FROM ci ORDER BY part
+"""
+
+
 def q_streaming_stats_events(spark, sf_dir):
     """Streaming incremental column stats (streaming/validate.py
     stream_stat_partials): micro-batches append per-day stat PARTIALS
@@ -8523,6 +8592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_documents": q_token_budget_documents,
         "mergeable_quantile_events": q_mergeable_quantile_events,
         "streaming_stats_events": q_streaming_stats_events,
+        "streaming_pass_rate_events": q_streaming_pass_rate_events,
         "split_leakage_documents": q_split_leakage_documents,
         "file_sizing_documents": q_file_sizing_documents,
         "conversation_schema_coverage_events": q_conversation_schema_coverage_events,
@@ -8706,6 +8776,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_documents": _ORACLE_TOKEN_BUDGET,
         "mergeable_quantile_events": _ORACLE_MERGEABLE_QUANTILE,
         "streaming_stats_events": _ORACLE_STREAMING_STATS,
+        "streaming_pass_rate_events": _ORACLE_STREAMING_PASS_RATE,
         "split_leakage_documents": _ORACLE_SPLIT_LEAKAGE,
         "file_sizing_documents": _ORACLE_FILE_SIZING,
         "conversation_schema_coverage_events": _ORACLE_CONV_SCHEMA_COVERAGE,

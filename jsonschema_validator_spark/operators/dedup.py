@@ -777,6 +777,13 @@ def edit_distance_pairs(
     d = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     ).filter(t.isNotNull() & (F.length(t) >= q))
+    # the gram explode + rarity window are CPU-heavy but BYTE-small, so
+    # AQE sizes them into one serial partition (the measured similarity
+    # lesson, BENCH/BASELINE.md); an EXPLICIT partition count pins the
+    # spread — a bare repartition(col) gets re-coalesced by AQE
+    d = d.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("__id")
+    )
     grams = d.select(
         "__id",
         F.explode(

@@ -950,6 +950,25 @@ def pass_rate_wilson(
         F.count(F.lit(1)).alias("n"),
         F.sum(ok.cast("int")).alias("passed"),
     )
+    return pass_rate_wilson_from_counts(agg, sla=sla, z=z)
+
+
+def pass_rate_wilson_from_counts(
+    counts_df: DataFrame,
+    sla: float = 0.95,
+    z: float = 1.959964,
+) -> DataFrame:
+    """The Wilson/SLA verdict over an ALREADY-aggregated
+    (part, n, passed) relation — the mergeable entry point (same split
+    as volume_anomaly_from_counts): (n, passed) partials are plain
+    integer sums, so a streaming sink or per-shard checkpoint can
+    maintain them additively and THIS recomputes the verdict at any
+    point. Sums the relation per part first, so feeding raw partials
+    (several rows per part) is valid. Same output contract as
+    pass_rate_wilson."""
+    agg = counts_df.groupBy("part").agg(
+        F.sum("n").alias("n"), F.sum("passed").alias("passed")
+    )
     n = F.col("n").cast("double")
     p = F.col("passed") / n
     z2 = z * z

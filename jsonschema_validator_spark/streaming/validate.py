@@ -288,3 +288,62 @@ def stream_validity_counts(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_pass_rate(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    output_dir: str,
+    ok_expr,
+    part_expr,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the Wilson pass-rate SLA screen: each
+    micro-batch appends additive (part, n, passed, batch_id) partials
+    through the batch_id-partitioned exactly-once sink; summing the
+    sink per part and applying
+    operators/stats.pass_rate_wilson_from_counts reproduces the
+    one-shot batch verdict EXACTLY at any point in the stream — the
+    pager decision ("breach / at_risk / met") stays correct mid-ingest
+    because both the counts and the interval algebra are pure
+    functions of the additive sums. Zero unbounded streaming state:
+    the sink is the state, idempotent under replay (same contract as
+    stream_validate / stream_stat_partials).
+
+    ``ok_expr``/``part_expr`` are callables DataFrame -> Column so the
+    predicate compiles once against each micro-batch's plan. Returns
+    the StreamingQuery.
+    """
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counts = (
+            batch_df.groupBy(part_expr(batch_df).alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(ok_expr(batch_df).cast("long")).alias("passed"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            counts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/pass_partials")
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

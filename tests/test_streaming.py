@@ -727,3 +727,74 @@ def test_loop_screen_rocksdb_state_store(spark, tmp_path):
         for r in spark.read.parquet(out).filter("conv_id != 'zz-sentinel'").collect()
     )
     assert got == expect, (got, expect)
+
+
+def test_stream_pass_rate_merge_equals_batch_verdict(spark, tmp_path):
+    """Wilson pass-rate partials merge to the EXACT one-shot batch
+    verdict even when a day's rows split across micro-batches (two
+    files, one per trigger): (n, passed) are plain integer sums and the
+    interval algebra is a pure function of them."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.stats import (
+        pass_rate_wilson,
+        pass_rate_wilson_from_counts,
+    )
+    from jsonschema_validator_spark.streaming.validate import stream_pass_rate
+
+    base = dt.datetime(2024, 7, 1, 0, 0, 0)
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    [base + dt.timedelta(days=d, hours=h) for d, h, _v in rows],
+                    type=pa.timestamp("us"),
+                ),
+                "v": pa.array([v for _d, _h, v in rows], type=pa.float64()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # day 0 split across the two files; pass rule v <= 10
+    write(str(src / "a.parquet"), [(0, 1, 5.0), (0, 2, 50.0), (1, 1, 5.0)])
+    write(str(src / "b.parquet"), [(0, 3, 7.0), (1, 2, 99.0), (1, 3, 1.0)])
+
+    schema = spark.read.parquet(str(src)).schema
+    out = str(tmp_path / "out")
+    q = stream_pass_rate(
+        spark,
+        str(src),
+        schema,
+        out,
+        lambda df: F.col("v") <= 10,
+        lambda df: F.date_format("ts", "yyyy-MM-dd"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    parts = spark.read.parquet(f"{out}/pass_partials")
+    # two triggers -> two batch_ids, and day 0 has a partial in each
+    assert parts.select("batch_id").distinct().count() == 2
+    assert parts.filter("part = '2024-07-01'").count() == 2
+
+    merged = pass_rate_wilson_from_counts(
+        parts.select("part", "n", "passed"), sla=0.95
+    )
+    # build the batch twin on the same day column
+    direct = spark.read.parquet(str(src)).withColumn(
+        "__day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    batch = pass_rate_wilson(direct, F.col("v") <= 10, "__day", sla=0.95)
+    m = {r["part"]: r for r in merged.collect()}
+    b = {r["part"]: r for r in batch.collect()}
+    assert m.keys() == b.keys()
+    for k in m:
+        assert m[k] == b[k], (m[k], b[k])
