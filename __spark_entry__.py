@@ -7697,6 +7697,44 @@ FROM ci ORDER BY part
 """
 
 
+def q_pareto_front_events(spark, sf_dir):
+    """2-D Pareto skyline (operators/sampling.pareto_front): users not
+    dominated on (event count, total value) — the multi-objective
+    curation primitive where a weighted score would bake in an
+    arbitrary trade-off. Spark runs the O(distinct x) block-relation
+    running-max algorithm; the oracle is the INDEPENDENT O(n^2)
+    NOT-EXISTS domination definition — two different algorithms, same
+    front. total_value rounds to 6 BEFORE the skyline in both engines
+    so FP summation order can't flip a near-tie domination."""
+    from jsonschema_validator_spark.operators.sampling import pareto_front
+
+    ev = _t(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    return pareto_front(pts, "n_events", "total_value").orderBy("user_id")
+
+
+_ORACLE_PARETO_FRONT = """
+WITH pts AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         round(sum(value), 6) AS total_value
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+  HAVING sum(value) IS NOT NULL)
+SELECT user_id, n_events, total_value FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.n_events >= p.n_events AND q.total_value >= p.total_value
+    AND (q.n_events > p.n_events OR q.total_value > p.total_value))
+ORDER BY user_id
+"""
+
+
 def q_association_lift_events(spark, sf_dir):
     """Association-rule drill-down (operators/stats.association_lift)
     between event_type and weekday — the per-CELL complement of the
@@ -8502,6 +8540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_trend_events": q_quality_trend_events,
         "median_ci_events": q_median_ci_events,
         "association_lift_events": q_association_lift_events,
+        "pareto_front_events": q_pareto_front_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8682,6 +8721,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_trend_events": _ORACLE_QUALITY_TREND,
         "median_ci_events": _ORACLE_MEDIAN_CI,
         "association_lift_events": _ORACLE_ASSOCIATION_LIFT,
+        "pareto_front_events": _ORACLE_PARETO_FRONT,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -266,3 +266,52 @@ def split_leakage(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """2-D Pareto front (skyline): keep rows NOT dominated on two
+    maximize-criteria — the multi-objective generalization of
+    select_canonical's single score, for curation choices like "longest
+    AND highest-quality variant" where collapsing to one weighted score
+    bakes in an arbitrary trade-off. A row is dominated iff some other
+    row is >= on both axes and > on at least one.
+
+    Plan shape: skyline arithmetic runs on the O(distinct x) BLOCK
+    relation, never raw rows — one groupBy(group, x) takes max(y) per
+    distinct x; a rows-frame running max over strictly-larger distinct
+    x (exact for doubles — a row frame over DISTINCT values is a
+    strict-inequality frame by construction, where a range frame's
+    numeric offset would silently skip values spaced < 1 apart) marks
+    the surviving (x, ymax) points; an equi-join brings back every
+    input row sitting exactly on a surviving point (ties on both axes
+    are mutually non-dominating and all survive). NULL x or y never
+    enters (can't be compared).
+
+    Returns the input columns of surviving rows.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.filter(x.isNotNull() & y.isNotNull()).withColumn(
+        "__x", x
+    ).withColumn("__y", y)
+    gcols = [group_col] if group_col else []
+    xs = d.groupBy(*gcols, F.col("__x")).agg(F.max("__y").alias("__ymax"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = (
+        xs.withColumn("__by", F.max("__ymax").over(w))
+        .filter(F.col("__by").isNull() | (F.col("__ymax") > F.col("__by")))
+        .select(*gcols, "__x", F.col("__ymax").alias("__y"))
+    )
+    on = gcols + ["__x", "__y"]
+    return d.join(front, on, "left_semi").drop("__x", "__y")

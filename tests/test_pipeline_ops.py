@@ -3671,3 +3671,31 @@ def test_join_cardinality_self_join_sum_of_squares_and_empty(spark):
     r = join_cardinality(a, "k", b, "k").collect()[0]
     assert (r["matched_keys"], r["join_rows"]) == (0, 0)
     assert r["top_key"] is None and r["top_share"] is None
+
+
+def test_pareto_front_hand_geometry(spark):
+    # points: (1,9) (3,7) (3,5) (5,5) (5,5)dup (4,6) (2,8) (6,1) (0,0)
+    # front: (1,9), (2,8), (3,7), (4,6), (5,5)x2, (6,1).
+    # (3,5) dominated by (3,7) [x tie, y smaller]; (0,0) by everything.
+    from jsonschema_validator_spark.operators.sampling import pareto_front
+
+    pts = [(1, 9), (3, 7), (3, 5), (5, 5), (5, 5), (4, 6), (2, 8), (6, 1), (0, 0)]
+    df = spark.createDataFrame([(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long")
+    out = sorted((r["x"], r["y"]) for r in pareto_front(df, "x", "y").collect())
+    assert out == [(1, 9), (2, 8), (3, 7), (4, 6), (5, 5), (5, 5), (6, 1)]
+
+
+def test_pareto_front_equal_points_and_nulls_and_groups(spark):
+    from jsonschema_validator_spark.operators.sampling import pareto_front
+
+    rows = [
+        ("g1", 1.0, 1.0), ("g1", 1.0, 1.0),      # mutual ties both survive
+        ("g1", None, 5.0), ("g1", 2.0, None),    # NULLs never enter
+        ("g2", 1.0, 9.0), ("g2", 2.0, 1.0),      # per-group fronts independent
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = pareto_front(df, "x", "y", group_col="g").collect()
+    g1 = sorted((r["x"], r["y"]) for r in out if r["g"] == "g1")
+    g2 = sorted((r["x"], r["y"]) for r in out if r["g"] == "g2")
+    assert g1 == [(1.0, 1.0), (1.0, 1.0)]
+    assert g2 == [(1.0, 9.0), (2.0, 1.0)]
