@@ -7697,6 +7697,41 @@ FROM ci ORDER BY part
 """
 
 
+def q_weighted_quantile_lineitem(spark, sf_dir):
+    """Exact quantity-WEIGHTED price quartiles per return flag
+    (operators/stats.weighted_quantile): "the median unit ships at what
+    price", not "the median order line" — the per-unit-of-weight
+    percentile every row-wise percentile operator gets wrong when line
+    sizes vary. Left-continuous inverse CDF on the distinct-value block
+    relation (no interpolation: equal inputs give equal outputs on any
+    engine). Oracle replays the cumulative-weight rank algebra."""
+    from jsonschema_validator_spark.operators.stats import weighted_quantile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantile(
+        li, "l_extendedprice", "l_quantity", "l_returnflag"
+    ).orderBy("part")
+
+
+_ORACLE_WEIGHTED_QUANTILE = """
+WITH d AS (SELECT l_returnflag AS part, l_extendedprice::DOUBLE AS v,
+                  l_quantity::DOUBLE AS w
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_quantity > 0),
+b AS (SELECT part, v, sum(w) AS bw FROM d GROUP BY 1, 2),
+c AS (SELECT part, v, bw,
+             sum(bw) OVER (PARTITION BY part ORDER BY v) AS cum,
+             sum(bw) OVER (PARTITION BY part) AS tw
+      FROM b)
+SELECT part, round(any_value(tw), 6) AS total_weight,
+       min(CASE WHEN cum >= 0.25 * tw THEN v END) AS q_25,
+       min(CASE WHEN cum >= 0.5 * tw THEN v END) AS q_50,
+       min(CASE WHEN cum >= 0.75 * tw THEN v END) AS q_75
+FROM c GROUP BY part ORDER BY part
+"""
+
+
 def q_pareto_front_events(spark, sf_dir):
     """2-D Pareto skyline (operators/sampling.pareto_front): users not
     dominated on (event count, total value) — the multi-objective
@@ -8541,6 +8576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_ci_events": q_median_ci_events,
         "association_lift_events": q_association_lift_events,
         "pareto_front_events": q_pareto_front_events,
+        "weighted_quantile_lineitem": q_weighted_quantile_lineitem,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8722,6 +8758,7 @@ def oracle_sql() -> dict[str, str]:
         "median_ci_events": _ORACLE_MEDIAN_CI,
         "association_lift_events": _ORACLE_ASSOCIATION_LIFT,
         "pareto_front_events": _ORACLE_PARETO_FRONT,
+        "weighted_quantile_lineitem": _ORACLE_WEIGHTED_QUANTILE,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

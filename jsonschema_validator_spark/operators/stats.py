@@ -1276,3 +1276,52 @@ def association_lift(
             ).alias("lift"),
         )
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles per group — the question "what's the
+    median document length" is usually wrong at training time; the
+    right one is "the median TOKEN sits in how long a document", i.e.
+    the length distribution weighted by tokens (or price weighted by
+    quantity): every unweighted percentile operator here answers
+    per-ROW, this answers per-UNIT-OF-WEIGHT.
+
+    The q-quantile is the smallest value whose cumulative weight
+    reaches q * total_weight (left-continuous inverse CDF — exact, no
+    interpolation, so equal inputs give equal outputs on any engine).
+    All arithmetic on the per-group distinct-value block relation:
+    weights sum per (group, value) first, one cumulative window over
+    distinct values, each q resolves as min(value | cumw >= q*W).
+    NULL values and NULL/non-positive weights are excluded. Returns
+    one row per group: (part, total_weight, q_<q> ...), quantile
+    columns named q_25 / q_50 / q_75 style.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    wt = F.col(weight_col).cast("double")
+    d = df.filter(v.isNotNull() & wt.isNotNull() & (wt > 0)).select(
+        F.col(group_col).alias("part"), v.alias("__v"), wt.alias("__w")
+    )
+    blocks = d.groupBy("part", "__v").agg(F.sum("__w").alias("__bw"))
+    w = Window.partitionBy("part").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    blocks = blocks.withColumn("__cum", F.sum("__bw").over(w)).withColumn(
+        "__tw", F.sum("__bw").over(Window.partitionBy("part"))
+    )
+    aggs = [F.round(F.first("__tw"), 6).alias("total_weight")]
+    for q in qs:
+        name = f"q_{str(q).replace('0.', '').ljust(2, '0')}"
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= q * F.col("__tw"), F.col("__v"))
+            ).alias(name)
+        )
+    return blocks.groupBy("part").agg(*aggs)

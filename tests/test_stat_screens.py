@@ -367,3 +367,42 @@ def test_association_lift_null_level_and_min_support(spark):
     # min_support prunes cells below threshold
     pruned = association_lift(df, "a", "b", min_support=0.6).collect()
     assert pruned == []
+
+
+def test_weighted_quantile_hand_computed(spark):
+    # values 10,20,30 with weights 1,1,8: W=10.
+    #   q25 -> cum>=2.5 first at v=30? cum: 10->1, 20->2, 30->10.
+    #   q25: first cum>=2.5 is 30; q50: cum>=5 -> 30; unweighted median
+    #   would be 20 — the weight moves every quartile to 30.
+    from jsonschema_validator_spark.operators.stats import weighted_quantile
+
+    rows = [("g", 10.0, 1.0), ("g", 20.0, 1.0), ("g", 30.0, 8.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    r = weighted_quantile(df, "v", "w", "g").collect()[0]
+    assert r["total_weight"] == 10.0
+    assert (r["q_25"], r["q_50"], r["q_75"]) == (30.0, 30.0, 30.0)
+
+
+def test_weighted_quantile_equal_weights_match_plain_and_guards(spark):
+    # equal weights reduce to the plain left-continuous quantile;
+    # NULL / zero / negative weights and NULL values are excluded.
+    from jsonschema_validator_spark.operators.stats import weighted_quantile
+
+    rows = [("g", float(v), 1.0) for v in range(1, 5)] + [
+        ("g", 99.0, 0.0), ("g", 98.0, -5.0), ("g", None, 1.0), ("g", 97.0, None)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    r = weighted_quantile(df, "v", "w", "g").collect()[0]
+    assert r["total_weight"] == 4.0
+    # cum: 1->1, 2->2, 3->3, 4->4; q25: cum>=1 -> 1; q50: cum>=2 -> 2
+    assert (r["q_25"], r["q_50"], r["q_75"]) == (1.0, 2.0, 3.0)
+
+
+def test_weighted_quantile_tied_values_pool_weight(spark):
+    from jsonschema_validator_spark.operators.stats import weighted_quantile
+
+    rows = [("g", 5.0, 2.0), ("g", 5.0, 2.0), ("g", 9.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    r = weighted_quantile(df, "v", "w", "g", qs=(0.5, 0.9)).collect()[0]
+    # pooled weight at 5 is 4 of 5 total: q50 -> 5; q90 -> cum>=4.5 -> 9
+    assert r["q_50"] == 5.0 and r["q_90"] == 9.0
