@@ -7697,6 +7697,41 @@ FROM ci ORDER BY part
 """
 
 
+def q_twap_events(spark, sf_dir):
+    """Time-weighted average value per user (operators/timeseries.
+    time_weighted_mean): each event's value holds until the user's next
+    event, so the average is the step-function integral — the correct
+    mean for event-driven sampling, where the plain mean over-weights
+    bursts. Reported beside the plain mean over the same stepped rows.
+    Oracle replays the lead()/holding-time algebra on microseconds."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return time_weighted_mean(ev, "user_id", "ts", "value").orderBy("part")
+
+
+_ORACLE_TWAP = """
+WITH d AS (SELECT user_id AS part, ts, value::DOUBLE AS v
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+s AS (SELECT part, v,
+             (epoch_us(lead(ts) OVER (PARTITION BY part ORDER BY ts))
+              - epoch_us(ts))::DOUBLE AS dur
+      FROM d),
+f AS (SELECT part, v, dur FROM s WHERE dur IS NOT NULL),
+a AS (SELECT part, count(*)::BIGINT AS n_steps, sum(dur) AS w,
+             sum(v * dur) AS vw, avg(v) AS pm
+      FROM f GROUP BY 1)
+SELECT part, n_steps, round(w / 1e6, 6) AS span_seconds,
+       round(CASE WHEN w > 0 THEN vw / w END, 6) AS twap,
+       round(pm, 6) AS plain_mean
+FROM a ORDER BY part
+"""
+
+
 def q_weighted_quantile_lineitem(spark, sf_dir):
     """Exact quantity-WEIGHTED price quartiles per return flag
     (operators/stats.weighted_quantile): "the median unit ships at what
@@ -8577,6 +8612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_lift_events": q_association_lift_events,
         "pareto_front_events": q_pareto_front_events,
         "weighted_quantile_lineitem": q_weighted_quantile_lineitem,
+        "twap_events": q_twap_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8759,6 +8795,7 @@ def oracle_sql() -> dict[str, str]:
         "association_lift_events": _ORACLE_ASSOCIATION_LIFT,
         "pareto_front_events": _ORACLE_PARETO_FRONT,
         "weighted_quantile_lineitem": _ORACLE_WEIGHTED_QUANTILE,
+        "twap_events": _ORACLE_TWAP,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -314,3 +314,62 @@ def mann_kendall(
             .alias("trend"),
         )
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Time-weighted average of a sampled signal per group (the TWAP /
+    step-function integral): each observation holds until the NEXT one,
+    so its weight is the holding duration — the correct average for
+    irregularly-sampled state (a sensor read 99 times at level 10 in
+    one second and once at 1000 for an hour averages near 1000, not
+    near 20). The plain mean over-weights bursts exactly when sampling
+    is event-driven.
+
+    One lead() window per group over pre-projected (group, ts, value)
+    rows gives integer microsecond holding times; the weighted mean is
+    then a map-side-combinable aggregation. The LAST observation of a
+    group has no successor — no duration, excluded (documented
+    standard: closed-open [t_i, t_{i+1}) steps). Groups with a single
+    observation therefore yield no row. Zero-duration steps (tied
+    timestamps) carry zero weight; rows with NULL ts or value are
+    excluded before the window so they neither anchor nor terminate a
+    step. Returns (part, n_steps, span_seconds, twap, plain_mean) —
+    plain_mean over the SAME stepped rows, so the two are directly
+    comparable. Floats rounded to 6.
+    """
+    d = df.filter(
+        F.col(ts).isNotNull() & F.col(value).isNotNull()
+    ).select(
+        F.col(group).alias("part"),
+        # parquet TIMESTAMP_NTZ reads need the cast for unix_micros;
+        # only DIFFERENCES are used, so any fixed zone offset cancels
+        F.col(ts).cast("timestamp").alias("__ts"),
+        F.col(value).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy("part").orderBy("__ts")
+    stepped = d.withColumn(
+        "__dur",
+        (
+            F.unix_micros(F.lead("__ts").over(w)) - F.unix_micros(F.col("__ts"))
+        ).cast("double"),
+    ).filter(F.col("__dur").isNotNull())
+    agg = stepped.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("__dur").alias("__w"),
+        F.sum(F.col("__v") * F.col("__dur")).alias("__vw"),
+        F.avg("__v").alias("__pm"),
+    )
+    return agg.select(
+        "part",
+        "n_steps",
+        F.round(F.col("__w") / 1e6, 6).alias("span_seconds"),
+        F.round(
+            F.when(F.col("__w") > 0, F.col("__vw") / F.col("__w")), 6
+        ).alias("twap"),
+        F.round("__pm", 6).alias("plain_mean"),
+    )

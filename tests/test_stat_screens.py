@@ -406,3 +406,45 @@ def test_weighted_quantile_tied_values_pool_weight(spark):
     r = weighted_quantile(df, "v", "w", "g", qs=(0.5, 0.9)).collect()[0]
     # pooled weight at 5 is 4 of 5 total: q50 -> 5; q90 -> cum>=4.5 -> 9
     assert r["q_50"] == 5.0 and r["q_90"] == 9.0
+
+
+def test_time_weighted_mean_hand_computed(spark):
+    # one user: value 10 held 1s, then 1000 held 9s, then a final
+    # observation (no successor, excluded). TWAP = (10*1 + 1000*9)/10
+    # = 901; plain mean over the stepped rows = 505.
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import time_weighted_mean
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=1), 1000.0),
+        (1, t0 + dt.timedelta(seconds=10), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    r = time_weighted_mean(df, "u", "ts", "v").collect()[0]
+    assert (r["n_steps"], r["span_seconds"]) == (2, 10.0)
+    assert r["twap"] == pytest.approx(901.0)
+    assert r["plain_mean"] == pytest.approx(505.0)
+
+
+def test_time_weighted_mean_single_obs_and_ties(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import time_weighted_mean
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 5.0),                                   # single obs: no row
+        (2, t0, 1.0), (2, t0, 9.0),                     # tied ts: zero weight
+        (2, t0 + dt.timedelta(seconds=2), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = {r["part"]: r for r in time_weighted_mean(df, "u", "ts", "v").collect()}
+    assert 1 not in out
+    # group 2: one zero-duration step + one 2s step at the OTHER tied
+    # value -> twap = value of whichever tied row lead() ordered first,
+    # but the zero-weight step contributes nothing either way
+    assert out[2]["span_seconds"] == 2.0
+    assert out[2]["twap"] in (1.0, 9.0)
