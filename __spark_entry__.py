@@ -7697,6 +7697,40 @@ FROM ci ORDER BY part
 """
 
 
+def q_shape_profile_events(spark, sf_dir):
+    """String FORMAT inference (operators/profile.shape_profile): every
+    props value collapses to its character-class shape (letter runs ->
+    a/A, digit runs -> 9, whitespace -> _, punctuation verbatim); the
+    top shapes with shares are the "what format is this column" answer
+    and the schema-drift tripwire. No regex backreferences, so the
+    RE2-based oracle replays the transform exactly."""
+    from jsonschema_validator_spark.operators.profile import shape_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return shape_profile(ev, "props", k=10).orderBy("rank")
+
+
+_ORACLE_SHAPE_PROFILE = """
+WITH s AS (
+  SELECT COALESCE(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(props, '[a-z]+', 'a', 'g'),
+                 '[A-Z]+', 'A', 'g'),
+               '[0-9]+', '9', 'g'),
+             '\\s+', '_', 'g'),
+           '<null>') AS shape
+  FROM events),
+c AS (SELECT shape, count(*)::BIGINT AS n FROM s GROUP BY 1),
+r AS (SELECT shape, n, sum(n) OVER () AS total,
+             row_number() OVER (ORDER BY n DESC, shape) AS rank
+      FROM c)
+SELECT rank, shape, n, round(n * 1.0 / total, 6) AS share
+FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+
 def q_twap_events(spark, sf_dir):
     """Time-weighted average value per user (operators/timeseries.
     time_weighted_mean): each event's value holds until the user's next
@@ -8613,6 +8647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front_events": q_pareto_front_events,
         "weighted_quantile_lineitem": q_weighted_quantile_lineitem,
         "twap_events": q_twap_events,
+        "shape_profile_events": q_shape_profile_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8796,6 +8831,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_front_events": _ORACLE_PARETO_FRONT,
         "weighted_quantile_lineitem": _ORACLE_WEIGHTED_QUANTILE,
         "twap_events": _ORACLE_TWAP,
+        "shape_profile_events": _ORACLE_SHAPE_PROFILE,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

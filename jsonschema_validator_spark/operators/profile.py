@@ -220,3 +220,46 @@ def join_cardinality(
             F.when(F.col("join_rows") > 0, F.col("__top.__prod") / jr), 6
         ).alias("top_share"),
     )
+
+
+def shape_profile(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """Format inference for a string column: collapse every value to
+    its character-class SHAPE (runs of [a-z] -> 'a', [A-Z] -> 'A',
+    digits -> '9', whitespace -> '_'; punctuation kept verbatim) and
+    report the top-k shapes with counts and share — the profiling
+    question "what FORMAT is this column" ('9999-99-99' vs 'a@a.a' vs
+    free text) that null-rate/min/max stats can't see, and the
+    schema-drift tripwire when a new shape appears.
+
+    Each class collapses via its own run-regex (`[a-z]+` -> 'a', ...)
+    — deliberately NO backreferences, so RE2-based engines replay the
+    exact transform. NULL values profile as the '<null>' shape (a
+    missingness format, not a dropped row). One projection + one
+    groupBy; the rank window runs over the O(distinct shapes)
+    aggregated relation. Ties break by shape string. Returns
+    (rank, shape, n, share).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(col)
+    shape = F.regexp_replace(s, "[a-z]+", "a")
+    shape = F.regexp_replace(shape, "[A-Z]+", "A")
+    shape = F.regexp_replace(shape, "[0-9]+", "9")
+    shape = F.regexp_replace(shape, "\\s+", "_")
+    shape = F.coalesce(shape, F.lit("<null>"))
+    counts = df.select(shape.alias("shape")).groupBy("shape").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy()
+    w = Window.orderBy(F.desc("n"), F.col("shape"))
+    return (
+        counts.withColumn("total", F.sum("n").over(w_all))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "shape",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+    )

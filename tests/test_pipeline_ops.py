@@ -3699,3 +3699,34 @@ def test_pareto_front_equal_points_and_nulls_and_groups(spark):
     g2 = sorted((r["x"], r["y"]) for r in out if r["g"] == "g2")
     assert g1 == [(1.0, 1.0), (1.0, 1.0)]
     assert g2 == [(1.0, 9.0), (2.0, 1.0)]
+
+
+def test_shape_profile_formats_and_null(spark):
+    from jsonschema_validator_spark.operators.profile import shape_profile
+
+    rows = [
+        ("2024-01-15",), ("2025-12-31",),          # date shape 9-9-9
+        ("bob@mail.com",), ("eve@x.org",),         # email shape a@a.a
+        ("AB 12",),                                 # 'A_9'
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    out = {r["shape"]: r for r in shape_profile(df, "s").collect()}
+    assert out["9-9-9"]["n"] == 2
+    assert out["a@a.a"]["n"] == 2
+    assert out["A_9"]["n"] == 1
+    assert out["<null>"]["n"] == 1
+    assert out["9-9-9"]["share"] == pytest.approx(2 / 6, abs=1e-6)
+    # deterministic rank: ties on n=2 break by shape string
+    assert out["9-9-9"]["rank"] == 1 and out["a@a.a"]["rank"] == 2
+
+
+def test_shape_profile_top_k_truncates(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.profile import shape_profile
+
+    df = spark.range(100).select(F.concat(F.lit("v"), F.col("id")).alias("s"))
+    out = shape_profile(df, "s", k=3).collect()
+    # every value collapses to the SAME shape 'a9' -> one row despite k=3
+    assert len(out) == 1 and out[0]["shape"] == "a9" and out[0]["n"] == 100
