@@ -7697,6 +7697,44 @@ FROM ci ORDER BY part
 """
 
 
+def q_circadian_events(spark, sf_dir):
+    """Circular time-of-day statistics per event_type (operators/
+    timeseries.circular_time_profile): mean direction = peak hour on
+    the 24h circle, resultant length R = concentration, Rayleigh
+    z = n*R^2 screens "no daily rhythm" — where a linear mean of hours
+    calls 23:00+01:00 noon. One (sum cos, sum sin) aggregation; the
+    trig closes on the O(groups) relation. Oracle replays the angle
+    algebra."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        circular_time_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return circular_time_profile(ev, "event_type", "ts").orderBy("part")
+
+
+_ORACLE_CIRCADIAN = """
+WITH d AS (
+  SELECT event_type AS part,
+         (epoch_us(ts) % 86400000000)::DOUBLE / 86400000000.0
+           * 2 * pi() AS a
+  FROM events WHERE ts IS NOT NULL),
+agg AS (SELECT part, count(*)::BIGINT AS n,
+               sum(cos(a)) AS c, sum(sin(a)) AS s
+        FROM d GROUP BY 1),
+r AS (SELECT *, sqrt(c * c + s * s) / n AS rbar,
+             CASE WHEN atan2(s, c) < 0 THEN atan2(s, c) + 2 * pi()
+                  ELSE atan2(s, c) END AS ang
+      FROM agg)
+SELECT part, n,
+       round(ang / (2 * pi()) * 24.0, 6) AS peak_hour,
+       round(rbar, 6) AS r_bar,
+       round(n * rbar * rbar, 6) AS rayleigh_z,
+       n * rbar * rbar > 5.991 AS rhythmic
+FROM r ORDER BY part
+"""
+
+
 def q_shape_profile_events(spark, sf_dir):
     """String FORMAT inference (operators/profile.shape_profile): every
     props value collapses to its character-class shape (letter runs ->
@@ -8648,6 +8686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantile_lineitem": q_weighted_quantile_lineitem,
         "twap_events": q_twap_events,
         "shape_profile_events": q_shape_profile_events,
+        "circadian_events": q_circadian_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8832,6 +8871,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_quantile_lineitem": _ORACLE_WEIGHTED_QUANTILE,
         "twap_events": _ORACLE_TWAP,
         "shape_profile_events": _ORACLE_SHAPE_PROFILE,
+        "circadian_events": _ORACLE_CIRCADIAN,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -448,3 +448,45 @@ def test_time_weighted_mean_single_obs_and_ties(spark):
     # but the zero-weight step contributes nothing either way
     assert out[2]["span_seconds"] == 2.0
     assert out[2]["twap"] in (1.0, 9.0)
+
+
+def test_circular_time_profile_concentrated_and_wrapped(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import (
+        circular_time_profile,
+    )
+
+    # group A: all events at exactly 06:00 -> peak 6.0, R=1, z=n
+    # group B: 23:00 and 01:00 -> circular mean = 00:00 (midnight),
+    #   where a linear mean would say 12:00. R = cos(pi/12) ~ 0.965926.
+    rows = (
+        [("A", dt.datetime(2024, 1, d, 6, 0, 0)) for d in range(1, 5)]
+        + [("B", dt.datetime(2024, 1, 1, 23, 0, 0)),
+           ("B", dt.datetime(2024, 1, 2, 1, 0, 0))]
+    )
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["part"]: r for r in circular_time_profile(df, "g", "ts").collect()}
+    a, b = out["A"], out["B"]
+    assert a["peak_hour"] == pytest.approx(6.0, abs=1e-6)
+    assert a["r_bar"] == pytest.approx(1.0, abs=1e-9)
+    assert a["rayleigh_z"] == pytest.approx(4.0, abs=1e-6)
+    assert b["peak_hour"] == pytest.approx(0.0, abs=1e-6) or b["peak_hour"] == pytest.approx(24.0, abs=1e-6)
+    assert b["r_bar"] == pytest.approx(0.965926, abs=1e-5)
+
+
+def test_circular_time_profile_uniform_is_not_rhythmic(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.timeseries import (
+        circular_time_profile,
+    )
+
+    # 24 events, one per hour: perfectly uniform -> R ~ 0, not rhythmic
+    rows = [("u", dt.datetime(2024, 1, 1, h, 0, 0)) for h in range(24)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = circular_time_profile(df, "g", "ts").collect()[0]
+    assert r["r_bar"] == pytest.approx(0.0, abs=1e-9)
+    assert not r["rhythmic"]
