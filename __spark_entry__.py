@@ -7697,6 +7697,50 @@ FROM ci ORDER BY part
 """
 
 
+def q_vocab_richness_documents(spark, sf_dir):
+    """Vocabulary saturation per language (operators/stats.
+    species_richness): Chao1 estimates how many distinct words the
+    population holds INCLUDING never-seen ones, Good-Turing coverage
+    what mass the unseen carry — "have we crawled enough", which HLL
+    (observed-only) can't answer. Words via the deterministic [a-z]+
+    contract both engines replay; two map-side-combinable
+    aggregations."""
+    from jsonschema_validator_spark.operators.stats import species_richness
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    return species_richness(words, "word", "lang").orderBy("part")
+
+
+_ORACLE_VOCAB_RICHNESS = """
+WITH words AS (
+  SELECT lang AS part, w AS word
+  FROM (SELECT lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE w != ''),
+counts AS (SELECT part, word, count(*)::BIGINT AS c
+           FROM words WHERE word IS NOT NULL GROUP BY 1, 2),
+agg AS (SELECT part, sum(c)::BIGINT AS n, count(*)::BIGINT AS d_obs,
+               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+               sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        FROM counts GROUP BY 1)
+SELECT part, n, d_obs, f1, f2,
+       round(d_obs + CASE WHEN f2 > 0 THEN f1 * 1.0 * f1 / (2 * f2)
+                          ELSE f1 * 1.0 * (f1 - 1) / 2 END, 6) AS chao1,
+       round(1.0 - f1 * 1.0 / n, 6) AS coverage
+FROM agg ORDER BY part
+"""
+
+
 def q_circadian_events(spark, sf_dir):
     """Circular time-of-day statistics per event_type (operators/
     timeseries.circular_time_profile): mean direction = peak hour on
@@ -8687,6 +8731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_events": q_twap_events,
         "shape_profile_events": q_shape_profile_events,
         "circadian_events": q_circadian_events,
+        "vocab_richness_documents": q_vocab_richness_documents,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8872,6 +8917,7 @@ def oracle_sql() -> dict[str, str]:
         "twap_events": _ORACLE_TWAP,
         "shape_profile_events": _ORACLE_SHAPE_PROFILE,
         "circadian_events": _ORACLE_CIRCADIAN,
+        "vocab_richness_documents": _ORACLE_VOCAB_RICHNESS,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -1325,3 +1325,54 @@ def weighted_quantile(
             ).alias(name)
         )
     return blocks.groupBy("part").agg(*aggs)
+
+
+def species_richness(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Chao1 species-richness estimate + Good-Turing coverage per
+    group: from the frequency-of-frequencies of an observed key column,
+    estimate how many distinct keys the POPULATION has (including
+    never-seen ones) and what probability mass the unseen keys carry —
+    the question behind "have we crawled enough", "is the vocabulary
+    saturating", "how many users exist, not how many we counted" that
+    HLL (which counts only the OBSERVED) cannot answer.
+
+    Chao1 = d_obs + f1^2 / (2*f2), with the bias-corrected
+    f1*(f1-1)/2 form when no doubletons exist (f2 = 0); Good-Turing
+    unseen mass p0 = f1/n, coverage = 1 - p0. Singletons are the
+    signal: a corpus whose keys are all singletons (f1 = d_obs) is
+    nowhere near saturated. Two aggregations, both map-side
+    combinable: keys -> counts, counts -> frequency-of-frequencies;
+    output is O(groups). NULL keys excluded. Returns
+    (part?, n, d_obs, f1, f2, chao1, coverage), floats rounded to 6.
+    """
+    gcols = ["part"] if group_col else []
+    sel = ([F.col(group_col).alias("part")] if group_col else []) + [
+        F.col(key_col).alias("__k")
+    ]
+    d = df.filter(F.col(key_col).isNotNull()).select(*sel)
+    counts = d.groupBy(*gcols, "__k").agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.groupBy(*gcols).agg(
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("d_obs"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("d_obs") + F.when(f2 > 0, f1 * f1 / (2.0 * f2)).otherwise(
+        f1 * (f1 - 1.0) / 2.0
+    )
+    coverage = 1.0 - f1 / F.col("n").cast("double")
+    return agg.select(
+        *gcols,
+        "n",
+        "d_obs",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(coverage, 6).alias("coverage"),
+    )

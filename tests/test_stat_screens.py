@@ -490,3 +490,31 @@ def test_circular_time_profile_uniform_is_not_rhythmic(spark):
     r = circular_time_profile(df, "g", "ts").collect()[0]
     assert r["r_bar"] == pytest.approx(0.0, abs=1e-9)
     assert not r["rhythmic"]
+
+
+def test_species_richness_hand_computed(spark):
+    # keys: a,a,a, b,b, c, d -> n=7, d_obs=4, f1=2 (c,d), f2=1 (b)
+    # chao1 = 4 + 4/(2*1) = 6; coverage = 1 - 2/7 = 0.714286
+    from jsonschema_validator_spark.operators.stats import species_richness
+
+    rows = [("a",)] * 3 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = species_richness(df, "k").collect()[0]
+    assert (r["n"], r["d_obs"], r["f1"], r["f2"]) == (7, 4, 2, 1)
+    assert r["chao1"] == 6.0
+    assert r["coverage"] == pytest.approx(5 / 7, abs=1e-6)
+
+
+def test_species_richness_all_singletons_and_saturated(spark):
+    from jsonschema_validator_spark.operators.stats import species_richness
+
+    # all singletons, f2=0: bias-corrected chao1 = d + f1(f1-1)/2;
+    # coverage 0 — nowhere near saturated.
+    df = spark.createDataFrame([(str(i),) for i in range(5)], "k string")
+    r = species_richness(df, "k").collect()[0]
+    assert r["chao1"] == 5 + 5 * 4 / 2 and r["coverage"] == 0.0
+
+    # fully saturated: no singletons -> chao1 = d_obs, coverage 1
+    df = spark.createDataFrame([("x",)] * 10 + [("y",)] * 10, "k string")
+    r = species_richness(df, "k").collect()[0]
+    assert r["chao1"] == 2.0 and r["coverage"] == 1.0
