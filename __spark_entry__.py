@@ -7697,6 +7697,39 @@ FROM ci ORDER BY part
 """
 
 
+def q_neyman_allocation_events(spark, sf_dir):
+    """Optimal eval-budget allocation (operators/sampling.
+    neyman_allocation): split a 1000-row labeling budget across
+    event_type strata by N_h*S_h — the minimum-variance stratified
+    design — reported beside proportional allocation so the
+    under-sampling of high-variance strata is visible. One
+    aggregation; allocation closes on the O(strata) relation. Oracle
+    replays the allocation algebra."""
+    from jsonschema_validator_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return neyman_allocation(ev, "event_type", "value", 1000).orderBy("part")
+
+
+_ORACLE_NEYMAN = """
+WITH a AS (SELECT event_type AS part, count(*)::BIGINT AS n_rows,
+                  COALESCE(stddev_samp(value::DOUBLE), 0.0) AS sd
+           FROM events GROUP BY 1),
+t AS (SELECT *, sum(n_rows * sd) OVER () AS tot_ns,
+             sum(n_rows) OVER () AS tot_n
+      FROM a)
+SELECT part, n_rows, round(sd, 6) AS stddev,
+       round(CASE WHEN tot_ns > 0 THEN 1000 * n_rows * sd / tot_ns
+                  ELSE 0.0 END, 6) AS neyman_n,
+       round(1000.0 * n_rows / tot_n, 6) AS proportional_n,
+       CASE WHEN tot_ns > 0 THEN 1000 * n_rows * sd / tot_ns
+            ELSE 0.0 END > n_rows AS capped
+FROM t ORDER BY part
+"""
+
+
 def q_vocab_richness_documents(spark, sf_dir):
     """Vocabulary saturation per language (operators/stats.
     species_richness): Chao1 estimates how many distinct words the
@@ -8732,6 +8765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_profile_events": q_shape_profile_events,
         "circadian_events": q_circadian_events,
         "vocab_richness_documents": q_vocab_richness_documents,
+        "neyman_allocation_events": q_neyman_allocation_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8918,6 +8952,7 @@ def oracle_sql() -> dict[str, str]:
         "shape_profile_events": _ORACLE_SHAPE_PROFILE,
         "circadian_events": _ORACLE_CIRCADIAN,
         "vocab_richness_documents": _ORACLE_VOCAB_RICHNESS,
+        "neyman_allocation_events": _ORACLE_NEYMAN,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -315,3 +315,57 @@ def pareto_front(
     )
     on = gcols + ["__x", "__y"]
     return d.join(front, on, "left_semi").drop("__x", "__y")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Optimal (Neyman) sample allocation across strata for estimating
+    the mean of ``value_col`` with a fixed labeling/eval budget: stratum
+    h gets n_h = total * N_h*S_h / sum(N_h*S_h) — more samples where
+    there are more rows AND more variance, the provably
+    minimum-variance allocation for stratified estimation. Reported
+    beside proportional allocation (n_h ~ N_h): the ratio between them
+    is exactly how much a high-variance stratum is under-sampled by
+    the naive scheme.
+
+    One aggregation collects per-stratum (N_h, S_h); the allocation
+    arithmetic closes on the O(strata) relation. Single-row strata
+    have no sample stddev -> weight 0 (documented: they get
+    allocation only via the proportional column; a stratum you've
+    seen once cannot tell you its variance). ``capped`` flags strata
+    where the optimum exceeds the population (take-all strata — the
+    textbook next step reallocates their excess, which is an
+    iterative driver-side loop the caller applies if needed). NULL
+    values are excluded from the variance but not from N_h (the
+    budget covers rows, not non-null values). Returns (part, n_rows,
+    stddev, neyman_n, proportional_n, capped), floats rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(strata_col).alias("part")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.stddev_samp(F.col(value_col).cast("double")), F.lit(0.0)
+        ).alias("stddev"),
+    )
+    w = Window.partitionBy()
+    ns = F.col("n_rows") * F.col("stddev")
+    alloc = agg.withColumn("__tot_ns", F.sum(ns).over(w)).withColumn(
+        "__tot_n", F.sum("n_rows").over(w)
+    )
+    neyman = F.when(
+        F.col("__tot_ns") > 0, total_n * ns / F.col("__tot_ns")
+    ).otherwise(F.lit(0.0))
+    prop = total_n * F.col("n_rows") / F.col("__tot_n")
+    return alloc.select(
+        "part",
+        "n_rows",
+        F.round("stddev", 6).alias("stddev"),
+        F.round(neyman, 6).alias("neyman_n"),
+        F.round(prop, 6).alias("proportional_n"),
+        (neyman > F.col("n_rows")).alias("capped"),
+    )

@@ -518,3 +518,31 @@ def test_species_richness_all_singletons_and_saturated(spark):
     df = spark.createDataFrame([("x",)] * 10 + [("y",)] * 10, "k string")
     r = species_richness(df, "k").collect()[0]
     assert r["chao1"] == 2.0 and r["coverage"] == 1.0
+
+
+def test_neyman_allocation_hand_computed(spark):
+    # stratum A: 4 rows of alternating 0/10 (sd ~ 5.773503);
+    # stratum B: 4 rows all equal (sd 0) -> Neyman gives B nothing,
+    # proportional gives it half the budget.
+    from jsonschema_validator_spark.operators.sampling import neyman_allocation
+
+    rows = [("A", 0.0), ("A", 10.0), ("A", 0.0), ("A", 10.0),
+            ("B", 7.0), ("B", 7.0), ("B", 7.0), ("B", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["part"]: r for r in neyman_allocation(df, "g", "v", 100).collect()}
+    a, b = out["A"], out["B"]
+    assert a["stddev"] == pytest.approx(5.773503, abs=1e-6)
+    assert a["neyman_n"] == pytest.approx(100.0)      # all budget to A
+    assert b["neyman_n"] == 0.0
+    assert a["proportional_n"] == 50.0 and b["proportional_n"] == 50.0
+    assert a["capped"]  # optimum 100 > N_A = 4: take-all stratum
+
+
+def test_neyman_allocation_degenerate_all_constant(spark):
+    from jsonschema_validator_spark.operators.sampling import neyman_allocation
+
+    df = spark.createDataFrame([("A", 1.0), ("B", 1.0)], "g string, v double")
+    out = {r["part"]: r for r in neyman_allocation(df, "g", "v", 10).collect()}
+    # zero total variance: Neyman undefined -> 0 allocations, use proportional
+    assert all(r["neyman_n"] == 0.0 for r in out.values())
+    assert out["A"]["proportional_n"] == 5.0
