@@ -7697,6 +7697,55 @@ FROM ci ORDER BY part
 """
 
 
+def q_impute_events(spark, sf_dir):
+    """Group-median imputation audit (operators/cleaning.impute):
+    NULLs are PLANTED deterministically (event_id % 13 == 0 blanks
+    value) so the repair decides real rows, then filled with each
+    event_type's exact median of the REMAINING values, flagged, and
+    rolled up per group — imputation without an audit flag silently
+    manufactures data. Fill stats broadcast back; the data side never
+    shuffles. Oracle replays the plant, the median, and the rollup."""
+    from jsonschema_validator_spark.operators.cleaning import impute
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    rep = impute(ev, "v", "event_type", strategy="median")
+    return (
+        rep.groupBy(F.col("event_type").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v__imputed").cast("long")).alias("n_imputed"),
+            F.round(
+                F.max(F.when(F.col("v__imputed"), F.col("v__filled"))), 6
+            ).alias("fill_value"),
+            F.round(F.sum("v__filled"), 4).alias("sum_filled"),
+        )
+        .orderBy("part")
+    )
+
+
+_ORACLE_IMPUTE = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+fills AS (SELECT event_type, median(v) AS fill FROM ev GROUP BY 1),
+rep AS (SELECT e.event_type,
+               COALESCE(e.v, f.fill) AS filled,
+               (e.v IS NULL AND f.fill IS NOT NULL) AS imputed
+        FROM ev e JOIN fills f USING (event_type))
+SELECT event_type AS part, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN imputed THEN 1 ELSE 0 END)::BIGINT AS n_imputed,
+       round(max(CASE WHEN imputed THEN filled END), 6) AS fill_value,
+       round(sum(filled), 4) AS sum_filled
+FROM rep GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_neyman_allocation_events(spark, sf_dir):
     """Optimal eval-budget allocation (operators/sampling.
     neyman_allocation): split a 1000-row labeling budget across
@@ -8766,6 +8815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circadian_events": q_circadian_events,
         "vocab_richness_documents": q_vocab_richness_documents,
         "neyman_allocation_events": q_neyman_allocation_events,
+        "impute_events": q_impute_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -8953,6 +9003,7 @@ def oracle_sql() -> dict[str, str]:
         "circadian_events": _ORACLE_CIRCADIAN,
         "vocab_richness_documents": _ORACLE_VOCAB_RICHNESS,
         "neyman_allocation_events": _ORACLE_NEYMAN,
+        "impute_events": _ORACLE_IMPUTE,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -158,3 +158,67 @@ def normalize_unicode(
         "changed",
         F.coalesce(F.col(out_col) != F.col(text_col), F.lit(False)),
     )
+
+
+def impute(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    strategy: str = "median",
+) -> DataFrame:
+    """Group-conditional imputation of a numeric column with a full
+    audit trail: NULLs fill with the group's exact median ('median'),
+    mean ('mean'), or most frequent value ('mode', ties to the
+    smallest) — group-conditional because a global fill value drags
+    every imputed row toward the dominant group's distribution, which
+    is precisely the bias a downstream drift screen then false-alarms
+    on.
+
+    Adds ``<value_col>__filled`` (original where present, fill value
+    where NULL) and ``<value_col>__imputed`` (audit flag — imputation
+    without a flag silently manufactures data; every downstream
+    consumer can exclude or weight the repaired rows). Groups whose
+    values are ALL NULL have no statistic: filled stays NULL and the
+    flag stays false — refusing to invent a number, the honest repair.
+    Fill statistics compute per group in one aggregation (mode via the
+    (count, value) struct-max on the distinct-value relation) and
+    broadcast back; the data side never shuffles.
+    """
+    v = F.col(value_col).cast("double")
+    if strategy == "median":
+        stat = F.percentile(v, F.lit(0.5))
+        fills = df.groupBy(F.col(group_col).alias("__g")).agg(
+            stat.alias("__fill")
+        )
+    elif strategy == "mean":
+        fills = df.groupBy(F.col(group_col).alias("__g")).agg(
+            F.avg(v).alias("__fill")
+        )
+    elif strategy == "mode":
+        counts = (
+            df.filter(v.isNotNull())
+            .groupBy(F.col(group_col).alias("__g"), v.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        fills = counts.groupBy("__g").agg(
+            F.max(
+                F.struct(
+                    F.col("__c").alias("c"), (-F.col("__v")).alias("nv")
+                )
+            ).alias("__t")
+        ).select("__g", (-F.col("__t.nv")).alias("__fill"))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    joined = df.join(
+        F.broadcast(fills),
+        F.col(group_col).eqNullSafe(F.col("__g")),
+        "left",
+    )
+    imputed = v.isNull() & F.col("__fill").isNotNull()
+    return (
+        joined.withColumn(
+            f"{value_col}__filled", F.coalesce(v, F.col("__fill"))
+        )
+        .withColumn(f"{value_col}__imputed", imputed)
+        .drop("__g", "__fill")
+    )

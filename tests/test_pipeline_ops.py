@@ -3730,3 +3730,39 @@ def test_shape_profile_top_k_truncates(spark):
     out = shape_profile(df, "s", k=3).collect()
     # every value collapses to the SAME shape 'a9' -> one row despite k=3
     assert len(out) == 1 and out[0]["shape"] == "a9" and out[0]["n"] == 100
+
+
+def test_impute_median_mean_mode_and_flags(spark):
+    from jsonschema_validator_spark.operators.cleaning import impute
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    med = {(r["g"], r["v"]): r for r in impute(df, "v", "g").collect()}
+    assert med[("a", None)]["v__filled"] == 2.0 and med[("a", None)]["v__imputed"]
+    assert med[("a", 1.0)]["v__filled"] == 1.0 and not med[("a", 1.0)]["v__imputed"]
+    assert med[("b", None)]["v__filled"] == 10.0
+
+    mean = {(r["g"], r["v"]): r for r in impute(df, "v", "g", "mean").collect()}
+    assert mean[("a", None)]["v__filled"] == 2.0
+
+    # mode: most frequent, ties to the smallest value
+    rows = [("a", 5.0), ("a", 5.0), ("a", 7.0), ("a", 7.0), ("a", 9.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    mode = impute(df, "v", "g", "mode").filter("v IS NULL").collect()[0]
+    assert mode["v__filled"] == 5.0 and mode["v__imputed"]
+
+
+def test_impute_all_null_group_refuses_and_null_group_key(spark):
+    from jsonschema_validator_spark.operators.cleaning import impute
+
+    rows = [("a", None), ("a", None), (None, 4.0), (None, None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = impute(df, "v", "g").collect()
+    for r in out:
+        if r["g"] == "a":
+            # no statistic exists: stays NULL, flag false
+            assert r["v__filled"] is None and not r["v__imputed"]
+        elif r["g"] is None and r["v"] is None:
+            # NULL group key is a real group (eqNullSafe): fills with 4
+            assert r["v__filled"] == 4.0 and r["v__imputed"]
