@@ -7697,6 +7697,49 @@ FROM ci ORDER BY part
 """
 
 
+def q_pmi_collocations_documents(spark, sf_dir):
+    """PMI collocation mining (operators/textstats.pmi_collocations):
+    word pairs co-occurring in documents far beyond their marginals —
+    multiword expressions and template/boilerplate signatures unigram
+    tables can't see. Within-document pairs only (never
+    corpus-quadratic); marginal doc-frequencies broadcast back; rank on
+    the O(pairs) relation. Oracle replays tokenization, co-occurrence,
+    and the log2 score."""
+    from jsonschema_validator_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_pairs=5, top_k=20)
+
+
+_ORACLE_PMI_COLLOCATIONS = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE w != ''),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words),
+marg AS (SELECT w, count(*)::BIGINT AS df_w FROM words GROUP BY 1),
+pairs AS (SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS n12
+          FROM words a JOIN words b USING (doc_id)
+          WHERE a.w < b.w GROUP BY 1, 2
+          HAVING count(*) >= 5),
+scored AS (SELECT p.w1, p.w2, p.n12, m1.df_w AS n1, m2.df_w AS n2,
+                  round(log2(nd.n_docs * 1.0 * p.n12
+                             / (m1.df_w * 1.0 * m2.df_w)), 6) AS pmi
+           FROM pairs p
+           JOIN marg m1 ON p.w1 = m1.w
+           JOIN marg m2 ON p.w2 = m2.w
+           CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+      FROM scored)
+SELECT rank, w1, w2, n12, n1, n2, pmi FROM r WHERE rank <= 20
+ORDER BY rank
+"""
+
+
 def q_impute_events(spark, sf_dir):
     """Group-median imputation audit (operators/cleaning.impute):
     NULLs are PLANTED deterministically (event_id % 13 == 0 blanks
@@ -8816,6 +8859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness_documents": q_vocab_richness_documents,
         "neyman_allocation_events": q_neyman_allocation_events,
         "impute_events": q_impute_events,
+        "pmi_collocations_documents": q_pmi_collocations_documents,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9004,6 +9048,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_richness_documents": _ORACLE_VOCAB_RICHNESS,
         "neyman_allocation_events": _ORACLE_NEYMAN,
         "impute_events": _ORACLE_IMPUTE,
+        "pmi_collocations_documents": _ORACLE_PMI_COLLOCATIONS,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -484,3 +484,82 @@ def reading_ease(df: DataFrame, text: str = "text") -> DataFrame:
         - 84.6 * F.try_divide(F.col("syllables"), F.col("words"))
     )
     return out.withColumn("flesch", F.round(flesch, 6))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_pairs: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations: word pairs that
+    CO-OCCUR in documents far more than their marginal frequencies
+    predict — multiword expressions, entity fragments, boilerplate
+    signatures ("click here"), and template artifacts that unigram
+    frequency tables are blind to. PMI = log2(N * n12 / (n1 * n2))
+    over document-level co-occurrence of DISTINCT words.
+
+    Plan shape: distinct words per document (one explode + distinct),
+    then within-document pairs via a self-equi-join ON doc id with
+    w1 < w2 — O(sum len_d^2) pair rows, bounded by document length
+    (cap upstream with a length filter for whale documents), never
+    corpus-quadratic. Marginal doc-frequencies broadcast back; the
+    final rank runs on the O(distinct pairs) aggregated relation.
+    ``min_pairs`` floors the co-occurrence count (PMI's known
+    pathology: a hapax pair maxes the score); ties break by words.
+    The [a-z]+ tokenizer is the package's deterministic contract.
+    Returns (rank, w1, w2, n12, n1, n2, pmi), top_k rows.
+    """
+    from pyspark.sql import Window
+
+    # caller-provided id, NOT monotonically_increasing_id: the word
+    # relation feeds two join branches, and a partition-layout-dependent
+    # id is not guaranteed stable across re-evaluated subtrees
+    doc = df.select(F.col(id_col).alias("__doc"), F.col(text_col).alias("__t"))
+    words = doc.select(
+        "__doc",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("__t")), "[^a-z]+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("w"),
+    )
+    n_docs = words.select("__doc").distinct().count()
+    marg = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_w"))
+    pairs = (
+        words.alias("a")
+        .join(words.alias("b"), "__doc")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .groupBy(
+            F.col("a.w").alias("w1"), F.col("b.w").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= min_pairs)
+    )
+    m1 = marg.select(F.col("w").alias("w1"), F.col("df_w").alias("n1"))
+    m2 = marg.select(F.col("w").alias("w2"), F.col("df_w").alias("n2"))
+    scored = (
+        pairs.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log2(
+                    F.lit(float(n_docs))
+                    * F.col("n12")
+                    / (F.col("n1") * F.col("n2"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "w1", "w2", "n12", "n1", "n2", "pmi")
+    )

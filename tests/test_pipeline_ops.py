@@ -3766,3 +3766,32 @@ def test_impute_all_null_group_refuses_and_null_group_key(spark):
         elif r["g"] is None and r["v"] is None:
             # NULL group key is a real group (eqNullSafe): fills with 4
             assert r["v__filled"] == 4.0 and r["v__imputed"]
+
+
+def test_pmi_collocations_planted_pair_tops(spark):
+    from jsonschema_validator_spark.operators.textstats import pmi_collocations
+
+    # "kuala lumpur" always co-occur and appear nowhere else; filler
+    # words co-occur incidentally. N=12 docs.
+    rows = [(i, "kuala lumpur visit notes common words here") for i in range(6)]
+    rows += [(i + 6, "common words here visit notes") for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = pmi_collocations(df, "id", "text", min_pairs=5, top_k=50).collect()
+    top = out[0]
+    # PMI(kuala, lumpur) = log2(12 * 6 / 36) = 1.0 — maximal here
+    assert {top["w1"], top["w2"]} == {"kuala", "lumpur"}
+    assert top["pmi"] == pytest.approx(1.0, abs=1e-6)
+    assert top["n12"] == 6 and top["n1"] == 6 and top["n2"] == 6
+    # "common"/"words" co-occur in all 12 docs: PMI = log2(12*12/144) = 0
+    cw = [r for r in out if {r["w1"], r["w2"]} == {"common", "words"}][0]
+    assert cw["pmi"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_pmi_collocations_min_pairs_floors_hapax(spark):
+    from jsonschema_validator_spark.operators.textstats import pmi_collocations
+
+    # the hapax pair (rare, gem) would have maximal PMI; min_pairs kills it
+    rows = [(0, "rare gem")] + [(i, "filler words stay common") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = pmi_collocations(df, "id", "text", min_pairs=2, top_k=50).collect()
+    assert not any({r["w1"], r["w2"]} == {"rare", "gem"} for r in out)
