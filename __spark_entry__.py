@@ -8238,6 +8238,77 @@ FROM c WHERE d > 0 ORDER BY cohort, t
 """
 
 
+def q_nelson_aalen_events(spark, sf_dir):
+    """Cumulative-hazard curve over the SAME time-to-purchase subjects
+    as kaplan_meier_events (operators/survival.nelson_aalen): H(t) =
+    sum d/n with pointwise variance sum d/n^2 — the additive sibling
+    whose SLOPE is the conversion intensity itself, better behaved at
+    small risk sets than the product curve. Same block-relation plan;
+    oracle replays the hazard cumsums."""
+    from jsonschema_validator_spark.operators.survival import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("et"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+        F.min_by("et", "event_id").alias("cohort"),
+    )
+    in_window = F.col("first_buy").isNotNull() & (
+        F.col("first_buy") <= F.col("first_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    subj = per_user.select(
+        "cohort",
+        F.when(
+            in_window, F.datediff(F.to_date("first_buy"), F.to_date("first_ts"))
+        )
+        .otherwise(F.lit(7))
+        .alias("dur"),
+        in_window.cast("int").alias("ev"),
+    )
+    return nelson_aalen(subj, "dur", "ev", group="cohort").orderBy("cohort", "t")
+
+
+_ORACLE_NELSON_AALEN = """
+WITH e AS (SELECT user_id, event_id, ts, event_type,
+                  coalesce(event_type, '(null)') AS et FROM events),
+u AS (SELECT user_id, min(ts) AS f,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+             arg_min(et, event_id) AS cohort
+      FROM e GROUP BY user_id),
+s AS (SELECT cohort,
+        CASE WHEN p IS NOT NULL AND p <= f + INTERVAL 7 DAY
+             THEN date_diff('day', f::DATE, p::DATE)::DOUBLE
+             ELSE 7.0 END AS t,
+        CASE WHEN p IS NOT NULL AND p <= f + INTERVAL 7 DAY
+             THEN 1 ELSE 0 END AS ev
+      FROM u),
+b AS (SELECT cohort, t, count(*)::BIGINT AS m, sum(ev)::BIGINT AS d
+      FROM s GROUP BY cohort, t),
+r AS (SELECT cohort, t, m, d,
+        (sum(m) OVER (PARTITION BY cohort)
+         - coalesce(sum(m) OVER (PARTITION BY cohort ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::DOUBLE AS n
+      FROM b),
+c AS (SELECT cohort, t, n, d,
+        sum(d / n) OVER (PARTITION BY cohort ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+        sum(d / (n * n)) OVER (PARTITION BY cohort ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM r)
+SELECT cohort, t, n::BIGINT AS n_risk, d AS n_events,
+       round(h, 6) AS cum_hazard, round(v, 6) AS var_hazard
+FROM c WHERE d > 0 ORDER BY cohort, t
+"""
+
+
 def q_funnel_fold_events(spark, sf_dir):
     """Ordered-step conversion, single-shuffle fold variant
     (operators/funnel.funnel_fold — the strictly-after /
@@ -8849,6 +8920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_events": q_kaplan_meier_events,
         "pass_rate_sla_events": q_pass_rate_sla_events,
         "quality_trend_events": q_quality_trend_events,
+        "nelson_aalen_events": q_nelson_aalen_events,
         "median_ci_events": q_median_ci_events,
         "association_lift_events": q_association_lift_events,
         "pareto_front_events": q_pareto_front_events,
@@ -9038,6 +9110,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier_events": _ORACLE_KAPLAN_MEIER,
         "pass_rate_sla_events": _ORACLE_PASS_RATE_SLA,
         "quality_trend_events": _ORACLE_QUALITY_TREND,
+        "nelson_aalen_events": _ORACLE_NELSON_AALEN,
         "median_ci_events": _ORACLE_MEDIAN_CI,
         "association_lift_events": _ORACLE_ASSOCIATION_LIFT,
         "pareto_front_events": _ORACLE_PARETO_FRONT,

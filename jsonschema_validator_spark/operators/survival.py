@@ -84,3 +84,61 @@ def kaplan_meier(
         F.col("__d").alias("n_events"),
         F.round("__surv", 6).alias("survival"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration: str,
+    event: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group — the
+    additive sibling of the Kaplan-Meier product curve: H(t) =
+    sum_{t_j <= t} d_j / n_j, with pointwise variance
+    sum d_j / n_j^2 (Klein-Moeschberger form). Where KM answers "what
+    fraction survives past t", H(t)'s SLOPE is the hazard itself —
+    flat segments mean quiet periods, a steepening curve means the
+    conversion/failure intensity is rising — and being a plain sum it
+    is the better-behaved estimator at small risk sets (no product
+    collapsing to 0 when one step kills everyone at risk).
+
+    Same input contract and block-relation plan as kaplan_meier:
+    rows reduce to (group?, t) with event/censor counts, at-risk from
+    the reversed cumulative, and the hazard cumsum runs over the
+    O(distinct times) relation only. Censoring-only times move the
+    at-risk count but add no step. Returns (group?, t, n_risk,
+    n_events, cum_hazard, var_hazard), floats rounded to 6.
+    """
+    gcols = [group] if group else []
+    subj = df.filter(F.col(duration).isNotNull() & F.col(event).isNotNull()).select(
+        *gcols,
+        F.col(duration).cast("double").alias("__t"),
+        F.col(event).cast("int").alias("__e"),
+    )
+    blocks = subj.groupBy(*gcols, "__t").agg(
+        F.count(F.lit(1)).alias("__m"), F.sum("__e").alias("__d")
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy("__t")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__t")
+    )
+    before = F.coalesce(
+        F.sum("__m").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    total = F.sum("__m").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    risked = blocks.withColumn("__n", (total - before).cast("double"))
+    upto = w.rowsBetween(Window.unboundedPreceding, 0)
+    hazard = F.sum(F.col("__d") / F.col("__n")).over(upto)
+    var = F.sum(F.col("__d") / (F.col("__n") * F.col("__n"))).over(upto)
+    out = risked.withColumn("__h", hazard).withColumn("__v", var)
+    return out.filter(F.col("__d") > 0).select(
+        *gcols,
+        F.col("__t").alias("t"),
+        F.col("__n").cast("long").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.round("__h", 6).alias("cum_hazard"),
+        F.round("__v", 6).alias("var_hazard"),
+    )

@@ -3795,3 +3795,34 @@ def test_pmi_collocations_min_pairs_floors_hapax(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     out = pmi_collocations(df, "id", "text", min_pairs=2, top_k=50).collect()
     assert not any({r["w1"], r["w2"]} == {"rare", "gem"} for r in out)
+
+
+def test_nelson_aalen_textbook(spark):
+    # durations (event=1 unless noted): 1, 2, 2, 3c (censored), 4
+    # t=1: n=5, d=1 -> H=0.2,         V=1/25=0.04
+    # t=2: n=4, d=2 -> H=0.2+0.5=0.7, V=0.04+2/16=0.165
+    # t=4: n=1, d=1 -> H=1.7,         V=0.165+1=1.165
+    # censored-only t=3 moves n but adds NO step row.
+    from jsonschema_validator_spark.operators.survival import nelson_aalen
+
+    rows = [(1.0, 1), (2.0, 1), (2.0, 1), (3.0, 0), (4.0, 1)]
+    df = spark.createDataFrame(rows, "dur double, ev int")
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert set(out) == {1.0, 2.0, 4.0}
+    assert out[1.0]["cum_hazard"] == pytest.approx(0.2)
+    assert out[2.0]["cum_hazard"] == pytest.approx(0.7)
+    assert out[4.0]["cum_hazard"] == pytest.approx(1.7)
+    assert out[2.0]["var_hazard"] == pytest.approx(0.165)
+    assert (out[1.0]["n_risk"], out[2.0]["n_risk"], out[4.0]["n_risk"]) == (5, 4, 1)
+
+
+def test_nelson_aalen_total_death_stays_finite(spark):
+    # everyone at risk dies at t=1: KM's product hits exactly 0 but the
+    # NA hazard is a plain finite sum (d/n = 1) — the small-risk-set
+    # advantage the docstring claims.
+    from jsonschema_validator_spark.operators.survival import nelson_aalen
+
+    df = spark.createDataFrame([(1.0, 1), (1.0, 1)], "dur double, ev int")
+    r = nelson_aalen(df, "dur", "ev").collect()[0]
+    assert r["cum_hazard"] == pytest.approx(1.0)
+    assert r["var_hazard"] == pytest.approx(0.5)
