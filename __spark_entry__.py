@@ -7697,6 +7697,78 @@ FROM ci ORDER BY part
 """
 
 
+def q_ndcg_documents(spark, sf_dir):
+    """Ranking-quality evaluation (operators/evaluation.ndcg): three
+    two-term queries over documents; candidates score by raw term
+    frequency (replace-based occurrence count, identical in both
+    engines) and graded truth is term coverage (2 = both terms,
+    1 = one) — nDCG@10 then measures whether TF-ranking surfaces the
+    both-term documents first. Ties break by doc_id in BOTH orderings
+    so the metric is a pure function of the data. Oracle replays
+    scoring, both rankings, and the gain algebra."""
+    from jsonschema_validator_spark.operators.evaluation import ndcg
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = F.array(
+        F.struct(F.lit("q1").alias("qid"), F.lit("spark").alias("t1"), F.lit("table").alias("t2")),
+        F.struct(F.lit("q2").alias("qid"), F.lit("fast").alias("t1"), F.lit("scan").alias("t2")),
+        F.struct(F.lit("q3").alias("qid"), F.lit("batch").alias("t1"), F.lit("window").alias("t2")),
+    )
+    cand = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("t"), F.explode(qs).alias("q")
+    )
+
+    def occ(term):
+        return (
+            F.length("t") - F.length(F.replace(F.col("t"), term))
+        ) / F.length(term)
+
+    cand = cand.select(
+        F.col("q.qid").alias("qid"),
+        "doc_id",
+        (occ(F.col("q.t1")) + occ(F.col("q.t2"))).alias("score"),
+        (
+            (occ(F.col("q.t1")) > 0).cast("int")
+            + (occ(F.col("q.t2")) > 0).cast("int")
+        ).alias("rel"),
+    ).filter(F.col("score") > 0)
+    return ndcg(cand, "qid", "doc_id", "score", "rel", k=10).orderBy("query")
+
+
+_ORACLE_NDCG = """
+WITH qs AS (
+  SELECT * FROM (VALUES ('q1', 'spark', 'table'),
+                        ('q2', 'fast', 'scan'),
+                        ('q3', 'batch', 'window')) v(qid, t1, t2)),
+cand AS (
+  SELECT q.qid, d.doc_id,
+         (length(lower(d.text)) - length(replace(lower(d.text), q.t1, '')))
+           / length(q.t1)
+         + (length(lower(d.text)) - length(replace(lower(d.text), q.t2, '')))
+           / length(q.t2) AS score,
+         (CASE WHEN position(q.t1 IN lower(d.text)) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN position(q.t2 IN lower(d.text)) > 0 THEN 1 ELSE 0 END)
+           ::DOUBLE AS rel
+  FROM documents d CROSS JOIN qs q),
+f AS (SELECT * FROM cand WHERE score > 0),
+ranked AS (SELECT *,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rel DESC, doc_id) AS ri
+           FROM f),
+agg AS (SELECT qid, count(*)::BIGINT AS n_docs,
+               COALESCE(sum(CASE WHEN r <= 10
+                    THEN (pow(2.0, rel) - 1) / log2(r + 1.0) END), 0) AS dcg,
+               COALESCE(sum(CASE WHEN ri <= 10
+                    THEN (pow(2.0, rel) - 1) / log2(ri + 1.0) END), 0) AS idcg
+        FROM ranked GROUP BY 1)
+SELECT qid AS query, n_docs, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+FROM agg ORDER BY query
+"""
+
+
 def q_pmi_collocations_documents(spark, sf_dir):
     """PMI collocation mining (operators/textstats.pmi_collocations):
     word pairs co-occurring in documents far beyond their marginals —
@@ -8932,6 +9004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation_events": q_neyman_allocation_events,
         "impute_events": q_impute_events,
         "pmi_collocations_documents": q_pmi_collocations_documents,
+        "ndcg_documents": q_ndcg_documents,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9122,6 +9195,7 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation_events": _ORACLE_NEYMAN,
         "impute_events": _ORACLE_IMPUTE,
         "pmi_collocations_documents": _ORACLE_PMI_COLLOCATIONS,
+        "ndcg_documents": _ORACLE_NDCG,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -279,3 +279,68 @@ def isotonic_calibration(
         "pos",
         F.round("p_cal", 6).alias("p_cal"),
     )
+
+
+def ndcg(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k per query — the ranking-quality metric that closes the
+    retrieval loop (bm25 / tfidf / rrf_fuse produce rankings; this
+    scores them against graded relevance): DCG@k =
+    sum_{i<=k} (2^rel_i - 1) / log2(i + 1) over the SCORE ordering,
+    normalized by the same sum over the IDEAL (relevance-sorted)
+    ordering, so 1.0 means "ranked exactly as well as possible" and
+    the graded numerator rewards putting highly-relevant documents
+    earliest.
+
+    Both orderings break ties by document id, so the metric is a pure
+    function of the data (a score tie can't flap the rank between
+    runs or engines). Queries with NO relevant candidate have
+    idcg = 0 -> ndcg NULL (excluded from averages rather than scored
+    1.0 or 0.0 — an empty truth set is unmeasurable, not perfect).
+    Two row_number windows per query over the O(candidates) relation;
+    NULL scores rank last, NULL relevance counts as 0. Returns
+    (query, n_docs, dcg, idcg, ndcg), floats rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    rel = F.coalesce(F.col(rel_col).cast("double"), F.lit(0.0))
+    d = df.select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("doc"),
+        F.col(score_col).alias("score"),
+        rel.alias("rel"),
+    )
+    w_score = Window.partitionBy("q").orderBy(
+        F.col("score").desc_nulls_last(), F.col("doc")
+    )
+    w_ideal = Window.partitionBy("q").orderBy(
+        F.col("rel").desc(), F.col("doc")
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    ranked = d.withColumn("__r", F.row_number().over(w_score)).withColumn(
+        "__ri", F.row_number().over(w_ideal)
+    )
+    agg = ranked.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("__r") <= k, gain / F.log2(F.col("__r") + 1.0))
+        ).alias("__dcg"),
+        F.sum(
+            F.when(F.col("__ri") <= k, gain / F.log2(F.col("__ri") + 1.0))
+        ).alias("__idcg"),
+    )
+    dcg = F.coalesce(F.col("__dcg"), F.lit(0.0))
+    idcg = F.coalesce(F.col("__idcg"), F.lit(0.0))
+    return agg.select(
+        F.col("q").alias("query"),
+        "n_docs",
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.round(F.when(idcg > 0, dcg / idcg), 6).alias("ndcg"),
+    )

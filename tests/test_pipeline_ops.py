@@ -3826,3 +3826,38 @@ def test_nelson_aalen_total_death_stays_finite(spark):
     r = nelson_aalen(df, "dur", "ev").collect()[0]
     assert r["cum_hazard"] == pytest.approx(1.0)
     assert r["var_hazard"] == pytest.approx(0.5)
+
+
+def test_ndcg_hand_computed_and_perfect(spark):
+    from jsonschema_validator_spark.operators.evaluation import ndcg
+
+    # query A: scores rank docs (d1, d2, d3); rel = (0, 2, 1).
+    # DCG = 0 + 3/log2(3) + 1/log2(4) = 1.892789 + 0.5 = 2.392789
+    # ideal order (d2, d3, d1): IDCG = 3/1 + 1/log2(3) = 3.630930
+    # nDCG = 0.659056
+    rows = [
+        ("A", "d1", 9.0, 0), ("A", "d2", 5.0, 2), ("A", "d3", 1.0, 1),
+        ("B", "e1", 2.0, 1), ("B", "e2", 1.0, 0),   # perfect ranking
+        ("C", "f1", 3.0, 0),                         # no relevant: NULL
+    ]
+    df = spark.createDataFrame(rows, "q string, doc string, score double, rel int")
+    out = {r["query"]: r for r in ndcg(df, "q", "doc", "score", "rel").collect()}
+    import math
+    dcg = 3 / math.log2(3) + 1 / math.log2(4)
+    idcg = 3 + 1 / math.log2(3)
+    assert out["A"]["dcg"] == pytest.approx(dcg, abs=1e-5)
+    assert out["A"]["ndcg"] == pytest.approx(dcg / idcg, abs=1e-5)
+    assert out["B"]["ndcg"] == 1.0
+    assert out["C"]["ndcg"] is None and out["C"]["idcg"] == 0.0
+
+
+def test_ndcg_k_cutoff_and_score_ties(spark):
+    from jsonschema_validator_spark.operators.evaluation import ndcg
+
+    # k=1: only the top-ranked doc counts. Score tie between d1/d2
+    # breaks by doc id -> d1 first (rel 0) -> DCG 0; ideal puts the
+    # rel-1 doc first -> IDCG 1 -> nDCG 0.
+    rows = [("A", "d1", 5.0, 0), ("A", "d2", 5.0, 1)]
+    df = spark.createDataFrame(rows, "q string, doc string, score double, rel int")
+    r = ndcg(df, "q", "doc", "score", "rel", k=1).collect()[0]
+    assert r["dcg"] == 0.0 and r["idcg"] == 1.0 and r["ndcg"] == 0.0
