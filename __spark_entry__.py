@@ -7697,6 +7697,81 @@ FROM ci ORDER BY part
 """
 
 
+def q_scd2_events(spark, sf_dir):
+    """SCD2 dimension build (operators/merge.scd2_intervals): each
+    user's event stream becomes validity intervals of their
+    event_type "state", with consecutive UNCHANGED states collapsed
+    (the no-op-update bug that multiplies a dimension by its update
+    frequency) and the last interval open per user. Epoch-microsecond
+    bounds are exact in both engines. Summary rollup keeps the output
+    O(users): intervals, collapsed no-ops, current states. Oracle
+    replays the lag/lead construction."""
+    from jsonschema_validator_spark.operators.merge import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = scd2_intervals(ev, "user_id", "ts", ["event_type"])
+    return (
+        iv.groupBy(F.col("user_id").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("is_current").cast("long")).alias("n_current"),
+            F.min("valid_from").alias("first_from"),
+            F.max(F.when(F.col("is_current"), F.col("valid_from"))).alias(
+                "current_from"
+            ),
+            F.max_by("event_type", "valid_from").alias("current_state"),
+        )
+        .orderBy("part")
+    )
+
+
+_ORACLE_SCD2 = """
+WITH d AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+m AS (SELECT *, lag(t) OVER w IS NULL
+               OR NOT (v IS NOT DISTINCT FROM lag(v) OVER w) AS chg
+      FROM d WINDOW w AS (PARTITION BY k ORDER BY t, v)),
+s AS (SELECT k, t, v FROM m WHERE chg),
+iv AS (SELECT k, v, t AS valid_from,
+              lead(t) OVER (PARTITION BY k ORDER BY t, v) AS valid_to
+       FROM s)
+SELECT k AS part, count(*)::BIGINT AS n_intervals,
+       sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_current,
+       min(valid_from) AS first_from,
+       max(CASE WHEN valid_to IS NULL THEN valid_from END) AS current_from,
+       arg_max(v, valid_from) AS current_state
+FROM iv GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_islands_events(spark, sf_dir):
+    """Gaps-and-islands report (operators/ordering.islands): gaps are
+    PLANTED deterministically (every event_id divisible by 97 removed)
+    and the operator must recover exactly the contiguous ranges that
+    remain — the backfill-planning complement of the one-number
+    density check. Classic id - row_number() grouping over distinct
+    ids. Oracle replays the grouping trick."""
+    from jsonschema_validator_spark.operators.ordering import islands
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 97 != 0)
+    return islands(ev, "event_id").orderBy("island_start")
+
+
+_ORACLE_ISLANDS = """
+WITH d AS (SELECT DISTINCT event_id::BIGINT AS id FROM events
+           WHERE event_id IS NOT NULL AND event_id % 97 != 0),
+m AS (SELECT id, id - row_number() OVER (ORDER BY id) AS isl FROM d),
+i AS (SELECT isl, min(id) AS island_start, max(id) AS island_end,
+             count(*)::BIGINT AS island_len
+      FROM m GROUP BY 1)
+SELECT island_start, island_end, island_len,
+       COALESCE(lead(island_start) OVER (ORDER BY island_start)
+                - island_end - 1, 0) AS next_gap
+FROM i ORDER BY island_start
+"""
+
+
 def q_ndcg_documents(spark, sf_dir):
     """Ranking-quality evaluation (operators/evaluation.ndcg): three
     two-term queries over documents; candidates score by raw term
@@ -9005,6 +9080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_events": q_impute_events,
         "pmi_collocations_documents": q_pmi_collocations_documents,
         "ndcg_documents": q_ndcg_documents,
+        "islands_events": q_islands_events,
+        "scd2_events": q_scd2_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9196,6 +9273,8 @@ def oracle_sql() -> dict[str, str]:
         "impute_events": _ORACLE_IMPUTE,
         "pmi_collocations_documents": _ORACLE_PMI_COLLOCATIONS,
         "ndcg_documents": _ORACLE_NDCG,
+        "islands_events": _ORACLE_ISLANDS,
+        "scd2_events": _ORACLE_SCD2,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -116,3 +116,55 @@ def snapshot_diff_summary(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 construction: turn an
+    append-only change log (key, ts, attributes...) into validity
+    intervals — the warehouse step between event capture and
+    point-in-time joins (asof_join consumes exactly this shape).
+    Consecutive records whose tracked attributes are UNCHANGED are
+    collapsed first (no-op updates must not split intervals — the
+    classic SCD2 bug that multiplies the dimension by the update
+    frequency), then each surviving change opens an interval closed by
+    the next one; the last interval per key is open (valid_to NULL,
+    is_current true).
+
+    Change detection is null-safe per attribute (NULL -> value and
+    value -> NULL are real changes; NULL -> NULL is not). Ordering is
+    (ts, attributes) per key so exact duplicates collapse
+    deterministically; NULL keys or timestamps are excluded.
+    valid_from/valid_to are integer epoch microseconds — exact and
+    engine-portable where formatted fractional timestamps are not.
+    One window pass per step over pre-projected columns. Returns
+    (key, value_cols..., valid_from, valid_to, is_current).
+    """
+    from pyspark.sql import Window
+
+    d = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts"),
+        *[F.col(c) for c in value_cols],
+    )
+    w = Window.partitionBy("__k").orderBy("__ts", *value_cols)
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag("__ts").over(w).isNull()
+    steps = d.withColumn("__chg", first | changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy("__k").orderBy("__ts", *value_cols)
+    nxt = F.lead("__ts").over(w2)
+    return steps.select(
+        F.col("__k").alias(key_col),
+        *value_cols,
+        F.col("__ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -127,3 +127,55 @@ def reindex_dense(
         .withColumn(out_col, F.row_number().over(w) - 1 + start)
     )
     return df.join(keys, [group, order])
+
+
+def islands(
+    df: DataFrame,
+    id_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands: collapse an integer id column into its maximal
+    CONTIGUOUS runs per group — the reporting complement of
+    density_check (which counts missing ids in one number, where this
+    says exactly WHICH ranges exist, so the backfill job knows what to
+    fetch). The classic id - row_number() grouping: consecutive ids
+    share the same difference against their rank, so one window plus
+    one aggregation yields every island; gaps are the spaces between
+    consecutive islands.
+
+    Duplicate ids are first collapsed (DISTINCT — a duplicate does not
+    break contiguity); NULL ids are excluded. The window orders
+    DISTINCT ids per group. Returns (group?, island_start, island_end,
+    island_len, next_gap) sorted by start; next_gap is the number of
+    missing ids before the next island — 0 for the LAST island (a real
+    inter-island gap is >= 1 by construction, so 0 is an unambiguous
+    "no next island" sentinel that keeps the column integer-typed).
+    """
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    d = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(*gcols, F.col(id_col).cast("long").alias("__id"))
+        .distinct()
+    )
+    w = Window.partitionBy(*gcols).orderBy("__id")
+    marked = d.withColumn(
+        "__isl", F.col("__id") - F.row_number().over(w)
+    )
+    isl = marked.groupBy(*gcols, "__isl").agg(
+        F.min("__id").alias("island_start"),
+        F.max("__id").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    )
+    w2 = Window.partitionBy(*gcols).orderBy("island_start")
+    return isl.select(
+        *gcols,
+        "island_start",
+        "island_end",
+        "island_len",
+        F.coalesce(
+            F.lead("island_start").over(w2) - F.col("island_end") - 1,
+            F.lit(0).cast("long"),
+        ).alias("next_gap"),
+    )

@@ -3861,3 +3861,47 @@ def test_ndcg_k_cutoff_and_score_ties(spark):
     df = spark.createDataFrame(rows, "q string, doc string, score double, rel int")
     r = ndcg(df, "q", "doc", "score", "rel", k=1).collect()[0]
     assert r["dcg"] == 0.0 and r["idcg"] == 1.0 and r["ndcg"] == 0.0
+
+
+def test_islands_hand_geometry_and_dups(spark):
+    from jsonschema_validator_spark.operators.ordering import islands
+
+    # ids 1,2,3, 7,7 (dup), 8, 12 -> islands [1-3], [7-8], [12];
+    # gaps 3 and 3; last island's next_gap is the 0 sentinel.
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 7, 8, 12]], "id long")
+    out = [(r["island_start"], r["island_end"], r["island_len"], r["next_gap"])
+           for r in islands(df, "id").collect()]
+    assert out == [(1, 3, 3, 3), (7, 8, 2, 3), (12, 12, 1, 0)]
+
+
+def test_islands_per_group_and_null_ids(spark):
+    from jsonschema_validator_spark.operators.ordering import islands
+
+    rows = [("a", 1), ("a", 2), ("a", 9), ("b", 5), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    out = {(r["g"], r["island_start"]): r for r in islands(df, "id", "g").collect()}
+    assert out[("a", 1)]["island_end"] == 2 and out[("a", 1)]["next_gap"] == 6
+    assert out[("a", 9)]["next_gap"] == 0
+    assert out[("b", 5)]["island_len"] == 1
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.merge import scd2_intervals
+
+    t = lambda s: dt.datetime(2024, 1, 1, s)
+    rows = [
+        (1, t(1), "A"), (1, t(2), "A"),      # no-op update: collapses
+        (1, t(3), "B"), (1, t(4), None),     # B, then NULL is a real change
+        (2, t(1), "X"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string")
+    out = scd2_intervals(df, "k", "ts", ["v"]).collect()
+    k1 = sorted((r for r in out if r["k"] == 1), key=lambda r: r["valid_from"])
+    assert [r["v"] for r in k1] == ["A", "B", None]
+    # A's interval closes at B's open; no-op at t(2) did NOT split it
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[2]["is_current"] and k1[2]["valid_to"] is None
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"]
