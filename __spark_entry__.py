@@ -7697,6 +7697,56 @@ FROM ci ORDER BY part
 """
 
 
+def q_zipf_documents(spark, sf_dir):
+    """Zipf-law corpus fingerprint per language (operators/textstats.
+    zipf_slope): OLS slope of log2(freq) on log2(rank) over the
+    distinct-word relation — natural text sits near -1; template spam
+    steepens it, synthetic/shuffled text flattens it, and per-document
+    quality scores see neither. Oracle replays ranking and the OLS
+    closed form."""
+    from jsonschema_validator_spark.operators.textstats import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, "text", group_col="lang").orderBy("part")
+
+
+_ORACLE_ZIPF = """
+WITH words AS (
+  SELECT lang AS part, w
+  FROM (SELECT lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+  WHERE w != ''),
+freq AS (SELECT part, w, count(*)::BIGINT AS n FROM words GROUP BY 1, 2),
+tot AS (SELECT part, count(*)::BIGINT AS n_types, sum(n)::BIGINT AS n_tokens
+        FROM freq GROUP BY 1),
+kept AS (SELECT * FROM freq WHERE n >= 2),
+ranked AS (SELECT part, n,
+                  row_number() OVER (PARTITION BY part
+                                     ORDER BY n DESC, w) AS r
+           FROM kept),
+p AS (SELECT part, count(*)::DOUBLE AS m,
+             sum(log2(r)) AS sx, sum(log2(n)) AS sy,
+             sum(log2(r) * log2(r)) AS sxx,
+             sum(log2(r) * log2(n)) AS sxy,
+             sum(log2(n) * log2(n)) AS syy
+      FROM ranked GROUP BY 1),
+o AS (SELECT part,
+             sxy - sx * sy / m AS cov,
+             sxx - sx * sx / m AS varx,
+             syy - sy * sy / m AS vary,
+             sx, sy, m
+      FROM p)
+SELECT t.part, t.n_types, t.n_tokens,
+       round(CASE WHEN varx > 0 THEN cov / varx END, 6) AS slope,
+       round(CASE WHEN varx > 0 THEN (sy - cov / varx * sx) / m END, 6)
+         AS intercept,
+       round(CASE WHEN varx > 0 AND vary > 0
+                  THEN cov * cov / (varx * vary) END, 6) AS r2
+FROM tot t JOIN o USING (part) ORDER BY t.part
+"""
+
+
 def q_scd2_events(spark, sf_dir):
     """SCD2 dimension build (operators/merge.scd2_intervals): each
     user's event stream becomes validity intervals of their
@@ -9082,6 +9132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_documents": q_ndcg_documents,
         "islands_events": q_islands_events,
         "scd2_events": q_scd2_events,
+        "zipf_documents": q_zipf_documents,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9275,6 +9326,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_documents": _ORACLE_NDCG,
         "islands_events": _ORACLE_ISLANDS,
         "scd2_events": _ORACLE_SCD2,
+        "zipf_documents": _ORACLE_ZIPF,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -563,3 +563,79 @@ def pmi_collocations(
         .filter(F.col("rank") <= top_k)
         .select("rank", "w1", "w2", "n12", "n1", "n2", "pmi")
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    group_col: str | None = None,
+    min_count: int = 2,
+) -> DataFrame:
+    """Zipf-law fit of the word-frequency distribution per corpus
+    slice: OLS slope of log2(frequency) on log2(rank) — natural
+    language sits near -1, so the slope is a one-number corpus
+    fingerprint that catches template spam (too steep: a few phrases
+    dominate) and synthetic/shuffled text (too flat) that per-document
+    quality scores miss because every individual document looks fine.
+
+    Ranks come from one window over the distinct-word frequency
+    relation (ties break by word for determinism); the OLS closed form
+    is exact arithmetic on the five power sums of (log2 rank,
+    log2 freq). ``min_count`` trims the hapax tail, where Zipf fits
+    are known to bend and which would otherwise dominate the
+    regression by sheer row count. The [a-z]+ tokenizer is the
+    package's deterministic contract. Returns (part?, n_types,
+    n_tokens, slope, intercept, r2), floats rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    gcols = ["part"] if group_col else []
+    sel = ([F.col(group_col).alias("part")] if group_col else []) + [
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w")
+    ]
+    words = df.select(*sel)
+    freq = words.groupBy(*gcols, "w").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_types"), F.sum("n").alias("n_tokens")
+    )
+    kept = freq.filter(F.col("n") >= min_count)
+    w_rank = Window.partitionBy(*gcols).orderBy(F.desc("n"), "w")
+    ranked = kept.withColumn("__r", F.row_number().over(w_rank))
+    x = F.log2(F.col("__r").cast("double"))
+    y = F.log2(F.col("n").cast("double"))
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    m = F.col("__m").cast("double")
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / m
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / m
+    vary = F.col("__syy") - F.col("__sy") * F.col("__sy") / m
+    slope = F.when(varx > 0, cov / varx)
+    out = agg.select(
+        *gcols,
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when(varx > 0, (F.col("__sy") - cov / varx * F.col("__sx")) / m),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)), 6
+        ).alias("r2"),
+    )
+    if gcols:
+        return tot.join(out, "part").select(
+            "part", "n_types", "n_tokens", "slope", "intercept", "r2"
+        )
+    return tot.crossJoin(out).select(
+        "n_types", "n_tokens", "slope", "intercept", "r2"
+    )

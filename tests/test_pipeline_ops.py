@@ -3905,3 +3905,35 @@ def test_scd2_intervals_collapse_and_current(spark):
     assert k1[2]["is_current"] and k1[2]["valid_to"] is None
     k2 = [r for r in out if r["k"] == 2]
     assert len(k2) == 1 and k2[0]["is_current"]
+
+
+def test_zipf_slope_exact_power_law(spark):
+    # construct an exact Zipf corpus: word_r appears round(64/r) times
+    # for r = 1,2,4,8,16 -> frequencies 64,32,16,8,4 at ranks 1,2,3,4,5.
+    # log2 freq = 6,5,4,3,2 vs log2 rank = 0,1,2,3,4 -> NOT linear
+    # (rank spacing is log); use r = 1,2,4,8,16 as freq = 64/r so
+    # points (log2 r, log2 64/r) = (0,6),(1,5),(2,4),(3,4... wait
+    # freq at rank: ranks are 1..5 by construction. Simpler: freqs
+    # 16,8,4,2 at ranks 1,2,3,4: y = 4,3,2,1 on x = 0,1,1.585,2 ->
+    # not exactly linear either. Use 2 points for an exact line:
+    # freqs 8 and 4 -> slope = (2-3)/(1-0) = -1 exactly, r2 = 1.
+    from jsonschema_validator_spark.operators.textstats import zipf_slope
+
+    text_a = " ".join(["alpha"] * 8 + ["beta"] * 4)
+    df = spark.createDataFrame([(text_a,)], "text string")
+    r = zipf_slope(df, "text").collect()[0]
+    assert (r["n_types"], r["n_tokens"]) == (2, 12)
+    assert r["slope"] == pytest.approx(-1.0, abs=1e-9)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_zipf_slope_flat_corpus_and_hapax_trim(spark):
+    from jsonschema_validator_spark.operators.textstats import zipf_slope
+
+    # every kept word equally frequent -> vary = 0 -> slope 0, r2 NULL;
+    # hapax words are trimmed and only show in n_types/n_tokens
+    text = "aa aa bb bb cc"
+    df = spark.createDataFrame([(text,)], "text string")
+    r = zipf_slope(df, "text").collect()[0]
+    assert r["n_types"] == 3 and r["n_tokens"] == 5
+    assert r["slope"] == 0.0 and r["r2"] is None
