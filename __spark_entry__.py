@@ -9026,6 +9026,8 @@ SELECT n1, n2,
        round(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
          / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
            - ties / ((n1 + n2)::DOUBLE * (n1 + n2 - 1)))), 6) AS z,
+       round(2.0 * (r1 - n1 * (n1 + 1) / 2.0) / (n1 * 1.0 * n2) - 1.0, 6)
+         AS cliffs_delta,
        abs(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
          / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
            - ties / ((n1 + n2)::DOUBLE * (n1 + n2 - 1))))) > 2.576 AS flag

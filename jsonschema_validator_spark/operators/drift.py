@@ -371,6 +371,11 @@ def mann_whitney_u(
         n1 * n2 / 12 * ((nn + 1) - F.col("__ties") / (nn * (nn - 1)))
     )
     z = (u - mu) / sigma
+    # Cliff's delta = 2U/(n1*n2) - 1: the EFFECT SIZE the z-score
+    # isn't — at 10^9 rows a 0.1% median shift is wildly significant
+    # but delta ~ 0 says it's operationally nothing. |d| ~ 0.147 is
+    # the conventional "negligible" line (Romano et al. 2006).
+    delta = 2.0 * u / (n1 * n2) - 1.0
     return agg.select(
         "n1",
         "n2",
@@ -378,6 +383,7 @@ def mann_whitney_u(
         F.round(mu, 6).alias("mu"),
         F.round(sigma, 6).alias("sigma"),
         F.round(z, 6).alias("z"),
+        F.round(delta, 6).alias("cliffs_delta"),
         (F.abs(z) > z_crit).alias("flag"),
     )
 

@@ -546,3 +546,19 @@ def test_neyman_allocation_degenerate_all_constant(spark):
     # zero total variance: Neyman undefined -> 0 allocations, use proportional
     assert all(r["neyman_n"] == 0.0 for r in out.values())
     assert out["A"]["proportional_n"] == 5.0
+
+
+def test_mann_whitney_cliffs_delta_bounds_and_sign(spark):
+    from jsonschema_validator_spark.operators.drift import mann_whitney_u
+
+    # A completely above B: every A beats every B -> delta = +1
+    rows = [("A", 10.0), ("A", 11.0), ("B", 1.0), ("B", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "v", "g", "A", "B").collect()[0]
+    assert r["cliffs_delta"] == 1.0
+
+    # identical distributions -> delta = 0
+    rows = [("A", 5.0), ("A", 7.0), ("B", 5.0), ("B", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "v", "g", "A", "B").collect()[0]
+    assert r["cliffs_delta"] == 0.0
