@@ -7697,6 +7697,47 @@ FROM ci ORDER BY part
 """
 
 
+def q_sax_events(spark, sf_dir):
+    """SAX symbolic series fingerprint per event_type (operators/
+    timeseries.sax_fingerprint, Lin/Keogh 2003): z-normalized daily
+    counts -> 8-slice PAA -> quartile-breakpoint symbols; equal words
+    mean equal coarse shape, turning series shape-dedup into a plain
+    groupBy instead of a quadratic distance join. Oracle replays
+    normalization, slicing, and symbolization."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        sax_fingerprint,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return sax_fingerprint(ev, "event_type", "ts", segments=8).orderBy("part")
+
+
+_ORACLE_SAX = """
+WITH daily AS (SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS day,
+                      count(*)::DOUBLE AS x
+               FROM events GROUP BY 1, 2),
+stats AS (SELECT g, avg(x) AS mu, COALESCE(stddev_samp(x), 0) AS sd,
+                 count(*)::BIGINT AS n_days
+          FROM daily GROUP BY 1),
+idx AS (SELECT g, x,
+               row_number() OVER (PARTITION BY g ORDER BY day) - 1 AS r
+        FROM daily),
+z AS (SELECT i.g, s.n_days,
+             CASE WHEN s.sd > 0 THEN (i.x - s.mu) / s.sd ELSE 0.0 END AS z,
+             CAST(floor(i.r * 8 / s.n_days) AS INT) AS seg
+      FROM idx i JOIN stats s USING (g)),
+paa AS (SELECT g, seg, avg(z) AS m, any_value(n_days) AS n_days
+        FROM z GROUP BY 1, 2),
+sym AS (SELECT g, seg, n_days,
+               CASE WHEN m < -0.6745 THEN 'a' WHEN m < 0.0 THEN 'b'
+                    WHEN m < 0.6745 THEN 'c' ELSE 'd' END AS s
+        FROM paa)
+SELECT g AS part, any_value(n_days)::BIGINT AS n_days,
+       string_agg(s, '' ORDER BY seg) AS word
+FROM sym GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_zipf_documents(spark, sf_dir):
     """Zipf-law corpus fingerprint per language (operators/textstats.
     zipf_slope): OLS slope of log2(freq) on log2(rank) over the
@@ -9135,6 +9176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "islands_events": q_islands_events,
         "scd2_events": q_scd2_events,
         "zipf_documents": q_zipf_documents,
+        "sax_events": q_sax_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9329,6 +9371,7 @@ def oracle_sql() -> dict[str, str]:
         "islands_events": _ORACLE_ISLANDS,
         "scd2_events": _ORACLE_SCD2,
         "zipf_documents": _ORACLE_ZIPF,
+        "sax_events": _ORACLE_SAX,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -427,3 +427,68 @@ def circular_time_profile(
         F.round(z, 6).alias("rayleigh_z"),
         (z > z_crit).alias("rhythmic"),
     )
+
+
+def sax_fingerprint(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    value=None,
+    segments: int = 8,
+) -> DataFrame:
+    """SAX symbolic fingerprint of each group's daily series (Lin,
+    Keogh et al. 2003 — a public algorithm): z-normalize the series,
+    average it into ``segments`` equal time slices (PAA), and map each
+    slice to one of four symbols at the standard normal quartile
+    breakpoints (-0.6745, 0, 0.6745) — the same WORD for two series
+    means the same coarse shape regardless of scale, which makes
+    shape-dedup, motif grouping, and "which metrics move together" a
+    plain groupBy on the word where raw-series comparison needs a
+    quadratic distance join.
+
+    All arithmetic on the O(days) daily relation: mean/std per group,
+    slice index floor(rank * w / n) from a row_number, slice means,
+    then symbol mapping and a sorted concat — exact and
+    engine-replayable. Flat series (std 0) map to all-'c' (z treated
+    as 0, which sits in the half-open [0, 0.6745) band under the
+    strict-< breakpoint convention used consistently here).
+    Returns (part, n_days, word), one row per group.
+    """
+    val = F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    daily = _daily(df, group, ts, val)
+    stats = daily.groupBy("g").agg(
+        F.avg("x").alias("__mu"),
+        F.coalesce(F.stddev_samp("x"), F.lit(0.0)).alias("__sd"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.partitionBy("g").orderBy("day")
+    idx = daily.withColumn("__r", F.row_number().over(w) - 1)
+    j = idx.join(stats, "g")
+    z = F.when(
+        F.col("__sd") > 0, (F.col("x") - F.col("__mu")) / F.col("__sd")
+    ).otherwise(F.lit(0.0))
+    seg = F.floor(F.col("__r") * segments / F.col("n_days")).cast("int")
+    paa = (
+        j.withColumn("__z", z)
+        .withColumn("__seg", seg)
+        .groupBy("g", "__seg")
+        .agg(F.avg("__z").alias("__m"), F.first("n_days").alias("n_days"))
+    )
+    sym = (
+        F.when(F.col("__m") < -0.6745, F.lit("a"))
+        .when(F.col("__m") < 0.0, F.lit("b"))
+        .when(F.col("__m") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        paa.withColumn("__s", sym)
+        .groupBy(F.col("g").alias("part"))
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.concat_ws(
+                "", F.transform(F.array_sort(
+                    F.collect_list(F.struct(F.col("__seg"), F.col("__s")))
+                ), lambda st: st["__s"])
+            ).alias("word"),
+        )
+    )

@@ -562,3 +562,27 @@ def test_mann_whitney_cliffs_delta_bounds_and_sign(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = mann_whitney_u(df, "v", "g", "A", "B").collect()[0]
     assert r["cliffs_delta"] == 0.0
+
+
+def test_sax_fingerprint_ramp_and_flat(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import sax_fingerprint
+
+    # group 'ramp': daily count rises 1,2,...,8 over 8 days -> with 8
+    # segments each day is its own slice; z-normalized ramp crosses the
+    # quartile breakpoints monotonically -> word is non-decreasing
+    # a..d and uses both extremes.
+    rows = []
+    for d in range(8):
+        rows += [("ramp", dt.datetime(2024, 1, 1 + d, 12))] * (d + 1)
+        rows += [("flat", dt.datetime(2024, 1, 1 + d, 12))] * 5
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["part"]: r for r in sax_fingerprint(df, "g", "ts", segments=8).collect()}
+    ramp, flat = out["ramp"]["word"], out["flat"]["word"]
+    assert len(ramp) == 8 and ramp == "".join(sorted(ramp))
+    assert ramp[0] == "a" and ramp[-1] == "d"
+    # constant series: sd = 0 -> all z = 0 -> all 'c' (z=0 sits in the
+    # half-open [0, 0.6745) band under the strict-< breakpoints)
+    assert flat == "c" * 8
+    assert out["ramp"]["n_days"] == 8
