@@ -7697,6 +7697,35 @@ FROM ci ORDER BY part
 """
 
 
+def q_rfm_events(spark, sf_dir):
+    """RFM behavioral segmentation (operators/sessions.rfm_segments):
+    recency/frequency/monetary quintile scores per user, ties broken
+    by user id so the quantile assignment is a pure function of the
+    data; windows run over the O(users) reduced relation only. Oracle
+    replays the aggregation and the three ntile rankings."""
+    from jsonschema_validator_spark.operators.sessions import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(ev, "user_id", "ts", "value").orderBy("user")
+
+
+_ORACLE_RFM = """
+WITH agg AS (
+  SELECT user_id AS "user", max(epoch_us(ts)) AS recency_us,
+         count(*)::BIGINT AS frequency,
+         round(COALESCE(sum(value::DOUBLE), 0.0), 6) AS monetary
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+s AS (SELECT *,
+        ntile(5) OVER (ORDER BY recency_us, "user") AS r,
+        ntile(5) OVER (ORDER BY frequency, "user") AS f,
+        ntile(5) OVER (ORDER BY monetary, "user") AS m
+      FROM agg)
+SELECT "user", recency_us, frequency, monetary, r, f, m,
+       r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+FROM s ORDER BY "user"
+"""
+
+
 def q_sax_events(spark, sf_dir):
     """SAX symbolic series fingerprint per event_type (operators/
     timeseries.sax_fingerprint, Lin/Keogh 2003): z-normalized daily
@@ -9177,6 +9206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_events": q_scd2_events,
         "zipf_documents": q_zipf_documents,
         "sax_events": q_sax_events,
+        "rfm_events": q_rfm_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9372,6 +9402,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_events": _ORACLE_SCD2,
         "zipf_documents": _ORACLE_ZIPF,
         "sax_events": _ORACLE_SAX,
+        "rfm_events": _ORACLE_RFM,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -202,3 +202,57 @@ def cohort_retention(
             F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quantile segmentation —
+    the classic behavioral-cohort operator: each user scores 1..n per
+    dimension by quantile rank (n = best: most recent, most frequent,
+    highest spend) and the concatenated code ("555" whales, "155"
+    lapsed-but-valuable) drives retention/sampling decisions the raw
+    aggregates can't express uniformly across differently-scaled
+    dimensions.
+
+    One aggregation reduces rows to the O(users) relation; the three
+    ntile windows run over THAT relation only, each ordered by
+    (metric, user id) so tie scores are deterministic across runs and
+    engines. The windows are global by construction (quantiles are
+    corpus-wide) — at whale user counts swap ntile for precomputed
+    approx-quantile cutpoints; at the usual "users << events" scale
+    the reduced relation is small. NULL users excluded; NULL values
+    count 0 toward monetary. Returns (user, recency_us, frequency,
+    monetary, r, f, m, segment).
+    """
+    from pyspark.sql import Window
+
+    agg = (
+        df.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias(
+                "recency_us"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.coalesce(F.sum(F.col(value_col).cast("double")), F.lit(0.0)),
+                6,
+            ).alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy("recency_us", "user")
+    w_f = Window.orderBy("frequency", "user")
+    w_m = Window.orderBy("monetary", "user")
+    scored = (
+        agg.withColumn("r", F.ntile(n_tiles).over(w_r))
+        .withColumn("f", F.ntile(n_tiles).over(w_f))
+        .withColumn("m", F.ntile(n_tiles).over(w_m))
+    )
+    return scored.withColumn(
+        "segment", F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
+    )

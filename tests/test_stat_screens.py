@@ -586,3 +586,32 @@ def test_sax_fingerprint_ramp_and_flat(spark):
     # half-open [0, 0.6745) band under the strict-< breakpoints)
     assert flat == "c" * 8
     assert out["ramp"]["n_days"] == 8
+
+
+def test_rfm_segments_hand_computed(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.sessions import rfm_segments
+
+    # 5 users with strictly increasing recency/frequency/monetary in
+    # the SAME order -> ntile(5) gives user i score i on every axis.
+    rows = []
+    for u in range(1, 6):
+        for k in range(u):  # frequency = u
+            rows.append((u, dt.datetime(2024, 1, u, 12), float(10 * u)))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = {r["user"]: r for r in rfm_segments(df, "u", "ts", "v").collect()}
+    for u in range(1, 6):
+        assert out[u]["segment"] == f"{u}{u}{u}", out[u]
+    assert out[5]["frequency"] == 5 and out[5]["monetary"] == 250.0
+
+
+def test_rfm_segments_null_user_and_value(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.sessions import rfm_segments
+
+    rows = [(None, dt.datetime(2024, 1, 1), 5.0), (1, dt.datetime(2024, 1, 2), None)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = rfm_segments(df, "u", "ts", "v").collect()
+    assert len(out) == 1 and out[0]["monetary"] == 0.0
