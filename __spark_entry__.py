@@ -7697,6 +7697,41 @@ FROM ci ORDER BY part
 """
 
 
+def q_burstiness_events(spark, sf_dir):
+    """Goh-Barabasi burstiness per user (operators/timeseries.
+    burstiness): B = (sd - mu)/(sd + mu) over inter-event gaps —
+    periodic / poisson / bursty rhythm classification; the bot whose
+    volume and peak hour look human still fails by being too regular.
+    One lead() window over (user, ts); verdict on the O(users)
+    relation. Oracle replays the gap algebra."""
+    from jsonschema_validator_spark.operators.timeseries import burstiness
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return burstiness(ev, "user_id", "ts").orderBy("part")
+
+
+_ORACLE_BURSTINESS = """
+WITH d AS (SELECT user_id AS part, epoch_us(ts) AS t
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT part,
+             (lead(t) OVER (PARTITION BY part ORDER BY t) - t)::DOUBLE AS gap
+      FROM d),
+f AS (SELECT part, gap FROM g WHERE gap IS NOT NULL),
+a AS (SELECT part, count(*)::BIGINT AS n_gaps, avg(gap) AS mu,
+             stddev_samp(gap) AS sd
+      FROM f GROUP BY 1),
+s AS (SELECT *, CASE WHEN n_gaps >= 2 AND (sd + mu) > 0
+                     THEN (sd - mu) / (sd + mu) END AS b
+      FROM a)
+SELECT part, n_gaps, round(mu / 1e6, 6) AS mean_gap_s,
+       round(sd / 1e6, 6) AS sd_gap_s, round(b, 6) AS b,
+       CASE WHEN b < -1.0 / 3 THEN 'periodic'
+            WHEN b <= 1.0 / 3 THEN 'poisson'
+            WHEN b > 1.0 / 3 THEN 'bursty' END AS rhythm
+FROM s ORDER BY part
+"""
+
+
 def q_rfm_events(spark, sf_dir):
     """RFM behavioral segmentation (operators/sessions.rfm_segments):
     recency/frequency/monetary quintile scores per user, ties broken
@@ -9207,6 +9242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_documents": q_zipf_documents,
         "sax_events": q_sax_events,
         "rfm_events": q_rfm_events,
+        "burstiness_events": q_burstiness_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9403,6 +9439,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_documents": _ORACLE_ZIPF,
         "sax_events": _ORACLE_SAX,
         "rfm_events": _ORACLE_RFM,
+        "burstiness_events": _ORACLE_BURSTINESS,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

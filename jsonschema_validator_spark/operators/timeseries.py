@@ -492,3 +492,55 @@ def sax_fingerprint(
             ).alias("word"),
         )
     )
+
+
+def burstiness(
+    df: DataFrame,
+    group: str,
+    ts: str,
+) -> DataFrame:
+    """Inter-event burstiness per group (Goh & Barabasi 2008, a public
+    measure): B = (sigma - mu) / (sigma + mu) over the inter-arrival
+    times — B -> -1 periodic (heartbeats, cron), B ~ 0 Poisson
+    (memoryless arrivals), B -> +1 bursty (human/cascade activity).
+    The temporal sibling of the circular time-of-day profile: that one
+    asks WHEN activity happens, this one asks in what RHYTHM — and a
+    bot whose event count and peak hour both look human still fails
+    the rhythm test by being too regular.
+
+    One lead() window per group over pre-projected (group, ts) rows
+    gives integer microsecond gaps; mean/std close in one map-side-
+    combinable aggregation. Groups with fewer than 3 events (< 2 gaps)
+    have no gap variance: B NULL, never classified. Zero-duration gaps
+    (tied timestamps) are real gaps (a burst IS co-arrival). Returns
+    (part, n_gaps, mean_gap_s, sd_gap_s, b, rhythm) with rhythm
+    'periodic' (B < -1/3), 'poisson' (|B| <= 1/3), 'bursty' (B > 1/3).
+    """
+    d = df.filter(F.col(ts).isNotNull()).select(
+        F.col(group).alias("part"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__t"),
+    )
+    w = Window.partitionBy("part").orderBy("__t")
+    gaps = d.withColumn(
+        "__gap", (F.lead("__t").over(w) - F.col("__t")).cast("double")
+    ).filter(F.col("__gap").isNotNull())
+    agg = gaps.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("__gap").alias("__mu"),
+        F.stddev_samp("__gap").alias("__sd"),
+    )
+    mu, sd = F.col("__mu"), F.col("__sd")
+    b = F.when(
+        (F.col("n_gaps") >= 2) & ((sd + mu) > 0), (sd - mu) / (sd + mu)
+    )
+    return agg.select(
+        "part",
+        "n_gaps",
+        F.round(mu / 1e6, 6).alias("mean_gap_s"),
+        F.round(sd / 1e6, 6).alias("sd_gap_s"),
+        F.round(b, 6).alias("b"),
+        F.when(b < -1.0 / 3, F.lit("periodic"))
+        .when(b <= 1.0 / 3, F.lit("poisson"))
+        .when(b > 1.0 / 3, F.lit("bursty"))
+        .alias("rhythm"),
+    )

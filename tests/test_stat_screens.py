@@ -615,3 +615,26 @@ def test_rfm_segments_null_user_and_value(spark):
     df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
     out = rfm_segments(df, "u", "ts", "v").collect()
     assert len(out) == 1 and out[0]["monetary"] == 0.0
+
+
+def test_burstiness_periodic_poisson_bursty(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # periodic: exact 1h gaps -> sd = 0 -> B = -1
+    for h in range(6):
+        rows.append(("cron", t0 + dt.timedelta(hours=h)))
+    # bursty: 9 co-arrivals then one huge gap -> 9 gaps (8 zeros + g):
+    # mu = g/9, sd = g/3 exactly -> B = (g/3 - g/9)/(g/3 + g/9) = 0.5
+    for s in [0] * 9 + [864000]:
+        rows.append(("burst", t0 + dt.timedelta(seconds=s)))
+    # too few events: 2 events = 1 gap -> B NULL
+    rows += [("tiny", t0), ("tiny", t0 + dt.timedelta(hours=1))]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["part"]: r for r in burstiness(df, "g", "ts").collect()}
+    assert out["cron"]["b"] == -1.0 and out["cron"]["rhythm"] == "periodic"
+    assert out["burst"]["b"] > 1.0 / 3 and out["burst"]["rhythm"] == "bursty"
+    assert out["tiny"]["b"] is None and out["tiny"]["rhythm"] is None
