@@ -7697,6 +7697,49 @@ FROM ci ORDER BY part
 """
 
 
+def q_cross_correlation_events(spark, sf_dir):
+    """Lead-lag discovery (operators/timeseries.cross_correlation):
+    Pearson r between signup volume at day t and purchase volume at
+    day t+lag for lags -7..7 — "does signup LEAD purchase, by how
+    many days", which lag-0 correlation misses. All lag joins run on
+    the O(days) daily relations with honest per-lag overlap counts.
+    Oracle replays the shifted joins and the closed-form correlation."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cross_correlation(ev, "event_type", "ts", "signup", "purchase")
+
+
+_ORACLE_CROSS_CORRELATION = """
+WITH daily AS (
+  SELECT event_type AS g, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS x
+  FROM events WHERE event_type IN ('signup', 'purchase') GROUP BY 1, 2),
+idx AS (SELECT g, date_diff('day', DATE '1970-01-01', day::DATE)::INT AS d, x
+        FROM daily),
+a AS (SELECT d AS da, x AS xa FROM idx WHERE g = 'signup'),
+b AS (SELECT d AS db, x AS xb FROM idx WHERE g = 'purchase'),
+lags AS (SELECT unnest(range(-7, 8))::INT AS lag),
+j AS (SELECT l.lag, a.xa, b.xb
+      FROM a CROSS JOIN lags l JOIN b ON b.db = a.da + l.lag),
+agg AS (SELECT lag, count(*)::BIGINT AS n, sum(xa) AS sa, sum(xb) AS sb,
+               sum(xa * xa) AS saa, sum(xb * xb) AS sbb,
+               sum(xa * xb) AS sab
+        FROM j GROUP BY 1),
+r AS (SELECT l.lag, COALESCE(agg.n, 0)::BIGINT AS n,
+             CASE WHEN agg.n >= 3
+                       AND saa - sa * sa / agg.n > 0
+                       AND sbb - sb * sb / agg.n > 0
+                  THEN (sab - sa * sb / agg.n)
+                       / sqrt((saa - sa * sa / agg.n)
+                              * (sbb - sb * sb / agg.n)) END AS r
+      FROM lags l LEFT JOIN agg ON l.lag = agg.lag)
+SELECT lag, n, round(r, 6) AS r FROM r ORDER BY lag
+"""
+
+
 def q_burstiness_events(spark, sf_dir):
     """Goh-Barabasi burstiness per user (operators/timeseries.
     burstiness): B = (sd - mu)/(sd + mu) over inter-event gaps —
@@ -9243,6 +9286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_events": q_sax_events,
         "rfm_events": q_rfm_events,
         "burstiness_events": q_burstiness_events,
+        "cross_correlation_events": q_cross_correlation_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9440,6 +9484,7 @@ def oracle_sql() -> dict[str, str]:
         "sax_events": _ORACLE_SAX,
         "rfm_events": _ORACLE_RFM,
         "burstiness_events": _ORACLE_BURSTINESS,
+        "cross_correlation_events": _ORACLE_CROSS_CORRELATION,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

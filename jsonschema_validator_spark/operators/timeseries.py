@@ -544,3 +544,78 @@ def burstiness(
         .when(b > 1.0 / 3, F.lit("bursty"))
         .alias("rhythm"),
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    series_a: str,
+    series_b: str,
+    max_lag: int = 7,
+    value=None,
+) -> DataFrame:
+    """Lead-lag discovery between two named groups' daily series:
+    Pearson correlation of a(t) with b(t + lag) for lag in
+    [-max_lag, +max_lag] — the answer to "does signup volume LEAD
+    purchase volume, and by how many days", which same-day correlation
+    (lag 0) misses entirely. A positive peak lag means a leads b by
+    that many days.
+
+    The raw table reduces once to two (day, x) daily series (COUNTS
+    when ``value`` is None, else daily means); every lag is an
+    equi-join on the dense day index of the O(days) relations, and
+    each correlation closes in one aggregation of the five power sums.
+    Only overlapping days count at each lag (n varies by lag, reported
+    honestly). Lags with < 3 overlapping days or zero variance on
+    either side give r NULL. Returns (lag, n, r) for every lag,
+    ordered by lag.
+    """
+    val = F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    daily = _daily(
+        df.filter(F.col(group).isin(series_a, series_b)), group, ts, val
+    )
+    idx = daily.select(
+        "g",
+        F.datediff(F.to_date("day"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+        "x",
+    )
+    a = idx.filter(F.col("g") == series_a).select(
+        F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = idx.filter(F.col("g") == series_b).select(
+        F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    lags = df.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    # a x lags is O(days x lags) — tiny; then equi-join b on the
+    # shifted day index, never a cartesian over raw rows
+    shifted = a.crossJoin(F.broadcast(lags)).withColumn(
+        "db", F.col("da") + F.col("lag")
+    )
+    j = shifted.join(b, "db")
+    agg = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("__sa"),
+        F.sum("xb").alias("__sb"),
+        F.sum(F.col("xa") * F.col("xa")).alias("__saa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("__sbb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("__sab") - F.col("__sa") * F.col("__sb") / n
+    va = F.col("__saa") - F.col("__sa") * F.col("__sa") / n
+    vb = F.col("__sbb") - F.col("__sb") * F.col("__sb") / n
+    r = F.when(
+        (F.col("n") >= 3) & (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+    )
+    return (
+        lags.join(agg, "lag", "left")
+        .select(
+            "lag",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(r, 6).alias("r"),
+        )
+        .orderBy("lag")
+    )

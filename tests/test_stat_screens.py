@@ -638,3 +638,24 @@ def test_burstiness_periodic_poisson_bursty(spark):
     assert out["cron"]["b"] == -1.0 and out["cron"]["rhythm"] == "periodic"
     assert out["burst"]["b"] > 1.0 / 3 and out["burst"]["rhythm"] == "bursty"
     assert out["tiny"]["b"] is None and out["tiny"]["rhythm"] is None
+
+
+def test_cross_correlation_planted_lead(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import cross_correlation
+
+    # b(t) copies a(t-2) with an IRREGULAR daily pattern (a linear ramp
+    # would correlate perfectly at EVERY lag): r=1 only at lag +2.
+    counts = [1, 5, 2, 8, 3, 9, 1, 7, 4, 6]
+    rows = []
+    for d, c in enumerate(counts):
+        rows += [("a", dt.datetime(2024, 1, 1 + d, 12))] * c
+        rows += [("b", dt.datetime(2024, 1, 3 + d, 12))] * c
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["lag"]: r for r in cross_correlation(df, "g", "ts", "a", "b", max_lag=3).collect()}
+    assert out[2]["r"] == pytest.approx(1.0, abs=1e-9)
+    assert out[2]["n"] == 10
+    # at other lags the overlap correlates but NOT perfectly
+    assert out[0]["r"] is None or out[0]["r"] < 1.0
+    assert len(out) == 7  # every lag -3..3 present even if sparse
