@@ -7697,6 +7697,48 @@ FROM ci ORDER BY part
 """
 
 
+def q_cross_source_dup_documents(spark, sf_dir):
+    """Cross-source duplication matrix (operators/dedup.
+    cross_source_duplication): a synthetic mirror source 'srcX' is
+    PLANTED (every 9th doc's text copied verbatim), and the matrix
+    must report exactly which original sources it contains and at
+    what containment — the crawl-planning view ("B is a subset of A,
+    drop B") a single global dup count can't give. Distinct
+    (source, fingerprint) sets join on fingerprints, never documents.
+    Oracle replays set intersection on the text itself (equality
+    structure identical to the hash's)."""
+    from jsonschema_validator_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", "text", F.lit("srcX").alias("source")
+    )
+    allr = docs.unionByName(mirror)
+    return cross_source_duplication(allr, "text", "source").orderBy(
+        "src_a", "src_b"
+    )
+
+
+_ORACLE_CROSS_SOURCE_DUP = """
+WITH base AS (SELECT doc_id, text, source FROM documents),
+mirror AS (SELECT doc_id, text, 'srcX' AS source FROM base
+           WHERE doc_id % 9 = 0),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM mirror),
+h AS (SELECT DISTINCT source AS s, text AS t FROM allr
+      WHERE text IS NOT NULL),
+sizes AS (SELECT s, count(*)::BIGINT AS n FROM h GROUP BY 1),
+pairs AS (SELECT a.s AS src_a, b.s AS src_b, count(*)::BIGINT AS shared
+          FROM h a JOIN h b ON a.t = b.t AND a.s != b.s
+          GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, na.n AS n_a, nb.n AS n_b, p.shared,
+       round(p.shared * 1.0 / na.n, 6) AS containment
+FROM pairs p JOIN sizes na ON p.src_a = na.s JOIN sizes nb ON p.src_b = nb.s
+ORDER BY p.src_a, p.src_b
+"""
+
+
 def q_cross_correlation_events(spark, sf_dir):
     """Lead-lag discovery (operators/timeseries.cross_correlation):
     Pearson r between signup volume at day t and purchase volume at
@@ -9287,6 +9329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_events": q_rfm_events,
         "burstiness_events": q_burstiness_events,
         "cross_correlation_events": q_cross_correlation_events,
+        "cross_source_dup_documents": q_cross_source_dup_documents,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9485,6 +9528,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_events": _ORACLE_RFM,
         "burstiness_events": _ORACLE_BURSTINESS,
         "cross_correlation_events": _ORACLE_CROSS_CORRELATION,
+        "cross_source_dup_documents": _ORACLE_CROSS_SOURCE_DUP,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

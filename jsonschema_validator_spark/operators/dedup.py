@@ -827,3 +827,60 @@ def edit_distance_pairs(
             "id_a", "id_b", F.levenshtein("__ta", "__tb").alias("dist")
         )
     )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every ORDERED source pair
+    that shares content, what fraction of A's distinct documents also
+    appear in B — the crawl-planning view exact_dedup_summary (one
+    global number) can't give: mirror sites show up as a high-
+    containment pair, and "B is a subset of A" (containment 1.0 one
+    way, small the other) means B adds nothing and can be dropped from
+    the crawl.
+
+    Each side reduces to its DISTINCT (source, content-hash) set
+    before the pair join, so the join is on fingerprints, never
+    documents; a hash shared by k sources contributes k*(k-1) pair
+    rows — bounded by sources squared per hash, independent of
+    duplicate multiplicity inside a source. Only pairs with at least
+    one shared document are emitted (the all-zero matrix is the
+    uninteresting common case at sources-squared size). NULL text is
+    excluded; NULL source is a real source. Returns (src_a, src_b,
+    n_a, n_b, shared, containment = shared/n_a), rounded to 6.
+    """
+    h = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(source_col).alias("__s"),
+            content_hash(F.col(text_col)).alias("__h"),
+        )
+        .distinct()
+    )
+    sizes = h.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    pairs = (
+        h.alias("a")
+        .join(h.alias("b"), "__h")
+        .filter(~F.col("a.__s").eqNullSafe(F.col("b.__s")))
+        .groupBy(
+            F.col("a.__s").alias("src_a"), F.col("b.__s").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("__s").alias("src_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col("__s").alias("src_b"), F.col("__n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "shared",
+            F.round(F.col("shared") / F.col("n_a"), 6).alias("containment"),
+        )
+    )

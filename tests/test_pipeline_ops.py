@@ -3937,3 +3937,24 @@ def test_zipf_slope_flat_corpus_and_hapax_trim(spark):
     r = zipf_slope(df, "text").collect()[0]
     assert r["n_types"] == 3 and r["n_tokens"] == 5
     assert r["slope"] == 0.0 and r["r2"] is None
+
+
+def test_cross_source_duplication_mirror_and_subset(spark):
+    from jsonschema_validator_spark.operators.dedup import (
+        cross_source_duplication,
+    )
+
+    rows = [
+        ("A", "doc one"), ("A", "doc two"), ("A", "doc three"),
+        ("B", "doc one"), ("B", "doc two"),          # B subset of A
+        ("B", "doc one"),                             # in-source dup: no effect
+        ("C", "unrelated"),                           # shares nothing: no rows
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {(r["src_a"], r["src_b"]): r for r in
+           cross_source_duplication(df, "text", "src").collect()}
+    # B -> A containment 1.0 (B adds nothing); A -> B only 2/3
+    assert out[("B", "A")]["containment"] == pytest.approx(1.0)
+    assert out[("A", "B")]["containment"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[("A", "B")]["n_a"] == 3 and out[("A", "B")]["shared"] == 2
+    assert not any("C" in k for k in out)
