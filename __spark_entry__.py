@@ -7697,6 +7697,48 @@ FROM ci ORDER BY part
 """
 
 
+def q_max_drawdown_events(spark, sf_dir):
+    """Max drawdown of daily volume per event_type (operators/
+    timeseries.max_drawdown): deepest peak-to-trough collapse as a
+    fraction of the peak — the gradual-slide screen a point-anomaly
+    detector misses. Running peak via ordered struct max; the report
+    carries peak/trough days. Oracle replays the running peak, the
+    marked-peak-day trick, and the exact struct tie-break order."""
+    from jsonschema_validator_spark.operators.timeseries import max_drawdown
+
+    ev = _t(spark, sf_dir, "events")
+    return max_drawdown(ev, "event_type", "ts").orderBy("part")
+
+
+_ORACLE_MAX_DRAWDOWN = """
+WITH daily AS (
+  SELECT event_type AS g, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2),
+p1 AS (SELECT g, day, x,
+              max(x) OVER (PARTITION BY g ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pkx
+       FROM daily),
+p2 AS (SELECT *,
+              max(CASE WHEN x = pkx THEN day END)
+                OVER (PARTITION BY g ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS peak_day
+       FROM p1),
+dd AS (SELECT *, CASE WHEN pkx > 0 THEN 1.0 - x / pkx END AS d FROM p2),
+f AS (SELECT * FROM dd WHERE d IS NOT NULL),
+r AS (SELECT *,
+             count(*) OVER (PARTITION BY g) AS n_days,
+             row_number() OVER (PARTITION BY g
+               ORDER BY d DESC, peak_day DESC, day DESC, pkx DESC, x DESC)
+               AS rn
+      FROM f)
+SELECT g AS part, n_days::BIGINT AS n_days, peak_day, day AS trough_day,
+       round(pkx, 6) AS peak, round(x, 6) AS trough, round(d, 6) AS drawdown
+FROM r WHERE rn = 1 ORDER BY part
+"""
+
+
 def q_cross_source_dup_documents(spark, sf_dir):
     """Cross-source duplication matrix (operators/dedup.
     cross_source_duplication): a synthetic mirror source 'srcX' is
@@ -9330,6 +9372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness_events": q_burstiness_events,
         "cross_correlation_events": q_cross_correlation_events,
         "cross_source_dup_documents": q_cross_source_dup_documents,
+        "max_drawdown_events": q_max_drawdown_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9529,6 +9572,7 @@ def oracle_sql() -> dict[str, str]:
         "burstiness_events": _ORACLE_BURSTINESS,
         "cross_correlation_events": _ORACLE_CROSS_CORRELATION,
         "cross_source_dup_documents": _ORACLE_CROSS_SOURCE_DUP,
+        "max_drawdown_events": _ORACLE_MAX_DRAWDOWN,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

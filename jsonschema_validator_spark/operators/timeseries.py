@@ -619,3 +619,60 @@ def cross_correlation(
         )
         .orderBy("lag")
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    value=None,
+) -> DataFrame:
+    """Maximum drawdown of each group's daily series: the deepest
+    peak-to-trough collapse, as a fraction of the peak — the
+    "worst sustained loss" screen a point-anomaly detector misses when
+    the decline is gradual (each day individually unremarkable, the
+    cumulative slide catastrophic). Drawdown at t = 1 - x_t / max_{s<=t}
+    x_s; the reported max is over all t, with its peak and trough days.
+
+    Pure window algebra over the O(days) daily relation (daily COUNTS
+    when ``value`` is None, else daily means): one running max, one
+    argmax via struct ordering — no Arrow stage. Non-positive peaks
+    (possible with value columns) make the ratio meaningless: such
+    days are skipped (documented; volumes are positive). Returns
+    (part, n_days, peak_day, trough_day, peak, trough, drawdown),
+    drawdown in [0, 1] for non-negative series, rounded to 6.
+    """
+    val = F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    daily = _daily(df, group, ts, val)
+    w = Window.partitionBy("g").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # running peak AND the day it happened: max over an ordered struct
+    peaked = daily.withColumn(
+        "__pk", F.max(F.struct(F.col("x"), F.col("day"))).over(w)
+    )
+    dd = F.when(
+        F.col("__pk.x") > 0, 1.0 - F.col("x") / F.col("__pk.x")
+    )
+    scored = peaked.withColumn("__dd", dd).filter(F.col("__dd").isNotNull())
+    best = scored.groupBy(F.col("g").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max(
+            F.struct(
+                F.col("__dd").alias("dd"),
+                F.col("__pk.day").alias("peak_day"),
+                F.col("day").alias("trough_day"),
+                F.col("__pk.x").alias("peak"),
+                F.col("x").alias("trough"),
+            )
+        ).alias("__b"),
+    )
+    return best.select(
+        "part",
+        "n_days",
+        F.col("__b.peak_day").alias("peak_day"),
+        F.col("__b.trough_day").alias("trough_day"),
+        F.round("__b.peak", 6).alias("peak"),
+        F.round("__b.trough", 6).alias("trough"),
+        F.round("__b.dd", 6).alias("drawdown"),
+    )

@@ -659,3 +659,36 @@ def test_cross_correlation_planted_lead(spark):
     # at other lags the overlap correlates but NOT perfectly
     assert out[0]["r"] is None or out[0]["r"] < 1.0
     assert len(out) == 7  # every lag -3..3 present even if sparse
+
+
+def test_max_drawdown_hand_geometry(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import max_drawdown
+
+    # daily counts: 10, 4, 8, 20, 5 -> worst collapse is 20 -> 5
+    # (dd 0.75), not the earlier 10 -> 4 (dd 0.6).
+    counts = [10, 4, 8, 20, 5]
+    rows = []
+    for d, c in enumerate(counts):
+        rows += [("g", dt.datetime(2024, 1, 1 + d, 12))] * c
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = max_drawdown(df, "g", "ts").collect()[0]
+    assert r["drawdown"] == pytest.approx(0.75)
+    assert r["peak_day"] == "2024-01-04" and r["trough_day"] == "2024-01-05"
+    assert (r["peak"], r["trough"], r["n_days"]) == (20.0, 5.0, 5)
+
+
+def test_max_drawdown_monotone_rise_is_zero(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.timeseries import max_drawdown
+
+    rows = []
+    for d in range(4):
+        rows += [("g", dt.datetime(2024, 1, 1 + d, 12))] * (d + 1)
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = max_drawdown(df, "g", "ts").collect()[0]
+    assert r["drawdown"] == 0.0
+    # zero-drawdown tie-break: the LATEST peak day wins the struct max
+    assert r["peak_day"] == "2024-01-04" and r["trough_day"] == "2024-01-04"
