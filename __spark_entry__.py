@@ -7697,6 +7697,48 @@ FROM ci ORDER BY part
 """
 
 
+def q_distribution_contract_events(spark, sf_dir):
+    """One-sample KS distribution CONTRACT (operators/drift.
+    ks_uniform_contract): does value follow a declared Uniform(0, 500)
+    per event_type — the shape extension of min/max bounds; an RNG
+    swapped for a clamped gaussian passes every bounds check and fails
+    here. The data is exponential-ish, so the contract must REJECT —
+    the verdict decides real rows. Exact sup-distance on the block
+    relation, both sides of every ECDF jump. Oracle replays the ECDF
+    and the clamped Uniform CDF."""
+    from jsonschema_validator_spark.operators.drift import (
+        ks_uniform_contract,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_uniform_contract(ev, "value", "event_type", 0.0, 500.0).orderBy(
+        "part"
+    )
+
+
+_ORACLE_DISTRIBUTION_CONTRACT = """
+WITH d AS (SELECT event_type AS part, value::DOUBLE AS v
+           FROM events WHERE value IS NOT NULL),
+b AS (SELECT part, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+w AS (SELECT part, v, c,
+             sum(c) OVER (PARTITION BY part ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY part) AS n
+      FROM b),
+g AS (SELECT part, n,
+             GREATEST(ABS(cum * 1.0 / n
+                          - LEAST(GREATEST(v / 500.0, 0.0), 1.0)),
+                      ABS((cum - c) * 1.0 / n
+                          - LEAST(GREATEST(v / 500.0, 0.0), 1.0))) AS gap
+      FROM w),
+a AS (SELECT part, any_value(n)::BIGINT AS n, max(gap) AS d FROM g
+      GROUP BY 1)
+SELECT part, n, round(d, 6) AS d_stat,
+       round(sqrt(-ln(0.005) / 2.0) / sqrt(n), 6) AS d_crit,
+       d <= sqrt(-ln(0.005) / 2.0) / sqrt(n) AS contract_ok
+FROM a ORDER BY part
+"""
+
+
 def q_max_drawdown_events(spark, sf_dir):
     """Max drawdown of daily volume per event_type (operators/
     timeseries.max_drawdown): deepest peak-to-trough collapse as a
@@ -9373,6 +9415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_correlation_events": q_cross_correlation_events,
         "cross_source_dup_documents": q_cross_source_dup_documents,
         "max_drawdown_events": q_max_drawdown_events,
+        "distribution_contract_events": q_distribution_contract_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9573,6 +9616,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_correlation_events": _ORACLE_CROSS_CORRELATION,
         "cross_source_dup_documents": _ORACLE_CROSS_SOURCE_DUP,
         "max_drawdown_events": _ORACLE_MAX_DRAWDOWN,
+        "distribution_contract_events": _ORACLE_DISTRIBUTION_CONTRACT,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

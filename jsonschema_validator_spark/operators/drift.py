@@ -540,3 +540,64 @@ def ks_p_asymptotic(
         term = F.exp(-2.0 * k * k * lam2) * (1.0 if k % 2 == 1 else -1.0)
         s = term if s is None else s + term
     return F.least(F.greatest(2.0 * s, F.lit(0.0)), F.lit(1.0))
+
+
+def ks_uniform_contract(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """One-sample KS test of a DECLARED distribution contract: does
+    each group's value column actually follow Uniform(lo, hi)? The
+    distributional extension of minimum/maximum — a schema can pin the
+    RANGE, this pins the SHAPE, catching the upstream change that
+    keeps every value in-range but shifts the mass (an RNG swapped for
+    a clamped gaussian passes every bounds check and fails here).
+    The two-sample machinery (ks_psi) can't answer it without a
+    reference SAMPLE; the contract needs none.
+
+    Exact sup-distance on the per-group distinct-value block relation,
+    checking BOTH sides of each ECDF jump (the sup at an atom can sit
+    below the step): D = max_v max(|cum/n - F0(v)|,
+    |(cum - c)/n - F0(v)|), F0 the Uniform CDF clamped outside
+    [lo, hi] (out-of-support values are maximal evidence, not errors).
+    Asymptotic one-sample critical value sqrt(-ln(alpha/2)/2)/sqrt(n).
+    NULL values excluded. Returns (part, n, d_stat, d_crit,
+    contract_ok), floats rounded to 6.
+    """
+    import math
+
+    v = F.col(value_col).cast("double")
+    d = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("part"), v.alias("__v")
+    )
+    blocks = d.groupBy("part", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("part").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    blocks = blocks.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy("part"))
+    )
+    f0 = F.least(
+        F.greatest((F.col("__v") - lo) / (hi - lo), F.lit(0.0)), F.lit(1.0)
+    )
+    nn = F.col("__n").cast("double")
+    gap = F.greatest(
+        F.abs(F.col("__cum") / nn - f0),
+        F.abs((F.col("__cum") - F.col("__c")) / nn - f0),
+    )
+    c_alpha = math.sqrt(-math.log(alpha / 2.0) / 2.0)
+    agg = blocks.groupBy("part").agg(
+        F.first("__n").alias("n"), F.max(gap).alias("__d")
+    )
+    crit = c_alpha / F.sqrt(F.col("n").cast("double"))
+    return agg.select(
+        "part",
+        "n",
+        F.round("__d", 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit"),
+        (F.col("__d") <= crit).alias("contract_ok"),
+    )

@@ -692,3 +692,31 @@ def test_max_drawdown_monotone_rise_is_zero(spark):
     assert r["drawdown"] == 0.0
     # zero-drawdown tie-break: the LATEST peak day wins the struct max
     assert r["peak_day"] == "2024-01-04" and r["trough_day"] == "2024-01-04"
+
+
+def test_ks_uniform_contract_accepts_and_rejects(spark):
+    from jsonschema_validator_spark.operators.drift import ks_uniform_contract
+
+    # a perfect uniform grid on [0, 100): D = 1/(2n) ... actually with
+    # points at (i+0.5)*step the ECDF straddles F0 symmetrically:
+    # worst gap = 1/(2n) = 0.005 << crit -> contract holds
+    grid = [("ok", (i + 0.5),) for i in range(100)]
+    # everything piled at one end: F0(1)=0.01 but ECDF=1 -> D ~ 0.99
+    pile = [("bad", 1.0)] * 100
+    df = spark.createDataFrame(grid + pile, "g string, v double")
+    out = {r["part"]: r for r in
+           ks_uniform_contract(df, "v", "g", 0.0, 100.0).collect()}
+    assert out["ok"]["contract_ok"]
+    assert out["ok"]["d_stat"] == pytest.approx(0.005, abs=1e-9)
+    assert not out["bad"]["contract_ok"]
+    assert out["bad"]["d_stat"] == pytest.approx(0.99, abs=1e-6)
+
+
+def test_ks_uniform_contract_out_of_support_is_maximal_evidence(spark):
+    from jsonschema_validator_spark.operators.drift import ks_uniform_contract
+
+    # values far above hi: F0 clamps to 1, ECDF below them is 0 at the
+    # left of the jump -> D = 1 (as non-uniform as it gets)
+    df = spark.createDataFrame([("g", 999.0)] * 5, "g string, v double")
+    r = ks_uniform_contract(df, "v", "g", 0.0, 100.0).collect()[0]
+    assert r["d_stat"] == 1.0 and not r["contract_ok"]
