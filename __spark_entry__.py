@@ -7697,6 +7697,53 @@ FROM ci ORDER BY part
 """
 
 
+def q_changepoint_split_events(spark, sf_dir):
+    """Exact single-changepoint locator (operators/changepoint.
+    best_split): the day that best splits each event_type's daily
+    volume into two constant-mean segments, with the shift size and
+    the variance fraction one break explains — WHEN and HOW MUCH,
+    where the CUSUM screen only says "something shifted". All
+    candidate splits from one pair of prefix-sum windows on the
+    O(days) relation. Oracle replays the prefix-sum gain algebra and
+    the earliest-day tie-break."""
+    from jsonschema_validator_spark.operators.changepoint import best_split
+
+    ev = _t(spark, sf_dir, "events")
+    return best_split(ev, "event_type", "ts").orderBy("part")
+
+
+_ORACLE_CHANGEPOINT_SPLIT = """
+WITH daily AS (
+  SELECT event_type AS g, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2),
+pre AS (SELECT g, day, x,
+               sum(x) OVER (PARTITION BY g ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+               row_number() OVER (PARTITION BY g ORDER BY day) AS k,
+               count(*) OVER (PARTITION BY g) AS n,
+               sum(x) OVER (PARTITION BY g) AS ts,
+               sum(x * x) OVER (PARTITION BY g) AS tss
+        FROM daily),
+cand AS (SELECT g, day, n AS n_days,
+                cs / k AS ml, (ts - cs) / (n - k) AS mr,
+                k * (cs / k - ts / n) * (cs / k - ts / n)
+                + (n - k) * ((ts - cs) / (n - k) - ts / n)
+                  * ((ts - cs) / (n - k) - ts / n) AS gain,
+                tss - ts * ts / n AS sst
+         FROM pre WHERE k < n),
+best AS (SELECT *, row_number() OVER (PARTITION BY g
+                     ORDER BY gain DESC, day) AS r
+         FROM cand)
+SELECT g AS part, n_days::BIGINT AS n_days,
+       CASE WHEN sst > 0 THEN day END AS split_day,
+       round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+       round(mr - ml, 6) AS shift,
+       round(CASE WHEN sst > 0 THEN gain / sst END, 6) AS explained
+FROM best WHERE r = 1 ORDER BY part
+"""
+
+
 def q_distribution_contract_events(spark, sf_dir):
     """One-sample KS distribution CONTRACT (operators/drift.
     ks_uniform_contract): does value follow a declared Uniform(0, 500)
@@ -9416,6 +9463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_documents": q_cross_source_dup_documents,
         "max_drawdown_events": q_max_drawdown_events,
         "distribution_contract_events": q_distribution_contract_events,
+        "changepoint_split_events": q_changepoint_split_events,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9617,6 +9665,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dup_documents": _ORACLE_CROSS_SOURCE_DUP,
         "max_drawdown_events": _ORACLE_MAX_DRAWDOWN,
         "distribution_contract_events": _ORACLE_DISTRIBUTION_CONTRACT,
+        "changepoint_split_events": _ORACLE_CHANGEPOINT_SPLIT,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -73,3 +73,87 @@ def cusum_screen(
             "flag",
         )
     )
+
+
+def best_split(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    value: str | None = None,
+) -> DataFrame:
+    """Exact single-changepoint locator per group (one step of binary
+    segmentation): the day that best splits the daily series into two
+    constant-mean segments, by maximum SSE reduction — where
+    cusum_screen says "a sustained shift happened", this says WHEN and
+    by HOW MUCH (left mean, right mean, and the fraction of variance
+    one break explains, which is the evidence the break is real and
+    not noise chasing).
+
+    For split after position k: SSE_k = SST - n_l*(m_l - m)^2
+    - n_r*(m_r - m)^2; all candidate splits evaluate from ONE pair of
+    prefix-sum windows over the O(days) daily relation — no per-split
+    scan, exact arithmetic. The last day cannot split (no right
+    segment), so single-day groups emit no row; zero-variance groups
+    return NULL split_day / explained (no break exists to locate).
+    Returns (part, n_days, split_day, mean_left,
+    mean_right, shift, explained), floats rounded to 6; ties on
+    explained break to the EARLIEST day (struct-min over (-gain, day)
+    reversed: max over (gain, day DESC)... earliest = min day among
+    max gain, pinned in the test).
+    """
+    from pyspark.sql import Window
+
+    val = F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    daily = (
+        df.groupBy(
+            F.col(group).alias("g"),
+            F.date_format(F.date_trunc("day", F.col(ts)), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        ).agg(val.alias("x"))
+    )
+    w = Window.partitionBy("g").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("g")
+    pre = (
+        daily.withColumn("__cs", F.sum("x").over(w))
+        .withColumn("__k", F.row_number().over(Window.partitionBy("g").orderBy("day")))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__ts", F.sum("x").over(w_all))
+        .withColumn("__tss", F.sum(F.col("x") * F.col("x")).over(w_all))
+    )
+    k = F.col("__k").cast("double")
+    n = F.col("__n").cast("double")
+    m = F.col("__ts") / n
+    ml = F.col("__cs") / k
+    mr = (F.col("__ts") - F.col("__cs")) / (n - k)
+    gain = k * (ml - m) * (ml - m) + (n - k) * (mr - m) * (mr - m)
+    sst = F.col("__tss") - F.col("__ts") * F.col("__ts") / n
+    cand = pre.filter(F.col("__k") < F.col("__n")).select(
+        "g",
+        "day",
+        F.col("__n").alias("n_days"),
+        ml.alias("__ml"),
+        mr.alias("__mr"),
+        gain.alias("__gain"),
+        sst.alias("__sst"),
+    )
+    # earliest day among max-gain ties: max over (gain, negated-day
+    # ordering) is awkward for strings, so rank explicitly
+    w_rank = Window.partitionBy("g").orderBy(F.desc("__gain"), F.col("day"))
+    best = cand.withColumn("__r", F.row_number().over(w_rank)).filter(
+        F.col("__r") == 1
+    )
+    explained = F.when(F.col("__sst") > 0, F.col("__gain") / F.col("__sst"))
+    return best.select(
+        F.col("g").alias("part"),
+        "n_days",
+        F.when(F.col("__sst") > 0, F.col("day")).alias("split_day"),
+        F.round("__ml", 6).alias("mean_left"),
+        F.round("__mr", 6).alias("mean_right"),
+        # shift rounds the UNROUNDED difference — rounding the means
+        # first can disagree with the oracle in the 6th decimal
+        F.round(F.col("__mr") - F.col("__ml"), 6).alias("shift"),
+        F.round(explained, 6).alias("explained"),
+    )

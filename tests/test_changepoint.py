@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 import pyspark.sql.functions as F
 
 
@@ -74,3 +76,39 @@ def test_cusum_partition_order_independent(spark):
     a = sorted(tuple(r) for r in cusum_screen(df, "g", "ts", "v").collect())
     b = sorted(tuple(r) for r in cusum_screen(df.repartition(7), "g", "ts", "v").collect())
     assert a == b
+
+
+def test_best_split_planted_step(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.changepoint import best_split
+
+    # counts 5,5,5,5 then 20,20,20,20: the split after day 4 explains
+    # ALL the variance (two perfectly constant segments).
+    rows = []
+    for d in range(8):
+        c = 5 if d < 4 else 20
+        rows += [("g", dt.datetime(2024, 2, 1 + d, 12))] * c
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = best_split(df, "g", "ts").collect()[0]
+    assert r["split_day"] == "2024-02-04"
+    assert (r["mean_left"], r["mean_right"]) == (5.0, 20.0)
+    assert r["shift"] == 15.0
+    assert r["explained"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_best_split_flat_series_and_tie_break(spark):
+    import datetime as dt
+
+    from jsonschema_validator_spark.operators.changepoint import best_split
+
+    # flat series: zero variance -> no break to locate
+    rows = [("flat", dt.datetime(2024, 2, 1 + d, 12)) for d in range(4)]
+    # symmetric vee 9,1,1,9: splits after day1 and day3 tie on gain;
+    # the EARLIEST day must win
+    for d, c in enumerate([9, 1, 1, 9]):
+        rows += [("vee", dt.datetime(2024, 2, 1 + d, 12))] * c
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r["part"]: r for r in best_split(df, "g", "ts").collect()}
+    assert out["flat"]["split_day"] is None and out["flat"]["explained"] is None
+    assert out["vee"]["split_day"] == "2024-02-01"
