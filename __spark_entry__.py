@@ -7697,6 +7697,50 @@ FROM ci ORDER BY part
 """
 
 
+def q_gains_table_documents(spark, sf_dir):
+    """Cumulative gains / lift deciles (operators/evaluation.
+    gains_table): the same deterministic quality score and length-gate
+    label as roc_auc_documents, read operationally — "review the top
+    k% of documents, catch what fraction of the gated ones". ntile
+    over (score DESC, doc_id) so equal scores can't flap across bins.
+    Oracle replays binning and the cumulative capture algebra."""
+    from jsonschema_validator_spark.operators.evaluation import gains_table
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (
+            (F.least(F.col("n_chars"), F.lit(400)) + F.col("doc_id") % 50)
+            / 450.0
+        ).alias("score"),
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    return gains_table(scored, "score", "label", "doc_id", n_bins=10)
+
+
+_ORACLE_GAINS_TABLE = """
+WITH scored AS (
+  SELECT doc_id,
+         (LEAST(n_chars, 400) + doc_id % 50) / 450.0 AS score,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+  FROM documents),
+b AS (SELECT ntile(10) OVER (ORDER BY score DESC, doc_id) AS bin, label
+      FROM scored),
+a AS (SELECT bin, count(*)::BIGINT AS n, sum(label)::BIGINT AS positives
+      FROM b GROUP BY 1),
+c AS (SELECT *, sum(positives) OVER (ORDER BY bin) AS cum_positives,
+             sum(positives) OVER () AS tp, sum(n) OVER () AS tn
+      FROM a)
+SELECT bin, n, positives, cum_positives::BIGINT AS cum_positives,
+       round(CASE WHEN tp > 0 THEN cum_positives * 1.0 / tp END, 6)
+         AS capture_rate,
+       round(CASE WHEN tp > 0
+                  THEN (positives * 1.0 / n) / (tp * 1.0 / tn) END, 6)
+         AS lift
+FROM c ORDER BY bin
+"""
+
+
 def q_changepoint_split_events(spark, sf_dir):
     """Exact single-changepoint locator (operators/changepoint.
     best_split): the day that best splits each event_type's daily
@@ -9464,6 +9508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown_events": q_max_drawdown_events,
         "distribution_contract_events": q_distribution_contract_events,
         "changepoint_split_events": q_changepoint_split_events,
+        "gains_table_documents": q_gains_table_documents,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9666,6 +9711,7 @@ def oracle_sql() -> dict[str, str]:
         "max_drawdown_events": _ORACLE_MAX_DRAWDOWN,
         "distribution_contract_events": _ORACLE_DISTRIBUTION_CONTRACT,
         "changepoint_split_events": _ORACLE_CHANGEPOINT_SPLIT,
+        "gains_table_documents": _ORACLE_GAINS_TABLE,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

@@ -344,3 +344,58 @@ def ndcg(
         F.round(idcg, 6).alias("idcg"),
         F.round(F.when(idcg > 0, dcg / idcg), 6).alias("ndcg"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank the population by model
+    score, cut into ``n_bins`` equal bins, and report what fraction of
+    all positives each cumulative top-k% captures — the operational
+    reading of a ranking model ("review the top 20% of documents and
+    catch 71% of the policy violations") that a single AUC number
+    can't give, and the curve whose sag pinpoints WHERE the ranking
+    degrades.
+
+    Binning is ntile over (score DESC, id) — the id tie-break makes
+    the table a pure function of the data (equal scores can't flap
+    across bins between runs or engines). NULL scores rank last
+    (worst); NULL labels count as negative. Cumulative sums run over
+    the O(n_bins) aggregated relation. Returns one row per bin:
+    (bin, n, positives, cum_positives, capture_rate, lift) with lift =
+    (positives/n) / (total_positives/total_n), floats rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    lab = F.coalesce(F.col(label_col).cast("int"), F.lit(0))
+    w = Window.orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col))
+    binned = df.select(
+        F.ntile(n_bins).over(w).alias("bin"), lab.alias("__y")
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("positives")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = F.sum("positives").over(w_cum)
+    tot_p = F.sum("positives").over(w_all)
+    tot_n = F.sum("n").over(w_all)
+    return agg.select(
+        "bin",
+        "n",
+        "positives",
+        cum.alias("cum_positives"),
+        F.round(F.when(tot_p > 0, cum / tot_p), 6).alias("capture_rate"),
+        F.round(
+            F.when(
+                tot_p > 0,
+                (F.col("positives") / F.col("n"))
+                / (tot_p / tot_n.cast("double")),
+            ),
+            6,
+        ).alias("lift"),
+    ).orderBy("bin")

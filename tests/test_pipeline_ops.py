@@ -3958,3 +3958,31 @@ def test_cross_source_duplication_mirror_and_subset(spark):
     assert out[("A", "B")]["containment"] == pytest.approx(2 / 3, abs=1e-6)
     assert out[("A", "B")]["n_a"] == 3 and out[("A", "B")]["shared"] == 2
     assert not any("C" in k for k in out)
+
+
+def test_gains_table_perfect_ranking(spark):
+    from jsonschema_validator_spark.operators.evaluation import gains_table
+
+    # 20 rows, 4 positives with the 4 highest scores: top bin (2 rows)
+    # captures 2/4, second bin completes the positives, lift of bin 1
+    # = (2/2)/(4/20) = 5.
+    rows = [(i, float(100 - i), 1 if i < 4 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    out = {r["bin"]: r for r in gains_table(df, "score", "label", "id").collect()}
+    assert out[1]["positives"] == 2 and out[1]["lift"] == 5.0
+    assert out[2]["cum_positives"] == 4 and out[2]["capture_rate"] == 1.0
+    assert out[10]["capture_rate"] == 1.0 and out[10]["positives"] == 0
+    assert sum(r["n"] for r in out.values()) == 20
+
+
+def test_gains_table_null_score_ranks_last_and_null_label_negative(spark):
+    from jsonschema_validator_spark.operators.evaluation import gains_table
+
+    rows = [(1, 9.0, 1), (2, None, 1), (3, 5.0, None), (4, 1.0, 0)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    out = gains_table(df, "score", "label", "id", n_bins=4).collect()
+    # NULL score -> last bin; its positive is captured only at the end
+    assert out[0]["positives"] == 1          # id 1
+    assert out[-1]["positives"] == 1         # id 2 (null score)
+    assert out[1]["positives"] == 0          # id 3: null label = negative
+    assert out[2]["capture_rate"] == 0.5
