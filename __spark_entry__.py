@@ -7697,6 +7697,43 @@ FROM ci ORDER BY part
 """
 
 
+def q_weighted_panel_documents(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement (operators/
+    sampling.weighted_panel, Efraimidis-Spirakis A-Res): exactly 25
+    documents, length-weighted, reproducible — the fixed-size panel
+    the Bernoulli weighted_sample can't pin. Draw u from the package
+    mixer, score u^(1/w), top-k by raw score (rounding first would
+    manufacture ties). Oracle replays mixer, pow, and rank."""
+    from jsonschema_validator_spark.operators.sampling import weighted_panel
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    out = weighted_panel(docs, "doc_id", "n_chars", k=25)
+    return out.select("doc_id", "n_chars", "draw_score", "rank").orderBy(
+        "rank"
+    )
+
+
+_ORACLE_WEIGHTED_PANEL = """
+WITH mixed AS (
+  SELECT doc_id, n_chars,
+         ((doc_id % 2147483648) * 2654435761) AS h
+  FROM documents),
+keyed AS (
+  SELECT doc_id, n_chars,
+         (xor(h, h >> 29) % 1000000 + 1.0) / 1000001.0 AS u
+  FROM mixed),
+scored AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars > 0 THEN pow(u, 1.0 / n_chars) END AS raw
+  FROM keyed),
+r AS (SELECT doc_id, n_chars, raw,
+             row_number() OVER (ORDER BY raw DESC, doc_id) AS rank
+      FROM scored WHERE raw IS NOT NULL)
+SELECT doc_id, n_chars, round(raw, 6) AS draw_score, rank
+FROM r WHERE rank <= 25 ORDER BY rank
+"""
+
+
 def q_gains_table_documents(spark, sf_dir):
     """Cumulative gains / lift deciles (operators/evaluation.
     gains_table): the same deterministic quality score and length-gate
@@ -9509,6 +9546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_contract_events": q_distribution_contract_events,
         "changepoint_split_events": q_changepoint_split_events,
         "gains_table_documents": q_gains_table_documents,
+        "weighted_panel_documents": q_weighted_panel_documents,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9712,6 +9750,7 @@ def oracle_sql() -> dict[str, str]:
         "distribution_contract_events": _ORACLE_DISTRIBUTION_CONTRACT,
         "changepoint_split_events": _ORACLE_CHANGEPOINT_SPLIT,
         "gains_table_documents": _ORACLE_GAINS_TABLE,
+        "weighted_panel_documents": _ORACLE_WEIGHTED_PANEL,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

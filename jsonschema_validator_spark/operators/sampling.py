@@ -369,3 +369,59 @@ def neyman_allocation(
         F.round(prop, 6).alias("proportional_n"),
         (neyman > F.col("n_rows")).alias("capped"),
     )
+
+
+def weighted_panel(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    group_col: str | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006 A-Res, a public algorithm), deterministic: each row draws
+    u = mixer(key) in (0, 1) and scores u^(1/w); the top-k scores ARE
+    a weighted sample without replacement — the panel-selection
+    primitive weighted_sample (per-row Bernoulli, random SIZE) can't
+    express: "pick exactly 100 eval documents, quality-weighted,
+    reproducibly".
+
+    Determinism comes from the same two-round mixer contract as
+    hash_sample (pure function of key and salt, identical on any
+    engine with 64-bit ints and IEEE doubles). Rows with NULL or
+    non-positive weight never qualify. Ties (impossible unless keys
+    collide in the mixer domain) break by key. The rank window is per
+    group (or global for one panel) over the candidate relation — at
+    whale scale pre-filter with a cheap score threshold first, then
+    rank the survivors. Returns the input rows of the selected panel
+    plus (draw_score, rank).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        weight_col
+        if isinstance(weight_col, Column)
+        else F.col(weight_col)
+    ).cast("double")
+    key = mix_key(F.col(key_col))
+    if salt:
+        key = mix_key(key.bitwiseXOR(F.lit(salt)))
+    # u in (0,1): (bucket + 1) / (DOMAIN + 1) avoids exactly 0 and 1
+    u = (F.pmod(key, F.lit(DOMAIN)) + 1.0) / (DOMAIN + 1.0)
+    score = F.when(w > 0, F.pow(u, 1.0 / w))
+    gcols = [group_col] if group_col else []
+    # rank on the RAW score: scores crowd toward 1 for heavy weights
+    # (u^(1/w) -> 1), so rounding first would manufacture ties and bias
+    # selection toward small keys; the raw doubles are identical on any
+    # IEEE engine computing the same formula. Round for display only.
+    d = df.withColumn("__raw", score).filter(F.col("__raw").isNotNull())
+    wnd = Window.partitionBy(*gcols).orderBy(
+        F.desc("__raw"), F.col(key_col)
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .withColumn("draw_score", F.round("__raw", 6))
+        .drop("__raw")
+    )

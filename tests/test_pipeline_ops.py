@@ -3986,3 +3986,39 @@ def test_gains_table_null_score_ranks_last_and_null_label_negative(spark):
     assert out[-1]["positives"] == 1         # id 2 (null score)
     assert out[1]["positives"] == 0          # id 3: null label = negative
     assert out[2]["capture_rate"] == 0.5
+
+
+def test_weighted_panel_size_determinism_and_bias(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_validator_spark.operators.sampling import weighted_panel
+
+    # 200 keys, weights 1 or 100 alternating: the panel is exactly k,
+    # identical across partitionings, excludes non-positive weights,
+    # and over-represents heavy weights (A-Res property).
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(200)]
+    rows += [(900, 0.0), (901, -5.0), (902, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    sel = weighted_panel(df, "id", "w", k=40).collect()
+    assert len(sel) == 40
+    assert all(r["w"] > 0 for r in sel)
+    heavy = sum(1 for r in sel if r["w"] == 100.0)
+    assert heavy > 30  # 100x weight dominates the panel
+
+    again = weighted_panel(df.repartition(7), "id", "w", k=40).collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in sel)
+
+
+def test_weighted_panel_per_group_and_salt(spark):
+    from jsonschema_validator_spark.operators.sampling import weighted_panel
+
+    rows = [(g, i, 1.0) for g in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    sel = weighted_panel(df, "id", "w", k=5, group_col="g").collect()
+    by_g = {}
+    for r in sel:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5
+    # salt decorrelates the draw
+    salted = weighted_panel(df, "id", "w", k=5, group_col="g", salt=7).collect()
+    assert sorted(r["id"] for r in salted) != sorted(r["id"] for r in sel)
