@@ -7697,6 +7697,56 @@ FROM ci ORDER BY part
 """
 
 
+def q_simpsons_lineitem(spark, sf_dir):
+    """Simpson's-paradox screen (operators/stats.simpsons_check): is
+    the pooled quantity-price trend reversed inside every return-flag
+    stratum — the aggregation trap a pooled correlation can't see.
+    One aggregation; the pooled power sums are the per-group sums'
+    sums. Oracle replays both OLS closed forms and the sign census."""
+    from jsonschema_validator_spark.operators.stats import simpsons_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    return simpsons_check(li, "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+_ORACLE_SIMPSONS = """
+WITH d AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS x,
+                  l_extendedprice::DOUBLE AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+per AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM d GROUP BY 1),
+s AS (SELECT *, CASE WHEN sxx - sx * sx / n > 0
+                     THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                END AS slope
+      FROM per),
+t AS (SELECT count(*)::BIGINT AS n_groups, sum(n) AS nn, sum(sx) AS tsx,
+             sum(sy) AS tsy, sum(sxx) AS tsxx, sum(sxy) AS tsxy,
+             sum(CASE WHEN slope IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_defined,
+             sum(CASE WHEN slope > 0 THEN 1 ELSE 0 END)::BIGINT AS npos,
+             sum(CASE WHEN slope < 0 THEN 1 ELSE 0 END)::BIGINT AS nneg
+      FROM s),
+p AS (SELECT *, CASE WHEN tsxx - tsx * tsx / nn > 0
+                     THEN (tsxy - tsx * tsy / nn) / (tsxx - tsx * tsx / nn)
+                END AS pooled
+      FROM t)
+SELECT round(pooled, 6) AS pooled_slope, n_groups, n_defined,
+       COALESCE(CASE WHEN pooled > 0 THEN npos
+                     WHEN pooled < 0 THEN nneg END, 0) AS n_agree,
+       COALESCE(CASE WHEN pooled > 0 THEN nneg
+                     WHEN pooled < 0 THEN npos END, 0) AS n_disagree,
+       COALESCE(pooled IS NOT NULL AND n_defined > 0
+                AND CASE WHEN pooled > 0 THEN nneg
+                         WHEN pooled < 0 THEN npos END = n_defined,
+                FALSE) AS paradox,
+       COALESCE(CASE WHEN pooled > 0 THEN nneg
+                     WHEN pooled < 0 THEN npos END > 0, FALSE) AS sign_mixed
+FROM p
+"""
+
+
 def q_weighted_panel_documents(spark, sf_dir):
     """Deterministic weighted sampling WITHOUT replacement (operators/
     sampling.weighted_panel, Efraimidis-Spirakis A-Res): exactly 25
@@ -9547,6 +9597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_split_events": q_changepoint_split_events,
         "gains_table_documents": q_gains_table_documents,
         "weighted_panel_documents": q_weighted_panel_documents,
+        "simpsons_lineitem": q_simpsons_lineitem,
         "funnel_fold_events": q_funnel_fold_events,
         "rolling_events": q_rolling_events,
         "ewma_events": q_ewma_events,
@@ -9751,6 +9802,7 @@ def oracle_sql() -> dict[str, str]:
         "changepoint_split_events": _ORACLE_CHANGEPOINT_SPLIT,
         "gains_table_documents": _ORACLE_GAINS_TABLE,
         "weighted_panel_documents": _ORACLE_WEIGHTED_PANEL,
+        "simpsons_lineitem": _ORACLE_SIMPSONS,
         "funnel_fold_events": _ORACLE_FUNNEL_FOLD,
         "rolling_events": _ORACLE_ROLLING,
         "ewma_events": _ORACLE_EWMA,

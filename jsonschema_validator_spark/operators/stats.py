@@ -1376,3 +1376,81 @@ def species_richness(
         F.round(chao1, 6).alias("chao1"),
         F.round(coverage, 6).alias("coverage"),
     )
+
+
+def simpsons_check(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Simpson's-paradox screen: does the pooled x-y trend REVERSE
+    inside every stratum? The aggregation trap behind bad pipeline
+    decisions ("longer documents score higher" overall, yet within
+    every source the opposite holds because sources differ in both) —
+    a correlation read off pooled data without this check can be
+    exactly backwards.
+
+    One aggregation computes the per-group five power sums; the pooled
+    sums are THEIR sums (no second scan), both slopes close in the OLS
+    form. Groups with undefined slope (zero x-variance) are reported
+    but take no side. paradox = pooled slope nonzero AND every
+    defined-slope group disagrees with its sign; sign_mixed flags the
+    weaker "some strata disagree". Rows with NULL x or y are excluded.
+    Returns one row: (pooled_slope, n_groups, n_defined, n_agree,
+    n_disagree, paradox, sign_mixed), slope rounded to 6.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.filter(x.isNotNull() & y.isNotNull()).select(
+        F.col(group_col).alias("g"), x.alias("__x"), y.alias("__y")
+    )
+    per = d.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    gvarx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    gslope = F.when(
+        gvarx > 0, (F.col("sxy") - F.col("sx") * F.col("sy") / n) / gvarx
+    )
+    scored = per.withColumn("__slope", gslope)
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("N"),
+        F.sum("sx").alias("SX"),
+        F.sum("sy").alias("SY"),
+        F.sum("sxx").alias("SXX"),
+        F.sum("sxy").alias("SXY"),
+        F.sum(F.col("__slope").isNotNull().cast("long")).alias("n_defined"),
+        F.sum((F.col("__slope") > 0).cast("long")).alias("__n_pos"),
+        F.sum((F.col("__slope") < 0).cast("long")).alias("__n_neg"),
+    )
+    NN = F.col("N").cast("double")
+    pvarx = F.col("SXX") - F.col("SX") * F.col("SX") / NN
+    pooled = F.when(
+        pvarx > 0, (F.col("SXY") - F.col("SX") * F.col("SY") / NN) / pvarx
+    )
+    agree = F.when(pooled > 0, F.col("__n_pos")).when(
+        pooled < 0, F.col("__n_neg")
+    )
+    disagree = F.when(pooled > 0, F.col("__n_neg")).when(
+        pooled < 0, F.col("__n_pos")
+    )
+    return tot.select(
+        F.round(pooled, 6).alias("pooled_slope"),
+        "n_groups",
+        "n_defined",
+        F.coalesce(agree, F.lit(0)).alias("n_agree"),
+        F.coalesce(disagree, F.lit(0)).alias("n_disagree"),
+        F.coalesce(
+            pooled.isNotNull()
+            & (F.col("n_defined") > 0)
+            & (disagree == F.col("n_defined")),
+            F.lit(False),
+        ).alias("paradox"),
+        F.coalesce(disagree > 0, F.lit(False)).alias("sign_mixed"),
+    )

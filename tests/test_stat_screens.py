@@ -720,3 +720,32 @@ def test_ks_uniform_contract_out_of_support_is_maximal_evidence(spark):
     df = spark.createDataFrame([("g", 999.0)] * 5, "g string, v double")
     r = ks_uniform_contract(df, "v", "g", 0.0, 100.0).collect()[0]
     assert r["d_stat"] == 1.0 and not r["contract_ok"]
+
+
+def test_simpsons_check_classic_reversal(spark):
+    from jsonschema_validator_spark.operators.stats import simpsons_check
+
+    # textbook construction: within each group y DECREASES in x, but
+    # the higher-x group sits at much higher y, so pooled slope is
+    # positive -> full paradox.
+    rows = [
+        ("g1", 1.0, 10.0), ("g1", 2.0, 9.0), ("g1", 3.0, 8.0),
+        ("g2", 11.0, 30.0), ("g2", 12.0, 29.0), ("g2", 13.0, 28.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = simpsons_check(df, "x", "y", "g").collect()[0]
+    assert r["pooled_slope"] > 0
+    assert r["n_defined"] == 2 and r["n_disagree"] == 2 and r["n_agree"] == 0
+    assert r["paradox"] and r["sign_mixed"]
+
+
+def test_simpsons_check_consistent_trend_no_paradox(spark):
+    from jsonschema_validator_spark.operators.stats import simpsons_check
+
+    rows = [("a", float(i), float(2 * i)) for i in range(5)] + [
+        ("b", float(i), float(2 * i + 1)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = simpsons_check(df, "x", "y", "g").collect()[0]
+    assert r["pooled_slope"] > 0 and r["n_agree"] == 2
+    assert not r["paradox"] and not r["sign_mixed"]
