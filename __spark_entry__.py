@@ -9533,6 +9533,58 @@ FROM terms GROUP BY p ORDER BY p
 """
 
 
+def q_triangles_lineitem(spark, sf_dir):
+    """Triangle counting / local clustering coefficient (operators/
+    graph.triangle_count) over the part co-purchase graph: parts are
+    adjacent when they appear in the same order, so every order with k
+    distinct parts plants C(k,3) triangles the count must find. The
+    degree-orientation algorithm (Schank-Wagner; wedges generated only
+    at each edge's lowest-(degree,id) vertex) bounds wedge fan-out by
+    arboricity — the skew guard for power-law graphs. Oracle
+    enumerates canonical a<b<c triangles by a triple self-join of the
+    distinct edge set."""
+    from jsonschema_validator_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = li.join(
+        li.withColumnRenamed("l_partkey", "p2"), "l_orderkey"
+    ).filter(F.col("l_partkey") != F.col("p2"))
+    out = triangle_count(pairs, "l_partkey", "p2")
+    return out.filter(F.col("degree") >= 2).orderBy("node")
+
+
+_ORACLE_TRIANGLES = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= 30),
+pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey <> l2.l_partkey),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM pairs),
+deg AS (SELECT node, count(*)::BIGINT AS degree
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tn AS (SELECT node, count(*)::BIGINT AS t
+       FROM (SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+       GROUP BY 1)
+SELECT deg.node, deg.degree, coalesce(tn.t, 0)::BIGINT AS triangles,
+       round(coalesce(tn.t, 0) / (degree * (degree - 1) / 2.0), 6) AS local_cc
+FROM deg LEFT JOIN tn ON deg.node = tn.node
+WHERE deg.degree >= 2
+ORDER BY deg.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9750,6 +9802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_embeddings": q_similarity_ivf_embeddings,
         "similarity_recall_embeddings": q_similarity_recall_embeddings,
         "token_stats_documents": q_token_stats_documents,
+        "triangles_lineitem": q_triangles_lineitem,
     }
 
 
@@ -9962,4 +10015,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_embeddings": _ORACLE_ANN_PLANTED,
         "similarity_recall_embeddings": _ORACLE_SIMILARITY_RECALL,
         "token_stats_documents": _ORACLE_TOKEN_STATS,
+        "triangles_lineitem": _ORACLE_TRIANGLES,
     }

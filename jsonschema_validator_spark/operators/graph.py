@@ -86,3 +86,87 @@ def pagerank(
             ).alias("__pr"),
         )
     return pr.select("node", F.round("__pr", 6).alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over the undirected simple graph induced by ``edges``.
+
+    The scalable shape is the classic degree-orientation algorithm
+    (Schank & Wagner 2005; the MapReduce form in Suri & Vassilvitskii
+    2011, both public): orient every undirected edge from its
+    lower-(degree, id) endpoint to its higher one, generate wedges only
+    at each edge's LOWEST-ranked vertex, and close them with one
+    equi-join back against the oriented edge set. Orientation bounds
+    wedge fan-out by graph arboricity, so a celebrity node of degree
+    d generates O(arboricity) wedges per edge instead of O(d^2) — the
+    skew guard that makes the wedge join survive power-law graphs.
+    Every shuffle is an equi-join / groupBy on node keys; the raw input
+    reduces to the DISTINCT edge relation first.
+
+    Self-loops and NULL endpoints drop; parallel edges collapse.
+    Returns (node, degree, triangles, local_cc) for every node, where
+    local_cc = triangles / C(degree, 2) and NULL when degree < 2.
+    Endpoint columns must share one comparable type (the canonical
+    least/greatest ordering is type-dependent, and the oracle must
+    replay it).
+    """
+    e = (
+        edges.filter(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("rb"),
+    )
+    o1 = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("rb").alias("rx"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = o1.join(o2, "a").filter(
+        (F.col("rx") < F.col("ry"))
+        | ((F.col("rx") == F.col("ry")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1) / 2.0),
+                ),
+                6,
+            ).alias("local_cc"),
+        )
+    )
