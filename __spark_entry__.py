@@ -9585,6 +9585,59 @@ ORDER BY deg.node
 """
 
 
+def q_gram_spectrum_embeddings(spark, sf_dir):
+    """Embedding anisotropy / collapse screen (operators/similarity.
+    gram_spectrum): top-eigenvalue share of the corpus's uncentered
+    Gram matrix via 8 fixed unnormalized power steps from all-ones —
+    the direction-degeneracy signal per-dimension means/variances
+    can't see. One Arrow-batched partial-Gram pass reduces the corpus
+    to the O(dim^2) relation; only that is collected. The oracle
+    replays the Gram build and all 8 matvecs in chained CTEs."""
+    from jsonschema_validator_spark.operators.similarity import gram_spectrum
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_spectrum(emb, "embedding", dim=64, iters=8)
+
+
+def _make_gram_oracle(dim: int = 64, iters: int = 8) -> str:
+    ctes = [
+        f"""x AS (SELECT vec_id, embedding FROM embeddings
+     WHERE embedding IS NOT NULL AND len(embedding) = {dim})""",
+        f"""elem AS (SELECT vec_id, unnest(range(0, {dim})) AS i,
+            unnest(embedding) AS xv FROM x)""",
+        """gram AS (SELECT a.i AS i, b.i AS j,
+            sum(CAST(a.xv AS DOUBLE) * CAST(b.xv AS DOUBLE)) AS g
+     FROM elem a JOIN elem b USING (vec_id) GROUP BY 1, 2)""",
+        "v0 AS (SELECT DISTINCT i, 1.0 AS val FROM gram)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""v{k} AS (SELECT g.i AS i, sum(g.g * v{k - 1}.val) AS val
+     FROM gram g JOIN v{k - 1} ON g.j = v{k - 1}.i GROUP BY 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT count(*) FROM x)::BIGINT AS n_vecs,
+       (SELECT count(*) FROM embeddings
+        WHERE embedding IS NULL OR len(embedding) <> {dim})::BIGINT AS n_bad,
+       {dim} AS dim,
+       round(t.tr, 6) AS trace,
+       round(l.lam, 6) AS lambda_top,
+       round(l.lam / t.tr, 6) AS top_share,
+       round(t.tr / l.lam, 6) AS effective_rank,
+       (l.lam / t.tr) > 0.5 AS collapsed
+FROM (SELECT sum(g) AS tr FROM gram WHERE i = j) t,
+     (SELECT sqrt((SELECT sum(val * val) FROM v{iters})
+                  / (SELECT sum(val * val) FROM v{iters - 1})) AS lam) l
+"""
+    )
+
+
+_ORACLE_GRAM_SPECTRUM = _make_gram_oracle()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9803,6 +9856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_recall_embeddings": q_similarity_recall_embeddings,
         "token_stats_documents": q_token_stats_documents,
         "triangles_lineitem": q_triangles_lineitem,
+        "gram_spectrum_embeddings": q_gram_spectrum_embeddings,
     }
 
 
@@ -10016,4 +10070,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_recall_embeddings": _ORACLE_SIMILARITY_RECALL,
         "token_stats_documents": _ORACLE_TOKEN_STATS,
         "triangles_lineitem": _ORACLE_TRIANGLES,
+        "gram_spectrum_embeddings": _ORACLE_GRAM_SPECTRUM,
     }

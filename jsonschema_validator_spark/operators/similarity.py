@@ -753,3 +753,116 @@ def knn_label_agreement(
         )
         .orderBy("label")
     )
+
+
+def gram_spectrum(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    iters: int = 8,
+    collapse_share: float = 0.5,
+) -> DataFrame:
+    """Embedding anisotropy / collapse screen: the top-eigenvalue share
+    of the corpus's uncentered second-moment (Gram) matrix M = X'X.
+
+    A healthy embedding space spreads energy across directions; an
+    encoder that collapsed (all vectors near one ray — the classic
+    contrastive-training failure) or lost dimensions concentrates
+    trace mass in the top eigenvalue. Scalar column stats can't see
+    this: every per-dimension mean/variance can look normal while the
+    directions are degenerate.
+
+    Scale shape: one ``mapInPandas`` pass emits per-Arrow-batch partial
+    Gram matrices (numpy ``X.T @ X``, O(dim^2) floats per batch — the
+    classic mergeable-sketch shape), which one groupBy(i, j) reduces to
+    the O(dim^2) Gram relation; the driver collects ONLY that bounded
+    relation (dim=64 -> 4,096 doubles) and runs ``iters`` fixed,
+    unnormalized power steps from the all-ones vector. Fixed iteration
+    count + fixed start = a pure function of the data (the
+    clustering.kmeans / graph.pagerank reproducibility argument), so a
+    SQL oracle replays the matvecs exactly; unnormalized steps avoid
+    per-step scalar joins and stay in double range for small ``iters``
+    (lambda^iters < 1e308).
+
+    lambda_top is the norm-ratio estimate ||M^k v|| / ||M^(k-1) v||;
+    top_share = lambda_top / trace(M); effective_rank = trace / lambda
+    (the participation-style "how many directions carry the energy").
+    Rows with NULL or wrong-length vectors are excluded (and counted).
+    Returns ONE row: (n_vecs, n_bad, dim, trace, lambda_top, top_share,
+    effective_rank, collapsed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    vecs = df.select(F.col(vec_col).alias("v"))
+
+    def _partial(batches):
+        for pdf in batches:
+            good = []
+            n_bad = 0
+            for v in pdf["v"]:
+                if v is not None and len(v) == dim:
+                    good.append(v)
+                else:
+                    n_bad += 1
+            rows = {"i": [-1], "j": [-1], "g": [float(len(good))]}
+            rows["i"].append(-2)
+            rows["j"].append(-2)
+            rows["g"].append(float(n_bad))
+            if good:
+                x = np.asarray(good, dtype=np.float64)
+                gm = x.T @ x
+                ii, jj = np.meshgrid(range(dim), range(dim), indexing="ij")
+                rows["i"].extend(ii.ravel().tolist())
+                rows["j"].extend(jj.ravel().tolist())
+                rows["g"].extend(gm.ravel().tolist())
+            yield pd.DataFrame(rows)
+
+    gram = (
+        vecs.mapInPandas(_partial, "i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+    entries = gram.collect()
+    n_vecs, n_bad = 0, 0
+    m = np.zeros((dim, dim), dtype=np.float64)
+    for r in entries:
+        if r["i"] == -1:
+            n_vecs = int(r["g"])
+        elif r["i"] == -2:
+            n_bad = int(r["g"])
+        else:
+            m[r["i"], r["j"]] = r["g"]
+    trace = float(np.trace(m))
+    schema = (
+        "n_vecs bigint, n_bad bigint, dim int, trace double, "
+        "lambda_top double, top_share double, effective_rank double, "
+        "collapsed boolean"
+    )
+    if n_vecs == 0 or trace <= 0.0:
+        return spark.createDataFrame(
+            [(n_vecs, n_bad, dim, round(trace, 6), None, None, None, None)],
+            schema,
+        )
+    v = np.ones(dim, dtype=np.float64)
+    prev = v
+    for _ in range(iters):
+        prev, v = v, m @ v
+    lam = float(np.sqrt(float(v @ v) / float(prev @ prev)))
+    share = lam / trace
+    return spark.createDataFrame(
+        [
+            (
+                n_vecs,
+                n_bad,
+                dim,
+                round(trace, 6),
+                round(lam, 6),
+                round(share, 6),
+                round(trace / lam, 6),
+                bool(share > collapse_share),
+            )
+        ],
+        schema,
+    )

@@ -72,3 +72,43 @@ def test_triangle_count_matches_bruteforce_on_random_graph(spark):
     edges = spark.createDataFrame(pairs, "src int, dst int")
     rows = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
     assert rows == expected
+
+
+def test_gram_spectrum_collapsed_embeddings(spark):
+    from jsonschema_validator_spark.operators.similarity import gram_spectrum
+
+    # all vectors on one ray -> all trace mass in one direction
+    rows = [([1.0 * (i % 3 + 1), 2.0 * (i % 3 + 1), 0.0, 0.0],) for i in range(20)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    r = gram_spectrum(df, "v", dim=4).collect()[0]
+    assert r["n_vecs"] == 20 and r["n_bad"] == 0
+    assert r["top_share"] > 0.999
+    assert r["collapsed"] is True
+    assert abs(r["effective_rank"] - 1.0) < 1e-3
+
+
+def test_gram_spectrum_isotropic_and_bad_rows(spark):
+    from jsonschema_validator_spark.operators.similarity import gram_spectrum
+
+    # 4 orthogonal directions, equal mass -> share ~ 1/4, plus bad rows
+    rows = []
+    for i in range(40):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[i % 4] = 2.0
+        rows.append((v,))
+    rows.append((None,))
+    rows.append(([1.0, 2.0],))  # wrong length
+    df = spark.createDataFrame(rows, "v array<double>")
+    r = gram_spectrum(df, "v", dim=4).collect()[0]
+    assert r["n_vecs"] == 40 and r["n_bad"] == 2
+    assert abs(r["top_share"] - 0.25) < 1e-6
+    assert r["collapsed"] is False
+    assert abs(r["effective_rank"] - 4.0) < 1e-4
+
+
+def test_gram_spectrum_empty_input(spark):
+    from jsonschema_validator_spark.operators.similarity import gram_spectrum
+
+    df = spark.createDataFrame([], "v array<double>")
+    r = gram_spectrum(df, "v", dim=4).collect()[0]
+    assert r["n_vecs"] == 0 and r["lambda_top"] is None
