@@ -9638,6 +9638,267 @@ FROM (SELECT sum(g) AS tr FROM gram WHERE i = j) t,
 _ORACLE_GRAM_SPECTRUM = _make_gram_oracle()
 
 
+def q_brier_documents(spark, sf_dir):
+    """Murphy decomposition of the Brier score (operators/evaluation.
+    brier_decomposition) per source, over the same deterministic score
+    and length-gate label as calibration_documents — brier =
+    reliability - resolution + uncertainty holds EXACTLY on
+    distinct-score bins, and the query ships identity_gap (pinned ~0)
+    as the internal proof. One groupBy to the distinct-score block
+    relation; totals ride a window over it. Oracle replays the block
+    algebra."""
+    from jsonschema_validator_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    scored = docs.select(
+        "source",
+        (
+            (F.least(F.col("n_chars"), F.lit(400)) + F.col("doc_id") % 50)
+            / 450.0
+        ).alias("score"),
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    return brier_decomposition(scored, "score", "label", group="source").orderBy(
+        "part"
+    )
+
+
+_ORACLE_BRIER = """
+WITH d AS (
+  SELECT source AS g,
+         (least(n_chars, 400) + (doc_id % 50)) / 450.0 AS p,
+         CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL),
+b AS (SELECT g, p, count(*)::BIGINT AS n_k, sum(y) AS s_k
+      FROM d GROUP BY 1, 2),
+tot AS (SELECT g, sum(n_k) AS n, sum(s_k) AS s FROM b GROUP BY 1),
+a AS (SELECT b.g, t.n, t.s,
+             sum(b.n_k * b.p * b.p - 2 * b.p * b.s_k + b.s_k) AS se,
+             sum(b.n_k * pow(b.p - b.s_k / b.n_k, 2)) AS rel,
+             sum(b.n_k * pow(b.s_k / b.n_k - t.s / t.n, 2)) AS res
+      FROM b JOIN tot t USING (g) GROUP BY 1, 2, 3)
+SELECT g AS part, n::BIGINT AS n,
+       round(se / n, 6) AS brier,
+       round(rel / n, 6) AS reliability,
+       round(res / n, 6) AS resolution,
+       round((s / n) * (1 - s / n), 6) AS uncertainty,
+       abs(round(se / n - (rel / n - res / n + (s / n) * (1 - s / n)), 6))
+         + 0.0 AS identity_gap
+FROM a ORDER BY part
+"""
+
+
+def q_retrieval_metrics_documents(spark, sf_dir):
+    """Binary-relevance retrieval battery (operators/evaluation.
+    retrieval_metrics): MRR / precision@10 / recall@10 / AP@10 for the
+    same three two-term TF rankings as ndcg_documents, with relevance
+    = both terms present — the standard quartet beside nDCG's graded
+    view, closing the retrieval-evaluation loop for bm25/tfidf/rrf.
+    The shuffled relation is O(queries x k) + O(truth). Oracle replays
+    scoring, ranking, and the cumulative-precision algebra."""
+    from jsonschema_validator_spark.operators.evaluation import (
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = F.array(
+        F.struct(F.lit("q1").alias("qid"), F.lit("spark").alias("t1"), F.lit("table").alias("t2")),
+        F.struct(F.lit("q2").alias("qid"), F.lit("fast").alias("t1"), F.lit("scan").alias("t2")),
+        F.struct(F.lit("q3").alias("qid"), F.lit("batch").alias("t1"), F.lit("window").alias("t2")),
+    )
+    cand = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("t"), F.explode(qs).alias("q")
+    )
+
+    def occ(term):
+        return (
+            F.length("t") - F.length(F.replace(F.col("t"), term))
+        ) / F.length(term)
+
+    scored = cand.select(
+        F.col("q.qid").alias("qid"),
+        "doc_id",
+        (occ(F.col("q.t1")) + occ(F.col("q.t2"))).alias("score"),
+        (
+            (occ(F.col("q.t1")) > 0).cast("int")
+            + (occ(F.col("q.t2")) > 0).cast("int")
+        ).alias("cov"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        scored.filter(F.col("score") > 0)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+        .select("qid", "doc_id", "rank")
+    )
+    truth = scored.filter(F.col("cov") == 2).select("qid", "doc_id")
+    return retrieval_metrics(ranked, truth, k=10).orderBy("qid")
+
+
+_ORACLE_RETRIEVAL = """
+WITH q AS (SELECT * FROM (VALUES ('q1', 'spark', 'table'),
+                                 ('q2', 'fast', 'scan'),
+                                 ('q3', 'batch', 'window')) AS t(qid, t1, t2)),
+c AS (SELECT q.qid, d.doc_id, lower(d.text) AS t, q.t1, q.t2
+      FROM documents d CROSS JOIN q),
+s AS (SELECT qid, doc_id,
+             (length(t) - length(replace(t, t1, ''))) / length(t1)
+           + (length(t) - length(replace(t, t2, ''))) / length(t2) AS score,
+             (CASE WHEN length(t) - length(replace(t, t1, '')) > 0
+                   THEN 1 ELSE 0 END
+            + CASE WHEN length(t) - length(replace(t, t2, '')) > 0
+                   THEN 1 ELSE 0 END) AS cov
+      FROM c),
+r AS (SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM s WHERE score > 0),
+rk AS (SELECT * FROM r WHERE rank <= 10),
+tr AS (SELECT qid, doc_id FROM s WHERE cov = 2),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_relevant FROM tr GROUP BY 1),
+j AS (SELECT rk.qid, rk.rank,
+             CASE WHEN tr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM rk LEFT JOIN tr ON rk.qid = tr.qid AND rk.doc_id = tr.doc_id),
+cum AS (SELECT qid, rank, rel,
+               sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+        FROM j),
+pq AS (SELECT qid, sum(rel)::BIGINT AS hits,
+              max(CASE WHEN rel = 1 THEN 1.0 / rank END) AS best_rr,
+              sum(CASE WHEN rel = 1 THEN cum_rel * 1.0 / rank
+                       ELSE 0 END) AS ap_num
+       FROM cum GROUP BY 1)
+SELECT n.qid, n.n_relevant,
+       coalesce(pq.hits, 0)::BIGINT AS hits_at_k,
+       round(coalesce(pq.best_rr, 0), 6) AS mrr,
+       round(coalesce(pq.hits, 0) / 10.0, 6) AS precision_at_k,
+       round(coalesce(pq.hits, 0) * 1.0 / n.n_relevant, 6) AS recall_at_k,
+       round(coalesce(pq.ap_num, 0.0) / least(10.0, n.n_relevant * 1.0), 6)
+         AS ap_at_k
+FROM nrel n LEFT JOIN pq USING (qid) ORDER BY n.qid
+"""
+
+
+def q_t_closeness_events(spark, sf_dir):
+    """t-closeness release gate (operators/privacy.t_closeness): each
+    (event_type, value-band) equivalence class's user-band
+    distribution must sit within EMD 0.05 of the global one — the
+    skew leak l-diversity misses (a class can span all 10 bands yet
+    concentrate on one). Ordered EMD = mean |cumulative difference|
+    over the global support; one shuffle to the (class, value) cells,
+    everything else on the classes x 10 grid. Oracle replays the
+    densify + cumsum algebra."""
+    from jsonschema_validator_spark.operators.privacy import t_closeness
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type"),
+        F.coalesce(F.floor(F.col("value") / 100), F.lit(-1)).alias(
+            "value_band"
+        ),
+        (F.col("user_id") % 10).alias("user_band"),
+    )
+    return t_closeness(
+        ev, ["event_type", "value_band"], "user_band", t=0.05
+    ).orderBy("event_type", "value_band")
+
+
+_ORACLE_T_CLOSENESS = """
+WITH d AS (SELECT coalesce(event_type, 'unknown') AS et,
+                  coalesce(CAST(floor(value / 100) AS BIGINT), -1) AS vb,
+                  user_id % 10 AS v
+           FROM events WHERE user_id IS NOT NULL),
+cell AS (SELECT et, vb, v, count(*)::DOUBLE AS c FROM d GROUP BY 1, 2, 3),
+pc AS (SELECT et, vb, sum(c) AS n_class FROM cell GROUP BY 1, 2),
+pv AS (SELECT v, sum(c) AS n_value FROM cell GROUP BY 1),
+tot AS (SELECT sum(n_value) AS n_total FROM pv),
+grid AS (SELECT pc.et, pc.vb, pc.n_class, pv.v, pv.n_value, t.n_total
+         FROM pc CROSS JOIN pv CROSS JOIN tot t),
+dense AS (SELECT g.et, g.vb, g.n_class, g.v,
+                 coalesce(c.c, 0) / g.n_class AS p,
+                 g.n_value / g.n_total AS q
+          FROM grid g LEFT JOIN cell c
+            ON g.et = c.et AND g.vb = c.vb AND g.v = c.v),
+cum AS (SELECT et, vb, n_class,
+               sum(p - q) OVER (PARTITION BY et, vb ORDER BY v) AS cd,
+               count(*) OVER (PARTITION BY et, vb) AS m
+        FROM dense),
+e AS (SELECT et, vb, n_class,
+             sum(abs(cd)) / greatest(max(m) - 1, 1) AS emd
+      FROM cum GROUP BY 1, 2, 3)
+SELECT et AS event_type, vb AS value_band, n_class::BIGINT AS class_size,
+       round(emd, 6) AS emd, emd > 0.05 AS t_violation
+FROM e ORDER BY et, vb
+"""
+
+
+def q_holt_events(spark, sf_dir):
+    """Holt level+trend smoothing residual screen (operators/
+    timeseries.holt_screen) over per-type daily value means with a
+    planted +35 one-day shift on 'view' at 2024-01-22 — the
+    trend-aware sibling of the EWMA screen (on a ramping series EWMA
+    lags and pages daily; Holt's trend term absorbs the slope). Day-1
+    rows (no forecast yet) are excluded from the contract output so
+    every row carries a real residual. Oracle replays the two-point
+    init and the recurrence with a recursive CTE."""
+    from jsonschema_validator_spark.operators.timeseries import holt_screen
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v2",
+        F.col("value")
+        + F.when(
+            (F.col("event_type") == "view")
+            & (F.to_date("ts") == F.lit("2024-01-22")),
+            F.lit(35.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    out = holt_screen(
+        ev, "event_type", "ts", value="v2", alpha=0.3, beta=0.1, h_sigma=3.0
+    )
+    return out.filter(F.col("residual").isNotNull()).orderBy(
+        "event_type", "day"
+    )
+
+
+_ORACLE_HOLT = """
+WITH RECURSIVE
+d AS (
+  SELECT event_type AS g, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         avg(value + CASE WHEN event_type = 'view'
+                           AND ts::DATE = DATE '2024-01-22'
+                          THEN 35.0 ELSE 0.0 END) AS x
+  FROM events GROUP BY 1, 2),
+p AS (SELECT g, coalesce(stddev_samp(x), 0) AS sd FROM d GROUP BY g),
+s AS (SELECT d.g, day, x, sd,
+             row_number() OVER (PARTITION BY d.g ORDER BY day) AS i,
+             lead(x) OVER (PARTITION BY d.g ORDER BY day) AS nxt
+      FROM d JOIN p USING (g)),
+c AS (SELECT g, day, x, sd, i,
+             x AS level, coalesce(nxt - x, 0.0) AS trend,
+             CAST(NULL AS DOUBLE) AS forecast,
+             CAST(NULL AS DOUBLE) AS residual
+      FROM s WHERE i = 1
+      UNION ALL
+      SELECT s.g, s.day, s.x, s.sd, s.i,
+             0.3 * s.x + 0.7 * (c.level + c.trend),
+             0.1 * ((0.3 * s.x + 0.7 * (c.level + c.trend)) - c.level)
+               + 0.9 * c.trend,
+             c.level + c.trend,
+             s.x - (c.level + c.trend)
+      FROM c JOIN s ON s.g = c.g AND s.i = c.i + 1)
+SELECT g AS event_type, day, round(x, 6) AS x, round(level, 6) AS level,
+       round(trend, 6) AS trend, round(forecast, 6) AS forecast,
+       round(residual, 6) AS residual,
+       abs(residual) > 3.0 * sd AS flag
+FROM c WHERE residual IS NOT NULL ORDER BY event_type, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9857,6 +10118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": q_token_stats_documents,
         "triangles_lineitem": q_triangles_lineitem,
         "gram_spectrum_embeddings": q_gram_spectrum_embeddings,
+        "brier_documents": q_brier_documents,
+        "retrieval_metrics_documents": q_retrieval_metrics_documents,
+        "t_closeness_events": q_t_closeness_events,
+        "holt_events": q_holt_events,
     }
 
 
@@ -10071,4 +10336,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_documents": _ORACLE_TOKEN_STATS,
         "triangles_lineitem": _ORACLE_TRIANGLES,
         "gram_spectrum_embeddings": _ORACLE_GRAM_SPECTRUM,
+        "brier_documents": _ORACLE_BRIER,
+        "retrieval_metrics_documents": _ORACLE_RETRIEVAL,
+        "t_closeness_events": _ORACLE_T_CLOSENESS,
+        "holt_events": _ORACLE_HOLT,
     }

@@ -399,3 +399,147 @@ def gains_table(
             6,
         ).alias("lift"),
     ).orderBy("bin")
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score: str,
+    label: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over DISTINCT forecast
+    values: brier = reliability - resolution + uncertainty, which holds
+    EXACTLY when bins are the distinct scores (binned variants leave a
+    within-bin variance remainder; calibration_bins reports that view).
+
+    reliability — how far each forecast value sits from its observed
+    event rate (0 is perfectly calibrated); resolution — how much the
+    per-forecast event rates spread around the base rate (higher =
+    the score actually sorts outcomes); uncertainty — base-rate
+    variance, the floor no scorer can beat.
+
+    One groupBy reduces rows to the O(distinct scores) block relation
+    (labels are 0/1 so sum(y^2) = sum(y)); totals ride a window over
+    that reduced relation, never the raw rows. Every component is a
+    ratio of integer-weighted sums — exactly replayable in SQL.
+    Returns one row (per group): (n, brier, reliability, resolution,
+    uncertainty, identity_gap) with identity_gap pinned ~0 as the
+    internal consistency proof. NULL scores/labels are excluded.
+    """
+    g = F.col(group) if group else F.lit("all")
+    d = df.filter(F.col(score).isNotNull() & F.col(label).isNotNull()).select(
+        g.alias("g"),
+        F.col(score).cast("double").alias("p"),
+        F.col(label).cast("double").alias("y"),
+    )
+    blocks = d.groupBy("g", "p").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("s_k")
+    )
+    w = Window.partitionBy("g")
+    b = blocks.select(
+        "g",
+        "p",
+        "n_k",
+        "s_k",
+        F.sum("n_k").over(w).alias("n"),
+        F.sum("s_k").over(w).alias("s"),
+    )
+    out = b.groupBy("g", "n", "s").agg(
+        F.sum(
+            F.col("n_k") * F.col("p") * F.col("p")
+            - 2 * F.col("p") * F.col("s_k")
+            + F.col("s_k")
+        ).alias("se"),
+        F.sum(
+            F.col("n_k")
+            * F.pow(F.col("p") - F.col("s_k") / F.col("n_k"), F.lit(2.0))
+        ).alias("rel"),
+        F.sum(
+            F.col("n_k")
+            * F.pow(F.col("s_k") / F.col("n_k") - F.col("s") / F.col("n"), F.lit(2.0))
+        ).alias("res"),
+    )
+    ybar = F.col("s") / F.col("n")
+    return out.select(
+        F.col("g").alias("part"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("se") / F.col("n"), 6).alias("brier"),
+        F.round(F.col("rel") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res") / F.col("n"), 6).alias("resolution"),
+        F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
+        F.abs(
+            F.round(
+                F.col("se") / F.col("n")
+                - (
+                    F.col("rel") / F.col("n")
+                    - F.col("res") / F.col("n")
+                    + ybar * (1 - ybar)
+                ),
+                6,
+            )
+            + F.lit(0.0)  # IEEE -0.0 + 0.0 = +0.0: engines disagree on abs(-0.0)
+        ).alias("identity_gap"),
+    )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    qid: str = "qid",
+    doc: str = "doc_id",
+    rank: str = "rank",
+) -> DataFrame:
+    """Binary-relevance retrieval battery per query: MRR, precision@k,
+    recall@k, and AP@k (average precision) — the standard quartet
+    beside evaluation.ndcg's graded view. ``ranked`` carries one row
+    per (query, candidate) with a 1-based rank; ``truth`` the relevant
+    (query, doc) pairs.
+
+    All four metrics are conditional aggregates over the rank-capped
+    join of the two relations — the shuffled relation is
+    O(queries x k) + O(truth), never corpus-sized. AP@k follows the
+    TREC convention: sum of precision-at-each-relevant-hit / min(k,
+    n_relevant). Queries with no relevant docs return NULL metrics
+    (unmeasurable, never 0 or 1 — the ndcg contract). Returns
+    (qid, n_relevant, hits_at_k, mrr, precision_at_k, recall_at_k,
+    ap_at_k).
+    """
+    r = ranked.select(
+        F.col(qid).alias("q"), F.col(doc).alias("d"), F.col(rank).alias("r")
+    ).filter(F.col("r") <= k)
+    t = truth.select(F.col(qid).alias("q"), F.col(doc).alias("d")).distinct()
+    nrel = t.groupBy("q").agg(F.count(F.lit(1)).alias("n_relevant"))
+    j = r.join(t.withColumn("rel", F.lit(1)), ["q", "d"], "left").select(
+        "q", "r", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+    )
+    # precision at each rank needs the running relevant count in rank order
+    wr = Window.partitionBy("q").orderBy("r")
+    j = j.withColumn("cum_rel", F.sum("rel").over(wr))
+    per_q = j.groupBy("q").agg(
+        F.sum("rel").alias("hits_at_k"),
+        F.max(F.when(F.col("rel") == 1, 1.0 / F.col("r"))).alias("best_rr"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.col("cum_rel") / F.col("r")).otherwise(0.0)
+        ).alias("ap_num"),
+    )
+    return (
+        nrel.join(per_q, "q", "left")
+        .select(
+            F.col("q").alias("qid"),
+            "n_relevant",
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("long").alias("hits_at_k"),
+            F.round(F.coalesce(F.col("best_rr"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(F.coalesce(F.col("hits_at_k"), F.lit(0)) / float(k), 6).alias(
+                "precision_at_k"
+            ),
+            F.round(
+                F.coalesce(F.col("hits_at_k"), F.lit(0)) / F.col("n_relevant"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.col("ap_num"), F.lit(0.0))
+                / F.least(F.lit(float(k)), F.col("n_relevant").cast("double")),
+                6,
+            ).alias("ap_at_k"),
+        )
+    )

@@ -676,3 +676,95 @@ def max_drawdown(
         F.round("__b.trough", 6).alias("trough"),
         F.round("__b.dd", 6).alias("drawdown"),
     )
+
+
+def holt_screen(
+    df: DataFrame,
+    group: str,
+    ts: str,
+    value=None,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    h_sigma: float = 3.0,
+) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing with a
+    one-step-ahead residual screen per group over the daily series —
+    the trend-aware sibling of ewma_screen: on a steadily growing
+    series EWMA lags behind and flags every day, while Holt's trend
+    term absorbs the slope and flags only genuine breaks.
+
+        forecast_i = l_{i-1} + b_{i-1}
+        l_i = alpha * x_i + (1 - alpha) * forecast_i
+        b_i = beta * (l_i - l_{i-1}) + (1 - beta) * b_{i-1}
+
+    Initialization is the standard two-point start: l_1 = x_1,
+    b_1 = x_2 - x_1 (0 for single-day groups); residuals are defined
+    from day 2 onward (day 1 has no forecast; NULL residual never
+    flags). Same scale shape as ewma_screen/cusum_screen: ONE
+    (group, day) aggregation reduces the raw table, the inherently
+    sequential recurrence runs Arrow-batched per group over the
+    O(days) series, and the oracle replays it with a recursive CTE.
+    flag = |residual| > h_sigma * sd over the group's own sample
+    stddev. Returns (group, day, x, level, trend, forecast, residual,
+    flag), floats rounded to 6.
+    """
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError("alpha in (0,1], beta in [0,1]")
+    import pandas as pd
+
+    val = F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    daily = _daily(df, group, ts, val)
+    params = daily.groupBy("g").agg(F.stddev_samp("x").alias("sd"))
+    series = daily.join(params, "g")
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        sd = pdf["sd"].iloc[0]
+        sd = 0.0 if pd.isna(sd) else sd
+        xs = list(pdf["x"])
+        lvl, trd, fc, res = [], [], [], []
+        l = b = None
+        for i, x in enumerate(xs):
+            if i == 0:
+                l = x
+                b = (xs[1] - xs[0]) if len(xs) > 1 else 0.0
+                fc.append(None)
+                res.append(None)
+            else:
+                f = l + b
+                fc.append(f)
+                res.append(x - f)
+                l_new = alpha * x + (1.0 - alpha) * f
+                b = beta * (l_new - l) + (1.0 - beta) * b
+                l = l_new
+            lvl.append(l)
+            trd.append(b)
+        pdf["level"] = lvl
+        pdf["trend"] = trd
+        pdf["forecast"] = fc
+        pdf["residual"] = res
+        pdf["flag"] = [
+            (r is not None and abs(r) > h_sigma * sd) for r in res
+        ]
+        return pdf[["g", "day", "x", "level", "trend", "forecast", "residual", "flag"]]
+
+    return (
+        series.groupBy("g")
+        .applyInPandas(
+            _run,
+            schema=(
+                "g string, day string, x double, level double, trend double, "
+                "forecast double, residual double, flag boolean"
+            ),
+        )
+        .select(
+            F.col("g").alias(group),
+            "day",
+            F.round("x", 6).alias("x"),
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            F.round("forecast", 6).alias("forecast"),
+            F.round("residual", 6).alias("residual"),
+            "flag",
+        )
+    )

@@ -112,3 +112,113 @@ def test_gram_spectrum_empty_input(spark):
     df = spark.createDataFrame([], "v array<double>")
     r = gram_spectrum(df, "v", dim=4).collect()[0]
     assert r["n_vecs"] == 0 and r["lambda_top"] is None
+
+
+def test_brier_identity_and_handworked(spark):
+    from jsonschema_validator_spark.operators.evaluation import brier_decomposition
+
+    # forecasts 0.8 (3 rows, 2 pos) and 0.2 (2 rows, 0 pos)
+    rows = [(0.8, 1), (0.8, 1), (0.8, 0), (0.2, 0), (0.2, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = brier_decomposition(df, "score", "label").collect()[0]
+    # brier = (3*(.8^2) - 2*.8*2 + 2 + 2*(.2^2)) / 5
+    exp_brier = (3 * 0.64 - 3.2 + 2 + 2 * 0.04) / 5
+    assert abs(r["brier"] - round(exp_brier, 6)) < 1e-9
+    ybar = 2 / 5
+    rel = (3 * (0.8 - 2 / 3) ** 2 + 2 * (0.2 - 0.0) ** 2) / 5
+    res = (3 * (2 / 3 - ybar) ** 2 + 2 * (0.0 - ybar) ** 2) / 5
+    assert abs(r["reliability"] - round(rel, 6)) < 1e-9
+    assert abs(r["resolution"] - round(res, 6)) < 1e-9
+    assert abs(r["uncertainty"] - round(ybar * (1 - ybar), 6)) < 1e-9
+    assert r["identity_gap"] == 0.0
+
+
+def test_retrieval_metrics_handworked(spark):
+    from jsonschema_validator_spark.operators.evaluation import retrieval_metrics
+
+    # q1: relevant {1, 2, 9}; ranking 1(rel), 3, 2(rel) at ranks 1..3
+    ranked = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 3, 2), ("q1", 2, 3), ("q2", 7, 1)],
+        "qid string, doc_id int, rank int",
+    )
+    truth = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q1", 9), ("q3", 5)],
+        "qid string, doc_id int",
+    )
+    out = {r["qid"]: r for r in retrieval_metrics(ranked, truth, k=3).collect()}
+    q1 = out["q1"]
+    assert q1["hits_at_k"] == 2 and q1["mrr"] == 1.0
+    assert abs(q1["precision_at_k"] - round(2 / 3, 6)) < 1e-9
+    assert abs(q1["recall_at_k"] - round(2 / 3, 6)) < 1e-9
+    # AP = (1/1 + 2/3) / min(3, 3)
+    assert abs(q1["ap_at_k"] - round((1 + 2 / 3) / 3, 6)) < 1e-9
+    # q3 has truth but no ranked rows -> zeros; q2 has no truth -> absent
+    assert out["q3"]["hits_at_k"] == 0 and out["q3"]["mrr"] == 0.0
+    assert "q2" not in out
+
+
+def test_t_closeness_identical_class_is_zero_and_skew_flags(spark):
+    from jsonschema_validator_spark.operators.privacy import t_closeness
+
+    rows = []
+    # class A mirrors the global mix; class B is all value 0
+    for v in (0, 1, 2, 3) * 5:
+        rows.append(("A", v))
+    for _ in range(20):
+        rows.append(("B", 0))
+    df = spark.createDataFrame(rows, "qi string, sens int")
+    out = {r["qi"]: r for r in t_closeness(df, ["qi"], "sens", t=0.2).collect()}
+    # global: value 0 has 25/40, others 5/40 each.
+    # A (uniform): cum diffs -.375 -.25 -.125 0 -> EMD = .75/3 = .25
+    # B (all-zero): cum diffs .375 .25 .125 0 -> same transport, .25
+    assert out["A"]["emd"] == 0.25 and out["B"]["emd"] == 0.25
+    assert out["A"]["t_violation"] is True
+    assert out["B"]["t_violation"] is True
+    # a lone class IS the global distribution -> EMD exactly 0
+    solo = t_closeness(
+        df.filter("qi = 'A'"), ["qi"], "sens", t=0.2
+    ).collect()[0]
+    assert solo["emd"] == 0.0 and solo["t_violation"] is False
+
+
+def test_t_closeness_single_value_support_no_abort(spark):
+    from jsonschema_validator_spark.operators.privacy import t_closeness
+
+    df = spark.createDataFrame(
+        [("A", 1), ("B", 1)], "qi string, sens int"
+    )
+    out = t_closeness(df, ["qi"], "sens").collect()
+    assert all(r["emd"] == 0.0 for r in out)
+
+
+def test_holt_absorbs_linear_trend(spark):
+    import datetime
+
+    from jsonschema_validator_spark.operators.timeseries import holt_screen
+
+    # perfectly linear series: forecast is exact, all residuals 0
+    rows = [
+        ("g", datetime.datetime(2024, 1, 1 + i), 10.0 + 5.0 * i)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = holt_screen(df, "g", "ts", value="v").collect()
+    resids = [r["residual"] for r in out if r["residual"] is not None]
+    assert len(resids) == 11
+    assert all(abs(x) < 1e-9 for x in resids)
+    assert not any(r["flag"] for r in out)
+
+
+def test_holt_flags_level_break(spark):
+    import datetime
+
+    from jsonschema_validator_spark.operators.timeseries import holt_screen
+
+    vals = [10.0] * 10 + [60.0] + [10.0] * 5
+    rows = [
+        ("g", datetime.datetime(2024, 1, 1 + i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["day"]: r for r in holt_screen(df, "g", "ts", value="v", h_sigma=3.0).collect()}
+    assert out["2024-01-11"]["flag"] is True
+    assert not out["2024-01-05"]["flag"]
