@@ -9899,6 +9899,225 @@ FROM c WHERE residual IS NOT NULL ORDER BY event_type, day
 """
 
 
+def q_streaming_drift_events(spark, sf_dir):
+    """Streaming ingest path of the KS/PSI drift screen (streaming/
+    validate.stream_histogram_counts): per-batch ADDITIVE (day, bucket)
+    histogram partials land through the batch_id-partitioned
+    exactly-once sink — no unbounded streaming state — and
+    drift.ks_psi_from_histogram over the summed sink must equal the
+    one-shot batch KS/PSI exactly: the oracle IS the batch drift SQL
+    (shared with drift_events_value)."""
+    import os
+    import shutil
+    import tempfile
+
+    from jsonschema_validator_spark.operators.drift import (
+        ks_psi_from_histogram,
+    )
+    from jsonschema_validator_spark.streaming.validate import (
+        stream_histogram_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="stream_drift_")
+    src_dir = os.path.join(out, "incoming")
+    os.makedirs(src_dir)
+    src_file = f"{sf_dir}/events.parquet"
+    try:
+        os.link(src_file, os.path.join(src_dir, "events.parquet"))
+    except OSError:
+        shutil.copy(src_file, os.path.join(src_dir, "events.parquet"))
+    schema = spark.read.parquet(src_file).schema
+    q = stream_histogram_counts(
+        spark,
+        src_dir,
+        schema,
+        out,
+        part_expr=lambda df: _day("ts"),
+        value_expr=lambda df: F.col("value"),
+        buckets=20,
+        lo=0.0,
+        hi=500.0,
+    )
+    q.awaitTermination()
+    sink = (
+        spark.read.parquet(f"{out}/hist")
+        .groupBy("part", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    import math
+
+    res = ks_psi_from_histogram(sink, buckets=20)
+    c = math.sqrt(-0.5 * math.log(0.01 / 2.0))
+    n = F.col("n_rows").cast("double")
+    m = F.col("n_base").cast("double")
+    crit = F.lit(c) * F.sqrt((n + m) / (n * m))
+    return res.select(
+        F.col("part").alias("day"),
+        "n_rows",
+        "n_base",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("psi", 6).alias("psi"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.col("ks_stat") > crit).alias("ks_drifted"),
+    ).orderBy("day")
+
+
+def q_cms_users_events(spark, sf_dir):
+    """Count-Min sketch frequency estimation (operators/stats.
+    count_min_sketch + cms_estimate): the mergeable O(depth x width)
+    counter relation over user_id — the frequency summary for key
+    spaces too large to count exactly (the sketch sibling of the HLL
+    distinct count and the Misra-Gries heavy hitters) — probed for the
+    exact top-20 users. Estimates are provable OVERestimates; width
+    128 << distinct users forces real collisions so the overestimate
+    column is non-vacuous. Bucket hashes are the package's portable
+    mixer, replayed verbatim by the oracle."""
+    from jsonschema_validator_spark.operators.stats import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    counters = count_min_sketch(ev, "user_id", width=128, depth=3)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    top = exact.orderBy(F.col("exact_count").desc(), "user_id").limit(20)
+    est = cms_estimate(
+        counters, top.select("user_id"), "user_id", width=128, depth=3
+    )
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_count",
+            (F.col("cms_count") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "user_id")
+    )
+
+
+_ORACLE_CMS = """
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+cnt AS (SELECT user_id, count(*)::BIGINT AS exact_count FROM e GROUP BY 1),
+fan AS (SELECT user_id, unnest(range(3)) AS d FROM e),
+hh AS (SELECT d, ((user_id + d * 1000003) % 2147483648) * 2654435761 AS h1
+       FROM fan),
+counters AS (SELECT d, xor(h1, h1 >> 29) % 128 AS bucket,
+                    count(*)::BIGINT AS n
+             FROM hh GROUP BY 1, 2),
+top AS (SELECT user_id, exact_count FROM cnt
+        ORDER BY exact_count DESC, user_id LIMIT 20),
+pf AS (SELECT t.user_id, t.exact_count, d.d,
+              ((t.user_id + d.d * 1000003) % 2147483648) * 2654435761 AS h1
+       FROM top t CROSS JOIN (SELECT unnest(range(3)) AS d) d),
+pj AS (SELECT pf.user_id, pf.exact_count,
+              coalesce(c.n, 0) AS n
+       FROM pf LEFT JOIN counters c
+         ON c.d = pf.d AND c.bucket = xor(pf.h1, pf.h1 >> 29) % 128),
+est AS (SELECT user_id, exact_count, min(n)::BIGINT AS cms_count
+        FROM pj GROUP BY 1, 2)
+SELECT user_id, exact_count, cms_count,
+       (cms_count - exact_count)::BIGINT AS overestimate
+FROM est ORDER BY exact_count DESC, user_id
+"""
+
+
+def q_kendall_lineitem(spark, sf_dir):
+    """Kendall tau-b (operators/stats.kendall_tau) between quantity
+    and the 5000-wide extended-price band — the tie-corrected
+    concordance view beside spearman_lineitem's average-rank view.
+    Rows reduce to the O(distinct cells) block relation first; C/D
+    mass comes from the cell-pair join on counts, never row pairs.
+    Oracle replays the cell algebra and both tie corrections."""
+    from jsonschema_validator_spark.operators.stats import kendall_tau
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.floor(F.col("l_extendedprice") / 5000).alias("price_band"),
+    )
+    return kendall_tau(li, "qty", "price_band")
+
+
+_ORACLE_KENDALL = """
+WITH d AS (SELECT l_quantity AS gx,
+                  CAST(floor(l_extendedprice / 5000) AS BIGINT) AS gy
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+cells AS (SELECT gx, gy, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+cd AS (SELECT coalesce(sum(CASE WHEN a.gy < b.gy THEN a.c * b.c END), 0)
+                AS concordant,
+              coalesce(sum(CASE WHEN a.gy > b.gy THEN a.c * b.c END), 0)
+                AS discordant
+       FROM cells a JOIN cells b ON a.gx < b.gx),
+tx AS (SELECT sum(t * (t - 1) / 2.0) AS n1, sum(t) AS n
+       FROM (SELECT sum(c) AS t FROM cells GROUP BY gx)),
+ty AS (SELECT sum(t * (t - 1) / 2.0) AS n2
+       FROM (SELECT sum(c) AS t FROM cells GROUP BY gy))
+SELECT n::BIGINT AS n, concordant::BIGINT AS concordant,
+       discordant::BIGINT AS discordant,
+       round((concordant - discordant)
+             / sqrt((n * (n - 1) / 2.0 - n1) * (n * (n - 1) / 2.0 - n2)),
+             6) AS tau_b
+FROM cd, tx, ty
+"""
+
+
+def q_welch_events(spark, sf_dir):
+    """Welch's unequal-variance t-test (operators/stats.welch_t) on
+    purchase-vs-click values with a planted +15 purchase shift — the
+    mean-difference verdict beside mann_whitney_events' rank verdict,
+    without the pooled-variance assumption. ONE conditional
+    aggregation; closed-form t and Satterthwaite df. The planted shift
+    makes the flag decide real rows. Oracle replays the power-sum
+    algebra."""
+    from jsonschema_validator_spark.operators.stats import welch_t
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v2",
+        F.col("value")
+        + F.when(F.col("event_type") == "purchase", F.lit(15.0)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return welch_t(ev, "v2", "event_type", "purchase", "click")
+
+
+_ORACLE_WELCH = """
+WITH d AS (
+  SELECT event_type AS g,
+         value + CASE WHEN event_type = 'purchase' THEN 15.0 ELSE 0.0 END AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+a AS (SELECT
+        sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS na,
+        sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS nb,
+        sum(CASE WHEN g = 'purchase' THEN v ELSE 0 END) AS sa,
+        sum(CASE WHEN g = 'click' THEN v ELSE 0 END) AS sb,
+        sum(CASE WHEN g = 'purchase' THEN v * v ELSE 0 END) AS qa,
+        sum(CASE WHEN g = 'click' THEN v * v ELSE 0 END) AS qb
+      FROM d),
+m AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             (qa - sa * sa / na) / (na - 1) AS va,
+             (qb - sb * sb / nb) / (nb - 1) AS vb
+      FROM a),
+t AS (SELECT na, nb, ma, mb, va, vb,
+             va / na + vb / nb AS se2
+      FROM m)
+SELECT na AS n_a, nb AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(ma - mb, 6) AS mean_diff,
+       round((ma - mb) / sqrt(se2), 6) AS t_stat,
+       round(se2 * se2 / (pow(va / na, 2) / (na - 1)
+                          + pow(vb / nb, 2) / (nb - 1)), 6) AS df_welch,
+       abs((ma - mb) / sqrt(se2)) > 1.959964 AS flag
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10122,6 +10341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics_documents": q_retrieval_metrics_documents,
         "t_closeness_events": q_t_closeness_events,
         "holt_events": q_holt_events,
+        "streaming_drift_events": q_streaming_drift_events,
+        "cms_users_events": q_cms_users_events,
+        "kendall_lineitem": q_kendall_lineitem,
+        "welch_events": q_welch_events,
     }
 
 
@@ -10340,4 +10563,8 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_metrics_documents": _ORACLE_RETRIEVAL,
         "t_closeness_events": _ORACLE_T_CLOSENESS,
         "holt_events": _ORACLE_HOLT,
+        "streaming_drift_events": _ORACLE_DRIFT,
+        "cms_users_events": _ORACLE_CMS,
+        "kendall_lineitem": _ORACLE_KENDALL,
+        "welch_events": _ORACLE_WELCH,
     }

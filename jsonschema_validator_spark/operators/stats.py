@@ -1454,3 +1454,199 @@ def simpsons_check(
         ).alias("paradox"),
         F.coalesce(disagree > 0, F.lit(False)).alias("sign_mixed"),
     )
+
+
+def count_min_sketch(
+    df: DataFrame, key: str, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) over an
+    integer key column as the O(depth x width) counter relation
+    (d, bucket, n) — the mergeable frequency summary for key spaces too
+    large to count exactly (two sketches over disjoint data merge by
+    plain integer sum on (d, bucket), the same additivity contract as
+    mergeable_quantile's histogram partials).
+
+    Row hashes use the package's engine-portable mixer (sampling.
+    mix_key) salted per depth row with key + d * 1_000_003, so a SQL
+    oracle replays every bucket assignment verbatim — no engine hash.
+    One explode to depth rows per input row, ONE groupBy (d, bucket):
+    map-side combinable, output size independent of input rows. NULL
+    keys are excluded (count them separately if they matter).
+    """
+    from jsonschema_validator_spark.operators.sampling import mix_key
+
+    if width < 2 or depth < 1:
+        raise ValueError("width >= 2 and depth >= 1 required")
+    k = F.col(key).cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(mix_key(k + d * 1_000_003), F.lit(width)).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(k.isNotNull())
+        .select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    key: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Point-frequency estimates from a count_min_sketch counter
+    relation: est(key) = min over d of counter[d][h_d(key)] — an
+    OVERestimate by construction (collisions only add), within
+    2n/width of truth with probability 1 - (1/2)^depth. The probe
+    relation fans out to depth rows and equi-joins the O(depth x
+    width) counter relation (broadcastable); no raw-data access.
+    Returns probes + (cms_count,). Probe keys absent from the sketch
+    estimate as the collision floor of their buckets (0 only if all
+    their buckets are empty).
+    """
+    from jsonschema_validator_spark.operators.sampling import mix_key
+
+    k = F.col(key).cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(mix_key(k + d * 1_000_003), F.lit(width)).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    fan = probes.select(F.col(key), F.explode(rows).alias("r")).select(
+        key, F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket")
+    )
+    j = fan.join(F.broadcast(counters), ["d", "bucket"], "left").select(
+        key, F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return j.groupBy(key).agg(F.min("n").cast("long").alias("cms_count"))
+
+
+def kendall_tau(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Kendall tau-b rank correlation between two columns, exact with
+    tie correction — the concordance view beside spearman_rho's
+    average-rank view (tau is more robust to a few wild rows; both
+    detect the monotone association Pearson misses).
+
+    Scale shape: rows reduce FIRST to the O(distinct (x,y) cells)
+    block relation; concordant/discordant mass comes from the
+    cell-pair self-join restricted to x1 < x2 — O(cells^2) pairs of
+    COUNTS, never row pairs (use bucketed/binned inputs when a column
+    is continuous: tau on bins is tau with ties, which tau-b
+    corrects). Tie terms come from the two marginal relations.
+    Returns one row: (n, concordant, discordant, tau_b); tau_b is
+    NULL when either column is constant (try_divide).
+    """
+    d = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).alias("gx"), F.col(y).alias("gy")
+    )
+    cells = d.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("c"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(b, F.col("a.gx") < F.col("b.gx")).select(
+        (F.col("a.c") * F.col("b.c")).alias("m"),
+        F.when(F.col("a.gy") < F.col("b.gy"), F.lit(1))
+        .when(F.col("a.gy") > F.col("b.gy"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sgn"),
+    )
+    cd = pairs.agg(
+        F.coalesce(F.sum(F.when(F.col("sgn") == 1, F.col("m"))), F.lit(0)).alias(
+            "concordant"
+        ),
+        F.coalesce(F.sum(F.when(F.col("sgn") == -1, F.col("m"))), F.lit(0)).alias(
+            "discordant"
+        ),
+    )
+    tx = (
+        cells.groupBy("gx")
+        .agg(F.sum("c").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n1"),
+            F.sum("t").alias("n"),
+        )
+    )
+    ty = (
+        cells.groupBy("gy")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n2"))
+    )
+    out = cd.crossJoin(tx).crossJoin(ty)
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    tau = F.try_divide(
+        (F.col("concordant") - F.col("discordant")).cast("double"),
+        F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    value: str,
+    group: str,
+    group_a,
+    group_b,
+    crit: float = 1.959964,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t: the mean-difference
+    sibling of the rank-based mann_whitney_u (that one asks "do values
+    from A tend to exceed B", this one "do the MEANS differ" without
+    the classic pooled-variance assumption that breaks when one slice
+    is noisier).
+
+    ONE conditional aggregation over the scan — five power sums per
+    side — then closed-form t and Satterthwaite df; the verdict flags
+    |t| > ``crit`` (normal-approximation critical value; at the df
+    this screen runs on, t and normal quantiles agree to the third
+    decimal). Degenerate sides (n < 2 or zero variance on both) yield
+    NULL t via try_divide and never flag. Returns one row:
+    (n_a, n_b, mean_a, mean_b, mean_diff, t_stat, df_welch, flag).
+    """
+    v = F.col(value).cast("double")
+    in_a = F.col(group) == group_a
+    in_b = F.col(group) == group_b
+    d = df.filter(v.isNotNull() & (in_a | in_b))
+    agg = d.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(in_a, v).otherwise(0.0)).alias("sa"),
+        F.sum(F.when(in_b, v).otherwise(0.0)).alias("sb"),
+        F.sum(F.when(in_a, v * v).otherwise(0.0)).alias("qa"),
+        F.sum(F.when(in_b, v * v).otherwise(0.0)).alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = F.try_divide(F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"), F.col("na") - 1)
+    vb = F.try_divide(F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"), F.col("nb") - 1)
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t = F.try_divide(ma - mb, F.sqrt(se2))
+    dfw = F.try_divide(
+        se2 * se2,
+        F.pow(va / F.col("na"), F.lit(2.0)) / (F.col("na") - 1)
+        + F.pow(vb / F.col("nb"), F.lit(2.0)) / (F.col("nb") - 1),
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("df_welch"),
+        F.coalesce(F.abs(t) > crit, F.lit(False)).alias("flag"),
+    )

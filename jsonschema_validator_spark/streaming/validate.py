@@ -347,3 +347,68 @@ def stream_pass_rate(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_histogram_counts(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    output_dir: str,
+    part_expr,
+    value_expr,
+    buckets: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Per-(partition, bucket) histogram counts maintained incrementally
+    over a file stream — the streaming ingest path of the KS/PSI drift
+    screen. Every micro-batch appends its own (part, bucket, n,
+    batch_id) rows on the SHARED bucket grid (same bucketize as the
+    batch operator — shared bucketing is what makes the distributions
+    comparable); counts are ADDITIVE, so summing the sink per
+    (part, bucket) reproduces the one-shot batch histogram exactly and
+    ``drift.ks_psi_from_histogram`` over the summed sink equals the
+    batch KS/PSI to the bit. Same exactly-once pattern as
+    stream_counts: the sink partitions by batch_id and dynamic
+    overwrite makes replay idempotent; no unbounded streaming state
+    (the drift math is a batch read over the O(parts x buckets) sink).
+    Returns the StreamingQuery.
+
+    ``part_expr``/``value_expr``: callables df -> Column.
+    """
+    from jsonschema_validator_spark.operators.drift import bucketize
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = (
+            batch_df.select(
+                part_expr(batch_df).alias("part"),
+                bucketize(value_expr(batch_df), lo, hi, buckets).alias("bucket"),
+            )
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("part", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            hist.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/hist")
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

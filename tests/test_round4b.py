@@ -222,3 +222,137 @@ def test_holt_flags_level_break(spark):
     out = {r["day"]: r for r in holt_screen(df, "g", "ts", value="v", h_sigma=3.0).collect()}
     assert out["2024-01-11"]["flag"] is True
     assert not out["2024-01-05"]["flag"]
+
+
+def test_cms_overestimates_and_exact_when_wide(spark):
+    from jsonschema_validator_spark.operators.stats import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(i % 7,) for i in range(70)] + [(99,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    exact = {r["k"]: r["c"] for r in df.groupBy("k").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("c")
+    ).collect()}
+    probes = df.select("k").distinct()
+    # narrow sketch: estimates must never undercount
+    counters = count_min_sketch(df, "k", width=4, depth=2)
+    est = {r["k"]: r["cms_count"] for r in
+           cms_estimate(counters, probes, "k", width=4, depth=2).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    # wide sketch: few keys, many buckets -> exact with high probability
+    counters_w = count_min_sketch(df, "k", width=4096, depth=3)
+    est_w = {r["k"]: r["cms_count"] for r in
+             cms_estimate(counters_w, probes, "k", width=4096, depth=3).collect()}
+    assert est_w == exact
+    # counter relation is bounded: depth x width max
+    assert counters_w.count() <= 3 * 4096
+
+
+def test_kendall_tau_handworked(spark):
+    from jsonschema_validator_spark.operators.stats import kendall_tau
+
+    # perfect monotone: tau_b = 1
+    df = spark.createDataFrame([(i, i * 2) for i in range(6)], "x int, y int")
+    assert kendall_tau(df, "x", "y").collect()[0]["tau_b"] == 1.0
+    # perfect reverse: tau_b = -1
+    df2 = spark.createDataFrame([(i, -i) for i in range(6)], "x int, y int")
+    assert kendall_tau(df2, "x", "y").collect()[0]["tau_b"] == -1.0
+    # textbook tie case: x=(1,2,3,4), y=(1,2,2,3): C=5, D=0, one y-tie pair
+    df3 = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 2), (4, 3)], "x int, y int"
+    )
+    r = kendall_tau(df3, "x", "y").collect()[0]
+    assert r["concordant"] == 5 and r["discordant"] == 0
+    import math
+
+    exp = 5 / math.sqrt(6 * (6 - 1))
+    assert abs(r["tau_b"] - round(exp, 6)) < 1e-9
+    # constant column -> NULL tau
+    df4 = spark.createDataFrame([(1, 1), (2, 1)], "x int, y int")
+    assert kendall_tau(df4, "x", "y").collect()[0]["tau_b"] is None
+
+
+def test_welch_t_handworked(spark):
+    from jsonschema_validator_spark.operators.stats import welch_t
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("b", v) for v in (10.0, 12.0, 14.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t(df, "v", "g", "a", "b").collect()[0]
+    na, nb = 4, 3
+    ma, mb = 2.5, 12.0
+    va = sum((x - ma) ** 2 for x in (1, 2, 3, 4)) / 3
+    vb = sum((x - mb) ** 2 for x in (10, 12, 14)) / 2
+    se2 = va / na + vb / nb
+    t = (ma - mb) / se2**0.5
+    dfw = se2**2 / ((va / na) ** 2 / 3 + (vb / nb) ** 2 / 2)
+    assert r["n_a"] == 4 and r["n_b"] == 3
+    assert abs(r["t_stat"] - round(t, 6)) < 1e-9
+    assert abs(r["df_welch"] - round(dfw, 6)) < 1e-9
+    assert r["flag"] is True
+    # degenerate: single-row side -> NULL t, no flag
+    df2 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    r2 = welch_t(df2, "v", "g", "a", "b").collect()[0]
+    assert r2["t_stat"] is None and r2["flag"] is False
+
+
+def test_stream_histogram_counts_additive_across_batches(spark, tmp_path):
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "in"
+    d.mkdir()
+    f1 = pd.DataFrame({"part": ["A"] * 6 + ["B"] * 4, "v": [5.0 * i for i in range(10)]})
+    f2 = pd.DataFrame({"part": ["A"] * 3 + ["B"] * 7, "v": [3.0 * i for i in range(10)]})
+    pq.write_table(pa.Table.from_pandas(f1), str(d / "f1.parquet"))
+    pq.write_table(pa.Table.from_pandas(f2), str(d / "f2.parquet"))
+    now = _time.time()
+    os.utime(str(d / "f1.parquet"), (now, now))
+    os.utime(str(d / "f2.parquet"), (now + 1, now + 1))
+
+    out = str(tmp_path / "out")
+    schema = spark.read.parquet(str(d)).schema
+
+    # maxFilesPerTrigger=1 forces two micro-batches
+    from jsonschema_validator_spark.operators.drift import bucketize
+    from jsonschema_validator_spark.streaming.validate import (
+        stream_histogram_counts,
+    )
+
+    q = stream_histogram_counts(
+        spark,
+        str(d),
+        schema,
+        out,
+        part_expr=lambda df: F.col("part"),
+        value_expr=lambda df: F.col("v"),
+        buckets=5,
+        lo=0.0,
+        hi=50.0,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(f"{out}/hist")
+    # two files -> two micro-batches: the sink must hold BOTH batch_ids,
+    # so the parity below is genuinely additive across batches
+    assert sink.select("batch_id").distinct().count() == 2
+    summed = {
+        (r["part"], r["bucket"]): r["n"]
+        for r in sink.groupBy("part", "bucket").agg(F.sum("n").alias("n")).collect()
+    }
+    batch = spark.read.parquet(str(d)).select(
+        "part", bucketize(F.col("v"), 0.0, 50.0, 5).alias("bucket")
+    )
+    expected = {
+        (r["part"], r["bucket"]): r["n"]
+        for r in batch.groupBy("part", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert summed == expected
