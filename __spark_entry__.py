@@ -10118,6 +10118,191 @@ FROM t
 """
 
 
+def q_logrank_events(spark, sf_dir):
+    """Two-sample log-rank test (operators/survival.log_rank) on the
+    SAME censored time-to-purchase framing as kaplan_meier_events:
+    days from first event to first purchase, right-censored at 7 days,
+    cohorted by first event_type — are the 'click' and 'view' cohorts'
+    survival curves the same? Eyeballing two KM curves is not a
+    verdict; the Mantel-Cox statistic over the pooled event times is.
+    Block-relation plan end to end (subjects reduce to O(2 x distinct
+    durations) cells before any window). Oracle replays the
+    hypergeometric O/E/V arithmetic."""
+    from jsonschema_validator_spark.operators.survival import log_rank
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("et"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+        F.min_by("et", "event_id").alias("cohort"),
+    )
+    in_window = F.col("first_buy").isNotNull() & (
+        F.col("first_buy") <= F.col("first_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    subj = per_user.select(
+        "cohort",
+        F.when(
+            in_window, F.datediff(F.to_date("first_buy"), F.to_date("first_ts"))
+        )
+        .otherwise(F.lit(7))
+        .alias("dur"),
+        in_window.cast("int").alias("ev"),
+    )
+    return log_rank(subj, "dur", "ev", "cohort", "click", "view")
+
+
+_ORACLE_LOGRANK = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy,
+         min_by(coalesce(event_type, '(null)'), event_id) AS cohort
+  FROM events GROUP BY 1),
+subj AS (
+  SELECT cohort AS g,
+         (CASE WHEN first_buy IS NOT NULL
+                    AND first_buy <= first_ts + INTERVAL 7 DAY
+               THEN date_diff('day', first_ts::DATE, first_buy::DATE)
+               ELSE 7 END)::DOUBLE AS t,
+         CASE WHEN first_buy IS NOT NULL
+                   AND first_buy <= first_ts + INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS e
+  FROM per_user WHERE cohort IN ('click', 'view')),
+blocks AS (SELECT g, t, count(*) AS m, sum(e) AS d FROM subj GROUP BY 1, 2),
+grid AS (SELECT t, g
+         FROM (SELECT DISTINCT t FROM blocks)
+         CROSS JOIN (SELECT DISTINCT g FROM blocks)),
+cells AS (SELECT grid.g, grid.t,
+                 coalesce(b.m, 0) AS m, coalesce(b.d, 0) AS d
+          FROM grid LEFT JOIN blocks b ON b.g = grid.g AND b.t = grid.t),
+risked AS (SELECT g, t, d,
+  (sum(m) OVER (PARTITION BY g)
+   - coalesce(sum(m) OVER (PARTITION BY g ORDER BY t
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::DOUBLE AS n
+  FROM cells),
+per_t AS (SELECT t, sum(d) AS dj, sum(n) AS nj,
+                 sum(CASE WHEN g = 'click' THEN d ELSE 0 END) AS da,
+                 sum(CASE WHEN g = 'click' THEN n ELSE 0 END) AS na
+          FROM risked GROUP BY 1),
+evt AS (SELECT * FROM per_t WHERE dj > 0),
+tot AS (SELECT sum(da) AS oa,
+               sum(dj * na / nj) AS ea,
+               sum(CASE WHEN nj > 1
+                        THEN dj * (na / nj) * (1 - na / nj)
+                             * (nj - dj) / (nj - 1)
+                        ELSE 0 END) AS va
+        FROM evt),
+cnt AS (SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b
+        FROM subj)
+SELECT 'click' AS group_a, 'view' AS group_b, n_a, n_b,
+       oa::BIGINT AS o_a, round(ea, 6) AS e_a, round(va, 6) AS var_a,
+       CASE WHEN va > 0 THEN round((oa - ea) / sqrt(va), 6) END AS z_stat,
+       CASE WHEN va > 0 THEN round(pow((oa - ea) / sqrt(va), 2), 6) END AS chi2,
+       CASE WHEN va > 0 THEN pow((oa - ea) / sqrt(va), 2) > 3.841459
+            ELSE FALSE END AS reject_5pct
+FROM tot CROSS JOIN cnt
+"""
+
+
+def q_mcnemar_events(spark, sf_dir):
+    """McNemar's paired test (operators/stats.mcnemar) between two
+    row-level validity specs evaluated on the SAME events: spec A
+    (numeric contract: value present and <= 440) vs spec B (props
+    contract: JSON k present and <= 88). The unpaired two-proportion
+    z-test (ab_test_events) is wrong for same-row verdicts — they are
+    correlated — and McNemar conditions the correlation away via the
+    discordant counts only, with Edwards continuity correction. One
+    conditional aggregation, no shuffle beyond the 4-counter reduce.
+    Oracle replays the 2x2 discordance table."""
+    from jsonschema_validator_spark.operators.stats import mcnemar
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    paired = ev.select(
+        (F.col("value").isNotNull() & (F.col("value") <= 440)).alias("spec_a"),
+        (k.isNotNull() & (k <= 88)).alias("spec_b"),
+    )
+    return mcnemar(paired, "spec_a", "spec_b")
+
+
+_ORACLE_MCNEMAR = """
+WITH v AS (
+  SELECT CASE WHEN value IS NOT NULL AND value <= 440 THEN 1 ELSE 0 END AS a,
+         CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   IS NOT NULL
+                   AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       <= 88
+              THEN 1 ELSE 0 END AS b
+  FROM events),
+c AS (SELECT sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_both_pass,
+             sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_a_only,
+             sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_b_only,
+             sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_both_fail
+      FROM v)
+SELECT n_both_pass, n_a_only, n_b_only, n_both_fail,
+       CASE WHEN n_a_only + n_b_only > 0
+            THEN round(pow(abs(n_a_only - n_b_only) - 1.0, 2)
+                       / (n_a_only + n_b_only), 6) END AS chi2,
+       CASE WHEN n_a_only + n_b_only > 0
+            THEN pow(abs(n_a_only - n_b_only) - 1.0, 2)
+                 / (n_a_only + n_b_only) > 3.841459
+            ELSE FALSE END AS reject_5pct
+FROM c
+"""
+
+
+def q_eb_pass_rates_events(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-user pass rates (operators/
+    stats.eb_shrunk_rates): the beta-binomial method-of-moments
+    posterior mean (k + alpha)/(n + alpha + beta) per user for the
+    "value <= 450" check — raw per-key rates let a 2/2 user outrank a
+    980/1000 user on pure small-n luck; the moment-fitted corpus prior
+    pulls low-evidence users toward the global rate and leaves high-n
+    users untouched. One groupBy to the per-user relation, one
+    3-scalar reduce over THAT relation for the prior, broadcast back:
+    O(keys) end to end. Oracle replays the moment fit."""
+    from jsonschema_validator_spark.operators.stats import eb_shrunk_rates
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.coalesce(F.col("value") <= 450, F.lit(False)).alias("ok"),
+    )
+    return eb_shrunk_rates(ev, "user_id", "ok")
+
+
+_ORACLE_EB_PASS_RATES = """
+WITH per_key AS (
+  SELECT user_id AS key, count(*)::BIGINT AS n,
+         sum(CASE WHEN value IS NOT NULL AND value <= 450
+                  THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+r AS (SELECT *, k::DOUBLE / n AS raw_rate FROM per_key),
+p AS (SELECT avg(raw_rate) AS m, var_samp(raw_rate) AS v FROM r),
+s AS (SELECT m,
+             CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN m * (1 - m) / v - 1 ELSE 0 END AS s
+      FROM p)
+SELECT key, n, k, round(raw_rate, 6) AS raw_rate,
+       round((k + m * s) / (n + s), 6) AS shrunk_rate,
+       round((k + m * s) / (n + s) - raw_rate, 6) AS delta,
+       round(m * s, 6) AS alpha, round((1 - m) * s, 6) AS beta
+FROM r CROSS JOIN s ORDER BY key
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10345,6 +10530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_users_events": q_cms_users_events,
         "kendall_lineitem": q_kendall_lineitem,
         "welch_events": q_welch_events,
+        "logrank_events": q_logrank_events,
+        "mcnemar_events": q_mcnemar_events,
+        "eb_pass_rates_events": q_eb_pass_rates_events,
     }
 
 
@@ -10567,4 +10755,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_users_events": _ORACLE_CMS,
         "kendall_lineitem": _ORACLE_KENDALL,
         "welch_events": _ORACLE_WELCH,
+        "logrank_events": _ORACLE_LOGRANK,
+        "mcnemar_events": _ORACLE_MCNEMAR,
+        "eb_pass_rates_events": _ORACLE_EB_PASS_RATES,
     }

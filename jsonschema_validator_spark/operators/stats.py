@@ -1650,3 +1650,108 @@ def welch_t(
         F.round(dfw, 6).alias("df_welch"),
         F.coalesce(F.abs(t) > crit, F.lit(False)).alias("flag"),
     )
+
+
+def mcnemar(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """McNemar's paired test: do two row-level validators (boolean
+    verdict columns evaluated on the SAME rows) disagree more than
+    chance in one direction? The unpaired two-proportion z-test is the
+    wrong tool here — verdicts on the same row are correlated — and
+    McNemar conditions that correlation away by looking only at the
+    DISCORDANT pairs: b rows where A passes and B fails, c rows where
+    B passes and A fails. chi2 = (|b - c| - 1)^2 / (b + c) (Edwards
+    continuity correction), chi-square(1) under H0 "both validators
+    have the same marginal pass rate"; degenerate b + c = 0 yields
+    NULL chi2 and a False flag rather than 0/0.
+
+    Scale: one conditional aggregation over the full table — no
+    shuffle beyond the final 4-counter reduce, no window, no Python.
+    NULL verdicts count as failures (a validator that cannot decide a
+    row has not passed it). Returns one row: (n_both_pass, n_a_only,
+    n_b_only, n_both_fail, chi2, reject_5pct).
+    """
+    a = F.coalesce(F.col(a_col).cast("boolean"), F.lit(False))
+    b = F.coalesce(F.col(b_col).cast("boolean"), F.lit(False))
+    agg = df.agg(
+        F.sum((a & b).cast("long")).alias("n_both_pass"),
+        F.sum((a & ~b).cast("long")).alias("n_a_only"),
+        F.sum((~a & b).cast("long")).alias("n_b_only"),
+        F.sum((~a & ~b).cast("long")).alias("n_both_fail"),
+    )
+    disc = F.col("n_a_only") + F.col("n_b_only")
+    diff = F.abs(F.col("n_a_only") - F.col("n_b_only"))
+    chi2 = F.pow(diff - 1.0, 2) / disc
+    return agg.select(
+        "n_both_pass",
+        "n_a_only",
+        "n_b_only",
+        "n_both_fail",
+        F.when(disc > 0, F.round(chi2, 6)).alias("chi2"),
+        F.when(disc > 0, chi2 > 3.841459).otherwise(F.lit(False)).alias(
+            "reject_5pct"
+        ),
+    )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    key_col: str,
+    pass_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-key pass rates. Raw per-key rates are the single most abused
+    data-quality readout: a key with 2/2 passes "beats" one with
+    980/1000, purely because small n makes extreme rates cheap.
+    Fitting Beta(alpha, beta) to the observed rate distribution and
+    reporting the posterior mean (k + alpha) / (n + alpha + beta)
+    pulls low-evidence keys toward the corpus prior while leaving
+    high-n keys essentially untouched — the standard Morris/Efron
+    moment estimator: with m and v the mean and sample variance of the
+    raw rates, s = m(1 - m)/v - 1, alpha = m*s, beta = (1 - m)*s
+    (keys with v = 0 or s <= 0 degenerate to no shrinkage, alpha =
+    beta = 0, documented rather than clamped silently).
+
+    Scale: one groupBy to the per-key relation, one 3-scalar reduce
+    over THAT relation (not the raw rows) for the prior, broadcast
+    back — O(keys) state end to end, no window, no Python. NULL keys
+    are excluded (rate of an unknown key is undefined). Returns one
+    row per key: (key, n, k, raw_rate, shrunk_rate, delta, alpha,
+    beta), floats rounded to 6, ordered by key.
+    """
+    per_key = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(pass_col).cast("int")).alias("k"),
+        )
+        .withColumn("raw_rate", F.col("k") / F.col("n"))
+    )
+    prior = per_key.agg(
+        F.avg("raw_rate").alias("__m"),
+        F.var_samp("raw_rate").alias("__v"),
+    ).select(
+        "__m",
+        "__v",
+        F.when(
+            (F.col("__v") > 0)
+            & (F.col("__m") * (1.0 - F.col("__m")) / F.col("__v") - 1.0 > 0),
+            F.col("__m") * (1.0 - F.col("__m")) / F.col("__v") - 1.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__s"),
+    )
+    joined = per_key.crossJoin(F.broadcast(prior))
+    alpha = F.col("__m") * F.col("__s")
+    beta = (1.0 - F.col("__m")) * F.col("__s")
+    shrunk = (F.col("k") + alpha) / (F.col("n") + alpha + beta)
+    return joined.select(
+        "key",
+        "n",
+        "k",
+        F.round("raw_rate", 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round(shrunk - F.col("raw_rate"), 6).alias("delta"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(beta, 6).alias("beta"),
+    ).orderBy("key")

@@ -142,3 +142,111 @@ def nelson_aalen(
         F.round("__h", 6).alias("cum_hazard"),
         F.round("__v", 6).alias("var_hazard"),
     )
+
+
+def log_rank(
+    df: DataFrame,
+    duration: str,
+    event: str,
+    group: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test: are the survival curves
+    of ``group_a`` and ``group_b`` the same? The hypothesis-test
+    companion of the kaplan_meier curve — eyeballing two KM curves is
+    not a verdict; the log-rank statistic is.
+
+    At each pooled distinct EVENT time t_j the 2x2 table (group x
+    event/no-event among those at risk) contributes observed events
+    O_aj = d_aj, hypergeometric expectation E_aj = d_j * n_aj / n_j,
+    and variance V_j = d_j (n_aj/n_j)(n_bj/n_j)(n_j - d_j)/(n_j - 1)
+    (0 when n_j = 1). Z = (O_a - E_a)/sqrt(sum V_j); chi2 = Z^2 is
+    chi-square(1) under H0; flag at the 5% critical value 3.841459.
+
+    Scale: identical block-relation plan to kaplan_meier — subjects
+    reduce by one aggregation to O(2 x distinct-durations) cells, the
+    at-risk counts come from a cumsum over that reduced relation (the
+    time x group grid is completed with a broadcast cross join so each
+    group has an at-risk value at every POOLED time), and the final
+    reduce is one aggregation. Raw subjects never enter a window.
+    Returns one row: (group_a, group_b, n_a, n_b, o_a, e_a, var_a,
+    z_stat, chi2, reject_5pct), floats rounded to 6.
+    """
+    subj = (
+        df.filter(
+            F.col(duration).isNotNull()
+            & F.col(event).isNotNull()
+            & F.col(group).isin(group_a, group_b)
+        ).select(
+            F.col(group).alias("__g"),
+            F.col(duration).cast("double").alias("__t"),
+            F.col(event).cast("int").alias("__e"),
+        )
+    )
+    blocks = subj.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).alias("__m"), F.sum("__e").alias("__d")
+    )
+    grid = (
+        blocks.select("__t")
+        .distinct()
+        .crossJoin(F.broadcast(blocks.select("__g").distinct()))
+    )
+    cells = grid.join(blocks, ["__g", "__t"], "left").select(
+        "__g",
+        "__t",
+        F.coalesce("__m", F.lit(0)).alias("__m"),
+        F.coalesce("__d", F.lit(0)).alias("__d"),
+    )
+    w = Window.partitionBy("__g").orderBy("__t")
+    before = F.coalesce(
+        F.sum("__m").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    total = F.sum("__m").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    risked = cells.withColumn("__n", (total - before).cast("double"))
+    is_a = (F.col("__g") == group_a).cast("int")
+    per_t = risked.groupBy("__t").agg(
+        F.sum("__d").alias("__dj"),
+        F.sum("__n").alias("__nj"),
+        F.sum(F.col("__d") * is_a).alias("__da"),
+        F.sum(F.col("__n") * is_a).alias("__na"),
+    )
+    ev_t = per_t.filter(F.col("__dj") > 0)
+    frac_a = F.col("__na") / F.col("__nj")
+    v_j = F.when(
+        F.col("__nj") > 1,
+        F.col("__dj")
+        * frac_a
+        * (1.0 - frac_a)
+        * (F.col("__nj") - F.col("__dj"))
+        / (F.col("__nj") - 1.0),
+    ).otherwise(F.lit(0.0))
+    tot = ev_t.agg(
+        F.sum("__da").alias("__oa"),
+        F.sum(F.col("__dj") * frac_a).alias("__ea"),
+        F.sum(v_j).alias("__va"),
+    )
+    counts = subj.groupBy().agg(
+        F.sum(is_a).alias("__cnt_a"),
+        F.sum(1 - is_a).alias("__cnt_b"),
+    )
+    z = (F.col("__oa") - F.col("__ea")) / F.sqrt(F.col("__va"))
+    return (
+        tot.crossJoin(F.broadcast(counts))
+        .select(
+            F.lit(group_a).alias("group_a"),
+            F.lit(group_b).alias("group_b"),
+            F.col("__cnt_a").cast("long").alias("n_a"),
+            F.col("__cnt_b").cast("long").alias("n_b"),
+            F.col("__oa").cast("long").alias("o_a"),
+            F.round("__ea", 6).alias("e_a"),
+            F.round("__va", 6).alias("var_a"),
+            F.when(F.col("__va") > 0, F.round(z, 6)).alias("z_stat"),
+            F.when(F.col("__va") > 0, F.round(z * z, 6)).alias("chi2"),
+            F.when(F.col("__va") > 0, (z * z) > 3.841459)
+            .otherwise(F.lit(False))
+            .alias("reject_5pct"),
+        )
+    )

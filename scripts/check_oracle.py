@@ -25,7 +25,14 @@ def normalize(rows, cols):
         vals = []
         for c in sorted(cols):
             v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
-            if isinstance(v, float):
+            # fetchdf() renders a DuckDB NULL in a float column as NaN
+            # (pandas has no NULL double), while Spark collect() gives
+            # None — the replica cannot observe that distinction, so
+            # fold None into the NaN token on BOTH sides rather than
+            # reporting a mismatch the engines don't have.
+            if v is None:
+                v = "NaN"
+            elif isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
                 else:

@@ -1,0 +1,144 @@
+"""Round-4c operators: log-rank survival comparison, McNemar paired
+verdicts, empirical-Bayes pass-rate shrinkage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_log_rank_hand_computed(spark):
+    # A: events at t=1,2; B: events at t=3,4 (no censoring).
+    # Pooled event times: t=1 (n=4, d=1, na=2, E=.5, V=.25),
+    # t=2 (n=3, d=1, na=1, E=1/3, V=2/9), t=3/4 contribute 0 to E and V
+    # for A. O=2, E=5/6, V=17/36.
+    from jsonschema_validator_spark.operators.survival import log_rank
+
+    df = spark.createDataFrame(
+        [("A", 1, 1), ("A", 2, 1), ("B", 3, 1), ("B", 4, 1)],
+        "g string, dur int, ev int",
+    )
+    r = log_rank(df, "dur", "ev", "g", "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"], r["o_a"]) == (2, 2, 2)
+    assert r["e_a"] == pytest.approx(5 / 6, abs=1e-6)
+    assert r["var_a"] == pytest.approx(17 / 36, abs=1e-6)
+    z = (2 - 5 / 6) / (17 / 36) ** 0.5
+    assert r["z_stat"] == pytest.approx(z, abs=1e-5)
+    assert r["chi2"] == pytest.approx(z * z, abs=1e-5)
+    assert r["reject_5pct"] is False
+
+
+def test_log_rank_identical_groups_is_null(spark):
+    # Same duration profile in both groups: O == E at every time, z = 0.
+    from jsonschema_validator_spark.operators.survival import log_rank
+
+    rows = [("A", t, 1) for t in (1, 2, 3)] + [("B", t, 1) for t in (1, 2, 3)]
+    r = log_rank(
+        spark.createDataFrame(rows, "g string, dur int, ev int"),
+        "dur",
+        "ev",
+        "g",
+        "A",
+        "B",
+    ).collect()[0]
+    assert r["z_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r["reject_5pct"] is False
+
+
+def test_log_rank_censoring_moves_at_risk_only(spark):
+    # A censored subject leaves the risk set at its censoring time but
+    # contributes no event step: with B's t=2 subject censored, time 3
+    # sees n = 1 (only A's last), so E and V change accordingly.
+    from jsonschema_validator_spark.operators.survival import log_rank
+
+    df = spark.createDataFrame(
+        [("A", 1, 1), ("A", 3, 1), ("B", 2, 0), ("B", 3, 1)],
+        "g string, dur int, ev int",
+    )
+    r = log_rank(df, "dur", "ev", "g", "A", "B").collect()[0]
+    # t=1: n=4, d=1, na=2 -> E=.5, V=1*(.5)(.5)(3/3)=.25
+    # t=2: censoring only (d=0) -> no step
+    # t=3: n=2 (A1, B1), d=2, na=1 -> E=1, V=2*(.5)(.5)*(0/1)=0
+    assert r["o_a"] == 2
+    assert r["e_a"] == pytest.approx(1.5, abs=1e-6)
+    assert r["var_a"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_mcnemar_hand_computed(spark):
+    from jsonschema_validator_spark.operators.stats import mcnemar
+
+    rows = (
+        [(True, True)] * 5 + [(True, False)] * 8 + [(False, True)] * 2 + [(False, False)] * 3
+    )
+    r = mcnemar(
+        spark.createDataFrame(rows, "a boolean, b boolean"), "a", "b"
+    ).collect()[0]
+    assert (r["n_both_pass"], r["n_a_only"], r["n_b_only"], r["n_both_fail"]) == (
+        5,
+        8,
+        2,
+        3,
+    )
+    assert r["chi2"] == pytest.approx((abs(8 - 2) - 1) ** 2 / 10, abs=1e-9)
+    assert r["reject_5pct"] is False
+
+
+def test_mcnemar_degenerate_and_null_verdicts(spark):
+    from jsonschema_validator_spark.operators.stats import mcnemar
+
+    # NULL verdict counts as a failure; zero discordance -> NULL chi2.
+    rows = [(True, True), (None, None), (False, False)]
+    r = mcnemar(
+        spark.createDataFrame(rows, "a boolean, b boolean"), "a", "b"
+    ).collect()[0]
+    assert (r["n_both_pass"], r["n_a_only"], r["n_b_only"], r["n_both_fail"]) == (
+        1,
+        0,
+        0,
+        2,
+    )
+    assert r["chi2"] is None and r["reject_5pct"] is False
+
+
+def test_eb_shrinkage_matches_moment_formula_and_direction(spark):
+    from jsonschema_validator_spark.operators.stats import eb_shrunk_rates
+
+    # keys: (trials, passes)
+    spec = {"u1": (10, 9), "u2": (10, 1), "u3": (2, 2), "u4": (10, 5)}
+    rows = []
+    for key, (n, k) in spec.items():
+        rows += [(key, True)] * k + [(key, False)] * (n - k)
+    rows.append((None, True))  # NULL key must be excluded
+    df = spark.createDataFrame(rows, "key string, ok boolean")
+    out = {r["key"]: r for r in eb_shrunk_rates(df, "key", "ok").collect()}
+    assert set(out) == set(spec)
+
+    # independent replay of the Morris/Efron moment fit
+    import statistics
+
+    rates = [k / n for n, k in spec.values()]
+    m = statistics.mean(rates)
+    v = statistics.variance(rates)
+    s = m * (1 - m) / v - 1
+    assert s > 0
+    alpha, beta = m * s, (1 - m) * s
+    for key, (n, k) in spec.items():
+        exp = (k + alpha) / (n + alpha + beta)
+        assert out[key]["shrunk_rate"] == pytest.approx(exp, abs=1e-6)
+        # shrinkage pulls toward the prior mean, never past it
+        raw = k / n
+        lo, hi = sorted((raw, m))
+        assert lo - 1e-9 <= out[key]["shrunk_rate"] <= hi + 1e-9
+    # the low-evidence key moves the most
+    assert abs(out["u3"]["delta"]) > abs(out["u1"]["delta"])
+
+
+def test_eb_shrinkage_degenerate_equal_rates(spark):
+    from jsonschema_validator_spark.operators.stats import eb_shrunk_rates
+
+    # identical rates -> zero variance -> s = 0 -> no shrinkage
+    rows = [("a", True), ("a", False), ("b", True), ("b", False)]
+    out = eb_shrunk_rates(
+        spark.createDataFrame(rows, "key string, ok boolean"), "key", "ok"
+    ).collect()
+    for r in out:
+        assert r["alpha"] == 0.0 and r["beta"] == 0.0
+        assert r["shrunk_rate"] == r["raw_rate"]
