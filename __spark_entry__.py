@@ -10303,6 +10303,164 @@ FROM r CROSS JOIN s ORDER BY key
 """
 
 
+def q_cramers_v_events(spark, sf_dir):
+    """All-pairs Cramér's V association matrix (operators/stats.
+    cramers_v_matrix) over three categorical views of events —
+    event_type, day-of-week, and the 100-wide value band: chi_squared
+    answers "is THIS pair dependent", the V matrix screens "which of
+    my categorical columns move together at all" on a common [0,1]
+    scale. ONE pass: rows explode into their 3 column pairs, cells
+    come from one groupBy, unobserved cells fold in via
+    sum_all(e) = n (no grid completion). NULL is a real category.
+    Oracle replays the margin-product chi2 per pair."""
+    from jsonschema_validator_spark.operators.stats import cramers_v_matrix
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("event_type"),
+        F.coalesce(
+            F.floor(F.col("value") / 100).cast("string"), F.lit("(null)")
+        ).alias("value_band"),
+        F.coalesce(F.dayofweek("ts").cast("string"), F.lit("(null)")).alias(
+            "weekday"
+        ),
+    )
+    return cramers_v_matrix(ev, ["event_type", "value_band", "weekday"])
+
+
+_ORACLE_CRAMERS_V = """
+WITH base AS (
+  SELECT coalesce(event_type, '(null)') AS event_type,
+         coalesce((floor(value / 100)::BIGINT)::VARCHAR, '(null)')
+           AS value_band,
+         coalesce(((dayofweek(ts) + 1))::VARCHAR, '(null)') AS weekday
+  FROM events),
+pairs AS (
+  SELECT 'event_type' AS col_a, 'value_band' AS col_b,
+         event_type AS va, value_band AS vb FROM base
+  UNION ALL
+  SELECT 'event_type', 'weekday', event_type, weekday FROM base
+  UNION ALL
+  SELECT 'value_band', 'weekday', value_band, weekday FROM base),
+cells AS (SELECT col_a, col_b, va, vb, count(*)::BIGINT AS nij
+          FROM pairs GROUP BY 1, 2, 3, 4),
+rowm AS (SELECT col_a, col_b, va, sum(nij) AS ra FROM cells GROUP BY 1, 2, 3),
+colm AS (SELECT col_a, col_b, vb, sum(nij) AS cb FROM cells GROUP BY 1, 2, 3),
+tot AS (SELECT col_a, col_b, sum(nij) AS n,
+               count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+        FROM cells GROUP BY 1, 2),
+contrib AS (
+  SELECT c.col_a, c.col_b,
+         sum(pow(c.nij - rm.ra * cm.cb / t.n, 2)
+             / (rm.ra * cm.cb / t.n)) AS obs,
+         sum(rm.ra * cm.cb / t.n) AS esum
+  FROM cells c
+  JOIN rowm rm USING (col_a, col_b, va)
+  JOIN colm cm USING (col_a, col_b, vb)
+  JOIN tot t USING (col_a, col_b)
+  GROUP BY 1, 2)
+SELECT t.col_a, t.col_b, t.n::BIGINT AS n,
+       (least(t.r, t.c) - 1)::BIGINT AS dof,
+       round(obs + (t.n - esum), 6) AS chi2,
+       CASE WHEN least(t.r, t.c) - 1 > 0
+            THEN round(sqrt((obs + (t.n - esum))
+                            / (t.n * (least(t.r, t.c) - 1))), 6)
+       END AS cramers_v
+FROM contrib JOIN tot t USING (col_a, col_b)
+ORDER BY col_a, col_b
+"""
+
+
+def q_theil_events(spark, sf_dir):
+    """Theil T inequality with exact between/within decomposition
+    (operators/stats.theil_decomposition) of positive event values by
+    event_type — the decomposable sibling of gini_events: "is the
+    value inequality BETWEEN event types or INSIDE them" is a
+    read-off, which decides whether rebalancing types or filtering
+    within a type is the lever. One conditional aggregation to
+    O(groups) (sum, count, sum(x ln x) are all map-side combinable),
+    then pure arithmetic. Oracle replays the share/log algebra."""
+    from jsonschema_validator_spark.operators.stats import theil_decomposition
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_decomposition(ev, "value", "event_type")
+
+
+_ORACLE_THEIL = """
+WITH d AS (
+  SELECT coalesce(event_type, '(null)') AS g, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND value > 0),
+per_g AS (SELECT g, count(*)::BIGINT AS n_g, sum(x) AS sx,
+                 sum(x * ln(x)) AS sxlx
+          FROM d GROUP BY 1),
+gtot AS (SELECT sum(n_g) AS n, sum(sx) AS s, sum(sx) / sum(n_g) AS mu
+         FROM per_g),
+j AS (SELECT g, n_g, sx / n_g AS mu_g, sx / s AS share,
+             sxlx / sx - ln(sx / n_g) AS t_g,
+             (sx / s) * ln((sx / n_g) / mu) AS between_term
+      FROM per_g CROSS JOIN gtot),
+terms AS (SELECT g, n_g, mu_g, share,
+                 share * t_g AS w, between_term AS b FROM j),
+tots AS (SELECT sum(w) AS wt, sum(b) AS bt FROM terms)
+SELECT g AS "group", n_g, round(mu_g, 6) AS mean_g, round(share, 6) AS share,
+       round(w, 6) + 0.0 AS theil_within, round(b, 6) + 0.0 AS between_term,
+       round(wt + bt, 6) + 0.0 AS theil_total,
+       round(wt, 6) + 0.0 AS within_total, round(bt, 6) + 0.0 AS between_total
+FROM terms CROSS JOIN tots ORDER BY g
+"""
+
+
+def q_runs_test_events(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators/stats.runs_test) on the
+    daily-mean value series: the trend screens ask "is it going up",
+    the runs test asks the orthogonal "is the above/below-median
+    pattern even exchangeable" — too FEW runs is regime persistence a
+    zero-slope series can hide, too MANY is forced alternation. Raw
+    rows reduce to the O(days) series first; the median and the lag
+    window run over that relation only. Oracle replays the
+    E[R]/Var[R] arithmetic on the same series."""
+    from jsonschema_validator_spark.operators.stats import runs_test
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(_day("ts").alias("day"))
+        .agg(F.avg("value").alias("m"))
+    )
+    return runs_test(daily, "day", "m")
+
+
+_ORACLE_RUNS_TEST = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, avg(value) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+med AS (SELECT quantile_cont(m, 0.5) AS md FROM daily),
+signed AS (SELECT day, (m > md)::INT AS s FROM daily CROSS JOIN med),
+flips AS (SELECT s,
+                 CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                           OR s <> lag(s) OVER (ORDER BY day)
+                      THEN 1 ELSE 0 END AS new_run
+          FROM signed),
+a AS (SELECT count(*)::BIGINT AS n, sum(s)::BIGINT AS n1,
+             sum(1 - s)::BIGINT AS n2, sum(new_run)::BIGINT AS runs
+      FROM flips),
+c AS (SELECT n, n1, n2, runs,
+             2.0 * n1 * n2 / n + 1.0 AS e_r,
+             2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+               / (n::DOUBLE * n * (n - 1)) AS var_r,
+             (n1 > 0 AND n2 > 0 AND n > 1) AS ok
+      FROM a)
+SELECT n, n1, n2, runs,
+       CASE WHEN ok THEN round(e_r, 6) END AS e_runs,
+       CASE WHEN ok THEN round(var_r, 6) END AS var_runs,
+       CASE WHEN ok AND var_r > 0
+            THEN round((runs - e_r) / sqrt(var_r), 6) END AS z_stat,
+       CASE WHEN ok AND var_r > 0
+            THEN abs((runs - e_r) / sqrt(var_r)) > 1.959964
+            ELSE FALSE END AS flag
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10533,6 +10691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_events": q_logrank_events,
         "mcnemar_events": q_mcnemar_events,
         "eb_pass_rates_events": q_eb_pass_rates_events,
+        "cramers_v_events": q_cramers_v_events,
+        "theil_events": q_theil_events,
+        "runs_test_events": q_runs_test_events,
     }
 
 
@@ -10758,4 +10919,7 @@ def oracle_sql() -> dict[str, str]:
         "logrank_events": _ORACLE_LOGRANK,
         "mcnemar_events": _ORACLE_MCNEMAR,
         "eb_pass_rates_events": _ORACLE_EB_PASS_RATES,
+        "cramers_v_events": _ORACLE_CRAMERS_V,
+        "theil_events": _ORACLE_THEIL,
+        "runs_test_events": _ORACLE_RUNS_TEST,
     }

@@ -5,7 +5,7 @@ stats. One scan, one shuffle, all columns (SURVEY.md §4.1 fused pass)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1755,3 +1755,201 @@ def eb_shrunk_rates(
         F.round(alpha, 6).alias("alpha"),
         F.round(beta, 6).alias("beta"),
     ).orderBy("key")
+
+
+def cramers_v_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All-pairs Cramér's V association matrix over categorical
+    columns — the screening companion of the single-pair chi-square
+    test: chi2 says "is THIS pair dependent", the V matrix says "which
+    of my categorical columns move together at all", normalized to
+    [0, 1] so a 3-level and a 50-level column are comparable:
+
+        V = sqrt(chi2 / (n * (min(r, c) - 1)))
+
+    NULL is a real category ('(null)') — a column whose nullness
+    tracks another column is exactly the dependence a screen must
+    surface. Expected counts use the margin product e = row_total *
+    col_total / n; cells never observed contribute (0 - e)^2 / e = e,
+    folded in WITHOUT completing the grid via
+    sum_all e = n  =>  chi2 = sum_obs((n_ij - e)^2/e) + (n - sum_obs e).
+
+    Scale: ONE pass — each row explodes into its p(p-1)/2 column
+    pairs (p is small and fixed), one groupBy(pair, a, b) to the
+    contingency cells, margins and totals from aggregations over
+    THOSE cells, broadcast-joined back. No window, no Python, state
+    O(sum of contingency sizes). Returns one row per pair: (col_a,
+    col_b, n, dof, chi2, cramers_v), ordered by (col_a, col_b);
+    a degenerate pair (either side constant) has NULL V.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.coalesce(F.col(a).cast("string"), F.lit("(null)")).alias("va"),
+            F.coalesce(F.col(b).cast("string"), F.lit("(null)")).alias("vb"),
+        )
+        for a, b in pairs
+    ]
+    exploded = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    cells = exploded.groupBy("col_a", "col_b", "va", "vb").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    rowm = cells.groupBy("col_a", "col_b", "va").agg(F.sum("nij").alias("ra"))
+    colm = cells.groupBy("col_a", "col_b", "vb").agg(F.sum("nij").alias("cb"))
+    tot = cells.groupBy("col_a", "col_b").agg(
+        F.sum("nij").alias("n"),
+        F.count_distinct("va").alias("r"),
+        F.count_distinct("vb").alias("c"),
+    )
+    e = F.col("ra") * F.col("cb") / F.col("n")
+    contrib = cells.join(rowm, ["col_a", "col_b", "va"]).join(
+        colm, ["col_a", "col_b", "vb"]
+    ).join(F.broadcast(tot), ["col_a", "col_b"]).groupBy("col_a", "col_b").agg(
+        F.sum(F.pow(F.col("nij") - e, 2) / e).alias("__obs"),
+        F.sum(e).alias("__esum"),
+    )
+    out = contrib.join(F.broadcast(tot), ["col_a", "col_b"])
+    chi2 = F.col("__obs") + (F.col("n") - F.col("__esum"))
+    mindim = F.least("r", "c") - 1
+    v = F.sqrt(chi2 / (F.col("n") * mindim))
+    return out.select(
+        "col_a",
+        "col_b",
+        "n",
+        mindim.cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(mindim > 0, F.round(v, 6)).alias("cramers_v"),
+    ).orderBy("col_a", "col_b")
+
+
+def theil_decomposition(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Theil T inequality index with its exact between/within
+    decomposition — the reason to use Theil over the Gini it sits next
+    to (stats.gini): Gini does not decompose, Theil does,
+
+        T = sum_g s_g * T_g  +  sum_g s_g * ln(mu_g / mu)
+
+    with s_g the group's value share (n_g mu_g / n mu) and T_g the
+    within-group index (1/n_g) sum (x/mu_g) ln(x/mu_g) — so "is the
+    inequality BETWEEN my sources or INSIDE them" is a read-off, which
+    for corpus curation decides whether rebalancing sources or
+    filtering within sources is the lever. Only defined for positive
+    values; zero/negative/NULL rows are excluded (documented, counted
+    in n_excluded upstream if needed). NULL group is its own category.
+
+    Scale: one conditional aggregation to O(groups) — sum, count, and
+    sum(x ln x) per group are all algebraic/map-side-combinable — then
+    pure arithmetic on that relation with the two global scalars
+    broadcast back. Returns one row per group: (group, n_g, mean_g,
+    share, theil_within, between_term, plus the global theil_total /
+    within_total / between_total repeated), floats rounded to 6,
+    ordered by group.
+    """
+    d = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0)).select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(null)")).alias(
+            "group"
+        ),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    per_g = d.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.log("__x")).alias("__sxlx"),
+    )
+    glob = per_g.agg(
+        F.sum("n_g").alias("__n"), F.sum("__sx").alias("__s")
+    ).select("__n", "__s", (F.col("__s") / F.col("__n")).alias("__mu"))
+    j = per_g.crossJoin(F.broadcast(glob))
+    mu_g = F.col("__sx") / F.col("n_g")
+    share = F.col("__sx") / F.col("__s")
+    # T_g = (1/n_g) sum (x/mu_g) ln(x/mu_g)
+    #     = (sum x ln x) / (n_g mu_g) - ln(mu_g)
+    t_g = F.col("__sxlx") / F.col("__sx") - F.log(mu_g)
+    within = share * t_g
+    between = share * F.log(mu_g / F.col("__mu"))
+    wsum = F.sum(within).over(Window.partitionBy(F.lit(1)))
+    bsum = F.sum(between).over(Window.partitionBy(F.lit(1)))
+    # "+ 0.0" folds IEEE -0.0 (a tiny negative term rounded to 6) into
+    # +0.0 so the emitted value is engine- and sign-stable.
+    return j.select(
+        "group",
+        "n_g",
+        F.round(mu_g, 6).alias("mean_g"),
+        F.round(share, 6).alias("share"),
+        (F.round(within, 6) + 0.0).alias("theil_within"),
+        (F.round(between, 6) + 0.0).alias("between_term"),
+        (F.round(wsum + bsum, 6) + 0.0).alias("theil_total"),
+        (F.round(wsum, 6) + 0.0).alias("within_total"),
+        (F.round(bsum, 6) + 0.0).alias("between_total"),
+    ).orderBy("group")
+
+
+def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on a sequence: is the above/below-
+    median pattern of an ORDERED series random, or does it cluster
+    (trend / regime persistence -> too few runs) or oscillate
+    (over-dispersion / alternation -> too many)? The trend screens
+    (theil_sen, mann_kendall) ask "is it going up"; the runs test asks
+    the orthogonal "is it even exchangeable", which catches regime
+    structure a zero-slope series can hide.
+
+    Sequence sign = value strictly above the series median (exact
+    interpolated percentile, matching percentile_cont); ties at the
+    median count as below (deterministic). With n1 above, n2 below and
+    R observed runs: E[R] = 2 n1 n2 / n + 1, Var[R] = 2 n1 n2
+    (2 n1 n2 - n) / (n^2 (n - 1)), z = (R - E)/sqrt(Var), flagged at
+    |z| > 1.959964; degenerate all-one-side series yield NULL z.
+
+    Scale: the caller passes an already-reduced series (e.g. one row
+    per day) — the lag window and the median run over that O(series)
+    relation only, never raw rows. Returns one row: (n, n1, n2, runs,
+    e_runs, var_runs, z_stat, flag).
+    """
+    d = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(order_col).alias("__o"), F.col(value_col).cast("double").alias("__v"))
+    med = d.agg(F.percentile("__v", F.lit(0.5)).alias("__med"))
+    signed = d.crossJoin(F.broadcast(med)).select(
+        "__o", (F.col("__v") > F.col("__med")).cast("int").alias("__s")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("__o")
+    flips = signed.select(
+        "__s",
+        F.when(
+            F.lag("__s").over(w).isNull()
+            | (F.col("__s") != F.lag("__s").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    agg = flips.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__s").alias("n1"),
+        F.sum(1 - F.col("__s")).alias("n2"),
+        F.sum("__new_run").alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    e_r = 2.0 * n1 * n2 / n + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    z = (F.col("runs") - e_r) / F.sqrt(var_r)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1)
+    return agg.select(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        F.when(ok, F.round(e_r, 6)).alias("e_runs"),
+        F.when(ok, F.round(var_r, 6)).alias("var_runs"),
+        F.when(ok & (var_r > 0), F.round(z, 6)).alias("z_stat"),
+        F.when(ok & (var_r > 0), F.abs(z) > 1.959964)
+        .otherwise(F.lit(False))
+        .alias("flag"),
+    )

@@ -36,7 +36,7 @@ def normalize(rows, cols):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = round(v, 6)
+                    v = round(v, 6) + 0.0  # fold IEEE -0.0 into +0.0
             vals.append(str(v))
         out.append("|".join(vals))
     return sorted(out)

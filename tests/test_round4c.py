@@ -142,3 +142,105 @@ def test_eb_shrinkage_degenerate_equal_rates(spark):
     for r in out:
         assert r["alpha"] == 0.0 and r["beta"] == 0.0
         assert r["shrunk_rate"] == r["raw_rate"]
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from jsonschema_validator_spark.operators.stats import cramers_v_matrix
+
+    # x == y -> V = 1; z independent of x (balanced) -> V = 0;
+    # w constant -> NULL V (dof 0).
+    rows = []
+    for i in range(40):
+        x = "a" if i % 2 == 0 else "b"
+        z = "p" if (i // 2) % 2 == 0 else "q"
+        rows.append((x, x, z, "const"))
+    df = spark.createDataFrame(rows, "x string, y string, z string, w string")
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in cramers_v_matrix(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert out[("x", "y")]["cramers_v"] == pytest.approx(1.0, abs=1e-9)
+    assert out[("x", "z")]["cramers_v"] == pytest.approx(0.0, abs=1e-9)
+    assert out[("x", "w")]["cramers_v"] is None
+    assert out[("x", "w")]["dof"] == 0
+
+
+def test_cramers_v_null_is_a_category(spark):
+    from jsonschema_validator_spark.operators.stats import cramers_v_matrix
+
+    # nullness of y tracks x exactly -> perfect association
+    rows = [("a", "v")] * 10 + [("b", None)] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cramers_v_matrix(df, ["x", "y"]).collect()[0]
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-9)
+    assert r["n"] == 20
+
+
+def test_theil_decomposition_identity_and_degenerate(spark):
+    import math
+
+    from jsonschema_validator_spark.operators.stats import theil_decomposition
+
+    vals = {"g1": [1.0, 2.0, 3.0], "g2": [10.0, 20.0, 30.0, 40.0]}
+    rows = [(g, v) for g, xs in vals.items() for v in xs]
+    out = theil_decomposition(
+        spark.createDataFrame(rows, "g string, v double"), "v", "g"
+    ).collect()
+    # independent replay: global Theil from raw values
+    xs = [v for vs in vals.values() for v in vs]
+    mu = sum(xs) / len(xs)
+    t_global = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+    r0 = out[0]
+    assert r0["theil_total"] == pytest.approx(t_global, abs=1e-6)
+    assert r0["theil_total"] == pytest.approx(
+        r0["within_total"] + r0["between_total"], abs=2e-6
+    )
+    # equal values -> zero inequality everywhere
+    eq = theil_decomposition(
+        spark.createDataFrame([("a", 5.0), ("a", 5.0), ("b", 5.0)], "g string, v double"),
+        "v",
+        "g",
+    ).collect()
+    for r in eq:
+        assert r["theil_total"] == 0.0 and r["theil_within"] == 0.0
+
+
+def test_theil_excludes_nonpositive(spark):
+    from jsonschema_validator_spark.operators.stats import theil_decomposition
+
+    rows = [("a", 1.0), ("a", 0.0), ("a", -3.0), ("a", None), ("a", 2.0)]
+    out = theil_decomposition(
+        spark.createDataFrame(rows, "g string, v double"), "v", "g"
+    ).collect()
+    assert len(out) == 1 and out[0]["n_g"] == 2
+
+
+def test_runs_test_alternating_and_clustered(spark):
+    from jsonschema_validator_spark.operators.stats import runs_test
+
+    # alternating -> 6 runs; E=4, Var=1.2
+    alt = spark.createDataFrame(
+        [(i, float(1 + i % 2)) for i in range(6)], "o int, v double"
+    )
+    r = runs_test(alt, "o", "v").collect()[0]
+    assert (r["n"], r["n1"], r["n2"], r["runs"]) == (6, 3, 3, 6)
+    assert r["e_runs"] == pytest.approx(4.0, abs=1e-9)
+    assert r["var_runs"] == pytest.approx(1.2, abs=1e-9)
+    assert r["z_stat"] == pytest.approx(2 / 1.2**0.5, abs=1e-5)
+
+    # clustered -> 2 runs, symmetric negative z
+    clu = spark.createDataFrame(
+        [(i, 1.0 if i < 3 else 2.0) for i in range(6)], "o int, v double"
+    )
+    r2 = runs_test(clu, "o", "v").collect()[0]
+    assert r2["runs"] == 2
+    assert r2["z_stat"] == pytest.approx(-2 / 1.2**0.5, abs=1e-5)
+
+
+def test_runs_test_degenerate_one_sided(spark):
+    from jsonschema_validator_spark.operators.stats import runs_test
+
+    # constant series: everything ties at the median -> all "below"
+    df = spark.createDataFrame([(i, 7.0) for i in range(5)], "o int, v double")
+    r = runs_test(df, "o", "v").collect()[0]
+    assert r["n1"] == 0 and r["z_stat"] is None and r["flag"] is False
