@@ -10461,6 +10461,217 @@ FROM c
 """
 
 
+def q_hurst_events(spark, sf_dir):
+    """Hurst exponent by rescaled-range analysis (operators/
+    timeseries.hurst_rs) of the hourly-mean value series: H ~ 0.5
+    memoryless, H > 0.5 long-range persistence (naive i.i.d. control
+    bands too tight), H < 0.5 mean reversion — MEMORY, which the
+    distribution-comparison screens cannot see. Raw rows reduce to the
+    O(hours) series first; per-block cumsum windows have partitions
+    <= 32 rows. Oracle replays blocks, R/S, and the log-log OLS."""
+    from jsonschema_validator_spark.operators.timeseries import hurst_rs
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hr"))
+        .agg(F.avg("value").alias("v"))
+    )
+    return hurst_rs(hourly, "hr", "v", block_sizes=[8, 16, 32])
+
+
+_ORACLE_HURST = """
+WITH hourly AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hr, avg(value) AS v
+                FROM events WHERE value IS NOT NULL GROUP BY 1),
+idx AS (SELECT v, row_number() OVER (ORDER BY hr) - 1 AS i FROM hourly),
+sized AS (SELECT v, i, bs, i // bs AS blk, i % bs AS pos
+          FROM idx CROSS JOIN (SELECT unnest([8, 16, 32]) AS bs)),
+full_b AS (SELECT * FROM (
+    SELECT *, max(pos) OVER (PARTITION BY bs, blk) AS mx FROM sized)
+  WHERE mx = bs - 1),
+dev AS (SELECT bs, blk, pos,
+               v - avg(v) OVER (PARTITION BY bs, blk) AS dv,
+               stddev_pop(v) OVER (PARTITION BY bs, blk) AS sd
+        FROM full_b),
+cum AS (SELECT bs, blk, sd,
+               sum(dv) OVER (PARTITION BY bs, blk ORDER BY pos) AS z
+        FROM dev),
+per_block AS (SELECT bs, blk, max(z) - min(z) AS r, first(sd) AS s
+              FROM cum GROUP BY 1, 2),
+per_size AS (SELECT bs, count(*)::BIGINT AS n_blocks, avg(r / s) AS rs
+             FROM per_block WHERE s > 0 GROUP BY 1),
+fit AS (SELECT CASE WHEN avg(ln(bs) * ln(bs)) - avg(ln(bs)) * avg(ln(bs)) > 0
+               THEN (avg(ln(bs) * ln(rs)) - avg(ln(bs)) * avg(ln(rs)))
+                    / (avg(ln(bs) * ln(bs)) - avg(ln(bs)) * avg(ln(bs)))
+               END AS h
+        FROM per_size),
+np AS (SELECT count(*)::BIGINT AS n FROM idx)
+SELECT bs::BIGINT AS block_n, n_blocks, round(rs, 6) AS mean_rs,
+       round(h, 6) AS hurst, n AS n_points
+FROM per_size CROSS JOIN fit CROSS JOIN np ORDER BY block_n
+"""
+
+
+def q_perm_entropy_events(spark, sf_dir):
+    """Bandt-Pompe permutation entropy (operators/timeseries.
+    permutation_entropy) of the hourly-mean value series: the
+    distribution of 3-point orderings, entropy normalized by ln(6) —
+    a sawtooth uses 2 patterns (-> 0), white noise all 6 (-> 1) —
+    complexity that is invariant to any monotone transform and
+    invisible to variance/drift screens. Ties rank by position
+    (standard convention) so the value is exact. Two lead()s over the
+    reduced series only. Oracle replays the rank arithmetic."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hr"))
+        .agg(F.avg("value").alias("v"))
+    )
+    return permutation_entropy(hourly, "hr", "v")
+
+
+_ORACLE_PERM_ENTROPY = """
+WITH hourly AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hr, avg(value) AS v
+                FROM events WHERE value IS NOT NULL GROUP BY 1),
+tri AS (SELECT v AS v0,
+               lead(v, 1) OVER (ORDER BY hr) AS v1,
+               lead(v, 2) OVER (ORDER BY hr) AS v2
+        FROM hourly),
+t2 AS (SELECT * FROM tri WHERE v2 IS NOT NULL),
+pats AS (SELECT
+    ((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+     + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END))::VARCHAR
+    || ((CASE WHEN v0 < v1 OR v0 = v1 THEN 1 ELSE 0 END)
+        + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END))::VARCHAR
+    || ((CASE WHEN v0 < v2 OR v0 = v2 THEN 1 ELSE 0 END)
+        + (CASE WHEN v1 < v2 OR v1 = v2 THEN 1 ELSE 0 END))::VARCHAR
+    AS pattern
+  FROM t2),
+counts AS (SELECT pattern, count(*)::BIGINT AS n FROM pats GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS nw FROM counts),
+withp AS (SELECT pattern, n, n::DOUBLE / nw AS p, nw
+          FROM counts CROSS JOIN tot),
+ent AS (SELECT -sum(p * ln(p)) AS h FROM withp)
+SELECT pattern, n, round(p, 6) AS p, round(h, 6) AS entropy,
+       round(h / ln(6.0), 6) AS norm_entropy, nw AS n_windows
+FROM withp CROSS JOIN ent ORDER BY pattern
+"""
+
+
+def q_capture_recapture_documents(spark, sf_dir):
+    """Chapman capture-recapture coverage audit of the dedup stage
+    (operators/dedup.capture_recapture_pairs): two imperfect
+    fingerprint detectors — lowercased 30-char prefix vs lowercased
+    30-char suffix — are two samples of the hidden population of true
+    duplicate pairs; (M+1)(C+1)/(R+1) - 1 estimates how many duplicate
+    pairs exist INCLUDING those neither caught. "We removed 12k pairs"
+    means nothing without this denominator. Pair counts come from
+    group sizes (sum C(g,2)), never materialized pairs. Oracle replays
+    the three group-size aggregations and the Chapman algebra."""
+    from jsonschema_validator_spark.operators.dedup import (
+        capture_recapture_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return capture_recapture_pairs(
+        docs,
+        "doc_id",
+        F.lower(F.substring("text", 1, 30)),
+        F.lower(F.expr("right(text, 30)")),
+    )
+
+
+_ORACLE_CAPTURE_RECAPTURE = """
+WITH base AS (
+  SELECT doc_id,
+         lower(substr(text, 1, 30)) AS fa,
+         lower(CASE WHEN length(text) <= 30 THEN text
+                    ELSE substr(text, length(text) - 29) END) AS fb
+  FROM documents),
+m AS (SELECT coalesce(sum(g * (g - 1) / 2.0), 0) AS m_pairs FROM (
+        SELECT count(*) AS g FROM base WHERE fa IS NOT NULL GROUP BY fa)),
+c AS (SELECT coalesce(sum(g * (g - 1) / 2.0), 0) AS c_pairs FROM (
+        SELECT count(*) AS g FROM base WHERE fb IS NOT NULL GROUP BY fb)),
+r AS (SELECT coalesce(sum(g * (g - 1) / 2.0), 0) AS r_pairs FROM (
+        SELECT count(*) AS g FROM base
+        WHERE fa IS NOT NULL AND fb IS NOT NULL GROUP BY fa, fb)),
+n AS (SELECT count(*)::BIGINT AS n_ids FROM base),
+j AS (SELECT * FROM n CROSS JOIN m CROSS JOIN c CROSS JOIN r),
+e AS (SELECT *,
+             (m_pairs + 1) * (c_pairs + 1) / (r_pairs + 1) - 1 AS est,
+             (m_pairs + 1) * (c_pairs + 1) * (m_pairs - r_pairs)
+               * (c_pairs - r_pairs)
+               / (pow(r_pairs + 1, 2) * (r_pairs + 2)) AS var,
+             (m_pairs + c_pairs) > 0 AS defined
+      FROM j)
+SELECT n_ids, m_pairs::BIGINT AS m_pairs, c_pairs::BIGINT AS c_pairs,
+       r_pairs::BIGINT AS r_pairs,
+       CASE WHEN defined THEN round(est, 6) END AS chapman_est,
+       CASE WHEN defined THEN round(sqrt(var), 6) END AS chapman_se,
+       CASE WHEN defined AND est > 0 THEN round(m_pairs / est, 6) END
+         AS caught_frac_a,
+       CASE WHEN defined AND est > 0 THEN round(c_pairs / est, 6) END
+         AS caught_frac_b
+FROM e
+"""
+
+
+def q_jackknife_events(spark, sf_dir):
+    """Delete-one-day jackknife standard error (operators/stats.
+    jackknife_ratio) of the corpus pass rate for the value <= 450
+    check: rows cluster by day, so the binomial SE is too small
+    exactly when a bad day exists — the jackknife recomputes the rate
+    with each day left out and uses the Tukey variance over those
+    leave-one-out ratios. Rows reduce once to (day, passes, n); every
+    theta_(i) is arithmetic against broadcast totals. Oracle replays
+    the leave-one-out algebra."""
+    from jsonschema_validator_spark.operators.stats import jackknife_ratio
+
+    ev = _t(spark, sf_dir, "events").select(
+        _day("ts").alias("day"),
+        F.coalesce((F.col("value") <= 450).cast("int"), F.lit(0)).alias("ok"),
+    )
+    return jackknife_ratio(ev, "day", F.col("ok"), F.lit(1))
+
+
+_ORACLE_JACKKNIFE = """
+WITH per_g AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS g,
+         sum(CASE WHEN value IS NOT NULL AND value <= 450
+                  THEN 1 ELSE 0 END) AS num,
+         count(*) AS den
+  FROM events GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS k, sum(num) AS tn, sum(den) AS td
+        FROM per_g),
+loo AS (SELECT k, tn, td,
+               CASE WHEN td - den <> 0
+                    THEN (tn - num)::DOUBLE / (td - den) END AS theta_i
+        FROM per_g CROSS JOIN tot),
+a AS (SELECT first(k) AS n_groups, first(tn) AS tn, first(td) AS td,
+             count(theta_i)::BIGINT AS k_ok,
+             avg(theta_i) AS tbar,
+             sum(theta_i * theta_i) AS tsq
+      FROM loo),
+v AS (SELECT *,
+             (k_ok - 1.0) / k_ok * (tsq - k_ok * tbar * tbar) AS var,
+             tn::DOUBLE / td AS theta,
+             (k_ok = n_groups AND n_groups > 1) AS ok
+      FROM a)
+SELECT n_groups, round(theta, 6) AS ratio,
+       CASE WHEN ok THEN round(tbar, 6) END AS jk_mean,
+       CASE WHEN ok THEN round(sqrt(greatest(var, 0)), 6) END AS jk_se,
+       CASE WHEN ok THEN round(theta - 1.959964 * sqrt(greatest(var, 0)), 6)
+       END AS ci_lo,
+       CASE WHEN ok THEN round(theta + 1.959964 * sqrt(greatest(var, 0)), 6)
+       END AS ci_hi
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10694,6 +10905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v_events": q_cramers_v_events,
         "theil_events": q_theil_events,
         "runs_test_events": q_runs_test_events,
+        "hurst_events": q_hurst_events,
+        "perm_entropy_events": q_perm_entropy_events,
+        "capture_recapture_documents": q_capture_recapture_documents,
+        "jackknife_events": q_jackknife_events,
     }
 
 
@@ -10922,4 +11137,8 @@ def oracle_sql() -> dict[str, str]:
         "cramers_v_events": _ORACLE_CRAMERS_V,
         "theil_events": _ORACLE_THEIL,
         "runs_test_events": _ORACLE_RUNS_TEST,
+        "hurst_events": _ORACLE_HURST,
+        "perm_entropy_events": _ORACLE_PERM_ENTROPY,
+        "capture_recapture_documents": _ORACLE_CAPTURE_RECAPTURE,
+        "jackknife_events": _ORACLE_JACKKNIFE,
     }

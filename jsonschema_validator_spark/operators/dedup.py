@@ -884,3 +884,85 @@ def cross_source_duplication(
             F.round(F.col("shared") / F.col("n_a"), 6).alias("containment"),
         )
     )
+
+
+def capture_recapture_pairs(
+    df: DataFrame,
+    id_col: str,
+    fp_a,
+    fp_b,
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TRUE number of
+    duplicate pairs from two independent imperfect detectors. Every
+    dedup method under-catches; running two DIFFERENT fingerprints and
+    treating their catch sets as two samples of the same hidden
+    population gives the ecologist's estimator for how many duplicate
+    pairs exist INCLUDING the ones neither method caught:
+
+        N_hat = (M + 1)(C + 1) / (R + 1) - 1
+
+    with M pairs caught by fingerprint A, C by B, R by both, and
+    variance (M+1)(C+1)(M-R)(C-R) / ((R+1)^2 (R+2)) (Seber). This is
+    the coverage audit for the dedup stage itself — "we removed 12k
+    pairs" means nothing without an estimate of how many there were.
+
+    Pair counts come from group sizes, never materialized pairs:
+    sum over fingerprint groups of C(g, 2), and the both-caught count
+    from the JOINT (fp_a, fp_b) grouping — three O(groups)
+    aggregations, no join, no pair explosion (the independence
+    assumption is the caller's: pick fingerprints that fail
+    differently). NULL fingerprints are excluded from that detector's
+    sample. Returns one row: (n_ids, m_pairs, c_pairs, r_pairs,
+    chapman_est, chapman_se, caught_frac_a, caught_frac_b), floats
+    rounded to 6; degenerate R with M - R = 0 or C - R = 0 gives
+    se = 0, and the estimator is NULL only if both detectors caught
+    nothing.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        fp_a.alias("__fa"),
+        fp_b.alias("__fb"),
+    )
+
+    def pair_count(keys):
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).isNotNull()
+        g = base.filter(cond).groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__g")
+        )
+        return g.agg(
+            F.coalesce(
+                F.sum(F.col("__g") * (F.col("__g") - 1) / 2), F.lit(0.0)
+            ).alias("p")
+        )
+
+    m = pair_count(["__fa"]).select(F.col("p").alias("m_pairs"))
+    c = pair_count(["__fb"]).select(F.col("p").alias("c_pairs"))
+    r = pair_count(["__fa", "__fb"]).select(F.col("p").alias("r_pairs"))
+    n = base.agg(F.count(F.lit(1)).alias("n_ids"))
+    j = (
+        n.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(r))
+    )
+    M, C, R = F.col("m_pairs"), F.col("c_pairs"), F.col("r_pairs")
+    est = (M + 1) * (C + 1) / (R + 1) - 1
+    var = (M + 1) * (C + 1) * (M - R) * (C - R) / (
+        F.pow(R + 1, 2) * (R + 2)
+    )
+    defined = (M + C) > 0
+    return j.select(
+        "n_ids",
+        M.cast("long").alias("m_pairs"),
+        C.cast("long").alias("c_pairs"),
+        R.cast("long").alias("r_pairs"),
+        F.when(defined, F.round(est, 6)).alias("chapman_est"),
+        F.when(defined, F.round(F.sqrt(var), 6)).alias("chapman_se"),
+        F.when(defined & (est > 0), F.round(M / est, 6)).alias(
+            "caught_frac_a"
+        ),
+        F.when(defined & (est > 0), F.round(C / est, 6)).alias(
+            "caught_frac_b"
+        ),
+    )

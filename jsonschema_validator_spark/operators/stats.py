@@ -1953,3 +1953,66 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("flag"),
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    group_col: str,
+    num_col,
+    den_col,
+) -> DataFrame:
+    """Delete-one-group jackknife standard error of a ratio estimator
+    theta = sum(num) / sum(den) — the honest error bar for rates whose
+    rows are NOT independent (pass rates cluster by day/source/user;
+    the binomial SE pretends they don't and is too small exactly when
+    it matters). Leave each group out, recompute the ratio from the
+    group-complement sums, and use the Tukey jackknife variance
+    (g - 1)/g * sum (theta_(i) - theta_bar)^2.
+
+    Scale: rows reduce by ONE aggregation to (group, num, den); every
+    leave-one-out ratio is (N - num_g) / (D - den_g) — pure arithmetic
+    against the broadcast totals, no resampling pass, no window over
+    raw rows. Returns one row: (n_groups, ratio, jk_mean, jk_se,
+    ci_lo, ci_hi) with a 95% normal interval; degenerate (< 2 groups
+    or a zero complement denominator) yields NULL se.
+    """
+    per_g = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.sum(num_col).alias("__num"), F.sum(den_col).alias("__den")
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__num").alias("__tn"),
+        F.sum("__den").alias("__td"),
+    )
+    loo = per_g.crossJoin(F.broadcast(tot)).select(
+        "__k",
+        "__tn",
+        "__td",
+        F.when(
+            F.col("__td") - F.col("__den") != 0,
+            (F.col("__tn") - F.col("__num")) / (F.col("__td") - F.col("__den")),
+        ).alias("__theta_i"),
+    )
+    agg = loo.agg(
+        F.first("__k").alias("n_groups"),
+        F.first("__tn").alias("__tn"),
+        F.first("__td").alias("__td"),
+        F.count("__theta_i").alias("__k_ok"),
+        F.avg("__theta_i").alias("__tbar"),
+        F.sum(F.pow(F.col("__theta_i"), 2)).alias("__tsq"),
+    )
+    k = F.col("__k_ok").cast("double")
+    # (g-1)/g * sum (theta_i - tbar)^2  via the power-sum identity
+    ssq = F.col("__tsq") - k * F.col("__tbar") * F.col("__tbar")
+    var = (k - 1.0) / k * ssq
+    theta = F.col("__tn") / F.col("__td")
+    ok = (F.col("__k_ok") == F.col("n_groups")) & (F.col("n_groups") > 1)
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        "n_groups",
+        F.round(theta, 6).alias("ratio"),
+        F.when(ok, F.round(F.col("__tbar"), 6)).alias("jk_mean"),
+        F.when(ok, F.round(se, 6)).alias("jk_se"),
+        F.when(ok, F.round(theta - 1.959964 * se, 6)).alias("ci_lo"),
+        F.when(ok, F.round(theta + 1.959964 * se, 6)).alias("ci_hi"),
+    )

@@ -768,3 +768,173 @@ def holt_screen(
             "flag",
         )
     )
+
+
+def hurst_rs(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    block_sizes: list[int] = (8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent via classic rescaled-range (R/S) analysis on an
+    ORDERED series: H ~ 0.5 means the series increments are
+    memoryless, H > 0.5 long-range persistence (high days beget high
+    days — volume/latency series almost always show this and naive
+    i.i.d. control bands are then too tight), H < 0.5 anti-persistent
+    mean reversion. The drift screens compare distributions; Hurst
+    measures MEMORY, which none of them see.
+
+    For each block size n the series splits into floor(N/n) full
+    blocks (ragged tail dropped); per block R = range of the
+    cumulative mean-adjusted deviations, S = population std, and
+    blocks with S = 0 are excluded (R/S undefined). H is the OLS slope
+    of ln(mean R/S) on ln(n) across block sizes.
+
+    Scale: the caller passes an already-reduced series (one row per
+    hour/day); the only windows are per-BLOCK cumsums — partitions of
+    size <= max(block_sizes), never the whole series — plus one
+    row_number to index the reduced relation (O(series), explicitly a
+    reduced-relation-only cost). Returns one row per block size:
+    (block_n, n_blocks, mean_rs, hurst, n_points) with the fitted H
+    and series length repeated, ordered by block_n.
+    """
+    d = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(order_col).alias("__o"), F.col(value_col).cast("double").alias("__v"))
+    w_all = Window.partitionBy(F.lit(1)).orderBy("__o")
+    idx = d.select("__v", (F.row_number().over(w_all) - 1).alias("__i"))
+    sized = None
+    for bs in block_sizes:
+        part = idx.select(
+            "__v",
+            "__i",
+            F.lit(bs).alias("__bs"),
+            F.floor(F.col("__i") / bs).alias("__blk"),
+            F.pmod(F.col("__i"), F.lit(bs)).alias("__pos"),
+        )
+        sized = part if sized is None else sized.unionByName(part)
+    # keep only full blocks: block b is full iff max pos == bs - 1
+    wb = Window.partitionBy("__bs", "__blk")
+    full = sized.withColumn("__mx", F.max("__pos").over(wb)).filter(
+        F.col("__mx") == F.col("__bs") - 1
+    )
+    m = F.avg("__v").over(wb)
+    dev = full.withColumn("__dev", F.col("__v") - m).withColumn(
+        "__sd", F.stddev_pop("__v").over(wb)
+    )
+    wcum = Window.partitionBy("__bs", "__blk").orderBy("__pos")
+    cum = dev.withColumn("__z", F.sum("__dev").over(wcum))
+    per_block = cum.groupBy("__bs", "__blk").agg(
+        (F.max("__z") - F.min("__z")).alias("__r"),
+        F.first("__sd").alias("__s"),
+    )
+    per_size = (
+        per_block.filter(F.col("__s") > 0)
+        .groupBy("__bs")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.avg(F.col("__r") / F.col("__s")).alias("__rs"),
+        )
+    )
+    # OLS slope of ln(rs) on ln(bs) over the (tiny) per-size relation
+    fit = per_size.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.avg(F.log("__bs")).alias("__mx"),
+        F.avg(F.log("__rs")).alias("__my"),
+        F.avg(F.log("__bs") * F.log("__rs")).alias("__mxy"),
+        F.avg(F.log("__bs") * F.log("__bs")).alias("__mxx"),
+    ).select(
+        F.when(
+            F.col("__mxx") - F.col("__mx") * F.col("__mx") > 0,
+            (F.col("__mxy") - F.col("__mx") * F.col("__my"))
+            / (F.col("__mxx") - F.col("__mx") * F.col("__mx")),
+        ).alias("__h")
+    )
+    n_points = idx.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per_size.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(n_points))
+        .select(
+            F.col("__bs").cast("long").alias("block_n"),
+            "n_blocks",
+            F.round("__rs", 6).alias("mean_rs"),
+            F.round("__h", 6).alias("hurst"),
+            F.col("__n").alias("n_points"),
+        )
+        .orderBy("block_n")
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bandt-Pompe permutation entropy of order m = 3 on an ORDERED
+    series: slide a 3-point window, record which of the 6 orderings
+    (012, 021, 102, 120, 201, 210) the triple realizes, and measure
+    the Shannon entropy of the ordering distribution normalized by
+    ln(6). A regular sawtooth uses 2 patterns (entropy -> 0); white
+    noise uses all 6 equally (entropy -> 1) — complexity the variance/
+    drift screens are blind to, robust to any monotone transform of
+    the values. Ties break by position (earlier index ranks lower),
+    the standard convention, so the statistic is exactly determined.
+
+    Scale: caller passes the already-reduced series; two lead()s over
+    that O(series) relation, rank arithmetic in Column algebra, one
+    groupBy(pattern). Returns one row per OBSERVED pattern: (pattern,
+    n, p, entropy, norm_entropy, n_windows) with the series-level
+    entropy repeated, ordered by pattern; pattern is the rank string
+    'r0r1r2' (rank of each position among the triple).
+    """
+    d = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(order_col).alias("__o"), F.col(value_col).cast("double").alias("__v"))
+    w = Window.partitionBy(F.lit(1)).orderBy("__o")
+    tri = d.select(
+        F.col("__v").alias("v0"),
+        F.lead("__v", 1).over(w).alias("v1"),
+        F.lead("__v", 2).over(w).alias("v2"),
+    ).filter(F.col("v2").isNotNull())
+
+    def rank_of(i, vi, others):
+        # others: list of (j, vj); vi ranks above vj if vj < vi, or tie
+        # with j < i (position tie-break)
+        r = F.lit(0)
+        for j, vj in others:
+            lt = vj < vi
+            tie = (vj == vi) & (F.lit(j) < F.lit(i))
+            r = r + (lt | tie).cast("int")
+        return r
+
+    v0, v1, v2 = F.col("v0"), F.col("v1"), F.col("v2")
+    r0 = rank_of(0, v0, [(1, v1), (2, v2)])
+    r1 = rank_of(1, v1, [(0, v0), (2, v2)])
+    r2 = rank_of(2, v2, [(0, v0), (1, v1)])
+    pat = F.concat(
+        r0.cast("string"), r1.cast("string"), r2.cast("string")
+    ).alias("pattern")
+    counts = tri.select(pat).groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("__nw"))
+    withp = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n") / F.col("__nw")
+    )
+    ent = withp.agg(
+        (-F.sum(F.col("p") * F.log("p"))).alias("__h")
+    )
+    import math
+
+    return (
+        withp.crossJoin(F.broadcast(ent))
+        .select(
+            "pattern",
+            "n",
+            F.round("p", 6).alias("p"),
+            F.round("__h", 6).alias("entropy"),
+            F.round(F.col("__h") / math.log(6.0), 6).alias("norm_entropy"),
+            F.col("__nw").alias("n_windows"),
+        )
+        .orderBy("pattern")
+    )

@@ -244,3 +244,125 @@ def test_runs_test_degenerate_one_sided(spark):
     df = spark.createDataFrame([(i, 7.0) for i in range(5)], "o int, v double")
     r = runs_test(df, "o", "v").collect()[0]
     assert r["n1"] == 0 and r["z_stat"] is None and r["flag"] is False
+
+
+def test_hurst_trend_and_antipersistent(spark):
+    from jsonschema_validator_spark.operators.timeseries import hurst_rs
+
+    # linear trend: R/S grows ~ n -> H ~ 1
+    trend = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "o int, v double"
+    )
+    rows = hurst_rs(trend, "o", "v", block_sizes=[8, 16, 32]).collect()
+    assert [r["block_n"] for r in rows] == [8, 16, 32]
+    assert rows[0]["n_blocks"] == 8 and rows[2]["n_blocks"] == 2
+    assert rows[0]["hurst"] == pytest.approx(1.0, abs=0.02)
+    assert all(r["n_points"] == 64 for r in rows)
+
+    # strict alternation: R/S constant in n -> H ~ 0
+    alt = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(64)], "o int, v double"
+    )
+    r = hurst_rs(alt, "o", "v", block_sizes=[8, 16, 32]).collect()[0]
+    assert r["hurst"] == pytest.approx(0.0, abs=0.02)
+
+
+def test_hurst_drops_ragged_tail(spark):
+    from jsonschema_validator_spark.operators.timeseries import hurst_rs
+
+    # 40 points with sizes [8, 16]: 5 and 2 full blocks
+    df = spark.createDataFrame(
+        [(i, float(i * i % 17)) for i in range(40)], "o int, v double"
+    )
+    out = {r["block_n"]: r["n_blocks"] for r in hurst_rs(df, "o", "v", [8, 16]).collect()}
+    assert out == {8: 5, 16: 2}
+
+
+def test_permutation_entropy_monotone_and_noise(spark):
+    from jsonschema_validator_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    inc = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "o int, v double"
+    )
+    rows = permutation_entropy(inc, "o", "v").collect()
+    assert len(rows) == 1 and rows[0]["pattern"] == "012"
+    assert rows[0]["norm_entropy"] == 0.0 and rows[0]["n_windows"] == 18
+
+    # constant series: ties rank by position -> still the single 012
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)], "o int, v double"
+    )
+    rows2 = permutation_entropy(const, "o", "v").collect()
+    assert len(rows2) == 1 and rows2[0]["pattern"] == "012"
+
+    # up-down sawtooth: two patterns, entropy ln(2)
+    saw = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(20)], "o int, v double"
+    )
+    rows3 = permutation_entropy(saw, "o", "v").collect()
+    assert len(rows3) == 2
+    import math
+
+    assert rows3[0]["entropy"] == pytest.approx(math.log(2), abs=1e-4)
+
+
+def test_capture_recapture_hand_computed(spark):
+    from jsonschema_validator_spark.operators.dedup import (
+        capture_recapture_pairs,
+    )
+
+    # fa: {x: a,b,c} -> M = 3; fb: {y: a,b}, {z: c,d} -> C = 2;
+    # joint: (x,y)={a,b} -> R = 1. Chapman = 4*3/2 - 1 = 5, se = sqrt(2).
+    rows = [
+        ("a", "x", "y"),
+        ("b", "x", "y"),
+        ("c", "x", "z"),
+        ("d", "w", "z"),
+        ("e", None, "q"),  # null fa: excluded from detector A only
+    ]
+    df = spark.createDataFrame(rows, "id string, fa string, fb string")
+    r = capture_recapture_pairs(df, "id", F.col("fa"), F.col("fb")).collect()[0]
+    assert (r["n_ids"], r["m_pairs"], r["c_pairs"], r["r_pairs"]) == (5, 3, 2, 1)
+    assert r["chapman_est"] == pytest.approx(5.0, abs=1e-9)
+    assert r["chapman_se"] == pytest.approx(2**0.5, abs=1e-6)
+    assert r["caught_frac_a"] == pytest.approx(0.6, abs=1e-9)
+
+
+def test_capture_recapture_no_dups(spark):
+    from jsonschema_validator_spark.operators.dedup import (
+        capture_recapture_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), f"a{i}", f"b{i}") for i in range(5)],
+        "id string, fa string, fb string",
+    )
+    r = capture_recapture_pairs(df, "id", F.col("fa"), F.col("fb")).collect()[0]
+    assert r["m_pairs"] == 0 and r["chapman_est"] is None
+
+
+def test_jackknife_ratio_hand_computed(spark):
+    from jsonschema_validator_spark.operators.stats import jackknife_ratio
+
+    # groups (num, den): (1,2), (2,2), (3,4); theta = .75
+    # loo ratios 5/6, 4/6, 3/4 -> tbar = .75, var = (2/3)(2/144) = 1/108
+    rows = []
+    for g, (num, den) in {"g1": (1, 2), "g2": (2, 2), "g3": (3, 4)}.items():
+        rows += [(g, 1)] * num + [(g, 0)] * (den - num)
+    df = spark.createDataFrame(rows, "g string, ok int")
+    r = jackknife_ratio(df, "g", F.col("ok"), F.lit(1)).collect()[0]
+    assert r["n_groups"] == 3
+    assert r["ratio"] == pytest.approx(0.75, abs=1e-9)
+    assert r["jk_mean"] == pytest.approx(0.75, abs=1e-9)
+    assert r["jk_se"] == pytest.approx((1 / 108) ** 0.5, abs=1e-6)
+    assert r["ci_lo"] < 0.75 < r["ci_hi"]
+
+
+def test_jackknife_single_group_degenerate(spark):
+    from jsonschema_validator_spark.operators.stats import jackknife_ratio
+
+    df = spark.createDataFrame([("g", 1), ("g", 0)], "g string, ok int")
+    r = jackknife_ratio(df, "g", F.col("ok"), F.lit(1)).collect()[0]
+    assert r["jk_se"] is None and r["ratio"] == 0.5
