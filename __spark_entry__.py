@@ -10268,7 +10268,7 @@ def q_eb_pass_rates_events(spark, sf_dir):
     """Empirical-Bayes shrinkage of per-user pass rates (operators/
     stats.eb_shrunk_rates): the beta-binomial method-of-moments
     posterior mean (k + alpha)/(n + alpha + beta) per user for the
-    "value <= 450" check — raw per-key rates let a 2/2 user outrank a
+    "value <= 60" check — raw per-key rates let a 2/2 user outrank a
     980/1000 user on pure small-n luck; the moment-fitted corpus prior
     pulls low-evidence users toward the global rate and leaves high-n
     users untouched. One groupBy to the per-user relation, one
@@ -10278,7 +10278,7 @@ def q_eb_pass_rates_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
-        F.coalesce(F.col("value") <= 450, F.lit(False)).alias("ok"),
+        F.coalesce(F.col("value") <= 60, F.lit(False)).alias("ok"),
     )
     return eb_shrunk_rates(ev, "user_id", "ok")
 
@@ -10286,7 +10286,7 @@ def q_eb_pass_rates_events(spark, sf_dir):
 _ORACLE_EB_PASS_RATES = """
 WITH per_key AS (
   SELECT user_id AS key, count(*)::BIGINT AS n,
-         sum(CASE WHEN value IS NOT NULL AND value <= 450
+         sum(CASE WHEN value IS NOT NULL AND value <= 60
                   THEN 1 ELSE 0 END)::BIGINT AS k
   FROM events WHERE user_id IS NOT NULL GROUP BY 1),
 r AS (SELECT *, k::DOUBLE / n AS raw_rate FROM per_key),
@@ -10622,7 +10622,7 @@ FROM e
 
 def q_jackknife_events(spark, sf_dir):
     """Delete-one-day jackknife standard error (operators/stats.
-    jackknife_ratio) of the corpus pass rate for the value <= 450
+    jackknife_ratio) of the corpus pass rate for the value <= 60
     check: rows cluster by day, so the binomial SE is too small
     exactly when a bad day exists — the jackknife recomputes the rate
     with each day left out and uses the Tukey variance over those
@@ -10633,7 +10633,7 @@ def q_jackknife_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select(
         _day("ts").alias("day"),
-        F.coalesce((F.col("value") <= 450).cast("int"), F.lit(0)).alias("ok"),
+        F.coalesce((F.col("value") <= 60).cast("int"), F.lit(0)).alias("ok"),
     )
     return jackknife_ratio(ev, "day", F.col("ok"), F.lit(1))
 
@@ -10641,7 +10641,7 @@ def q_jackknife_events(spark, sf_dir):
 _ORACLE_JACKKNIFE = """
 WITH per_g AS (
   SELECT strftime(ts, '%Y-%m-%d') AS g,
-         sum(CASE WHEN value IS NOT NULL AND value <= 450
+         sum(CASE WHEN value IS NOT NULL AND value <= 60
                   THEN 1 ELSE 0 END) AS num,
          count(*) AS den
   FROM events GROUP BY 1),
@@ -10669,6 +10669,165 @@ SELECT n_groups, round(theta, 6) AS ratio,
        CASE WHEN ok THEN round(theta + 1.959964 * sqrt(greatest(var, 0)), 6)
        END AS ci_hi
 FROM v
+"""
+
+
+def q_sprt_events(spark, sf_dir):
+    """Wald SPRT early-stopping quality gate (operators/changepoint.
+    sprt_binomial) on the day-ordered pass/fail stream of the
+    value <= 60 check: H1: p = 0.65 vs H0: p = 0.50, alpha = beta =
+    0.05 — the cumulative binomial log-likelihood ratio crosses a Wald
+    boundary after a handful of daily batches instead of scanning the
+    whole table, which is the point of a sequential gate at 10^12
+    rows. Rows reduce to one (day, k, n) batch per day first; the LLR
+    is one window over that O(days) relation. Oracle replays the
+    boundary algebra."""
+    from jsonschema_validator_spark.operators.changepoint import sprt_binomial
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(_day("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.coalesce((F.col("value") <= 60).cast("long"), F.lit(0))
+            ).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return sprt_binomial(daily, "day", "k", "n", p0=0.5, p1=0.65)
+
+
+_ORACLE_SPRT = """
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS o,
+         sum(CASE WHEN value IS NOT NULL AND value <= 60
+                  THEN 1 ELSE 0 END)::DOUBLE AS k,
+         count(*)::DOUBLE AS n
+  FROM events GROUP BY 1),
+s AS (
+  SELECT o, k, n,
+         row_number() OVER (ORDER BY o) AS step,
+         sum(k * ln(0.65 / 0.5) + (n - k) * ln(0.35 / 0.5))
+           OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS llr
+  FROM d),
+a AS (
+  SELECT count(*)::BIGINT AS n_steps,
+         sum(n)::BIGINT AS trials,
+         sum(k)::BIGINT AS passes,
+         arg_max(llr, step) AS llr_last,
+         min(CASE WHEN llr >= ln(0.95 / 0.05) THEN step END) AS up,
+         min(CASE WHEN llr <= ln(0.05 / 0.95) THEN step END) AS dn
+  FROM s)
+SELECT n_steps, trials, passes,
+       round(llr_last, 6) AS llr_final,
+       round(ln(0.95 / 0.05), 6) AS upper,
+       round(ln(0.05 / 0.95), 6) AS lower,
+       CASE WHEN up IS NULL AND dn IS NULL THEN 'continue'
+            WHEN coalesce(up, 2147483648) <= coalesce(dn, 2147483648)
+            THEN 'accept_h1' ELSE 'accept_h0' END AS decision,
+       CASE WHEN up IS NOT NULL OR dn IS NOT NULL
+            THEN least(coalesce(up, 2147483648),
+                       coalesce(dn, 2147483648)) END::BIGINT
+         AS step_at_decision
+FROM a
+"""
+
+
+def q_page_hinkley_events(spark, sf_dir):
+    """Page-Hinkley running-mean drift monitor (operators/changepoint.
+    page_hinkley) over the daily mean value series: unlike the
+    calibrated CUSUM (cusum needs a reference mean from a clean
+    window), PH tracks deviations from the RUNNING mean, so it
+    self-calibrates — PH_t = m_t - min m_s alarms when the level
+    shifts by more than lam = 8.0 value units. Three windows over the
+    O(days) daily relation. Oracle replays the recursion in SQL."""
+    from jsonschema_validator_spark.operators.changepoint import page_hinkley
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(_day("ts").alias("day"))
+        .agg(F.avg("value").alias("x"))
+    )
+    return page_hinkley(daily, "day", "x", delta=0.0, lam=8.0)
+
+
+_ORACLE_PAGE_HINKLEY = """
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS o, avg(value) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+s AS (
+  SELECT o, x,
+         avg(x) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS run_mean
+  FROM d),
+m AS (
+  SELECT *, sum(x - run_mean) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS m_t
+  FROM s),
+p AS (
+  SELECT *, min(m_t) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS mmin
+  FROM m)
+SELECT o AS "order", round(x, 6) AS x, round(run_mean, 6) AS run_mean,
+       round(m_t, 6) AS m_t, round(m_t - mmin, 6) + 0.0 AS ph,
+       (m_t - mmin) > 8.0 AS alarm
+FROM p ORDER BY o
+"""
+
+
+def q_energy_distance_events(spark, sf_dir):
+    """Two-sample energy distance (operators/drift.energy_distance)
+    between the value distributions of click and purchase events —
+    zero IFF the distributions match, sensitive everywhere (not just
+    at the worst CDF point like KS), scale-free via the normalized
+    coefficient. All three E|X-Y| terms come from one sorted pass
+    over the distinct-value blocks with exclusive prefix sums — no
+    pair is ever materialized, so the same plan holds when each side
+    has 10^10 rows. Oracle replays the identical prefix algebra."""
+    from jsonschema_validator_spark.operators.drift import energy_distance
+
+    return energy_distance(
+        _t(spark, sf_dir, "events"), "value", "event_type", "click", "purchase"
+    )
+
+
+_ORACLE_ENERGY_DISTANCE = """
+WITH blocks AS (
+  SELECT value::DOUBLE AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS b
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1),
+pre AS (
+  SELECT v, a, b,
+         coalesce(sum(a) OVER w, 0) AS ca,
+         coalesce(sum(a * v) OVER w, 0.0) AS sa,
+         coalesce(sum(b) OVER w, 0) AS cb,
+         coalesce(sum(b * v) OVER w, 0.0) AS sb
+  FROM blocks
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING)),
+agg AS (
+  SELECT sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b,
+         sum(a * (v * ca - sa)) AS paa,
+         sum(b * (v * cb - sb)) AS pbb,
+         sum(a * (v * cb - sb) + b * (v * ca - sa)) AS pab
+  FROM pre)
+SELECT n_a, n_b,
+       round(pab / (n_a::DOUBLE * n_b), 6) AS e_xy,
+       round(2.0 * paa / (n_a::DOUBLE * n_a), 6) AS e_xx,
+       round(2.0 * pbb / (n_b::DOUBLE * n_b), 6) AS e_yy,
+       round(2.0 * pab / (n_a::DOUBLE * n_b)
+             - 2.0 * paa / (n_a::DOUBLE * n_a)
+             - 2.0 * pbb / (n_b::DOUBLE * n_b), 6) + 0.0 AS energy_dist2,
+       round((2.0 * pab / (n_a::DOUBLE * n_b)
+              - 2.0 * paa / (n_a::DOUBLE * n_a)
+              - 2.0 * pbb / (n_b::DOUBLE * n_b))
+             / (2.0 * pab / (n_a::DOUBLE * n_b)), 6) + 0.0 AS energy_coef
+FROM agg
 """
 
 
@@ -10909,6 +11068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perm_entropy_events": q_perm_entropy_events,
         "capture_recapture_documents": q_capture_recapture_documents,
         "jackknife_events": q_jackknife_events,
+        "sprt_events": q_sprt_events,
+        "page_hinkley_events": q_page_hinkley_events,
+        "energy_distance_events": q_energy_distance_events,
     }
 
 
@@ -11141,4 +11303,7 @@ def oracle_sql() -> dict[str, str]:
         "perm_entropy_events": _ORACLE_PERM_ENTROPY,
         "capture_recapture_documents": _ORACLE_CAPTURE_RECAPTURE,
         "jackknife_events": _ORACLE_JACKKNIFE,
+        "sprt_events": _ORACLE_SPRT,
+        "page_hinkley_events": _ORACLE_PAGE_HINKLEY,
+        "energy_distance_events": _ORACLE_ENERGY_DISTANCE,
     }

@@ -20,7 +20,7 @@ with a recursive CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -157,3 +157,138 @@ def best_split(
         F.round(F.col("__mr") - F.col("__ml"), 6).alias("shift"),
         F.round(explained, 6).alias("explained"),
     )
+
+
+def sprt_binomial(
+    df: DataFrame,
+    order_col: str,
+    k_col: str,
+    n_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability ratio test on a batched Bernoulli
+    stream — the early-stopping quality gate: instead of fixing a
+    sample size up front, accumulate the binomial log-likelihood ratio
+    of H1: p = p1 against H0: p = p0 over the ORDERED batches (k
+    passes of n trials per step) and stop the moment the evidence
+    crosses either Wald boundary
+
+        upper = ln((1 - beta) / alpha)   -> accept H1
+        lower = ln(beta / (1 - alpha))   -> accept H0
+
+    which on average decides with far fewer rows than the fixed-n test
+    — the point of a VALIDATION gate over a 10^12-row table: stop
+    scanning when the verdict is already certain.
+
+    Each step adds k ln(p1/p0) + (n - k) ln((1-p1)/(1-p0)); the
+    cumulative LLR is a window over the already-reduced O(steps)
+    relation (batched form — per-row SPRT at raw scale is the same
+    algebra with n = 1). The DECISION is the first boundary crossing
+    in order; later wandering back inside the bands is ignored, per
+    Wald. Returns one row: (n_steps, trials, passes, llr_final,
+    upper, lower, decision, step_at_decision) where decision is
+    'accept_h1' / 'accept_h0' / 'continue' and step_at_decision is
+    the 1-based step index (NULL when 'continue').
+    """
+    import math
+
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    d = df.filter(
+        F.col(order_col).isNotNull()
+        & F.col(k_col).isNotNull()
+        & F.col(n_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("__o"),
+        F.col(k_col).cast("double").alias("__k"),
+        F.col(n_col).cast("double").alias("__n"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("__o")
+    stepped = d.select(
+        "__k",
+        "__n",
+        F.row_number().over(w).alias("__step"),
+        F.sum(
+            F.col("__k") * la + (F.col("__n") - F.col("__k")) * lb
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__llr"),
+    )
+    agg = stepped.agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("__n").cast("long").alias("trials"),
+        F.sum("__k").cast("long").alias("passes"),
+        F.max(F.struct("__step", "__llr")).alias("__last"),
+        F.min(F.when(F.col("__llr") >= upper, F.col("__step"))).alias("__up"),
+        F.min(F.when(F.col("__llr") <= lower, F.col("__step"))).alias("__dn"),
+    )
+    up, dn = F.col("__up"), F.col("__dn")
+    first = F.least(F.coalesce(up, F.lit(2**31)), F.coalesce(dn, F.lit(2**31)))
+    decided = up.isNotNull() | dn.isNotNull()
+    decision = F.when(~decided, F.lit("continue")).otherwise(
+        F.when(
+            F.coalesce(up, F.lit(2**31)) <= F.coalesce(dn, F.lit(2**31)),
+            F.lit("accept_h1"),
+        ).otherwise(F.lit("accept_h0"))
+    )
+    return agg.select(
+        "n_steps",
+        "trials",
+        "passes",
+        F.round(F.col("__last.__llr"), 6).alias("llr_final"),
+        F.round(F.lit(upper), 6).alias("upper"),
+        F.round(F.lit(lower), 6).alias("lower"),
+        decision.alias("decision"),
+        F.when(decided, first).cast("long").alias("step_at_decision"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 10.0,
+) -> DataFrame:
+    """Page-Hinkley mean-shift monitor on an ORDERED series — the
+    running-mean sibling of cusum_screen: CUSUM accumulates deviations
+    from a FIXED reference mean, while Page-Hinkley tracks deviations
+    from the RUNNING mean x_bar_t, so it needs no calibration pass and
+    adapts as the level estimate sharpens:
+
+        m_t  = sum_{s<=t} (x_s - x_bar_s - delta)
+        PH_t = m_t - min_{s<=t} m_s          (alarm when PH_t > lam)
+
+    delta is the slack (drift magnitude considered benign), lam the
+    alarm threshold in value units.
+
+    Scale: the caller passes the already-reduced series (one row per
+    day); running mean, cumsum and running min are three windows over
+    that O(series) relation. Returns one row per step: (order, x,
+    run_mean, m_t, ph, alarm), floats rounded to 6, ordered by order.
+    """
+    d = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(order_col).alias("order"), F.col(value_col).cast("double").alias("x"))
+    w = Window.partitionBy(F.lit(1)).orderBy("order")
+    upto = w.rowsBetween(Window.unboundedPreceding, 0)
+    run_mean = F.avg("x").over(upto)
+    staged = d.withColumn("run_mean", run_mean).withColumn(
+        "__dev", F.col("x") - F.col("run_mean") - F.lit(delta)
+    )
+    m_t = F.sum("__dev").over(upto)
+    staged = staged.withColumn("m_t", m_t).withColumn(
+        "__mmin", F.min("m_t").over(upto)
+    )
+    ph = F.col("m_t") - F.col("__mmin")
+    return staged.select(
+        "order",
+        F.round("x", 6).alias("x"),
+        F.round("run_mean", 6).alias("run_mean"),
+        F.round("m_t", 6).alias("m_t"),
+        (F.round(ph, 6) + 0.0).alias("ph"),
+        (ph > lam).alias("alarm"),
+    ).orderBy("order")
