@@ -10831,6 +10831,176 @@ FROM agg
 """
 
 
+def q_cvm_ad_events(spark, sf_dir):
+    """Cramér-von Mises + Anderson-Darling two-sample drift tests
+    (operators/drift.cvm_ad_two_sample) between click and purchase
+    value distributions — the quadratic-EDF pair that completes the
+    drift family: CvM integrates the squared ECDF gap (with exact
+    Anderson-1962 null moments for a z-score), AD re-weights by
+    1/(F(1-F)) so tail-only drift registers. One groupBy to distinct-
+    value blocks + one ordered window — no rank over raw rows at any
+    scale. Oracle replays the block algebra."""
+    from jsonschema_validator_spark.operators.drift import cvm_ad_two_sample
+
+    return cvm_ad_two_sample(
+        _t(spark, sf_dir, "events"), "value", "event_type", "click", "purchase"
+    )
+
+
+_ORACLE_CVM_AD = """
+WITH blocks AS (
+  SELECT value::DOUBLE AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS b
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1),
+cum AS (
+  SELECT a, b,
+         sum(a) OVER w AS ca, sum(b) OVER w AS cb
+  FROM blocks
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+tot AS (SELECT max(ca)::BIGINT AS n_a, max(cb)::BIGINT AS n_b FROM cum),
+terms AS (
+  SELECT n_a, n_b,
+         n_a::DOUBLE AS n, n_b::DOUBLE AS m,
+         (n_a + n_b)::DOUBLE AS nn,
+         (a + b)::DOUBLE AS h,
+         (ca + cb)::DOUBLE AS hj,
+         ca::DOUBLE AS ca, cb::DOUBLE AS cb
+  FROM cum CROSS JOIN tot),
+agg AS (
+  SELECT n_a, n_b, first(n) AS n, first(m) AS m, first(nn) AS nn,
+         sum(h * pow(ca / n - cb / m, 2)) AS cvm_sum,
+         sum(CASE WHEN hj < nn
+                  THEN h * (pow(nn * ca - n * hj, 2) / n
+                            + pow(nn * cb - m * hj, 2) / m)
+                       / (hj * (nn - hj))
+                  ELSE 0 END) AS ad_sum
+  FROM terms GROUP BY n_a, n_b),
+s AS (
+  SELECT n_a, n_b,
+         (n * m / (nn * nn)) * cvm_sum AS t,
+         (1.0 + 1.0 / nn) / 6.0 AS e_t,
+         (nn + 1.0) / (45.0 * nn * nn)
+           * (4.0 * n * m * nn - 3.0 * (n * n + m * m) - 2.0 * n * m)
+           / (4.0 * n * m) AS var_t,
+         ad_sum / nn AS a2
+  FROM agg)
+SELECT n_a, n_b,
+       round(t, 6) AS cvm_t,
+       round(e_t, 6) AS cvm_mean,
+       round(sqrt(var_t), 6) AS cvm_sd,
+       round((t - e_t) / sqrt(var_t), 6) + 0.0 AS cvm_z,
+       round(a2, 6) AS ad_a2
+FROM s
+"""
+
+
+def q_histogram_distances_events(spark, sf_dir):
+    """Hellinger / total-variation / Bhattacharyya battery (operators/
+    drift.histogram_distances) between click and purchase value
+    densities on a shared 20-bin equal-width grid from the pooled
+    min/max: the bounded [0,1] "how far" dial next to the "is it
+    drift" tests. One scalar range reduce, one groupBy to 20 bins,
+    one reduce. Oracle replays the identical binning."""
+    from jsonschema_validator_spark.operators.drift import histogram_distances
+
+    return histogram_distances(
+        _t(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        "click",
+        "purchase",
+        n_bins=20,
+    )
+
+
+_ORACLE_HISTOGRAM_DISTANCES = """
+WITH base AS (
+  SELECT value::DOUBLE AS v, event_type = 'click' AS is_a
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+rng AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+binned AS (
+  SELECT CASE WHEN hi > lo
+              THEN least(floor((v - lo) / ((hi - lo) / 20.0)), 19)
+              ELSE 0 END AS bin,
+         is_a
+  FROM base CROSS JOIN rng),
+per_bin AS (
+  SELECT bin,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS b
+  FROM binned GROUP BY 1),
+tot AS (
+  SELECT sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b,
+         sum(sqrt(a::DOUBLE * b::DOUBLE)) AS sab
+  FROM per_bin),
+tv AS (
+  SELECT sum(abs(a::DOUBLE / n_a - b::DOUBLE / n_b)) AS tvd2
+  FROM per_bin CROSS JOIN tot)
+SELECT n_a, n_b, 20 AS n_bins,
+       round(sqrt(1.0 - least(sab / sqrt(n_a::DOUBLE * n_b), 1.0)), 6)
+         AS hellinger,
+       round(0.5 * tvd2, 6) AS tvd,
+       round(sab / sqrt(n_a::DOUBLE * n_b), 6) AS bhattacharyya
+FROM tot CROSS JOIN tv
+"""
+
+
+def q_conformal_events(spark, sf_dir):
+    """Split-conformal coverage audit (operators/evaluation.
+    split_conformal_coverage): calibrate the per-event-type mean
+    predictor and the exact ceil((n+1)(1-alpha))-th smallest absolute
+    residual on days 01-20, then measure realized coverage of
+    yhat +/- q_hat on days 21-30 — the distribution-free guarantee
+    check; coverage below 1 - alpha = 0.9 means the two slices are
+    NOT exchangeable (temporal drift). The exact order statistic
+    comes from distinct-score blocks + one cumulative window, never a
+    global row_number. Oracle replays the same k-th-smallest pick."""
+    from jsonschema_validator_spark.operators.evaluation import (
+        split_conformal_coverage,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return split_conformal_coverage(
+        ev, "event_type", "value", _day("ts") <= "2024-01-20", alpha=0.1
+    )
+
+
+_ORACLE_CONFORMAL = """
+WITH base AS (
+  SELECT event_type AS g, value::DOUBLE AS y,
+         strftime(ts, '%Y-%m-%d') <= '2024-01-20' AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+means AS (SELECT g, avg(y) AS yhat FROM base WHERE c GROUP BY 1),
+cal AS (SELECT abs(y - yhat) AS s FROM base JOIN means USING (g) WHERE c),
+nc AS (SELECT count(*)::BIGINT AS n_calib FROM cal),
+blocks AS (SELECT s, count(*)::BIGINT AS cnt FROM cal GROUP BY 1),
+cum AS (SELECT s, sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS cum FROM blocks),
+q AS (SELECT min(s) AS q_hat
+      FROM cum CROSS JOIN nc
+      WHERE cum >= least(ceil((n_calib + 1) * 0.9)::BIGINT, n_calib)),
+ev AS (SELECT * FROM base WHERE NOT c),
+nall AS (SELECT count(*)::BIGINT AS n_all FROM ev),
+scored AS (SELECT y, yhat, q_hat FROM ev JOIN means USING (g)
+           CROSS JOIN q)
+SELECT (SELECT n_calib FROM nc) AS n_calib,
+       count(*)::BIGINT AS n_eval,
+       (SELECT n_all FROM nall) - count(*) AS n_eval_skipped,
+       round(0.1, 6) AS alpha,
+       round(0.9, 6) AS target,
+       round(max(q_hat), 6) AS q_hat,
+       round(avg(CASE WHEN abs(y - yhat) <= q_hat
+                      THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+       round(2.0 * max(q_hat), 6) AS mean_width
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11071,6 +11241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_events": q_sprt_events,
         "page_hinkley_events": q_page_hinkley_events,
         "energy_distance_events": q_energy_distance_events,
+        "cvm_ad_events": q_cvm_ad_events,
+        "histogram_distances_events": q_histogram_distances_events,
+        "conformal_events": q_conformal_events,
     }
 
 
@@ -11306,4 +11479,7 @@ def oracle_sql() -> dict[str, str]:
         "sprt_events": _ORACLE_SPRT,
         "page_hinkley_events": _ORACLE_PAGE_HINKLEY,
         "energy_distance_events": _ORACLE_ENERGY_DISTANCE,
+        "cvm_ad_events": _ORACLE_CVM_AD,
+        "histogram_distances_events": _ORACLE_HISTOGRAM_DISTANCES,
+        "conformal_events": _ORACLE_CONFORMAL,
     }

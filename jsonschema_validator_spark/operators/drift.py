@@ -685,3 +685,190 @@ def energy_distance(
             "energy_coef"
         ),
     )
+
+
+def cvm_ad_two_sample(
+    df: DataFrame,
+    value: Column | str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """The two classic quadratic-EDF two-sample statistics in one
+    sorted pass — Cramér-von Mises and Anderson-Darling — closing the
+    distribution-drift family beside ks_psi (sup gap), wasserstein_1
+    (transport cost) and energy_distance (pairwise expectation): CvM
+    integrates the SQUARED ECDF gap over the pooled sample (equal
+    weight everywhere), AD re-weights that gap by 1/(F(1-F)) so the
+    TAILS count — the drift that KS misses when distributions differ
+    only in the extremes.
+
+    Tie-safe pooled-ECDF forms over distinct-value blocks j with
+    counts (a_j, b_j), h_j = a_j + b_j, INCLUSIVE cumulative counts
+    (A_j, B_j, H_j), N = n + m:
+
+        CvM  T  = (n m / N^2) * sum_j h_j (A_j/n - B_j/m)^2
+        with exact null moments (Anderson 1962)
+             E[T]   = (1 + 1/N) / 6
+             Var[T] = (N+1)/(45 N^2) * (4 n m N - 3(n^2+m^2) - 2 n m)
+                      / (4 n m)
+        and z = (T - E) / sd.
+
+        AD   A2 = (1/N) * sum_{j: H_j < N}
+                  h_j * (N*A_j - n*H_j)^2 / (H_j * (N - H_j)) / n
+                + the symmetric B term  (Scholz-Stephens A2_kN, k=2;
+                  null mean k-1 = 1)
+
+    Everything reduces to ONE groupBy to O(distinct values) blocks and
+    one ordered window over that block relation — no rank over raw
+    rows, no pair materialization, so the plan is unchanged at 10^10
+    rows per side. Returns one row: (n_a, n_b, cvm_t, cvm_mean,
+    cvm_sd, cvm_z, ad_a2), floats rounded to 6; empty sides yield
+    NULL statistics.
+    """
+    vcol = F.col(value) if isinstance(value, str) else value
+    blocks = (
+        df.filter(vcol.isNotNull() & F.col(group_col).isin(group_a, group_b))
+        .groupBy(vcol.cast("double").alias("v"))
+        .agg(
+            F.sum((F.col(group_col) == group_a).cast("long")).alias("a"),
+            F.sum((F.col(group_col) == group_b).cast("long")).alias("b"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = blocks.select(
+        "a",
+        "b",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    # totals ride along on every block row via the last cumulative value
+    tot = cum.agg(F.max("ca").alias("n_a"), F.max("cb").alias("n_b"))
+    j = cum.crossJoin(F.broadcast(tot))
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    nn = n + m
+    h = (F.col("a") + F.col("b")).cast("double")
+    hj = (F.col("ca") + F.col("cb")).cast("double")
+    gap = F.col("ca") / n - F.col("cb") / m
+    cvm_term = h * gap * gap
+    ad_num_a = F.pow(nn * F.col("ca") - n * hj, 2)
+    ad_num_b = F.pow(nn * F.col("cb") - m * hj, 2)
+    ad_term = F.when(
+        hj < nn,
+        h * (ad_num_a / n + ad_num_b / m) / (hj * (nn - hj)),
+    ).otherwise(F.lit(0.0))
+    agg = j.groupBy("n_a", "n_b").agg(
+        F.sum(cvm_term).alias("__cvm"),
+        F.sum(ad_term).alias("__ad"),
+    )
+    t = (n * m / (nn * nn)) * F.col("__cvm")
+    e_t = (1.0 + 1.0 / nn) / 6.0
+    var_t = (
+        (nn + 1.0)
+        / (45.0 * nn * nn)
+        * (4.0 * n * m * nn - 3.0 * (n * n + m * m) - 2.0 * n * m)
+        / (4.0 * n * m)
+    )
+    a2 = F.col("__ad") / nn
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(t, 6)).alias("cvm_t"),
+        F.when(ok, F.round(e_t, 6)).alias("cvm_mean"),
+        F.when(ok, F.round(F.sqrt(var_t), 6)).alias("cvm_sd"),
+        F.when(ok, F.round((t - e_t) / F.sqrt(var_t), 6) + 0.0).alias(
+            "cvm_z"
+        ),
+        F.when(ok, F.round(a2, 6)).alias("ad_a2"),
+    )
+
+
+def histogram_distances(
+    df: DataFrame,
+    value: Column | str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Binned-density distance battery — Hellinger, total variation,
+    and the Bhattacharyya coefficient — between two groups' value
+    distributions on a shared equal-width grid: the bounded,
+    symmetric, [0,1]-normalized summary the drift DASHBOARD wants
+    next to the hypothesis tests (KS/CvM/AD say "is it drift", these
+    say "how far apart, on a fixed scale"):
+
+        BC  = sum_k sqrt(p_k q_k)          (1 = identical)
+        H   = sqrt(1 - BC)                 (0 = identical)
+        TVD = 0.5 * sum_k |p_k - q_k|      (0 = identical)
+
+    The shared grid comes from the POOLED min/max (one scalar reduce,
+    broadcast back); values land in bin floor((v-lo)/w) clamped to
+    [0, n_bins-1], so both sides are binned identically and the
+    distances are comparable across runs. One groupBy to O(n_bins)
+    rows, one reduce. Returns one row: (n_a, n_b, n_bins, hellinger,
+    tvd, bhattacharyya), floats rounded to 6; empty sides yield NULLs.
+    """
+    vcol = F.col(value) if isinstance(value, str) else value
+    base = df.filter(
+        vcol.isNotNull() & F.col(group_col).isin(group_a, group_b)
+    ).select(
+        vcol.cast("double").alias("v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    )
+    rng = base.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / float(n_bins)
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
+        "is_a",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("b"),
+    )
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    bc = F.col("__sab") / F.sqrt(n * m)
+    agg2 = per_bin.agg(
+        F.sum("a").alias("n_a"),
+        F.sum("b").alias("n_b"),
+        F.sum(
+            F.sqrt(F.col("a").cast("double") * F.col("b").cast("double"))
+        ).alias("__sab"),
+    )
+    tv = per_bin.crossJoin(F.broadcast(agg2.select(
+        F.col("n_a").alias("__tn"), F.col("n_b").alias("__tm")
+    ))).agg(
+        F.sum(
+            F.abs(
+                F.col("a").cast("double") / F.col("__tn")
+                - F.col("b").cast("double") / F.col("__tm")
+            )
+        ).alias("__tvd2")
+    )
+    out = agg2.crossJoin(F.broadcast(tv))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return out.select(
+        "n_a",
+        "n_b",
+        F.lit(n_bins).cast("int").alias("n_bins"),
+        F.when(
+            ok, F.round(F.sqrt(1.0 - F.least(bc, F.lit(1.0))), 6)
+        ).alias("hellinger"),
+        F.when(ok, F.round(0.5 * F.col("__tvd2"), 6)).alias("tvd"),
+        F.when(ok, F.round(bc, 6)).alias("bhattacharyya"),
+    )

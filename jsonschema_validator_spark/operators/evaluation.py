@@ -543,3 +543,90 @@ def retrieval_metrics(
             ).alias("ap_at_k"),
         )
     )
+
+
+def split_conformal_coverage(
+    df: DataFrame,
+    group_col: str,
+    value: Column | str,
+    is_calib: Column,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction audit — the distribution-free
+    coverage guarantee check for a per-group point predictor: fit the
+    predictor on the CALIBRATION slice (here the per-group calibration
+    mean), take the nonconformity scores s_i = |y_i - yhat(group_i)|
+    on that same slice, and set the conformal radius to the exact
+    k-th smallest calibration score with
+
+        k = ceil((n_cal + 1) * (1 - alpha))
+
+    (the finite-sample-valid quantile — NOT the interpolated
+    percentile). Split conformal then guarantees the EVAL-slice
+    interval yhat +/- q covers at least 1 - alpha of future points if
+    the slices are exchangeable; the audit measures the realized
+    coverage so a broken guarantee (drift between slices) surfaces as
+    coverage < 1 - alpha.
+
+    Scale shape: group means are one groupBy; the exact k-th order
+    statistic comes from distinct-SCORE blocks with a cumulative count
+    window — O(distinct scores) window state, never a global sort or
+    row_number over the raw table. Eval rows join the broadcast
+    (group -> mean) map and the broadcast scalar radius. Groups with
+    no calibration rows are excluded from eval (no predictor exists;
+    reported in n_eval_skipped). Returns one row: (n_calib, n_eval,
+    n_eval_skipped, alpha, target, q_hat, coverage, mean_width),
+    floats rounded to 6.
+    """
+    vcol = F.col(value) if isinstance(value, str) else value
+    base = df.filter(vcol.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        vcol.cast("double").alias("y"),
+        is_calib.alias("c"),
+    )
+    means = base.filter("c").groupBy("g").agg(
+        F.avg("y").alias("yhat"), F.count(F.lit(1)).alias("n_g")
+    )
+    cal = base.filter("c").join(F.broadcast(means), "g").select(
+        F.abs(F.col("y") - F.col("yhat")).alias("s")
+    )
+    blocks = cal.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(F.lit(1)).orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = blocks.select("s", F.sum("cnt").over(w).alias("cum"))
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_calib"))
+    k_expr = F.ceil((F.col("n_calib") + 1) * (1.0 - alpha)).cast("long")
+    picked = (
+        cum.crossJoin(F.broadcast(n_cal))
+        .filter(F.col("cum") >= F.least(k_expr, F.col("n_calib")))
+        .agg(F.min("s").alias("q_hat"))
+    )
+    ev = base.filter(~F.col("c"))
+    n_ev_all = ev.agg(F.count(F.lit(1)).alias("__n_all"))
+    scored = ev.join(F.broadcast(means.select("g", "yhat")), "g").crossJoin(
+        F.broadcast(picked)
+    )
+    out = (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.avg(
+                (F.abs(F.col("y") - F.col("yhat")) <= F.col("q_hat")).cast(
+                    "double"
+                )
+            ).alias("__cov"),
+            F.max("q_hat").alias("__q"),
+        )
+        .crossJoin(F.broadcast(n_cal))
+        .crossJoin(F.broadcast(n_ev_all))
+    )
+    return out.select(
+        "n_calib",
+        "n_eval",
+        (F.col("__n_all") - F.col("n_eval")).alias("n_eval_skipped"),
+        F.round(F.lit(alpha), 6).alias("alpha"),
+        F.round(F.lit(1.0 - alpha), 6).alias("target"),
+        F.round(F.col("__q"), 6).alias("q_hat"),
+        F.round(F.col("__cov"), 6).alias("coverage"),
+        F.round(2.0 * F.col("__q"), 6).alias("mean_width"),
+    )
