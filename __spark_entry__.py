@@ -11001,6 +11001,271 @@ FROM scored
 """
 
 
+def q_krippendorff_documents(spark, sf_dir):
+    """Krippendorff's alpha, nominal (operators/agreement.
+    krippendorff_alpha), per source, over the SAME three deterministic
+    raters as fleiss_kappa_documents — including rater 3's NULL
+    abstention every 13th doc, which fleiss must EXCLUDE (fixed-n
+    design) but Krippendorff keeps: the abstaining item still
+    contributes its two remaining ratings via the coincidence matrix.
+    Two aggregations keyed on (source, item). Oracle replays the
+    coincidence algebra."""
+    from jsonschema_validator_spark.operators.agreement import (
+        krippendorff_alpha,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gate = F.when(F.col("n_chars") >= 300, F.lit("good")).otherwise(F.lit("bad"))
+    flip = F.when(gate == "good", F.lit("bad")).otherwise(F.lit("good"))
+    r1 = docs.select("source", F.col("doc_id").alias("item"), gate.alias("label"))
+    r2 = docs.select(
+        "source",
+        F.col("doc_id").alias("item"),
+        F.when(F.col("doc_id") % 7 == 0, flip).otherwise(gate).alias("label"),
+    )
+    r3 = docs.select(
+        "source",
+        F.col("doc_id").alias("item"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 0, flip)
+        .otherwise(gate)
+        .alias("label"),
+    )
+    ratings = r1.unionByName(r2).unionByName(r3)
+    return krippendorff_alpha(ratings, "item", "label", group="source").orderBy(
+        "source"
+    )
+
+
+_ORACLE_KRIPPENDORFF = """
+WITH docs AS (
+  SELECT source, doc_id,
+         CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS gate,
+         CASE WHEN n_chars >= 300 THEN 'bad' ELSE 'good' END AS flip
+  FROM documents),
+ratings AS (
+  SELECT source, doc_id AS item, gate AS label FROM docs
+  UNION ALL
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN flip ELSE gate END FROM docs
+  UNION ALL
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              WHEN doc_id % 5 = 0 THEN flip ELSE gate END FROM docs),
+abst AS (
+  SELECT source, count(*)::BIGINT AS n_abstain
+  FROM ratings WHERE label IS NULL GROUP BY 1),
+counts AS (
+  SELECT source, item, label, count(*)::BIGINT AS n_uc
+  FROM ratings WHERE label IS NOT NULL GROUP BY 1, 2, 3),
+witem AS (
+  SELECT source, item, sum(n_uc)::BIGINT AS m_u
+  FROM counts GROUP BY 1, 2),
+istats AS (
+  SELECT source, count(*)::BIGINT AS n_items,
+         sum(CASE WHEN m_u >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_pairable
+  FROM witem GROUP BY 1),
+pairable AS (
+  SELECT c.source, c.label, c.n_uc, w.m_u
+  FROM counts c JOIN witem w ON c.source = w.source AND c.item = w.item
+  WHERE w.m_u >= 2),
+per_label AS (
+  SELECT source, label, sum(n_uc)::BIGINT AS n_c,
+         sum(n_uc::DOUBLE * (n_uc - 1) / (m_u - 1)) AS o_cc
+  FROM pairable GROUP BY 1, 2),
+stats AS (
+  SELECT source, sum(n_c)::BIGINT AS n, sum(o_cc) AS diag,
+         sum(n_c::DOUBLE * (n_c - 1)) AS e
+  FROM per_label GROUP BY 1),
+m AS (
+  SELECT i.source, i.n_items, i.n_pairable,
+         coalesce(s.n, 0) AS n_ratings,
+         coalesce(a.n_abstain, 0) AS n_abstain,
+         s.diag / s.n AS a_o,
+         s.e / (s.n::DOUBLE * (s.n - 1)) AS a_e,
+         s.n AS n
+  FROM istats i LEFT JOIN stats s ON i.source = s.source
+  LEFT JOIN abst a ON i.source = a.source)
+SELECT source, n_items, n_pairable, n_ratings, n_abstain,
+       CASE WHEN n >= 2 AND a_e < 1.0 THEN round(a_o, 6) END AS a_o,
+       CASE WHEN n >= 2 AND a_e < 1.0 THEN round(a_e, 6) END AS a_e,
+       CASE WHEN n >= 2 AND a_e < 1.0
+            THEN round((a_o - a_e) / (1.0 - a_e), 6) + 0.0 END AS alpha
+FROM m ORDER BY source
+"""
+
+
+def q_overdispersion_events(spark, sf_dir):
+    """Poisson overdispersion screen (operators/anomaly.
+    poisson_dispersion) on daily arrival counts per event_type:
+    dispersion index var/mean with the chi-square dispersion test and
+    Wilson-Hilferty z — the "is a Poisson volume alert even valid
+    here" pre-flight. Counts reduce once to (type, day); the test runs
+    on that O(types x days) relation. Oracle replays the moments."""
+    from jsonschema_validator_spark.operators.anomaly import poisson_dispersion
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("g"), _day("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return poisson_dispersion(daily, "g", "c").orderBy("group")
+
+
+_ORACLE_OVERDISPERSION = """
+WITH daily AS (
+  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS c
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT g, count(*)::BIGINT AS n_periods, avg(c) AS m,
+         var_samp(c) AS v
+  FROM daily GROUP BY 1),
+s AS (
+  SELECT g, n_periods, m, v,
+         v / m AS disp,
+         (n_periods - 1.0) * v / m AS chi2,
+         n_periods - 1.0 AS dfree,
+         sqrt(2.0 * (n_periods - 1.0) * v / m)
+           - sqrt(2.0 * (n_periods - 1.0) - 1.0) AS z,
+         n_periods >= 2 AND m > 0 AS ok
+  FROM agg)
+SELECT g AS "group", n_periods,
+       round(m, 6) AS mean_count,
+       CASE WHEN n_periods >= 2 THEN round(v, 6) END AS var_count,
+       CASE WHEN ok THEN round(disp, 6) END AS dispersion,
+       CASE WHEN ok THEN round(chi2, 6) END AS chi2,
+       CASE WHEN n_periods >= 2 THEN dfree::BIGINT END AS df,
+       CASE WHEN ok THEN round(z, 6) + 0.0 END AS z,
+       CASE WHEN ok THEN z > 1.959964 END AS overdispersed,
+       CASE WHEN ok THEN z < -1.959964 END AS underdispersed
+FROM s ORDER BY g
+"""
+
+
+def q_youden_documents(spark, sf_dir):
+    """Youden optimal threshold (operators/evaluation.
+    youden_threshold) for the SAME deterministic quality score and
+    length-gate label as roc_auc_documents: AUC says the scorer ranks
+    well, this ships the actual cutoff — argmax of TPR - FPR over the
+    descending-cumulative ROC sweep on distinct-score blocks (270
+    blocks stand in for any row count), tie-broken to the strictest
+    gate. Oracle replays the sweep."""
+    from jsonschema_validator_spark.operators.evaluation import youden_threshold
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (
+            (F.least(F.col("n_chars"), F.lit(400)) + F.col("doc_id") % 50)
+            / 450.0
+        ).alias("score"),
+        (F.col("n_chars") >= 300).alias("label"),
+    )
+    return youden_threshold(scored, "score", F.col("label"))
+
+
+_ORACLE_YOUDEN = """
+WITH d AS (
+  SELECT (least(n_chars, 400) + (doc_id % 50)) / 450.0 AS s,
+         n_chars >= 300 AS y
+  FROM documents),
+blocks AS (
+  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+         sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS q
+  FROM d GROUP BY 1),
+cum AS (
+  SELECT s,
+         sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)::BIGINT AS tp,
+         sum(q) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)::BIGINT AS fp
+  FROM blocks),
+tot AS (SELECT max(tp)::BIGINT AS n_pos, max(fp)::BIGINT AS n_neg FROM cum),
+j AS (
+  SELECT s, tp, fp, n_pos, n_neg,
+         round(tp::DOUBLE / n_pos - fp::DOUBLE / n_neg, 12) AS jstat
+  FROM cum CROSS JOIN tot),
+best AS (
+  SELECT * FROM j ORDER BY jstat DESC, s DESC, tp DESC, fp DESC LIMIT 1)
+SELECT n_pos, n_neg, s AS threshold, tp, fp,
+       n_pos - tp AS fn, n_neg - fp AS tn,
+       round(tp::DOUBLE / n_pos, 6) AS tpr,
+       round(fp::DOUBLE / n_neg, 6) AS fpr,
+       round(tp::DOUBLE / n_pos - fp::DOUBLE / n_neg, 6) + 0.0 AS j
+FROM best
+"""
+
+
+def q_haar_events(spark, sf_dir):
+    """Haar wavelet energy decomposition (operators/timeseries.
+    haar_energy) of the first-16-day daily volume series, 4 levels:
+    detail_L1 energy is day-to-day jitter, L4 the slowest swing, and
+    the orthonormality invariant sum(details) + approx = sum(x^2) is
+    re-checked in-operator (energy_check). Each level is one groupBy
+    on a HALVED relation — log-many shuffles over geometrically
+    shrinking data. Oracle replays the pair transform level by
+    level."""
+    from jsonschema_validator_spark.operators.timeseries import haar_energy
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(_day("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .filter(F.col("day") <= "2024-01-16")
+    )
+    return haar_energy(daily, "day", "c", levels=4)
+
+
+_ORACLE_HAAR = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::DOUBLE AS c
+  FROM events GROUP BY 1),
+l0 AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i, c AS x
+  FROM daily WHERE day <= '2024-01-16'),
+tot AS (SELECT sum(x * x) AS e FROM l0),
+p1 AS (SELECT i // 2 AS i,
+              sum(CASE WHEN i % 2 = 0 THEN x END) AS x0,
+              sum(CASE WHEN i % 2 = 1 THEN x END) AS x1
+       FROM l0 GROUP BY 1),
+l1 AS (SELECT i, (x0 + x1) / sqrt(2.0) AS x FROM p1),
+d1 AS (SELECT count(*)::BIGINT AS n,
+              sum(pow((x0 - x1) / sqrt(2.0), 2)) AS e FROM p1),
+p2 AS (SELECT i // 2 AS i,
+              sum(CASE WHEN i % 2 = 0 THEN x END) AS x0,
+              sum(CASE WHEN i % 2 = 1 THEN x END) AS x1
+       FROM l1 GROUP BY 1),
+l2 AS (SELECT i, (x0 + x1) / sqrt(2.0) AS x FROM p2),
+d2 AS (SELECT count(*)::BIGINT AS n,
+              sum(pow((x0 - x1) / sqrt(2.0), 2)) AS e FROM p2),
+p3 AS (SELECT i // 2 AS i,
+              sum(CASE WHEN i % 2 = 0 THEN x END) AS x0,
+              sum(CASE WHEN i % 2 = 1 THEN x END) AS x1
+       FROM l2 GROUP BY 1),
+l3 AS (SELECT i, (x0 + x1) / sqrt(2.0) AS x FROM p3),
+d3 AS (SELECT count(*)::BIGINT AS n,
+              sum(pow((x0 - x1) / sqrt(2.0), 2)) AS e FROM p3),
+p4 AS (SELECT i // 2 AS i,
+              sum(CASE WHEN i % 2 = 0 THEN x END) AS x0,
+              sum(CASE WHEN i % 2 = 1 THEN x END) AS x1
+       FROM l3 GROUP BY 1),
+l4 AS (SELECT i, (x0 + x1) / sqrt(2.0) AS x FROM p4),
+d4 AS (SELECT count(*)::BIGINT AS n,
+              sum(pow((x0 - x1) / sqrt(2.0), 2)) AS e FROM p4),
+ap AS (SELECT count(*)::BIGINT AS n, sum(x * x) AS e FROM l4),
+u AS (
+  SELECT 'detail_L1' AS component, n, e FROM d1
+  UNION ALL SELECT 'detail_L2', n, e FROM d2
+  UNION ALL SELECT 'detail_L3', n, e FROM d3
+  UNION ALL SELECT 'detail_L4', n, e FROM d4
+  UNION ALL SELECT 'approx', n, e FROM ap)
+SELECT component, n AS n_coeffs, round(e, 6) AS energy,
+       round(e / (SELECT e FROM tot), 6) AS frac,
+       TRUE AS energy_check
+FROM u ORDER BY component
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11244,6 +11509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_ad_events": q_cvm_ad_events,
         "histogram_distances_events": q_histogram_distances_events,
         "conformal_events": q_conformal_events,
+        "krippendorff_documents": q_krippendorff_documents,
+        "overdispersion_events": q_overdispersion_events,
+        "youden_documents": q_youden_documents,
+        "haar_events": q_haar_events,
     }
 
 
@@ -11482,4 +11751,8 @@ def oracle_sql() -> dict[str, str]:
         "cvm_ad_events": _ORACLE_CVM_AD,
         "histogram_distances_events": _ORACLE_HISTOGRAM_DISTANCES,
         "conformal_events": _ORACLE_CONFORMAL,
+        "krippendorff_documents": _ORACLE_KRIPPENDORFF,
+        "overdispersion_events": _ORACLE_OVERDISPERSION,
+        "youden_documents": _ORACLE_YOUDEN,
+        "haar_events": _ORACLE_HAAR,
     }

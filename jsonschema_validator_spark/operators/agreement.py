@@ -145,3 +145,92 @@ def fleiss_kappa(
             F.try_divide(F.col("__pbar") - pe_col, F.lit(1.0) - pe_col), 6
         ).alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — the agreement coefficient that
+    HANDLES missing ratings instead of excluding them: cohen_kappa
+    needs exactly two fixed raters, fleiss_kappa a fixed n per item
+    (abstentions fall off the design); Krippendorff's
+    coincidence-matrix form accepts any number of ratings per item
+    and simply drops items with fewer than two (counted, not hidden).
+
+    Nominal-data algebra over per-(item,label) counts n_uc with item
+    totals m_u (items with m_u >= 2 only):
+
+        observed  A_o = sum_u sum_c n_uc (n_uc - 1) / (m_u - 1) / n
+        expected  A_e = sum_c n_c (n_c - 1) / (n (n - 1))
+        alpha = (A_o - A_e) / (1 - A_e)
+
+    with n_c the pooled label marginal and n = sum_u m_u. Two
+    aggregations: ratings -> (item,label) counts -> scalars; both key
+    on (group, item) so hot groups distribute. NULL labels are
+    abstentions (excluded, counted in n_abstain). Returns one row per
+    group: (group?, n_items, n_pairable, n_ratings, n_abstain,
+    a_o, a_e, alpha), floats rounded to 6; alpha NULL when A_e = 1
+    (single label corpus) or no pairable items.
+    """
+    gcols = [group] if group else []
+    rated = df.select(
+        *gcols,
+        F.col(item_col).alias("item"),
+        F.col(label_col).alias("label"),
+    )
+    n_abstain = rated.filter(F.col("label").isNull())
+    counts = (
+        rated.filter(F.col("label").isNotNull())
+        .groupBy(*gcols, "item", "label")
+        .agg(F.count(F.lit(1)).alias("n_uc"))
+    )
+    witem = (
+        counts.groupBy(*gcols, "item")
+        .agg(F.sum("n_uc").alias("m_u"))
+    )
+    j = counts.join(witem, [*gcols, "item"])
+    pairable = j.filter(F.col("m_u") >= 2)
+    per_label = pairable.groupBy(*gcols, "label").agg(
+        F.sum("n_uc").alias("n_c"),
+        F.sum(
+            F.col("n_uc").cast("double")
+            * (F.col("n_uc") - 1)
+            / (F.col("m_u") - 1)
+        ).alias("o_cc"),
+    )
+    stats = per_label.groupBy(*gcols).agg(
+        F.sum("n_c").alias("n"),
+        F.sum("o_cc").alias("__diag"),
+        F.sum(F.col("n_c").cast("double") * (F.col("n_c") - 1)).alias("__e"),
+    )
+    item_stats = witem.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("m_u") >= 2).cast("long")).alias("n_pairable"),
+    )
+    ab = (
+        n_abstain.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_abstain"))
+        if group
+        else n_abstain.agg(F.count(F.lit(1)).alias("n_abstain"))
+    )
+    how = "left"
+    merged = item_stats.join(stats, gcols, how) if group else item_stats.crossJoin(stats)
+    merged = merged.join(ab, gcols, how) if group else merged.crossJoin(ab)
+    n = F.col("n").cast("double")
+    a_o = F.col("__diag") / n
+    a_e = F.col("__e") / (n * (n - 1))
+    ok = (F.col("n") >= 2) & (a_e < 1.0)
+    return merged.select(
+        *gcols,
+        "n_items",
+        "n_pairable",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_ratings"),
+        F.coalesce(F.col("n_abstain"), F.lit(0)).alias("n_abstain"),
+        F.when(ok, F.round(a_o, 6)).alias("a_o"),
+        F.when(ok, F.round(a_e, 6)).alias("a_e"),
+        F.when(ok, F.round((a_o - a_e) / (1.0 - a_e), 6) + 0.0).alias(
+            "alpha"
+        ),
+    )

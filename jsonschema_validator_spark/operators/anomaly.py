@@ -349,3 +349,56 @@ def seasonal_volume(
             (ratio > ratio_thr) | (ratio < 1.0 / ratio_thr), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def poisson_dispersion(
+    df: DataFrame,
+    group_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Poisson overdispersion screen on per-period count series — the
+    count-data twin of the volume screens: arrival counts that are
+    genuinely Poisson have variance = mean, so the dispersion index
+    D = s^2 / xbar near 1 certifies the volume model, while D >> 1
+    (overdispersion: bursts, bot traffic, batched backfills) or
+    D << 1 (underdispersion: rate limiting, dedup upstream) says the
+    Poisson assumption — and every alert threshold derived from it —
+    is wrong.
+
+    The test statistic is the classic chi-square dispersion
+    chi2 = (n-1) s^2 / xbar ~ chi2(n-1) under H0, reported with the
+    Wilson-Hilferty normal approximation z = sqrt(2 chi2) -
+    sqrt(2 df - 1) (two-sided flag at |z| > 1.959964). One groupBy
+    over the ALREADY-REDUCED period-count relation — O(groups x
+    periods) input, O(groups) output. Returns one row per group:
+    (group, n_periods, mean_count, var_count, dispersion, chi2, df,
+    z, overdispersed, underdispersed), floats rounded to 6; groups
+    with < 2 periods or zero mean yield NULL statistics.
+    """
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.avg(F.col(count_col).cast("double")).alias("__m"),
+        F.var_samp(F.col(count_col).cast("double")).alias("__v"),
+    )
+    n = F.col("n_periods").cast("double")
+    disp = F.col("__v") / F.col("__m")
+    chi2 = (n - 1.0) * disp
+    dfree = n - 1.0
+    z = F.sqrt(2.0 * chi2) - F.sqrt(2.0 * dfree - 1.0)
+    ok = (F.col("n_periods") >= 2) & (F.col("__m") > 0)
+    return agg.select(
+        "group",
+        "n_periods",
+        F.round(F.col("__m"), 6).alias("mean_count"),
+        F.when(F.col("n_periods") >= 2, F.round(F.col("__v"), 6)).alias(
+            "var_count"
+        ),
+        F.when(ok, F.round(disp, 6)).alias("dispersion"),
+        F.when(ok, F.round(chi2, 6)).alias("chi2"),
+        F.when(
+            F.col("n_periods") >= 2, dfree.cast("long")
+        ).alias("df"),
+        F.when(ok, F.round(z, 6) + 0.0).alias("z"),
+        F.when(ok, z > 1.959964).alias("overdispersed"),
+        F.when(ok, z < -1.959964).alias("underdispersed"),
+    )

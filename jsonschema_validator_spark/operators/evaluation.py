@@ -630,3 +630,75 @@ def split_conformal_coverage(
         F.round(F.col("__cov"), 6).alias("coverage"),
         F.round(2.0 * F.col("__q"), 6).alias("mean_width"),
     )
+
+
+def youden_threshold(
+    df: DataFrame,
+    score: Column | str,
+    label: Column,
+) -> DataFrame:
+    """Optimal operating point on the ROC curve — Youden's J =
+    max_t (TPR(t) - FPR(t)) — the one-number answer to "where do I
+    set the quality-score cutoff": roc_auc summarizes ranking skill
+    across ALL thresholds, this picks the single threshold the gate
+    should ship with, plus the confusion counts realized there.
+
+    The ROC sweep never materializes per-row ranks: scores reduce to
+    distinct-value blocks with (pos, neg) counts; one DESCENDING
+    cumulative window gives TP/FP at the rule "predict positive when
+    score >= t" for every candidate t; J is an argmax over that
+    O(distinct scores) relation, tie-broken to the HIGHEST threshold
+    (strictest gate). Returns one row: (n_pos, n_neg, threshold,
+    tp, fp, fn, tn, tpr, fpr, j), floats rounded to 6; a single-class
+    input yields NULL threshold/J.
+    """
+    scol = F.col(score) if isinstance(score, str) else score
+    base = df.filter(scol.isNotNull() & label.isNotNull()).select(
+        scol.cast("double").alias("s"), label.cast("boolean").alias("y")
+    )
+    blocks = base.groupBy("s").agg(
+        F.sum(F.col("y").cast("long")).alias("p"),
+        F.sum((~F.col("y")).cast("long")).alias("q"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = blocks.select(
+        "s",
+        F.sum("p").over(w).alias("tp"),
+        F.sum("q").over(w).alias("fp"),
+    )
+    tot = cum.agg(
+        F.max("tp").alias("n_pos"), F.max("fp").alias("n_neg")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    jstat = F.col("tp") / npos - F.col("fp") / nneg
+    best = j.select(
+        "n_pos",
+        "n_neg",
+        F.struct(
+            F.round(jstat, 12).alias("j"),
+            F.col("s").alias("s"),
+            F.col("tp").alias("tp"),
+            F.col("fp").alias("fp"),
+        ).alias("cand"),
+    ).groupBy("n_pos", "n_neg").agg(F.max("cand").alias("best"))
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return best.select(
+        "n_pos",
+        "n_neg",
+        F.when(ok, F.col("best.s")).alias("threshold"),
+        F.when(ok, F.col("best.tp")).alias("tp"),
+        F.when(ok, F.col("best.fp")).alias("fp"),
+        F.when(ok, F.col("n_pos") - F.col("best.tp")).alias("fn"),
+        F.when(ok, F.col("n_neg") - F.col("best.fp")).alias("tn"),
+        F.when(ok, F.round(F.col("best.tp") / npos, 6)).alias("tpr"),
+        F.when(ok, F.round(F.col("best.fp") / nneg, 6)).alias("fpr"),
+        F.when(
+            ok,
+            F.round(F.col("best.tp") / npos - F.col("best.fp") / nneg, 6)
+            + 0.0,
+        ).alias("j"),
+    )

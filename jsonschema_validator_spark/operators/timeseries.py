@@ -938,3 +938,90 @@ def permutation_entropy(
         )
         .orderBy("pattern")
     )
+
+
+def haar_energy(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    levels: int,
+) -> DataFrame:
+    """Orthonormal Haar wavelet energy decomposition of an ORDERED
+    series — the multi-resolution volume screen: level-1 detail energy
+    is day-to-day jitter, higher levels are progressively slower
+    swings, and the final approximation carries the DC level. Because
+    the Haar transform is orthonormal, sum(detail energies) +
+    approx energy = sum(x^2) exactly — the built-in invariant the
+    operator re-checks and reports (energy_check).
+
+    Each level is one groupBy on floor(idx/2): pairs (x0, x1) become
+    detail d = (x0 - x1)/sqrt(2) and approximation a = (x0 + x1)/
+    sqrt(2); the next level runs on the HALVED approximation relation,
+    so `levels` levels cost log-many shuffles over geometrically
+    shrinking data — the classic scale shape for 2^k-length series.
+    The input length must be divisible by 2^levels (callers truncate
+    to a power of two; raises otherwise at plan-build time via a
+    documented contract check on the driver-side length). Returns one
+    row per level plus the approximation row: (component, n_coeffs,
+    energy, frac), energy/frac rounded to 6, ordered by component.
+    """
+    base = (
+        df.filter(
+            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(order_col).alias("__o"),
+            F.col(value_col).cast("double").alias("x"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("__o")
+    cur = base.select(
+        (F.row_number().over(w) - 1).alias("i"), "x"
+    )
+    n = cur.count()
+    if n % (2 ** levels) != 0:
+        raise ValueError(
+            f"haar_energy: series length {n} not divisible by 2^{levels}"
+        )
+    total = cur.select(F.sum(F.col("x") * F.col("x")).alias("e")).collect()[
+        0
+    ]["e"]
+    rows = []
+    inv = 2.0 ** -0.5
+    for lvl in range(1, levels + 1):
+        paired = cur.groupBy(
+            (F.col("i") / 2).cast("long").alias("__g")
+        ).agg(
+            F.sum(F.when(F.col("i") % 2 == 0, F.col("x"))).alias("x0"),
+            F.sum(F.when(F.col("i") % 2 == 1, F.col("x"))).alias("x1"),
+        ).withColumnRenamed("__g", "i")
+        detail = paired.select(
+            ((F.col("x0") - F.col("x1")) * inv).alias("d")
+        ).agg(
+            F.count(F.lit(1)).alias("n_coeffs"),
+            F.sum(F.col("d") * F.col("d")).alias("energy"),
+        )
+        r = detail.collect()[0]
+        rows.append((f"detail_L{lvl}", r["n_coeffs"], float(r["energy"])))
+        cur = paired.select(
+            "i", ((F.col("x0") + F.col("x1")) * inv).alias("x")
+        )
+    ra = cur.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("x") * F.col("x")).alias("e")
+    ).collect()[0]
+    rows.append(("approx", ra["n"], float(ra["e"])))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(c, int(k), e) for c, k, e in rows],
+        "component string, n_coeffs long, energy double",
+    )
+    recon = sum(e for _, _, e in rows)
+    return out.select(
+        "component",
+        "n_coeffs",
+        F.round("energy", 6).alias("energy"),
+        F.round(F.col("energy") / F.lit(total), 6).alias("frac"),
+        F.lit(bool(abs(recon - total) <= 1e-6 * max(1.0, abs(total)))).alias(
+            "energy_check"
+        ),
+    ).orderBy("component")
