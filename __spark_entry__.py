@@ -11266,6 +11266,105 @@ FROM u ORDER BY component
 """
 
 
+def q_tost_events(spark, sf_dir):
+    """TOST equivalence (operators/parity.tost_equivalence) of the
+    conversion rate between the two deterministic id-parity arms of
+    ab_test_events: the A/B query asks "is B better", this asks the
+    parity question an engine swap needs — "are A and B the SAME to
+    within 2 points", positively demonstrated by rejecting both
+    one-sided nulls at alpha=0.05. ONE aggregation to (n, k) per arm;
+    everything after is arithmetic on a 1-row relation. Oracle replays
+    the unpooled-SE TOST algebra."""
+    from jsonschema_validator_spark.operators.parity import tost_equivalence
+
+    ev = _t(spark, sf_dir, "events")
+    armed = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        (F.col("value") > 35).alias("ok"),
+    )
+    return tost_equivalence(armed, "arm", "A", "B", "ok", margin=0.02)
+
+
+_ORACLE_TOST = """
+WITH d AS (
+  SELECT user_id % 2 = 0 AS is_a,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value > 35 THEN 1.0 ELSE 0.0 END AS ok
+  FROM events),
+a AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN is_a THEN ok ELSE 0.0 END) AS ka,
+         sum(CASE WHEN NOT is_a THEN ok ELSE 0.0 END) AS kb
+  FROM d WHERE ok IS NOT NULL),
+s AS (
+  SELECT n_a, n_b,
+         ka / n_a AS pa, kb / n_b AS pb,
+         sqrt((ka / n_a) * (1.0 - ka / n_a) / n_a
+              + (kb / n_b) * (1.0 - kb / n_b) / n_b) AS se
+  FROM a),
+z AS (
+  SELECT n_a, n_b, pa, pb, se,
+         pa - pb AS d,
+         (pa - pb + 0.02) / se AS zl,
+         (pa - pb - 0.02) / se AS zu,
+         n_a > 0 AND n_b > 0 AND se > 0 AS ok
+  FROM s)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 THEN round(pa, 6) END AS rate_a,
+       CASE WHEN n_b > 0 THEN round(pb, 6) END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN round(d, 6) + 0.0 END AS diff,
+       CASE WHEN ok THEN round(se, 6) END AS se,
+       CAST(0.02 AS DOUBLE) AS margin,
+       CASE WHEN ok THEN round(zl, 6) + 0.0 END AS z_lower,
+       CASE WHEN ok THEN round(zu, 6) + 0.0 END AS z_upper,
+       CASE WHEN ok THEN zl > 1.644854 AND zu < -1.644854 END AS equivalent
+FROM z
+"""
+
+
+def q_bland_altman_events(spark, sf_dir):
+    """Bland-Altman agreement (operators/parity.bland_altman) between
+    two deterministic scorers of the same event value — scorer B reads
+    1% hot plus a +/-4 id-keyed jitter: bias, 95% limits of agreement,
+    and the re-measured within-limits fraction (so a heavy-tailed
+    violation of the normality assumption is visible, not assumed).
+    Two map-side-combinable passes over the pairs. Oracle replays the
+    moment arithmetic."""
+    from jsonschema_validator_spark.operators.parity import bland_altman
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("value").alias("a"),
+        (F.col("value") * 1.01 + (F.col("event_id") % 9 - 4.0)).alias("b"),
+    )
+    return bland_altman(pairs, "a", "b")
+
+
+_ORACLE_BLAND_ALTMAN = """
+WITH p AS (
+  SELECT value AS a, value * 1.01 + (event_id % 9 - 4.0) AS b
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT count(*)::BIGINT AS n, avg(a - b) AS bias,
+         stddev_samp(a - b) AS sd,
+         avg(a) AS mean_a, avg(b) AS mean_b
+  FROM p),
+w AS (
+  SELECT avg(CASE WHEN (p.a - p.b) >= m.bias - 1.959964 * m.sd
+                   AND (p.a - p.b) <= m.bias + 1.959964 * m.sd
+             THEN 1.0 ELSE 0.0 END) AS pw
+  FROM p, m)
+SELECT n, round(bias, 6) AS bias,
+       CASE WHEN n >= 2 THEN round(sd, 6) END AS sd_diff,
+       CASE WHEN n >= 2 THEN round(bias - 1.959964 * sd, 6) END AS loa_lower,
+       CASE WHEN n >= 2 THEN round(bias + 1.959964 * sd, 6) END AS loa_upper,
+       CASE WHEN n >= 2 THEN round(pw, 6) END AS pct_within,
+       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b
+FROM m, w
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11513,6 +11612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overdispersion_events": q_overdispersion_events,
         "youden_documents": q_youden_documents,
         "haar_events": q_haar_events,
+        "tost_events": q_tost_events,
+        "bland_altman_events": q_bland_altman_events,
     }
 
 
@@ -11755,4 +11856,6 @@ def oracle_sql() -> dict[str, str]:
         "overdispersion_events": _ORACLE_OVERDISPERSION,
         "youden_documents": _ORACLE_YOUDEN,
         "haar_events": _ORACLE_HAAR,
+        "tost_events": _ORACLE_TOST,
+        "bland_altman_events": _ORACLE_BLAND_ALTMAN,
     }
