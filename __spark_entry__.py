@@ -11365,6 +11365,241 @@ FROM m, w
 """
 
 
+def q_cochran_q_documents(spark, sf_dir):
+    """Cochran's Q (operators/agreement.cochran_q) over three
+    deterministic engine verdicts on the SAME docs — the k=3 extension
+    of the McNemar pair: engine 2 flips the length gate every 7th doc,
+    engine 3 every 5th, so the matched design has real discordance and
+    the test asks "one shared pass rate?" on blocks, not pooled rates.
+    Two reduced aggregations + one item-keyed join. Oracle replays the
+    row/column-sum algebra and the Wilson-Hilferty verdict."""
+    from jsonschema_validator_spark.operators.agreement import cochran_q
+
+    docs = _t(spark, sf_dir, "documents")
+    gate = F.col("n_chars") >= 300
+    v1 = docs.select(F.col("doc_id").alias("item"), F.lit("e1").alias("eng"), gate.alias("ok"))
+    v2 = docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit("e2").alias("eng"),
+        (gate != (F.col("doc_id") % 7 == 0)).alias("ok"),
+    )
+    v3 = docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit("e3").alias("eng"),
+        (gate != (F.col("doc_id") % 5 == 0)).alias("ok"),
+    )
+    return cochran_q(v1.unionByName(v2).unionByName(v3), "item", "eng", "ok")
+
+
+_ORACLE_COCHRAN_Q = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS x1,
+         CASE WHEN (n_chars >= 300) <> (doc_id % 7 = 0) THEN 1 ELSE 0 END AS x2,
+         CASE WHEN (n_chars >= 300) <> (doc_id % 5 = 0) THEN 1 ELSE 0 END AS x3
+  FROM documents),
+rows_ AS (
+  SELECT doc_id, x1 + x2 + x3 AS r FROM d),
+tot AS (
+  SELECT count(*)::BIGINT AS b, sum(r)::BIGINT AS n,
+         sum(r * r)::DOUBLE AS rr
+  FROM rows_),
+cols AS (
+  SELECT sum(x1)::DOUBLE AS c1, sum(x2)::DOUBLE AS c2, sum(x3)::DOUBLE AS c3
+  FROM d),
+m AS (
+  SELECT b, n, rr, c1*c1 + c2*c2 + c3*c3 AS cc,
+         3.0 * n - rr AS denom
+  FROM tot, cols),
+s AS (
+  SELECT b, n, denom,
+         2.0 * (3.0 * cc - n::DOUBLE * n) / denom AS q
+  FROM m),
+z AS (
+  SELECT b, n, denom, q,
+         (pow(q / 2.0, 1.0/3.0) - (1.0 - 2.0/18.0)) / sqrt(2.0/18.0) AS zv
+  FROM s)
+SELECT 3::BIGINT AS k, b AS n_items, b AS n_complete, n AS n_pass,
+       CASE WHEN denom > 0 THEN round(q, 6) END AS q_stat,
+       2::BIGINT AS df,
+       CASE WHEN denom > 0 THEN round(zv, 6) + 0.0 END AS z,
+       CASE WHEN denom > 0 THEN zv > 1.644854 END AS reject_5pct
+FROM z
+"""
+
+
+def q_friedman_documents(spark, sf_dir):
+    """Friedman rank test (operators/stats.friedman_test) over three
+    deterministic scorers of the SAME docs on a 0-4 scale — the
+    repeated-measures sibling of kruskal_wallis: scorers 2 and 3 add
+    id-keyed jitters that sometimes tie (zero jitter), exercising the
+    within-block midranks and Conover's tie-robust form. Blocks rank by
+    an item-keyed window over the (item, value)-distinct relation.
+    Oracle replays the midrank and rank-sum algebra."""
+    from jsonschema_validator_spark.operators.stats import friedman_test
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.least(F.col("n_chars"), F.lit(400)) / 100.0
+    s1 = docs.select(F.col("doc_id").alias("item"), F.lit("s1").alias("scorer"), base.alias("v"))
+    s2 = docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit("s2").alias("scorer"),
+        (base + (F.col("doc_id") % 11 - 5) / 10.0).alias("v"),
+    )
+    s3 = docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit("s3").alias("scorer"),
+        (base + (F.col("doc_id") % 3 - 1) / 10.0).alias("v"),
+    )
+    return friedman_test(
+        s1.unionByName(s2).unionByName(s3), "item", "scorer", "v"
+    )
+
+
+_ORACLE_FRIEDMAN = """
+WITH d AS (
+  SELECT doc_id, least(n_chars, 400) / 100.0 AS base FROM documents),
+r AS (
+  SELECT doc_id AS item, 's1' AS scorer, base AS v FROM d
+  UNION ALL
+  SELECT doc_id, 's2', base + (doc_id % 11 - 5) / 10.0 FROM d
+  UNION ALL
+  SELECT doc_id, 's3', base + (doc_id % 3 - 1) / 10.0 FROM d),
+rk AS (
+  SELECT item, scorer, v,
+         rank() OVER (PARTITION BY item ORDER BY v)
+           + (count(*) OVER (PARTITION BY item, v) - 1) / 2.0 AS rnk
+  FROM r),
+a_rel AS (SELECT sum(rnk * rnk) AS a FROM rk),
+per_t AS (SELECT scorer, sum(rnk) AS rj FROM rk GROUP BY 1),
+b_rel AS (SELECT sum(rj * rj) AS bb FROM per_t),
+blocks AS (SELECT count(DISTINCT item)::BIGINT AS b FROM r),
+m AS (
+  SELECT b, a, bb / b AS bstat,
+         b * 3.0 * 16.0 / 4.0 AS centre
+  FROM blocks, a_rel, b_rel),
+s AS (
+  SELECT b, a - bstat AS denom,
+         2.0 * (bstat - centre) / (a - bstat) AS chi2
+  FROM m),
+z AS (
+  SELECT b, denom, chi2,
+         (pow(chi2 / 2.0, 1.0/3.0) - (1.0 - 2.0/18.0)) / sqrt(2.0/18.0) AS zv
+  FROM s)
+SELECT 3::BIGINT AS k, b AS n_items, b AS n_complete,
+       CASE WHEN denom > 0 AND chi2 >= 0 THEN round(chi2, 6) END AS chi2,
+       2::BIGINT AS df,
+       CASE WHEN denom > 0 AND chi2 >= 0 THEN round(zv, 6) + 0.0 END AS z,
+       CASE WHEN denom > 0 AND chi2 >= 0 THEN zv > 1.644854 END AS reject_5pct
+FROM z
+"""
+
+
+def q_ccc_events(spark, sf_dir):
+    """Lin's concordance (operators/parity.lin_ccc) on the SAME scorer
+    pair as bland_altman_events — the single-number companion: r says
+    the two scorers covary almost perfectly, c_b < 1 exposes scorer B's
+    1% scale bias and jitter, ccc = r * c_b is the agreement-with-the-
+    45-degree-line verdict. ONE aggregation. Oracle replays the
+    population-moment algebra."""
+    from jsonschema_validator_spark.operators.parity import lin_ccc
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("value").alias("a"),
+        (F.col("value") * 1.01 + (F.col("event_id") % 9 - 4.0)).alias("b"),
+    )
+    return lin_ccc(pairs, "a", "b")
+
+
+_ORACLE_CCC = """
+WITH p AS (
+  SELECT value AS a, value * 1.01 + (event_id % 9 - 4.0) AS b
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT count(*)::BIGINT AS n, avg(a) AS ma, avg(b) AS mb,
+         var_pop(a) AS va, var_pop(b) AS vb, covar_pop(a, b) AS cab
+  FROM p),
+s AS (
+  SELECT n, ma, mb, va, vb, cab,
+         va + vb + (ma - mb) * (ma - mb) AS denom,
+         cab / sqrt(va * vb) AS r
+  FROM m)
+SELECT n, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       CASE WHEN n >= 2 AND denom > 0 AND va > 0 AND vb > 0
+            THEN round(r, 6) + 0.0 END AS pearson_r,
+       CASE WHEN n >= 2 AND denom > 0 AND va > 0 AND vb > 0 AND r <> 0
+            THEN round(2.0 * cab / denom / r, 6) END AS c_b,
+       CASE WHEN n >= 2 AND denom > 0
+            THEN round(2.0 * cab / denom, 6) + 0.0 END AS ccc
+FROM s
+"""
+
+
+def q_icc_documents(spark, sf_dir):
+    """ICC(1,1) (operators/agreement.icc_oneway) over three
+    deterministic continuous reads of each doc's 0-4 quality score —
+    the continuous-ratings agreement gate beside kappa/alpha, on an
+    UNBALANCED design: rater 3 abstains every 13th doc, exercising the
+    k0 average-group-size correction. Two map-side-combinable
+    aggregations, no joins back. Oracle replays the one-way ANOVA
+    decomposition."""
+    from jsonschema_validator_spark.operators.agreement import icc_oneway
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.least(F.col("n_chars"), F.lit(400)) / 100.0
+    r1 = docs.select(F.col("doc_id").alias("item"), base.alias("v"))
+    r2 = docs.select(
+        F.col("doc_id").alias("item"),
+        (base + (F.col("doc_id") % 11 - 5) / 10.0).alias("v"),
+    )
+    r3 = docs.select(
+        F.col("doc_id").alias("item"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(base + (F.col("doc_id") % 7 - 3) / 10.0)
+        .alias("v"),
+    )
+    return icc_oneway(r1.unionByName(r2).unionByName(r3), "item", "v")
+
+
+_ORACLE_ICC = """
+WITH d AS (
+  SELECT doc_id, least(n_chars, 400) / 100.0 AS base FROM documents),
+r AS (
+  SELECT doc_id AS item, base AS v FROM d
+  UNION ALL
+  SELECT doc_id, base + (doc_id % 11 - 5) / 10.0 FROM d
+  UNION ALL
+  SELECT doc_id, base + (doc_id % 7 - 3) / 10.0 FROM d WHERE doc_id % 13 <> 0),
+per AS (
+  SELECT item, count(*)::BIGINT AS ni, sum(v) AS s, sum(v * v) AS q
+  FROM r GROUP BY 1),
+g AS (
+  SELECT count(*)::BIGINT AS n_items, sum(ni)::BIGINT AS n_ratings,
+         sum(ni::DOUBLE * ni) AS nn, sum(s) AS total,
+         sum(q) AS qq, sum(s * s / ni) AS sb
+  FROM per),
+m AS (
+  SELECT n_items, n_ratings,
+         (sb - total * total / n_ratings) / (n_items - 1.0) AS msb,
+         (qq - sb) / (n_ratings - n_items)::DOUBLE AS msw,
+         (n_ratings - nn / n_ratings) / (n_items - 1.0) AS k0
+  FROM g)
+SELECT n_items, n_ratings,
+       CASE WHEN n_items >= 2 AND n_ratings > n_items
+            THEN round(k0, 6) END AS k0,
+       CASE WHEN n_items >= 2 AND n_ratings > n_items
+            THEN round(msb, 6) END AS msb,
+       CASE WHEN n_items >= 2 AND n_ratings > n_items
+            THEN round(msw, 6) END AS msw,
+       CASE WHEN n_items >= 2 AND n_ratings > n_items
+             AND msb + (k0 - 1.0) * msw > 0
+            THEN round((msb - msw) / (msb + (k0 - 1.0) * msw), 6) + 0.0
+       END AS icc1
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11614,6 +11849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar_events": q_haar_events,
         "tost_events": q_tost_events,
         "bland_altman_events": q_bland_altman_events,
+        "cochran_q_documents": q_cochran_q_documents,
+        "friedman_documents": q_friedman_documents,
+        "ccc_events": q_ccc_events,
+        "icc_documents": q_icc_documents,
     }
 
 
@@ -11858,4 +12097,8 @@ def oracle_sql() -> dict[str, str]:
         "haar_events": _ORACLE_HAAR,
         "tost_events": _ORACLE_TOST,
         "bland_altman_events": _ORACLE_BLAND_ALTMAN,
+        "cochran_q_documents": _ORACLE_COCHRAN_Q,
+        "friedman_documents": _ORACLE_FRIEDMAN,
+        "ccc_events": _ORACLE_CCC,
+        "icc_documents": _ORACLE_ICC,
     }

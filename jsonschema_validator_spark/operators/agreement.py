@@ -234,3 +234,149 @@ def krippendorff_alpha(
             "alpha"
         ),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    item: str,
+    treatment: str,
+    ok_col: str,
+) -> DataFrame:
+    """Cochran's Q over matched BINARY verdicts — the k-treatment
+    generalization of McNemar: the same items judged by k engine
+    versions (or k raters), testing "do all k share one pass rate" on
+    the matched design, which a k-way two-proportion sweep would get
+    wrong by ignoring that the verdicts share items.
+
+    Only COMPLETE blocks count (items judged by all k treatments;
+    incomplete ones are reported, not silently mixed in — Cochran's Q
+    is undefined for ragged designs). With R_i the item row-sums and
+    C_j the treatment column-sums over complete blocks:
+
+        Q = (k-1) * (k * sum C_j^2 - N^2) / (k*N - sum R_i^2),  df = k-1
+
+    and the verdict uses the Wilson-Hilferty cube-root normal
+    approximation z = ((Q/df)^(1/3) - (1 - 2/(9 df))) / sqrt(2/(9 df)),
+    one-sided at 5%. All-pass/all-fail items contribute nothing to
+    either side; when EVERY complete item is degenerate the denominator
+    is 0 and the statistic is NULL.
+
+    Scale: one groupBy(item) to the block relation, one groupBy
+    (treatment) over complete blocks (both map-side-combinable), and an
+    item-keyed equi-join that reuses the first shuffle's partitioning —
+    no pairs, no windows. Returns one row: (k, n_items, n_complete,
+    n_ratings, q_stat, df, z, reject_5pct).
+    """
+    okc = F.col(ok_col).cast("int")
+    labeled = df.filter(okc.isNotNull()).select(
+        F.col(item).alias("__i"),
+        F.col(treatment).alias("__t"),
+        okc.alias("__x"),
+    )
+    k_rel = labeled.agg(F.count_distinct("__t").alias("k"))
+    rows = labeled.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.sum("__x").alias("__r")
+    )
+    items = rows.crossJoin(F.broadcast(k_rel))
+    item_stats = items.agg(
+        F.first("k").alias("k"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("__cnt") == F.col("k")).cast("long")).alias("n_complete"),
+        F.sum(F.when(F.col("__cnt") == F.col("k"), F.col("__r")).otherwise(0)).alias(
+            "__n"
+        ),
+        F.sum(
+            F.when(
+                F.col("__cnt") == F.col("k"), F.col("__r") * F.col("__r")
+            ).otherwise(0)
+        ).alias("__rr"),
+    )
+    complete = labeled.join(
+        items.filter(F.col("__cnt") == F.col("k")).select("__i"), "__i"
+    )
+    cols = complete.groupBy("__t").agg(F.sum("__x").alias("__c"))
+    col_stats = cols.agg(
+        F.sum(F.col("__c").cast("double") * F.col("__c")).alias("__cc")
+    )
+    m = item_stats.crossJoin(col_stats)
+    kd = F.col("k").cast("double")
+    n = F.col("__n").cast("double")
+    denom = kd * n - F.col("__rr")
+    q = (kd - 1.0) * (kd * F.col("__cc") - n * n) / denom
+    dfree = kd - 1.0
+    z = (
+        F.pow(q / dfree, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree))
+    ) / F.sqrt(2.0 / (9.0 * dfree))
+    ok = (F.col("k") >= 2) & (denom > 0)
+    return m.select(
+        "k",
+        "n_items",
+        "n_complete",
+        F.col("__n").alias("n_pass"),
+        F.when(ok, F.round(q, 6)).alias("q_stat"),
+        (F.col("k") - 1).alias("df"),
+        F.when(ok, F.round(z, 6) + 0.0).alias("z"),
+        F.when(ok, z > 1.644854).alias("reject_5pct"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame,
+    item: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1) — the
+    CONTINUOUS-ratings agreement gate (kappa/alpha answer it for
+    labels): what fraction of score variance is true between-item
+    signal rather than rater noise, from the one-way ANOVA decomposition
+
+        ICC = (MSB - MSW) / (MSB + (k0 - 1) * MSW)
+
+    with the unbalanced-design average group size
+    k0 = (N - sum n_i^2 / N) / (n_items - 1), so raters may abstain on
+    some items without biasing the estimate. Negative ICC is reported
+    as computed (it is evidence of within-item disagreement exceeding
+    chance, not an error).
+
+    Scale: one groupBy(item) to (n_i, sum, sumsq), one global fold —
+    two map-side-combinable aggregations, no windows, no joins back to
+    rows. Returns one row: (n_items, n_ratings, k0, msb, msw, icc1);
+    designs with no replication (N == n_items) or a single item yield
+    NULL.
+    """
+    v = F.col(value_col).cast("double")
+    labeled = df.filter(v.isNotNull()).select(
+        F.col(item).alias("__i"), v.alias("__v")
+    )
+    per = labeled.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__ni"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__ni").alias("n_ratings"),
+        F.sum(F.col("__ni").cast("double") * F.col("__ni")).alias("__nn"),
+        F.sum("__s").alias("__sum"),
+        F.sum("__q").alias("__qq"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__ni")).alias("__sb"),
+    )
+    nd = F.col("n_items").cast("double")
+    bign = F.col("n_ratings").cast("double")
+    ssb = F.col("__sb") - F.col("__sum") * F.col("__sum") / bign
+    ssw = F.col("__qq") - F.col("__sb")
+    msb = ssb / (nd - 1.0)
+    msw = ssw / (bign - nd)
+    k0 = (bign - F.col("__nn") / bign) / (nd - 1.0)
+    icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    ok = (F.col("n_items") >= 2) & (F.col("n_ratings") > F.col("n_items"))
+    return g.select(
+        "n_items",
+        "n_ratings",
+        F.when(ok, F.round(k0, 6)).alias("k0"),
+        F.when(ok, F.round(msb, 6)).alias("msb"),
+        F.when(ok, F.round(msw, 6)).alias("msw"),
+        F.when(ok & (msb + (k0 - 1.0) * msw > 0), F.round(icc, 6) + 0.0).alias(
+            "icc1"
+        ),
+    )

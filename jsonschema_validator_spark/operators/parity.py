@@ -188,3 +188,53 @@ def bland_altman(
         F.round("mean_a", 6).alias("mean_a"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+def lin_ccc(
+    df: DataFrame,
+    value_a: Column | str,
+    value_b: Column | str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient — the single-number
+    twin of bland_altman: Pearson's r rewards two scorers that move
+    together even when one reads systematically high, while CCC
+    penalizes exactly that by measuring agreement with the 45-degree
+    line:
+
+        ccc = 2*cov(a,b) / (var(a) + var(b) + (mean_a - mean_b)^2)
+
+    (population moments, per Lin 1989), factored as ccc = r * c_b where
+    c_b in (0, 1] is the bias-correction term — so the output separates
+    PRECISION (r: do they covary) from ACCURACY (c_b: are they on the
+    line). One map-side-combinable aggregation over the pairs, no
+    second pass. Returns one row: (n, mean_a, mean_b, pearson_r, c_b,
+    ccc); either side constant yields NULL r and c_b (and ccc = 0 when
+    only the means differ, as defined).
+    """
+    va = F.col(value_a) if isinstance(value_a, str) else value_a
+    vb = F.col(value_b) if isinstance(value_b, str) else value_b
+    base = df.filter(va.isNotNull() & vb.isNotNull()).select(
+        va.cast("double").alias("a"), vb.cast("double").alias("b")
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("a").alias("ma"),
+        F.avg("b").alias("mb"),
+        F.var_pop("a").alias("va"),
+        F.var_pop("b").alias("vb"),
+        F.covar_pop("a", "b").alias("cab"),
+    )
+    shift = (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+    denom = F.col("va") + F.col("vb") + shift
+    ccc = 2.0 * F.col("cab") / denom
+    r = F.col("cab") / F.sqrt(F.col("va") * F.col("vb"))
+    ok = (F.col("n") >= 2) & (denom > 0)
+    var_ok = (F.col("va") > 0) & (F.col("vb") > 0)
+    return m.select(
+        "n",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.when(ok & var_ok, F.round(r, 6) + 0.0).alias("pearson_r"),
+        F.when(ok & var_ok & (r != 0), F.round(ccc / r, 6)).alias("c_b"),
+        F.when(ok, F.round(ccc, 6) + 0.0).alias("ccc"),
+    )

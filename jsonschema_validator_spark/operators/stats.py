@@ -2016,3 +2016,86 @@ def jackknife_ratio(
         F.when(ok, F.round(theta - 1.959964 * se, 6)).alias("ci_lo"),
         F.when(ok, F.round(theta + 1.959964 * se, 6)).alias("ci_hi"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    item: str,
+    treatment: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test over matched CONTINUOUS scores — the
+    repeated-measures sibling of kruskal_wallis and the k-treatment
+    extension of the paired designs (McNemar for binary, Bland-Altman
+    for two scorers): the same items scored by k scorers, testing "do
+    all k score distributions sit at the same location" while blocking
+    out the huge between-item variance a k-sample Kruskal-Wallis would
+    drown in.
+
+    Midranks within each complete block, then Conover's tie-robust form
+
+        A = sum r_ij^2,  B = (1/b) * sum_j R_j^2
+        chi2 = (k-1) * (B - b*k*(k+1)^2/4) / (A - B),  df = k-1
+
+    which reduces to the classic 12/(bk(k+1)) * sum R_j^2 - 3b(k+1)
+    when there are no ties; A == B (every block internally tied) yields
+    NULL. Verdict via the Wilson-Hilferty normal approximation,
+    one-sided at 5%. Incomplete blocks are excluded and counted.
+
+    Scale: ranks never touch raw rows globally — blocks are ranked by
+    an item-keyed window over the (item, value)-distinct relation
+    (bounded at k rows per item), and everything after is two
+    map-side-combinable aggregations. Returns one row:
+    (k, n_items, n_complete, chi2, df, z, reject_5pct).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    labeled = df.filter(v.isNotNull()).select(
+        F.col(item).alias("__i"), F.col(treatment).alias("__t"), v.alias("__v")
+    )
+    k_rel = labeled.agg(F.count_distinct("__t").alias("k"))
+    sizes = labeled.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
+    sized = sizes.crossJoin(F.broadcast(k_rel))
+    block_stats = sized.agg(
+        F.first("k").alias("k"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("__cnt") == F.col("k")).cast("long")).alias("n_complete"),
+    )
+    complete = labeled.join(
+        sized.filter(F.col("__cnt") == F.col("k")).select("__i"), "__i"
+    )
+    vc = complete.groupBy("__i", "__v").agg(F.count(F.lit(1)).alias("__tc"))
+    w = Window.partitionBy("__i").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    vc = vc.withColumn(
+        "__rank", F.sum("__tc").over(w) - F.col("__tc") + (F.col("__tc") + 1) / 2
+    )
+    ranked = complete.join(vc.select("__i", "__v", "__rank"), ["__i", "__v"])
+    a_rel = ranked.agg(F.sum(F.col("__rank") * F.col("__rank")).alias("__a"))
+    per_t = ranked.groupBy("__t").agg(F.sum("__rank").alias("__rj"))
+    b_rel = per_t.agg(F.sum(F.col("__rj") * F.col("__rj")).alias("__bb"))
+    m = block_stats.crossJoin(a_rel).crossJoin(b_rel)
+    kd = F.col("k").cast("double")
+    b = F.col("n_complete").cast("double")
+    bstat = F.col("__bb") / b
+    centre = b * kd * (kd + 1.0) * (kd + 1.0) / 4.0
+    denom = F.col("__a") - bstat
+    chi2 = (kd - 1.0) * (bstat - centre) / denom
+    dfree = kd - 1.0
+    z = (
+        F.pow(chi2 / dfree, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree))
+    ) / F.sqrt(2.0 / (9.0 * dfree))
+    ok = (F.col("k") >= 2) & (F.col("n_complete") >= 1) & (denom > 0) & (
+        chi2 >= 0
+    )
+    return m.select(
+        "k",
+        "n_items",
+        "n_complete",
+        F.when(ok, F.round(chi2, 6)).alias("chi2"),
+        (F.col("k") - 1).alias("df"),
+        F.when(ok, F.round(z, 6) + 0.0).alias("z"),
+        F.when(ok, z > 1.644854).alias("reject_5pct"),
+    )
