@@ -11600,6 +11600,218 @@ FROM m
 """
 
 
+def q_hill_tail_events(spark, sf_dir):
+    """Hill tail-index (operators/anomaly.hill_tail) over the top-50
+    order statistics of events.value — the heavy-tail pre-flight for
+    every mean/stddev-based screen in the suite: tail_alpha < 2 means
+    the value column has INFINITE variance and z-score volume alerts /
+    winsorized means are structurally miscalibrated on it. Order
+    statistics never sort raw rows: one distinct-value reduction, a
+    cumulative window over the O(distinct) relation, one final
+    aggregation. Oracle replays the top-k log-mass with a row_number
+    window — boundary ties contribute the identical value either way."""
+    from jsonschema_validator_spark.operators.anomaly import hill_tail
+
+    ev = _t(spark, sf_dir, "events")
+    return hill_tail(ev, "value", k=50)
+
+
+_ORACLE_HILL_TAIL = """
+WITH pos AS (
+  SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL AND value > 0),
+r AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rn FROM pos),
+a AS (
+  SELECT count(*)::BIGINT AS n_pos,
+         sum(CASE WHEN rn <= 50 THEN ln(v) END) AS lsum,
+         max(CASE WHEN rn = 51 THEN v END) AS xk1
+  FROM r),
+g AS (SELECT n_pos, xk1, lsum / 50.0 - ln(xk1) AS gamma FROM a)
+SELECT n_pos, 50 AS k,
+  CASE WHEN n_pos >= 51 AND xk1 > 0 THEN round(xk1, 6) END AS x_k1,
+  CASE WHEN n_pos >= 51 AND xk1 > 0 THEN round(gamma, 6) + 0.0 END AS hill_gamma,
+  CASE WHEN n_pos >= 51 AND xk1 > 0 AND gamma > 0
+       THEN round(1.0 / gamma, 6) END AS tail_alpha,
+  CASE WHEN n_pos >= 51 AND xk1 > 0 AND gamma > 0
+       THEN 1.0 / gamma < 2.0 END AS infinite_variance
+FROM g
+"""
+
+
+def q_cooks_events(spark, sf_dir):
+    """Cook's distance (operators/stats.cooks_distance) for every day
+    of the per-event-type daily-volume OLS fit — the influence audit
+    beside trend_events: a slope verdict produced by ONE wild day is
+    not a trend, and Cook's D at the 4/n threshold names the day. One
+    power-sum aggregation per group plus a broadcast of the O(groups)
+    coefficient relation back onto the ~30-point series — no windows.
+    Oracle replays the closed-form leverage/residual algebra."""
+    from jsonschema_validator_spark.operators.stats import cooks_distance
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return cooks_distance(daily, "x", "y", group="event_type")
+
+
+_ORACLE_COOKS = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS x,
+         count(*)::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, ts::DATE),
+fit AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM daily GROUP BY 1),
+coef AS (
+  SELECT event_type, n,
+         CASE WHEN sxx - sx * sx / n > 0
+              THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS b,
+         sx / n AS xbar, sxx - sx * sx / n AS sxxc, sx, sy,
+         CASE WHEN n > 2 THEN
+           (syy - sy * sy / n
+            - CASE WHEN sxx - sx * sx / n > 0
+                   THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END
+              * (sxy - sx * sy / n)) / (n - 2.0) END AS s2
+  FROM fit),
+pt AS (
+  SELECT d.event_type, d.x, d.y, c.n, c.b, c.s2,
+         d.y - ((c.sy - c.b * c.sx) / c.n + c.b * d.x) AS e,
+         1.0 / c.n + (d.x - c.xbar) * (d.x - c.xbar) / c.sxxc AS h
+  FROM daily d JOIN coef c USING (event_type))
+SELECT event_type, x, y,
+  CASE WHEN b IS NOT NULL THEN round(e, 6) + 0.0 END AS resid,
+  CASE WHEN b IS NOT NULL THEN round(h, 6) END AS leverage,
+  CASE WHEN n >= 4 AND b IS NOT NULL AND s2 > 0 AND h < 1.0
+       THEN round(e * e / (2.0 * s2) * h / ((1.0 - h) * (1.0 - h)), 6)
+  END AS cooks_d,
+  CASE WHEN n >= 4 AND b IS NOT NULL AND s2 > 0 AND h < 1.0
+       THEN e * e / (2.0 * s2) * h / ((1.0 - h) * (1.0 - h)) > 4.0 / n
+  END AS influential
+FROM pt
+"""
+
+
+def q_durbin_watson_events(spark, sf_dir):
+    """Durbin-Watson serial-correlation diagnostic
+    (operators/timeseries.durbin_watson) on the residuals of the
+    per-event-type daily-volume OLS fit — the regression sibling of the
+    ACF screen: positively autocorrelated residuals (DW << 2) make the
+    OLS confidence bands behind every "significant slope" verdict too
+    narrow. Fit from one power-sum aggregation, residuals via a
+    broadcast join back, first differences from a group-keyed lag
+    window over the O(days) reduced series. Oracle replays the same
+    three steps."""
+    from jsonschema_validator_spark.operators.timeseries import durbin_watson
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return durbin_watson(daily, "x", "y", group="event_type")
+
+
+_ORACLE_DURBIN_WATSON = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS x,
+         count(*)::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, ts::DATE),
+fit AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM daily GROUP BY 1),
+coef AS (
+  SELECT event_type, n,
+         CASE WHEN sxx - sx * sx / n > 0
+              THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS b,
+         sx, sy
+  FROM fit),
+res AS (
+  SELECT d.event_type, c.n, c.b,
+         d.y - ((c.sy - c.b * c.sx) / c.n + c.b * d.x) AS e,
+         lag(d.y - ((c.sy - c.b * c.sx) / c.n + c.b * d.x))
+           OVER (PARTITION BY d.event_type ORDER BY d.x, d.y) AS ep
+  FROM daily d JOIN coef c USING (event_type)),
+agg AS (
+  SELECT event_type, any_value(n) AS n, any_value(b) AS b,
+         sum(e * e) AS ss,
+         sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+                  ELSE 0.0 END) AS sd
+  FROM res GROUP BY 1)
+SELECT event_type, n, round(b, 6) AS slope,
+  CASE WHEN n >= 3 AND ss > 0 AND b IS NOT NULL
+       THEN round(sd / ss, 6) END AS dw,
+  CASE WHEN n >= 3 AND ss > 0 AND b IS NOT NULL
+       THEN round(1.0 - sd / ss / 2.0, 6) + 0.0 END AS rho1,
+  CASE WHEN n >= 3 AND ss > 0 AND b IS NOT NULL
+       THEN sd / ss < 1.0 OR sd / ss > 3.0 END AS autocorr_flag
+FROM agg
+"""
+
+
+def q_seasonal_strength_events(spark, sf_dir):
+    """Hyndman strength-of-trend / strength-of-seasonality
+    (operators/timeseries.seasonal_strength) of the per-event-type
+    daily-volume series — the decomposition that decides whether drift
+    alerts must be weekday-conditioned at all: additive STL-lite
+    (OLS trend, weekday-mean seasonal, remainder) then
+    1 - var(R)/var(y-S) and 1 - var(R)/var(y-T). The raw table reduces
+    once to the O(groups x days) daily relation; everything after is
+    aggregations with broadcast joins back. Oracle replays the
+    decomposition with the same population variances."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return seasonal_strength(ev, "ts", group="event_type")
+
+
+_ORACLE_SEASONAL_STRENGTH = """
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+d2 AS (
+  SELECT g, date_diff('day', DATE '2000-01-01', d)::DOUBLE AS x,
+         dayofweek(d) AS wd, y
+  FROM daily),
+fit AS (
+  SELECT g, count(*)::BIGINT AS n_days, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM d2 GROUP BY 1),
+coef AS (
+  SELECT g, n_days,
+         CASE WHEN sxx - sx * sx / n_days > 0
+              THEN (sxy - sx * sy / n_days) / (sxx - sx * sx / n_days)
+         END AS b,
+         sx, sy
+  FROM fit),
+detr AS (
+  SELECT d2.g, d2.wd, d2.y, coef.n_days,
+         d2.y - ((coef.sy - coef.b * coef.sx) / coef.n_days + coef.b * d2.x)
+           AS dt
+  FROM d2 JOIN coef USING (g)),
+wk AS (SELECT g, wd, avg(dt) AS s FROM detr GROUP BY 1, 2),
+f AS (
+  SELECT detr.g, detr.n_days, detr.dt - wk.s AS rem, detr.dt,
+         detr.y - wk.s AS deseas
+  FROM detr JOIN wk USING (g, wd)),
+o AS (
+  SELECT g, any_value(n_days) AS n_days, var_pop(rem) AS vr,
+         var_pop(dt) AS vdetr, var_pop(deseas) AS vdeseas
+  FROM f GROUP BY 1)
+SELECT g AS event_type, n_days,
+  CASE WHEN n_days >= 14 THEN round(vr, 6) END AS var_remainder,
+  CASE WHEN n_days >= 14 AND vdeseas > 0
+       THEN round(greatest(0.0, 1.0 - vr / vdeseas), 6) END AS trend_strength,
+  CASE WHEN n_days >= 14 AND vdetr > 0
+       THEN round(greatest(0.0, 1.0 - vr / vdetr), 6) END AS seasonal_strength
+FROM o
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11853,6 +12065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman_documents": q_friedman_documents,
         "ccc_events": q_ccc_events,
         "icc_documents": q_icc_documents,
+        "hill_tail_events": q_hill_tail_events,
+        "cooks_events": q_cooks_events,
+        "durbin_watson_events": q_durbin_watson_events,
+        "seasonal_strength_events": q_seasonal_strength_events,
     }
 
 
@@ -12101,4 +12317,8 @@ def oracle_sql() -> dict[str, str]:
         "friedman_documents": _ORACLE_FRIEDMAN,
         "ccc_events": _ORACLE_CCC,
         "icc_documents": _ORACLE_ICC,
+        "hill_tail_events": _ORACLE_HILL_TAIL,
+        "cooks_events": _ORACLE_COOKS,
+        "durbin_watson_events": _ORACLE_DURBIN_WATSON,
+        "seasonal_strength_events": _ORACLE_SEASONAL_STRENGTH,
     }

@@ -402,3 +402,63 @@ def poisson_dispersion(
         F.when(ok, z > 1.959964).alias("overdispersed"),
         F.when(ok, z < -1.959964).alias("underdispersed"),
     )
+
+
+def hill_tail(
+    df: DataFrame,
+    value_col: str,
+    k: int = 50,
+    group: str | None = None,
+) -> DataFrame:
+    """Hill tail-index estimator over the top-k order statistics — the
+    heavy-tail pre-flight for every mean/stddev-based screen in this
+    module: a value column with tail index alpha < 2 has INFINITE
+    variance, so z-score volume alerts and winsorized means are
+    structurally miscalibrated on it (the screen to run before
+    trusting the screens). On the k largest positive values X_(1) >=
+    ... >= X_(k) with threshold X_(k+1):
+
+        gamma = (1/k) * sum ln(X_(i)) - ln(X_(k+1)),  alpha = 1/gamma
+
+    Order statistics never sort raw rows: one (group, value) count
+    reduces to the distinct-value relation, a cumulative window over
+    it locates the threshold and the top-k log-mass with per-value
+    multiplicities (exact — boundary ties contribute the identical
+    value either way). Returns (group?, n_pos, k, x_k1, hill_gamma,
+    tail_alpha, infinite_variance); groups with fewer than k+1
+    positive values, or a degenerate top block (gamma = 0), yield
+    NULLs.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    gcols = [group] if group else []
+    pos = df.filter(v.isNotNull() & (v > 0)).select(*gcols, v.alias("__v"))
+    vg = pos.groupBy(*gcols, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(*gcols)
+        if gcols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(F.desc("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = vg.withColumn("__cum", F.sum("__c").over(w))
+    prev = F.col("__cum") - F.col("__c")
+    contrib = F.when(prev < k, F.least(F.col("__c"), F.lit(k) - prev)).otherwise(
+        F.lit(0)
+    )
+    agg = cum.groupBy(*gcols).agg(
+        F.sum("__c").alias("n_pos"),
+        F.sum(contrib.cast("double") * F.log("__v")).alias("__lsum"),
+        F.max(F.when(F.col("__cum") >= k + 1, F.col("__v"))).alias("__xk1"),
+    )
+    gamma = F.col("__lsum") / float(k) - F.log("__xk1")
+    ok = (F.col("n_pos") >= k + 1) & (F.col("__xk1") > 0)
+    alpha_ok = ok & (gamma > 0)
+    return agg.select(
+        *gcols,
+        "n_pos",
+        F.lit(k).alias("k"),
+        F.when(ok, F.round("__xk1", 6)).alias("x_k1"),
+        F.when(ok, F.round(gamma, 6) + 0.0).alias("hill_gamma"),
+        F.when(alpha_ok, F.round(1.0 / gamma, 6)).alias("tail_alpha"),
+        F.when(alpha_ok, (1.0 / gamma) < 2.0).alias("infinite_variance"),
+    )

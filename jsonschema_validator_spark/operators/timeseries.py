@@ -1025,3 +1025,182 @@ def haar_energy(
             "energy_check"
         ),
     ).orderBy("component")
+
+
+def durbin_watson(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Durbin-Watson serial-correlation diagnostic on the residuals of
+    a per-group OLS fit y = a + b*x — the regression sibling of
+    acf_ljung_box: a daily-volume trend whose residuals autocorrelate
+    positively (DW << 2) has too-narrow OLS confidence bands, so every
+    "significant slope" verdict downstream of linear_trend silently
+    overclaims. DW = sum (e_t - e_{t-1})^2 / sum e_t^2 in x-order,
+    ~= 2*(1 - rho1); the conventional rough screen flags DW < 1 or
+    DW > 3.
+
+    Fit first (one power-sum aggregation per group), residuals second
+    (broadcast of the O(groups) coefficient relation back onto the
+    series), differences third (a group-keyed lag window ordered by
+    (x, y) — the y tie-break makes equal-x rows deterministic). Input
+    is expected to be a reduced series (daily volumes, not raw rows);
+    all three steps are O(series). Returns (group?, n, slope, dw,
+    rho1, autocorr_flag); groups with n < 3, zero x-variance, or
+    all-zero residuals (perfect fit) yield NULL dw.
+    """
+    gcols = [group] if group else []
+    xy = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *gcols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    fit = xy.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd
+    slope = F.try_divide(cov, F.when(varx > 0, varx))
+    coef = fit.select(
+        *gcols,
+        "n",
+        slope.alias("__b"),
+        ((F.col("__sy") - slope * F.col("__sx")) / nd).alias("__a"),
+    )
+    j = (
+        xy.join(F.broadcast(coef), gcols)
+        if gcols
+        else xy.crossJoin(F.broadcast(coef))
+    )
+    e = F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
+    w = (
+        Window.partitionBy(*gcols).orderBy("__x", "__y")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__x", "__y")
+    )
+    res = j.select(*gcols, "n", "__b", e.alias("__e"), F.lag(e).over(w).alias("__ep"))
+    agg = res.groupBy(*gcols).agg(
+        F.first("n").alias("n"),
+        F.first("__b").alias("__b"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__ss"),
+        F.sum(
+            F.when(
+                F.col("__ep").isNotNull(),
+                (F.col("__e") - F.col("__ep")) * (F.col("__e") - F.col("__ep")),
+            ).otherwise(0.0)
+        ).alias("__sd"),
+    )
+    dw = F.col("__sd") / F.col("__ss")
+    ok = (F.col("n") >= 3) & (F.col("__ss") > 0) & F.col("__b").isNotNull()
+    return agg.select(
+        *gcols,
+        "n",
+        F.round("__b", 6).alias("slope"),
+        F.when(ok, F.round(dw, 6)).alias("dw"),
+        F.when(ok, F.round(1.0 - dw / 2.0, 6) + 0.0).alias("rho1"),
+        F.when(ok, (dw < 1.0) | (dw > 3.0)).alias("autocorr_flag"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    ts_col: str,
+    value: Column | None = None,
+    group: str | None = None,
+) -> DataFrame:
+    """Hyndman's strength-of-seasonality / strength-of-trend over the
+    per-day series — the decomposition twin of the seasonal_volume
+    screen: instead of flagging single weird days it answers "how much
+    of this series IS weekly rhythm vs drift vs noise", the statistic
+    that decides whether drift alerts must be weekday-conditioned at
+    all. Additive STL-lite: trend = per-group OLS on the day index,
+    seasonal = weekday mean of the detrended series, remainder = the
+    rest, then
+
+        trend_strength    = max(0, 1 - var(R) / var(y - S))
+        seasonal_strength = max(0, 1 - var(R) / var(y - T))
+
+    (population variances, Hyndman & Athanasopoulos FPP3 ch. 4.)
+
+    The raw table reduces once to the O(groups x days) daily relation;
+    the OLS fit and weekday means are aggregations over it with
+    broadcast joins back — no window touches raw rows. Returns
+    (group?, n_days, var_remainder, trend_strength,
+    seasonal_strength); groups with < 14 days (two weekday cycles) or
+    a zero-variance series yield NULL strengths.
+    """
+    gcols = [group] if group else []
+    gexp = [F.col(group).alias("__g")] if group else []
+    gkey = ["__g"] if group else []
+    agg = F.coalesce(
+        (value if value is not None else F.count(F.lit(1))).cast("double"),
+        F.lit(0.0),
+    )
+    daily = (
+        df.groupBy(*gexp, F.to_date(F.col(ts_col)).alias("__d"))
+        .agg(agg.alias("__y"))
+        .select(
+            *gkey,
+            F.datediff(F.col("__d"), F.lit("2000-01-01")).cast("double").alias("__x"),
+            (F.dayofweek("__d") - 1).alias("__wd"),
+            "__y",
+        )
+    )
+    fit = daily.groupBy(*gkey).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nd = F.col("n_days").cast("double")
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd
+    slope = F.try_divide(cov, F.when(varx > 0, varx))
+    coef = fit.select(
+        *gkey,
+        "n_days",
+        slope.alias("__b"),
+        ((F.col("__sy") - slope * F.col("__sx")) / nd).alias("__a"),
+    )
+    detr_df = (
+        daily.join(F.broadcast(coef), gkey)
+        if group
+        else daily.crossJoin(F.broadcast(coef))
+    ).withColumn(
+        "__detr", F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
+    )
+    wk = detr_df.groupBy(*gkey, "__wd").agg(F.avg("__detr").alias("__s"))
+    full = detr_df.join(F.broadcast(wk), [*gkey, "__wd"])
+    rem = F.col("__detr") - F.col("__s")
+    deseason = F.col("__y") - F.col("__s")
+    out = full.groupBy(*gkey).agg(
+        F.first("n_days").alias("n_days"),
+        F.var_pop(rem).alias("__vr"),
+        F.var_pop("__detr").alias("__vdetr"),
+        F.var_pop(deseason).alias("__vdeseas"),
+    )
+    ok = F.col("n_days") >= 14
+    ts_ok = ok & (F.col("__vdeseas") > 0)
+    ss_ok = ok & (F.col("__vdetr") > 0)
+    sel = out.select(
+        *gkey,
+        "n_days",
+        F.when(ok, F.round("__vr", 6)).alias("var_remainder"),
+        F.when(
+            ts_ok,
+            F.round(F.greatest(F.lit(0.0), 1.0 - F.col("__vr") / F.col("__vdeseas")), 6),
+        ).alias("trend_strength"),
+        F.when(
+            ss_ok,
+            F.round(F.greatest(F.lit(0.0), 1.0 - F.col("__vr") / F.col("__vdetr")), 6),
+        ).alias("seasonal_strength"),
+    )
+    return sel.withColumnRenamed("__g", group) if group else sel
