@@ -11812,6 +11812,198 @@ FROM o
 """
 
 
+def q_bootstrap_mean_events(spark, sf_dir):
+    """Deterministic Poisson bootstrap SE of the mean value per
+    event_type (operators/stats.poisson_bootstrap) — the
+    distribution-free error bar: each of B=32 replicates reweights
+    every row by a Poisson(1) draw that is a pure function of
+    (event_id, b) through the package mixer, so the resample needs no
+    global state and the exploded relation collapses to B rows per
+    partition under map-side combine. Oracle replays the mixer, the
+    inverse-CDF weight table, and the replicate algebra bit-for-bit."""
+    from jsonschema_validator_spark.operators.stats import poisson_bootstrap
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap(ev, "value", "event_id", B=32, group="event_type")
+
+
+_ORACLE_BOOTSTRAP_MEAN = """
+WITH base AS (
+  SELECT event_type, event_id AS k, value::DOUBLE AS v FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+ex AS (
+  SELECT event_type, k, v, b
+  FROM base CROSS JOIN (SELECT unnest(range(32)) AS b)),
+m AS (
+  SELECT event_type, v, b,
+         (((k * 32 + b) % 2147483648) * 2654435761) AS h
+  FROM ex),
+ww AS (
+  SELECT event_type, v, b,
+    CASE WHEN u < 0.36787944117144233 THEN 0.0
+         WHEN u < 0.7357588823428847 THEN 1.0
+         WHEN u < 0.9196986029286058 THEN 2.0
+         WHEN u < 0.9810118431238462 THEN 3.0
+         WHEN u < 0.9963401531726563 THEN 4.0
+         WHEN u < 0.9994058151824183 THEN 5.0
+         ELSE 6.0 END AS w
+  FROM (SELECT event_type, v, b,
+               (xor(h, h >> 29) % 1000000 + 1.0) / 1000001.0 AS u
+        FROM m)),
+per AS (
+  SELECT event_type, b, count(*)::BIGINT AS n, sum(v) AS sv,
+         sum(w) AS sw, sum(w * v) AS swv
+  FROM ww GROUP BY 1, 2),
+rep AS (
+  SELECT event_type, n, sv,
+         CASE WHEN sw > 0 THEN swv / sw END AS rm
+  FROM per),
+agg AS (
+  SELECT event_type, any_value(n) AS n,
+         any_value(sv) / any_value(n) AS mean,
+         avg(rm) AS bmean, stddev_samp(rm) AS bse
+  FROM rep GROUP BY 1)
+SELECT event_type, n, 32 AS b, round(mean, 6) AS mean,
+  round(bmean, 6) AS boot_mean,
+  CASE WHEN n >= 2 AND bse IS NOT NULL THEN round(bse, 6) END AS boot_se,
+  CASE WHEN n >= 2 AND bse IS NOT NULL
+       THEN round(mean - 1.959964 * bse, 6) END AS ci_lo,
+  CASE WHEN n >= 2 AND bse IS NOT NULL
+       THEN round(mean + 1.959964 * bse, 6) END AS ci_hi
+FROM agg
+"""
+
+
+def q_kpss_events(spark, sf_dir):
+    """KPSS level-stationarity test (operators/timeseries.kpss_level)
+    on the per-event-type daily-volume series — the opposite null from
+    every drift screen: KS/PSI assume stable-unless-proven-drifting,
+    KPSS assumes stationary-around-a-level and rejects when the series
+    wanders (the second opinion the Hurst and runs-test verdicts
+    need). Bartlett-weighted long-run variance at the Schwert-rule
+    lags=2 for a month-scale series. Oracle replays the partial-sum
+    and autocovariance algebra with the same windows."""
+    from jsonschema_validator_spark.operators.timeseries import kpss_level
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return kpss_level(daily, "x", "y", group="event_type", lags=2)
+
+
+_ORACLE_KPSS = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS x,
+         count(*)::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, ts::DATE),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n, avg(y) AS mu
+  FROM daily GROUP BY 1),
+e AS (
+  SELECT d.event_type, m.n, d.y - m.mu AS e,
+         sum(d.y - m.mu) OVER (PARTITION BY d.event_type
+                               ORDER BY d.x, d.y
+                               ROWS UNBOUNDED PRECEDING) AS s,
+         lag(d.y - m.mu, 1) OVER w AS e1,
+         lag(d.y - m.mu, 2) OVER w AS e2
+  FROM daily d JOIN m USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.x, d.y)),
+a AS (
+  SELECT event_type, any_value(n) AS n,
+         sum(s * s) AS ss, sum(e * e) AS g0,
+         sum(CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0.0 END) AS g1,
+         sum(CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0.0 END) AS g2
+  FROM e GROUP BY 1),
+f AS (
+  SELECT event_type, n,
+         ss / (n::DOUBLE * n) AS eta,
+         g0 / n + 2.0 * (1.0 - 1.0 / 3.0) * g1 / n
+                + 2.0 * (1.0 - 2.0 / 3.0) * g2 / n AS lrv
+  FROM a)
+SELECT event_type, n, 2 AS lags, round(eta, 6) AS eta, round(lrv, 6) AS lrv,
+  CASE WHEN n >= 4 AND lrv > 0 THEN round(eta / lrv, 6) END AS kpss_stat,
+  CASE WHEN n >= 4 AND lrv > 0 THEN eta / lrv > 0.463 END
+    AS nonstationary_5pct
+FROM f
+"""
+
+
+def q_cochrane_orcutt_events(spark, sf_dir):
+    """One-step Cochrane-Orcutt AR(1)-corrected slope
+    (operators/timeseries.cochrane_orcutt) of the per-event-type
+    daily-volume trend — the repair for what durbin_watson_events
+    diagnoses: quasi-difference the series by the lag-1 residual
+    autoregression rho, refit, and report how far the naive OLS slope
+    moved. Two power-sum fits, one broadcast join back, one lag
+    window, all over the O(days) reduced relation. Oracle replays
+    both fits and the rho algebra."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        cochrane_orcutt,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.to_date("ts")).alias("x")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return cochrane_orcutt(daily, "x", "y", group="event_type")
+
+
+_ORACLE_COCHRANE_ORCUTT = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::DOUBLE AS x,
+         count(*)::DOUBLE AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, ts::DATE),
+fit AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM daily GROUP BY 1),
+coef AS (
+  SELECT event_type, n,
+         CASE WHEN sxx - sx * sx / n > 0
+              THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS b,
+         sx, sy
+  FROM fit),
+r AS (
+  SELECT d.event_type, c.n, c.b, d.x, d.y,
+         d.y - ((c.sy - c.b * c.sx) / c.n + c.b * d.x) AS e,
+         lag(d.y - ((c.sy - c.b * c.sx) / c.n + c.b * d.x)) OVER w AS ep,
+         lag(d.x) OVER w AS xp,
+         lag(d.y) OVER w AS yp
+  FROM daily d JOIN coef c USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.x, d.y)),
+rr AS (
+  SELECT event_type, any_value(n) AS n, any_value(b) AS b,
+    CASE WHEN sum(CASE WHEN ep IS NOT NULL THEN ep * ep ELSE 0.0 END) > 0
+         THEN sum(CASE WHEN ep IS NOT NULL THEN e * ep ELSE 0.0 END)
+            / sum(CASE WHEN ep IS NOT NULL THEN ep * ep ELSE 0.0 END)
+    END AS rho
+  FROM r GROUP BY 1),
+q AS (
+  SELECT r.event_type, r.x - rr.rho * r.xp AS xs, r.y - rr.rho * r.yp AS ys
+  FROM r JOIN rr USING (event_type)
+  WHERE r.xp IS NOT NULL AND rr.rho IS NOT NULL),
+fit2 AS (
+  SELECT event_type, count(*)::BIGINT AS n2, sum(xs) AS sx2, sum(ys) AS sy2,
+         sum(xs * xs) AS sxx2, sum(xs * ys) AS sxy2
+  FROM q GROUP BY 1),
+b2t AS (
+  SELECT event_type,
+    CASE WHEN sxx2 - sx2 * sx2 / n2 > 0
+         THEN (sxy2 - sx2 * sy2 / n2) / (sxx2 - sx2 * sx2 / n2) END AS b2
+  FROM fit2)
+SELECT rr.event_type, rr.n, round(rr.b, 6) AS slope_ols,
+  round(rr.rho, 6) AS rho,
+  CASE WHEN rr.n >= 4 AND b2 IS NOT NULL THEN round(b2, 6) END
+    AS slope_corrected,
+  CASE WHEN rr.n >= 4 AND b2 IS NOT NULL THEN round(b2 - rr.b, 6) + 0.0 END
+    AS slope_shift
+FROM rr LEFT JOIN b2t USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12069,6 +12261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooks_events": q_cooks_events,
         "durbin_watson_events": q_durbin_watson_events,
         "seasonal_strength_events": q_seasonal_strength_events,
+        "bootstrap_mean_events": q_bootstrap_mean_events,
+        "kpss_events": q_kpss_events,
+        "cochrane_orcutt_events": q_cochrane_orcutt_events,
     }
 
 
@@ -12321,4 +12516,7 @@ def oracle_sql() -> dict[str, str]:
         "cooks_events": _ORACLE_COOKS,
         "durbin_watson_events": _ORACLE_DURBIN_WATSON,
         "seasonal_strength_events": _ORACLE_SEASONAL_STRENGTH,
+        "bootstrap_mean_events": _ORACLE_BOOTSTRAP_MEAN,
+        "kpss_events": _ORACLE_KPSS,
+        "cochrane_orcutt_events": _ORACLE_COCHRANE_ORCUTT,
     }

@@ -2190,3 +2190,104 @@ def cooks_distance(
         F.when(ok, F.round(d, 6)).alias("cooks_d"),
         F.when(ok, d > thr).alias("influential"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds: P(X <= j) = e^-1 * sum_{i<=j} 1/i!.
+# Written as exact double literals so any SQL engine replaying the same
+# u < c comparisons takes the identical branch.
+_POISSON1_CDF = (
+    0.36787944117144233,  # P(0)
+    0.7357588823428847,   # P(<=1)
+    0.9196986029286058,   # P(<=2)
+    0.9810118431238462,   # P(<=3)
+    0.9963401531726563,   # P(<=4)
+    0.9994058151824183,   # P(<=5)
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    B: int = 32,
+    group: str | None = None,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap SE of the mean — the
+    distribution-free error bar jackknife_ratio gives rates, for means:
+    replicate b reweights every row by an independent Poisson(1) draw
+    (the large-n limit of multinomial resampling, and the ONLY bootstrap
+    that is embarrassingly parallel: each row's weight is a pure
+    function of (key, b), so no replicate ever needs a global sample —
+    the classic n-out-of-n bootstrap is unimplementable at 10^12 rows,
+    this one is one scan).
+
+    Weights come from the package mixer: u = (mix_key(key*B + b) mod
+    DOMAIN + 1) / (DOMAIN + 1), inverted through the Poisson(1) CDF
+    (capped at 6, beyond the 1e-7 tail). The replicate INDEX is
+    exploded first and the weight computed once per exploded row — one
+    small codegen-friendly CASE, not B inlined copies (a B-wide array
+    of CASE trees blows the JVM's 64 KB method limit and drops the
+    whole stage to interpreted mode). B rows per input row BEFORE
+    map-side combine, B rows per PARTITION after it, so the shuffle is
+    O(B x partitions) regardless of table size.
+
+    Returns one row per group: (group?, n, b, mean, boot_mean,
+    boot_se, ci_lo, ci_hi) with the +/- z normal interval around the
+    PLAIN mean (the bootstrap estimates spread, not location).
+    Replicates whose total weight is 0 (possible only for tiny groups)
+    drop out as NULL replicate means on both engines alike; groups
+    with n < 2 yield NULL se.
+    """
+    from jsonschema_validator_spark.operators.sampling import DOMAIN, mix_key
+
+    gcols = [group] if group else []
+    v = F.col(value_col).cast("double")
+    k = F.col(key_col).cast("long")
+    base = df.filter(v.isNotNull() & k.isNotNull()).select(
+        *gcols, v.alias("__v"), k.alias("__k")
+    )
+
+    ex = base.select(
+        *gcols,
+        "__v",
+        "__k",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+    )
+    u = (
+        F.pmod(mix_key(F.col("__k") * B + F.col("__b")), F.lit(DOMAIN)) + 1.0
+    ) / float(DOMAIN + 1)
+    w = F.lit(6)
+    for j in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF[j], F.lit(j)).otherwise(w)
+    ex = ex.select(*gcols, "__v", "__b", w.cast("double").alias("__w"))
+    per_rep = ex.groupBy(*gcols, "__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__sv"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+    )
+    rep_mean = F.try_divide(F.col("__swv"), F.when(F.col("__sw") > 0, F.col("__sw")))
+    agg = per_rep.select(*gcols, "__n", "__sv", rep_mean.alias("__rm")).groupBy(
+        *gcols
+    ).agg(
+        F.first("__n").alias("n"),
+        (F.first("__sv") / F.first("__n")).alias("__mean"),
+        F.avg("__rm").alias("__bmean"),
+        F.stddev_samp("__rm").alias("__bse"),
+    )
+    ok = (F.col("n") >= 2) & F.col("__bse").isNotNull()
+    return agg.select(
+        *gcols,
+        "n",
+        F.lit(B).alias("b"),
+        F.round("__mean", 6).alias("mean"),
+        F.round("__bmean", 6).alias("boot_mean"),
+        F.when(ok, F.round("__bse", 6)).alias("boot_se"),
+        F.when(ok, F.round(F.col("__mean") - z * F.col("__bse"), 6)).alias(
+            "ci_lo"
+        ),
+        F.when(ok, F.round(F.col("__mean") + z * F.col("__bse"), 6)).alias(
+            "ci_hi"
+        ),
+    )

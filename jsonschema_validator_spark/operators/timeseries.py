@@ -1204,3 +1204,210 @@ def seasonal_strength(
         ).alias("seasonal_strength"),
     )
     return sel.withColumnRenamed("__g", group) if group else sel
+
+
+def kpss_level(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group: str | None = None,
+    lags: int = 2,
+) -> DataFrame:
+    """KPSS level-stationarity test on a reduced per-group series — the
+    opposite null from every drift screen in the suite: KS/PSI/Page-
+    Hinkley assume "stable unless proven drifting", KPSS assumes
+    "stationary around a level" and REJECTS when the series wanders,
+    which is exactly when Hurst > 0.5 and runs-test verdicts need a
+    second opinion. With demeaned e_t and partial sums S_t:
+
+        eta = (1/n^2) * sum S_t^2
+        s^2 = gamma_0 + 2 * sum_{j=1..l} (1 - j/(l+1)) * gamma_j
+        KPSS = eta / s^2,   reject level-stationarity at 5% if > 0.463
+
+    (Kwiatkowski-Phillips-Schmidt-Shin 1992; Bartlett-weighted long-run
+    variance; 0.463 is the published 5% level critical value. ``lags``
+    is explicit — the Schwert rule floor(4*(n/100)^0.25) gives 2 for
+    month-scale series; a static plan can't size windows per group.)
+
+    One mean aggregation + broadcast join back, one cumulative window
+    and ``lags`` lag columns over the O(days) reduced relation, one
+    final aggregation. Returns (group?, n, lags, eta, lrv, kpss_stat,
+    nonstationary_5pct); groups with n < lags + 2 or a flat series
+    (s^2 = 0) yield NULL stat.
+    """
+    gcols = [group] if group else []
+    xy = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *gcols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    m = xy.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__y").alias("__mu")
+    )
+    j = (
+        xy.join(F.broadcast(m), gcols)
+        if gcols
+        else xy.crossJoin(F.broadcast(m))
+    )
+    e = F.col("__y") - F.col("__mu")
+    w = (
+        Window.partitionBy(*gcols).orderBy("__x", "__y")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__x", "__y")
+    )
+    cols = [
+        *gcols,
+        "n",
+        e.alias("__e"),
+        F.sum(e).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__s"),
+    ]
+    cols += [F.lag(e, jj).over(w).alias(f"__e{jj}") for jj in range(1, lags + 1)]
+    res = j.select(*cols)
+    aggs = [
+        F.first("n").alias("n"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__ss"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__g0"),
+    ]
+    aggs += [
+        F.sum(
+            F.when(
+                F.col(f"__e{jj}").isNotNull(), F.col("__e") * F.col(f"__e{jj}")
+            ).otherwise(0.0)
+        ).alias(f"__g{jj}")
+        for jj in range(1, lags + 1)
+    ]
+    agg = res.groupBy(*gcols).agg(*aggs)
+    nd = F.col("n").cast("double")
+    lrv = F.col("__g0") / nd
+    for jj in range(1, lags + 1):
+        lrv = lrv + 2.0 * (1.0 - jj / (lags + 1.0)) * F.col(f"__g{jj}") / nd
+    eta = F.col("__ss") / (nd * nd)
+    ok = (F.col("n") >= lags + 2) & (lrv > 0)
+    return agg.select(
+        *gcols,
+        "n",
+        F.lit(lags).alias("lags"),
+        F.round(eta, 6).alias("eta"),
+        F.round(lrv, 6).alias("lrv"),
+        F.when(ok, F.round(eta / lrv, 6)).alias("kpss_stat"),
+        F.when(ok, eta / lrv > 0.463).alias("nonstationary_5pct"),
+    )
+
+
+def cochrane_orcutt(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group: str | None = None,
+) -> DataFrame:
+    """One-step Cochrane-Orcutt AR(1)-corrected slope — the repair for
+    what durbin_watson diagnoses: when residuals autocorrelate, the OLS
+    slope is unbiased but its certainty is fiction, and quasi-
+    differencing (y_t - rho*y_{t-1} on x_t - rho*x_{t-1}) refits the
+    trend on approximately independent errors. rho is the lag-1
+    residual autoregression sum(e_t e_{t-1}) / sum(e_{t-1}^2).
+
+    Two fits, both from power-sum aggregations over the O(days)
+    reduced series; residuals and quasi-differences via one broadcast
+    join back and one lag window ordered by (x, y). Returns (group?,
+    n, slope_ols, rho, slope_corrected, slope_shift); groups with
+    n < 4, zero x-variance, or zero lagged-residual energy yield NULL
+    corrected slope. slope_shift = corrected - ols, the size of the
+    lie the naive fit told.
+    """
+    gcols = [group] if group else []
+    xy = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *gcols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    fit = xy.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd
+    slope = F.try_divide(cov, F.when(varx > 0, varx))
+    coef = fit.select(
+        *gcols,
+        "n",
+        slope.alias("__b"),
+        ((F.col("__sy") - slope * F.col("__sx")) / nd).alias("__a"),
+    )
+    j = (
+        xy.join(F.broadcast(coef), gcols)
+        if gcols
+        else xy.crossJoin(F.broadcast(coef))
+    )
+    e = F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
+    w = (
+        Window.partitionBy(*gcols).orderBy("__x", "__y")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__x", "__y")
+    )
+    res = j.select(
+        *gcols,
+        "n",
+        "__b",
+        "__x",
+        "__y",
+        e.alias("__e"),
+        F.lag(e).over(w).alias("__ep"),
+        F.lag("__x").over(w).alias("__xp"),
+        F.lag("__y").over(w).alias("__yp"),
+    )
+    rho_agg = res.groupBy(*gcols).agg(
+        F.first("n").alias("n"),
+        F.first("__b").alias("__b"),
+        F.sum(
+            F.when(F.col("__ep").isNotNull(), F.col("__e") * F.col("__ep"))
+            .otherwise(0.0)
+        ).alias("__num"),
+        F.sum(
+            F.when(F.col("__ep").isNotNull(), F.col("__ep") * F.col("__ep"))
+            .otherwise(0.0)
+        ).alias("__den"),
+    )
+    rho = F.try_divide(F.col("__num"), F.when(F.col("__den") > 0, F.col("__den")))
+    rho_rel = rho_agg.select(*gcols, "n", "__b", rho.alias("__rho"))
+    j2 = (
+        res.join(F.broadcast(rho_rel.select(*gcols, "__rho")), gcols)
+        if gcols
+        else res.crossJoin(F.broadcast(rho_rel.select("__rho")))
+    ).filter(F.col("__xp").isNotNull() & F.col("__rho").isNotNull())
+    xs = F.col("__x") - F.col("__rho") * F.col("__xp")
+    ys = F.col("__y") - F.col("__rho") * F.col("__yp")
+    fit2 = j2.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__n2"),
+        F.sum(xs).alias("__sx2"),
+        F.sum(ys).alias("__sy2"),
+        F.sum(xs * xs).alias("__sxx2"),
+        F.sum(xs * ys).alias("__sxy2"),
+    )
+    nd2 = F.col("__n2").cast("double")
+    varx2 = F.col("__sxx2") - F.col("__sx2") * F.col("__sx2") / nd2
+    cov2 = F.col("__sxy2") - F.col("__sx2") * F.col("__sy2") / nd2
+    b2 = F.try_divide(cov2, F.when(varx2 > 0, varx2))
+    fit2_rel = fit2.select(*gcols, b2.alias("__b2"))
+    # left join so a degenerate series (rho or corrected fit undefined)
+    # still reports its row with NULL correction instead of vanishing
+    out = (
+        rho_rel.join(fit2_rel, gcols, "left")
+        if gcols
+        else rho_rel.join(fit2_rel, F.lit(True), "left")
+    )
+    ok = (F.col("n") >= 4) & F.col("__b2").isNotNull()
+    return out.select(
+        *gcols,
+        "n",
+        F.round("__b", 6).alias("slope_ols"),
+        F.round("__rho", 6).alias("rho"),
+        F.when(ok, F.round("__b2", 6)).alias("slope_corrected"),
+        F.when(ok, F.round(F.col("__b2") - F.col("__b"), 6) + 0.0).alias(
+            "slope_shift"
+        ),
+    )

@@ -299,3 +299,208 @@ def test_seasonal_strength_noise_dominates(spark):
     ).collect()[0]
     assert r["seasonal_strength"] is not None
     assert r["seasonal_strength"] < 0.5
+
+
+# --------------------------------------------------------- poisson_bootstrap
+
+
+_P1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _boot_replay(pairs, B):
+    """Pure-python replay of the mixer -> Poisson weight -> replicate
+    mean pipeline, bit-for-bit with the Column algebra."""
+
+    def mix(k):
+        h = (k % (1 << 31)) * 2654435761
+        return h ^ (h >> 29)
+
+    def w(k, b):
+        u = ((mix(k * B + b) % 1000000) + 1.0) / 1000001.0
+        for j, c in enumerate(_P1_CDF):
+            if u < c:
+                return float(j)
+        return 6.0
+
+    means = []
+    for b in range(B):
+        sw = swv = 0.0
+        for k, v in pairs:
+            ww = w(k, b)
+            sw += ww
+            swv += ww * v
+        means.append(swv / sw if sw > 0 else None)
+    ms = [m for m in means if m is not None]
+    mu = sum(ms) / len(ms)
+    var = sum((m - mu) ** 2 for m in ms) / (len(ms) - 1)
+    return mu, math.sqrt(var)
+
+
+def test_poisson_bootstrap_matches_exact_replay(spark):
+    # Same mixer, same CDF inversion, same replicate algebra: the Spark
+    # result must equal the scalar replay to the rounding digit.
+    from jsonschema_validator_spark.operators.stats import poisson_bootstrap
+
+    pairs = [(k, float((k * 7) % 13)) for k in range(1, 41)]
+    df = spark.createDataFrame([Row(k=k, v=v) for k, v in pairs])
+    r = poisson_bootstrap(df, "v", "k", B=8).collect()[0]
+    mu, se = _boot_replay(pairs, 8)
+    assert r["n"] == 40 and r["b"] == 8
+    assert r["mean"] == pytest.approx(
+        sum(v for _, v in pairs) / 40, abs=1e-6
+    )
+    assert r["boot_mean"] == pytest.approx(mu, abs=1e-6)
+    assert r["boot_se"] == pytest.approx(se, abs=1e-6)
+    assert r["ci_lo"] == pytest.approx(r["mean"] - 1.959964 * r["boot_se"], abs=1e-5)
+
+
+def test_poisson_bootstrap_single_row_null_se(spark):
+    from jsonschema_validator_spark.operators.stats import poisson_bootstrap
+
+    df = spark.createDataFrame([Row(k=1, v=5.0)])
+    r = poisson_bootstrap(df, "v", "k", B=8).collect()[0]
+    assert r["n"] == 1
+    assert r["boot_se"] is None and r["ci_lo"] is None
+
+
+def test_poisson_bootstrap_se_tracks_spread(spark):
+    # Two groups with identical n but 10x the spread: the bootstrap SE
+    # must scale with it (calibration, not just determinism).
+    from jsonschema_validator_spark.operators.stats import poisson_bootstrap
+
+    rows = [
+        Row(g="narrow", k=k, v=float(k % 5)) for k in range(400)
+    ] + [Row(g="wide", k=k, v=float((k % 5) * 10)) for k in range(400)]
+    out = {
+        r["g"]: r
+        for r in poisson_bootstrap(
+            spark.createDataFrame(rows), "v", "k", B=32, group="g"
+        ).collect()
+    }
+    # (each side independently rounded to 6 digits before the compare)
+    assert out["wide"]["boot_se"] == pytest.approx(
+        10 * out["narrow"]["boot_se"], abs=1e-4
+    )
+
+
+# ------------------------------------------------------------- kpss_level
+
+
+def _kpss_replay(ys, lags):
+    n = len(ys)
+    mu = sum(ys) / n
+    e = [y - mu for y in ys]
+    s = []
+    acc = 0.0
+    for v in e:
+        acc += v
+        s.append(acc)
+    eta = sum(v * v for v in s) / (n * n)
+    lrv = sum(v * v for v in e) / n
+    for j in range(1, lags + 1):
+        gj = sum(e[t] * e[t - j] for t in range(j, n)) / n
+        lrv += 2.0 * (1.0 - j / (lags + 1.0)) * gj
+    return eta, lrv
+
+
+def test_kpss_ramp_rejects_level_stationarity(spark):
+    # A pure ramp is the canonical level-KPSS rejection: partial sums
+    # of the demeaned series grow quadratically.
+    from jsonschema_validator_spark.operators.timeseries import kpss_level
+
+    ys = [float(i) for i in range(30)]
+    eta, lrv = _kpss_replay(ys, 2)
+    r = kpss_level(_xy(spark, ys), "x", "y", lags=2).collect()[0]
+    assert r["eta"] == pytest.approx(eta, abs=1e-5)
+    assert r["lrv"] == pytest.approx(lrv, abs=1e-5)
+    assert r["kpss_stat"] == pytest.approx(eta / lrv, abs=1e-5)
+    assert r["kpss_stat"] > 0.463
+    assert r["nonstationary_5pct"] is True
+
+
+def test_kpss_alternating_is_stationary(spark):
+    # Alternating +/-1 around a level: partial sums stay bounded ->
+    # tiny statistic, no rejection.
+    from jsonschema_validator_spark.operators.timeseries import kpss_level
+
+    ys = [1.0 if i % 2 == 0 else -1.0 for i in range(30)]
+    eta, lrv = _kpss_replay(ys, 2)
+    r = kpss_level(_xy(spark, ys), "x", "y", lags=2).collect()[0]
+    assert r["kpss_stat"] == pytest.approx(eta / lrv, abs=1e-5)
+    assert r["nonstationary_5pct"] is False
+
+
+def test_kpss_flat_series_null(spark):
+    from jsonschema_validator_spark.operators.timeseries import kpss_level
+
+    r = kpss_level(_xy(spark, [3.0] * 12), "x", "y", lags=2).collect()[0]
+    assert r["kpss_stat"] is None and r["nonstationary_5pct"] is None
+
+
+# --------------------------------------------------------- cochrane_orcutt
+
+
+def test_cochrane_orcutt_matches_replay(spark):
+    # AR(1)-flavored residuals on a known trend; replay the two-fit
+    # closed form and require exact agreement.
+    from jsonschema_validator_spark.operators.timeseries import (
+        cochrane_orcutt,
+    )
+
+    n = 20
+    u = [0.0]
+    for i in range(1, n):
+        u.append(0.7 * u[-1] + ((i * 13) % 7 - 3.0))
+    ys = [2.0 + 0.5 * i + u[i] for i in range(n)]
+    xs = list(range(n))
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    b = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    a = (sy - b * sx) / n
+    e = [y - (a + b * x) for x, y in zip(xs, ys)]
+    rho = sum(e[t] * e[t - 1] for t in range(1, n)) / sum(
+        e[t - 1] ** 2 for t in range(1, n)
+    )
+    xq = [xs[t] - rho * xs[t - 1] for t in range(1, n)]
+    yq = [ys[t] - rho * ys[t - 1] for t in range(1, n)]
+    n2 = n - 1
+    sx2, sy2 = sum(xq), sum(yq)
+    sxx2 = sum(x * x for x in xq)
+    sxy2 = sum(x * y for x, y in zip(xq, yq))
+    b2 = (sxy2 - sx2 * sy2 / n2) / (sxx2 - sx2 * sx2 / n2)
+
+    r = cochrane_orcutt(_xy(spark, ys), "x", "y").collect()[0]
+    assert r["slope_ols"] == pytest.approx(b, abs=1e-6)
+    assert r["rho"] == pytest.approx(rho, abs=1e-6)
+    assert r["slope_corrected"] == pytest.approx(b2, abs=1e-6)
+    assert r["slope_shift"] == pytest.approx(b2 - b, abs=1e-6)
+
+
+def test_cochrane_orcutt_perfect_fit_null_rho(spark):
+    # Zero residuals: rho undefined -> no correction, NULLs not 0/0.
+    from jsonschema_validator_spark.operators.timeseries import (
+        cochrane_orcutt,
+    )
+
+    r = cochrane_orcutt(_xy(spark, [1, 3, 5, 7, 9]), "x", "y").collect()[0]
+    assert r["slope_ols"] == pytest.approx(2.0)
+    assert r["rho"] is None and r["slope_corrected"] is None
+
+
+def test_cochrane_orcutt_min_n_withheld(spark):
+    # n=3: rho and the refit exist arithmetically but the verdict is
+    # withheld (quasi-differencing 2 points is not a trend).
+    from jsonschema_validator_spark.operators.timeseries import (
+        cochrane_orcutt,
+    )
+
+    r = cochrane_orcutt(_xy(spark, [0, 2, 1]), "x", "y").collect()[0]
+    assert r["slope_corrected"] is None and r["slope_shift"] is None
