@@ -12004,6 +12004,116 @@ FROM rr LEFT JOIN b2t USING (event_type)
 """
 
 
+def q_mmd_embeddings(spark, sf_dir):
+    """Polynomial-kernel MMD (operators/similarity.poly_mmd) between
+    the label<5 and label>=5 halves of the embedding corpus — the
+    distribution-level two-sample drift test the mean-vector cosine
+    (embedding_drift_embeddings) can't be: kernel (u.v + 1)^2 sees
+    first AND second moments, and the V-statistic collapses to
+    ||M_a - M_b||_F^2 + 2||mu_a - mu_b||^2 — no pairwise kernel
+    matrix, one Arrow-batched partial-outer-product pass emitting
+    d^2 + d + 1 rows per batch regardless of row count. Oracle replays
+    the moment algebra through a within-vector index self-join."""
+    from jsonschema_validator_spark.operators.similarity import poly_mmd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    two = emb.withColumn(
+        "s", F.when(F.col("label") < 5, "a").otherwise("b")
+    )
+    return poly_mmd(two, "embedding", "s", "a", "b", c=1.0)
+
+
+_ORACLE_MMD = """
+WITH e AS (
+  SELECT vec_id, CASE WHEN label < 5 THEN 'a' ELSE 'b' END AS s,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+n AS (SELECT s, count(DISTINCT vec_id)::DOUBLE AS n FROM e GROUP BY 1),
+mu AS (SELECT s, i, sum(v) AS sv FROM e GROUP BY 1, 2),
+mm AS (
+  SELECT x.s, x.i AS i, y.i AS j, sum(x.v * y.v) AS sv
+  FROM e x JOIN e y ON x.vec_id = y.vec_id AND x.s = y.s
+  GROUP BY 1, 2, 3),
+lin AS (
+  SELECT sum((ma - mb) * (ma - mb)) AS lin FROM (
+    SELECT mu.i,
+           sum(CASE WHEN mu.s = 'a' THEN mu.sv / n.n END) AS ma,
+           sum(CASE WHEN mu.s = 'b' THEN mu.sv / n.n END) AS mb
+    FROM mu JOIN n USING (s) GROUP BY 1)),
+quad AS (
+  SELECT sum((ma - mb) * (ma - mb)) AS quad FROM (
+    SELECT mm.i, mm.j,
+           sum(CASE WHEN mm.s = 'a' THEN mm.sv / n.n END) AS ma,
+           sum(CASE WHEN mm.s = 'b' THEN mm.sv / n.n END) AS mb
+    FROM mm JOIN n USING (s) GROUP BY 1, 2)),
+cnt AS (
+  SELECT sum(CASE WHEN s = 'a' THEN n END)::BIGINT AS na,
+         sum(CASE WHEN s = 'b' THEN n END)::BIGINT AS nb
+  FROM n)
+SELECT na AS n_a, nb AS n_b,
+  CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN round(lin, 6) END
+    AS mmd2_linear,
+  CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN round(quad, 6) END
+    AS mmd2_quadratic,
+  CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+       THEN round(quad + 2.0 * lin, 6) END AS mmd2
+FROM cnt, lin, quad
+"""
+
+
+def q_embedding_outliers_embeddings(spark, sf_dir):
+    """Diagonal-Mahalanobis outlier screen
+    (operators/similarity.mahalanobis_outliers) over the embedding
+    corpus with a planted wrong-scale batch (every vec_id % 97 == 0
+    vector scaled 4x — the classic double-normalized-ingest bug):
+    score = sum_i (v_i - mu_i)^2 / var_i, flag the chi^2 normal
+    approximation z > 3. The scaling is applied identically on both
+    engines (float32 widened to double first, so the planted vectors
+    are bit-equal), and the screen must flag exactly the planted set.
+    Oracle replays the per-dimension moments and the score sum."""
+    from jsonschema_validator_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    planted = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 97 == 0,
+            F.transform("embedding", lambda x: x.cast("double") * 4.0),
+        )
+        .otherwise(as_double)
+        .alias("embedding"),
+    )
+    return mahalanobis_outliers(planted, "vec_id", "embedding")
+
+
+_ORACLE_EMBEDDING_OUTLIERS = """
+WITH e AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding)::DOUBLE AS v0
+  FROM embeddings WHERE embedding IS NOT NULL),
+p AS (
+  SELECT vec_id, i,
+         CASE WHEN vec_id % 97 = 0 THEN v0 * 4.0 ELSE v0 END AS x
+  FROM e),
+mom AS (SELECT i, avg(x) AS mu, var_pop(x) AS vr FROM p GROUP BY 1),
+j AS (
+  SELECT p.vec_id, (p.x - mom.mu) * (p.x - mom.mu) / mom.vr AS contrib
+  FROM p JOIN mom USING (i) WHERE mom.vr > 0),
+per AS (
+  SELECT vec_id AS id, count(*)::BIGINT AS d_eff, sum(contrib) AS score
+  FROM j GROUP BY 1)
+SELECT id, d_eff, round(score, 6) AS score,
+       round((score - d_eff) / sqrt(2.0 * d_eff), 6) AS z
+FROM per
+WHERE round((score - d_eff) / sqrt(2.0 * d_eff), 6) > 3.0
+ORDER BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12264,6 +12374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_events": q_bootstrap_mean_events,
         "kpss_events": q_kpss_events,
         "cochrane_orcutt_events": q_cochrane_orcutt_events,
+        "mmd_embeddings": q_mmd_embeddings,
+        "embedding_outliers_embeddings": q_embedding_outliers_embeddings,
     }
 
 
@@ -12519,4 +12631,6 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean_events": _ORACLE_BOOTSTRAP_MEAN,
         "kpss_events": _ORACLE_KPSS,
         "cochrane_orcutt_events": _ORACLE_COCHRANE_ORCUTT,
+        "mmd_embeddings": _ORACLE_MMD,
+        "embedding_outliers_embeddings": _ORACLE_EMBEDDING_OUTLIERS,
     }

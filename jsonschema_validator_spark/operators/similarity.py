@@ -866,3 +866,149 @@ def gram_spectrum(
         ],
         schema,
     )
+
+
+def poly_mmd(
+    df: DataFrame,
+    vec_col: str,
+    sample_col: str,
+    a,
+    b,
+    c: float = 1.0,
+) -> DataFrame:
+    """Polynomial-kernel Maximum Mean Discrepancy between two embedding
+    samples — the distribution-level drift test embedding_drift's
+    mean-vector cosine can't be: a mean shift of zero says nothing
+    about covariance rotation, and k(u, v) = (u.v + c)^2 sees exactly
+    first AND second moments. The V-statistic estimator collapses to
+    closed form — no pairwise kernel matrix ever exists:
+
+        MMD^2 = || M_a - M_b ||_F^2  +  2c * || mu_a - mu_b ||^2
+        M_s = E_s[v v^T],  mu_s = E_s[v]
+
+    (expand E[(u.v + c)^2] over independent draws; the c^2 terms
+    cancel.)
+
+    Scale: per-Arrow-batch partial outer products V^T V via numpy in
+    ONE mapInPandas pass — d^2 + d + 1 partial rows per batch
+    REGARDLESS of batch row count, so the shuffle is O(d^2 x batches)
+    while a pairwise-kernel MMD is O(n^2) and unrunnable at 10^12
+    rows. Float32 inputs are widened to float64 BEFORE any product, so
+    a SQL engine casting the same way reproduces the sums bit-for-bit
+    up to summation order. Returns one row: (n_a, n_b, mmd2_linear,
+    mmd2_quadratic, mmd2); an empty side yields NULLs.
+    """
+    sel = df.filter(
+        F.col(vec_col).isNotNull() & F.col(sample_col).isin([a, b])
+    ).select(
+        F.col(sample_col).cast("string").alias("__s"),
+        F.col(vec_col).alias("__v"),
+    )
+    sa, sb = str(a), str(b)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ss, ii, jj, vv = [], [], [], []
+            for s, grp in pdf.groupby("__s"):
+                V = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in grp["__v"]]
+                )
+                d = V.shape[1]
+                M = V.T @ V
+                mu = V.sum(axis=0)
+                gi, gj = np.indices((d, d))
+                ss += [s] * (d * d + d + 1)
+                ii += [*gi.ravel().tolist(), *range(d), -1]
+                jj += [*gj.ravel().tolist(), *([-1] * d), -1]
+                vv += [*M.ravel().tolist(), *mu.tolist(), float(len(grp))]
+            yield pd.DataFrame({"s": ss, "i": ii, "j": jj, "v": vv})
+
+    parts = sel.mapInPandas(gen, "s string, i int, j int, v double")
+    sums = parts.groupBy("s", "i", "j").agg(F.sum("v").alias("v"))
+    ns = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        "s", F.col("v").alias("__n")
+    )
+    m = (
+        sums.filter(F.col("i") >= 0)
+        .join(F.broadcast(ns), "s")
+        .select("s", "i", "j", (F.col("v") / F.col("__n")).alias("m"))
+    )
+    piv = m.groupBy("i", "j").agg(
+        F.sum(F.when(F.col("s") == sa, F.col("m"))).alias("ma"),
+        F.sum(F.when(F.col("s") == sb, F.col("m"))).alias("mb"),
+    )
+    dd = (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+    agg = piv.agg(
+        F.sum(F.when(F.col("j") >= 0, dd)).alias("__quad"),
+        F.sum(F.when(F.col("j") == -1, dd)).alias("__lin"),
+    )
+    counts = ns.groupBy().agg(
+        F.sum(F.when(F.col("s") == sa, F.col("__n"))).alias("__na"),
+        F.sum(F.when(F.col("s") == sb, F.col("__n"))).alias("__nb"),
+    )
+    out = agg.crossJoin(F.broadcast(counts))
+    ok = F.col("__na").isNotNull() & F.col("__nb").isNotNull()
+    return out.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.when(ok, F.round(F.col("__lin"), 6)).alias("mmd2_linear"),
+        F.when(ok, F.round(F.col("__quad"), 6)).alias("mmd2_quadratic"),
+        F.when(
+            ok, F.round(F.col("__quad") + 2.0 * c * F.col("__lin"), 6)
+        ).alias("mmd2"),
+    )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outlier screen — the
+    vector-space twin of robust_outliers: score each vector by
+    sum_i (v_i - mu_i)^2 / var_i over the per-dimension corpus
+    moments, which under a roughly-Gaussian corpus is chi^2 with
+    d_eff degrees of freedom, and flag the normal-approximation
+    z = (score - d_eff) / sqrt(2 d_eff) above ``z_cut``. Catches the
+    broken vectors cosine screens miss: a zeroed tail, one exploded
+    dimension, a wrong-scale ingest batch.
+
+    One posexplode to the (row, dim) relation (a fixed d-fold
+    expansion, combine-friendly), one d-row moment aggregation
+    broadcast back, one per-row sum. Zero-variance dimensions are
+    excluded from both the score and d_eff (they carry no
+    information, and dividing by them would poison every row).
+    Returns flagged rows only: (id, d_eff, score, z) ordered by id.
+    """
+    ex = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("i", "__x"),
+    )
+    ex = ex.select("id", "i", F.col("__x").cast("double").alias("x"))
+    mom = ex.groupBy("i").agg(
+        F.avg("x").alias("__mu"), F.var_pop("x").alias("__var")
+    )
+    j = ex.join(F.broadcast(mom.filter(F.col("__var") > 0)), "i")
+    contrib = (F.col("x") - F.col("__mu")) * (F.col("x") - F.col("__mu")) / F.col(
+        "__var"
+    )
+    per_row = j.groupBy("id").agg(
+        F.count(F.lit(1)).alias("d_eff"), F.sum(contrib).alias("__score")
+    )
+    z = (F.col("__score") - F.col("d_eff")) / F.sqrt(
+        2.0 * F.col("d_eff").cast("double")
+    )
+    return (
+        per_row.select(
+            "id",
+            "d_eff",
+            F.round("__score", 6).alias("score"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.col("z") > z_cut)
+        .orderBy("id")
+    )

@@ -504,3 +504,123 @@ def test_cochrane_orcutt_min_n_withheld(spark):
 
     r = cochrane_orcutt(_xy(spark, [0, 2, 1]), "x", "y").collect()[0]
     assert r["slope_corrected"] is None and r["slope_shift"] is None
+
+
+# ---------------------------------------------------------------- poly_mmd
+
+
+def test_poly_mmd_hand_computed(spark):
+    # a = {(1,0),(0,1)}, b = {(2,0),(0,2)}: mu_a=(.5,.5), mu_b=(1,1) ->
+    # lin = 0.5; M_a = diag(.5), M_b = diag(2) -> quad = 2*(1.5)^2 = 4.5;
+    # mmd2 = 4.5 + 2*0.5 = 5.5 at c=1.
+    from jsonschema_validator_spark.operators.similarity import poly_mmd
+
+    df = spark.createDataFrame(
+        [
+            Row(s="a", v=[1.0, 0.0]),
+            Row(s="a", v=[0.0, 1.0]),
+            Row(s="b", v=[2.0, 0.0]),
+            Row(s="b", v=[0.0, 2.0]),
+        ]
+    )
+    r = poly_mmd(df, "v", "s", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["mmd2_linear"] == pytest.approx(0.5)
+    assert r["mmd2_quadratic"] == pytest.approx(4.5)
+    assert r["mmd2"] == pytest.approx(5.5)
+
+
+def test_poly_mmd_identical_samples_zero(spark):
+    # The same point set in both samples: every moment matches, MMD^2
+    # must round to exactly 0 (no spurious kernel-noise floor).
+    from jsonschema_validator_spark.operators.similarity import poly_mmd
+
+    pts = [[float((i * 3) % 7), float((i * 5) % 11)] for i in range(20)]
+    df = spark.createDataFrame(
+        [Row(s="a", v=p) for p in pts] + [Row(s="b", v=p) for p in pts]
+    )
+    r = poly_mmd(df, "v", "s", "a", "b").collect()[0]
+    assert r["mmd2"] == 0.0
+    assert r["mmd2_linear"] == 0.0 and r["mmd2_quadratic"] == 0.0
+
+
+def test_poly_mmd_missing_side_null(spark):
+    from jsonschema_validator_spark.operators.similarity import poly_mmd
+
+    df = spark.createDataFrame([Row(s="a", v=[1.0, 2.0])])
+    r = poly_mmd(df, "v", "s", "a", "b").collect()[0]
+    assert r["n_b"] is None and r["mmd2"] is None
+
+
+def test_poly_mmd_covariance_only_shift(spark):
+    # Same mean, rotated covariance: the linear term must stay ~0 while
+    # the quadratic term fires — the case a mean-vector drift check is
+    # structurally blind to.
+    from jsonschema_validator_spark.operators.similarity import poly_mmd
+
+    a = [[1.0, 1.0], [-1.0, -1.0], [2.0, 2.0], [-2.0, -2.0]]  # corr +1
+    b = [[1.0, -1.0], [-1.0, 1.0], [2.0, -2.0], [-2.0, 2.0]]  # corr -1
+    df = spark.createDataFrame(
+        [Row(s="a", v=p) for p in a] + [Row(s="b", v=p) for p in b]
+    )
+    r = poly_mmd(df, "v", "s", "a", "b").collect()[0]
+    assert r["mmd2_linear"] == 0.0
+    assert r["mmd2_quadratic"] > 1.0
+
+
+# ---------------------------------------------------- mahalanobis_outliers
+
+
+def test_mahalanobis_flags_planted_scale_bug(spark):
+    # 60 well-behaved 4-d vectors + one scaled 10x: only the planted
+    # vector crosses z=3.
+    from jsonschema_validator_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    base = [
+        [
+            float((i * 3) % 7 - 3),
+            float((i * 5) % 11 - 5),
+            float((i * 7) % 13 - 6),
+            float((i * 11) % 17 - 8),
+        ]
+        for i in range(60)
+    ]
+    rows = [Row(id=i, v=p) for i, p in enumerate(base)]
+    rows.append(Row(id=999, v=[40.0, 50.0, 60.0, 70.0]))
+    out = mahalanobis_outliers(
+        spark.createDataFrame(rows), "id", "v"
+    ).collect()
+    assert [r["id"] for r in out] == [999]
+    assert out[0]["d_eff"] == 4
+    assert out[0]["z"] > 3.0
+
+
+def test_mahalanobis_zero_variance_dim_excluded(spark):
+    # A constant dimension carries no information: it must drop out of
+    # d_eff instead of dividing by zero.
+    from jsonschema_validator_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    rows = [
+        Row(id=i, v=[float((i * 3) % 7 - 3), 5.0, float((i * 5) % 11 - 5)])
+        for i in range(40)
+    ]
+    rows.append(Row(id=777, v=[90.0, 5.0, -90.0]))
+    out = mahalanobis_outliers(spark.createDataFrame(rows), "id", "v").collect()
+    assert [r["id"] for r in out] == [777]
+    assert out[0]["d_eff"] == 2
+
+
+def test_mahalanobis_clean_corpus_empty(spark):
+    from jsonschema_validator_spark.operators.similarity import (
+        mahalanobis_outliers,
+    )
+
+    rows = [
+        Row(id=i, v=[float((i * 3) % 7 - 3), float((i * 5) % 11 - 5)])
+        for i in range(50)
+    ]
+    assert mahalanobis_outliers(spark.createDataFrame(rows), "id", "v").count() == 0
