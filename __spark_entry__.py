@@ -12114,6 +12114,119 @@ ORDER BY id
 """
 
 
+def q_species_coverage_documents(spark, sf_dir):
+    """Good-Turing missing mass + Chao1 richness per language
+    (operators/textstats.species_richness) over the corpus word
+    relation — "how much vocabulary have we NOT seen": a slice with
+    high singleton fraction n1/N is lexically unsaturated, so its
+    dedup rates and vocabulary trends are still moving. Two stacked
+    aggregations; the only heavy shuffle is the word-count combine.
+    Oracle replays the frequency-of-frequencies algebra on the same
+    tokenization."""
+    from jsonschema_validator_spark.operators.textstats import (
+        species_richness,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    return species_richness(words, "w", group="lang").orderBy("lang")
+
+
+_ORACLE_SPECIES_COVERAGE = """
+WITH words AS (
+  SELECT lang, w FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents)
+  WHERE w != ''),
+freq AS (SELECT lang, w, count(*)::BIGINT AS n FROM words GROUP BY 1, 2),
+a AS (
+  SELECT lang, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS singletons,
+         sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS doubletons
+  FROM freq GROUP BY 1)
+SELECT lang, n_tokens, n_types, singletons, doubletons,
+  round(singletons::DOUBLE / n_tokens, 6) AS missing_mass,
+  round(1.0 - singletons::DOUBLE / n_tokens, 6) AS coverage,
+  round(n_types
+        + singletons::DOUBLE * (singletons - 1.0)
+          / (2.0 * (doubletons + 1.0)), 6) AS chao1,
+  round(singletons::DOUBLE * (singletons - 1.0)
+        / (2.0 * (doubletons + 1.0)), 6) AS undetected_types
+FROM a ORDER BY lang
+"""
+
+
+def q_weibull_gaps_events(spark, sf_dir):
+    """Weibull shape/scale of per-user inter-event gaps per event_type
+    (operators/survival.weibull_plot_fit) — the parametric reading of
+    what burstiness_events classifies: shape k < 1 is decreasing
+    hazard (bursty retries, long quiet tails), k ~ 1 memoryless, k > 1
+    heartbeat rhythm. Gaps from the user-keyed lag window (fine key,
+    no skew), Benard median-rank probability plot, OLS on the log-log
+    scale. Oracle replays the gap construction, ranks and fit; tied
+    gaps contribute identical x with the same fixed rank set, so the
+    fit needs no tie-break."""
+    from jsonschema_validator_spark.operators.survival import (
+        weibull_plot_fit,
+    )
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "event_type", ((us - F.lag(us).over(w)) / 1000000.0).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0))
+    return weibull_plot_fit(gaps, "gap_s", group="event_type").orderBy(
+        "event_type"
+    )
+
+
+_ORACLE_WEIBULL_GAPS = """
+WITH pre AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+gaps AS (
+  SELECT event_type,
+         (us - lag(us) OVER (PARTITION BY user_id ORDER BY event_id))
+           / 1000000.0 AS v
+  FROM pre),
+pos AS (SELECT event_type, v FROM gaps WHERE v IS NOT NULL AND v > 0),
+cnt AS (SELECT event_type, count(*)::BIGINT AS n FROM pos GROUP BY 1),
+ranked AS (
+  SELECT p.event_type, c.n, ln(p.v) AS x,
+         ln(-ln(1.0 - (row_number() OVER (PARTITION BY p.event_type
+                                          ORDER BY p.v) - 0.3)
+                      / (c.n + 0.4))) AS y
+  FROM pos p JOIN cnt c USING (event_type)),
+f AS (
+  SELECT event_type, any_value(n) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM ranked GROUP BY 1),
+s AS (
+  SELECT event_type, n, sxx - sx * sx / n AS vx, sxy - sx * sy / n AS cv,
+         syy - sy * sy / n AS vy, sx, sy
+  FROM f),
+t AS (
+  SELECT event_type, n, CASE WHEN vx > 0 THEN cv / vx END AS k,
+         vx, cv, vy, sx, sy
+  FROM s)
+SELECT event_type, n,
+  CASE WHEN n >= 3 AND k IS NOT NULL AND k > 0 THEN round(k, 6) END
+    AS shape_k,
+  CASE WHEN n >= 3 AND k IS NOT NULL AND k > 0
+       THEN round(exp(-((sy - k * sx) / n) / k), 6) END AS scale,
+  CASE WHEN n >= 3 AND k IS NOT NULL AND k > 0 AND vx * vy > 0
+       THEN round(cv * cv / (vx * vy), 6) END AS r2,
+  CASE WHEN n >= 3 AND k IS NOT NULL AND k > 0 THEN k < 1.0 END
+    AS decreasing_hazard
+FROM t ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12376,6 +12489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochrane_orcutt_events": q_cochrane_orcutt_events,
         "mmd_embeddings": q_mmd_embeddings,
         "embedding_outliers_embeddings": q_embedding_outliers_embeddings,
+        "species_coverage_documents": q_species_coverage_documents,
+        "weibull_gaps_events": q_weibull_gaps_events,
     }
 
 
@@ -12633,4 +12748,6 @@ def oracle_sql() -> dict[str, str]:
         "cochrane_orcutt_events": _ORACLE_COCHRANE_ORCUTT,
         "mmd_embeddings": _ORACLE_MMD,
         "embedding_outliers_embeddings": _ORACLE_EMBEDDING_OUTLIERS,
+        "species_coverage_documents": _ORACLE_SPECIES_COVERAGE,
+        "weibull_gaps_events": _ORACLE_WEIBULL_GAPS,
     }

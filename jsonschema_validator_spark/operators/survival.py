@@ -250,3 +250,74 @@ def log_rank(
             .alias("reject_5pct"),
         )
     )
+
+
+def weibull_plot_fit(
+    df: DataFrame,
+    value_col: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Weibull shape/scale via the probability-plot regression — the
+    parametric reading of the gap-time distributions Kaplan-Meier and
+    the burstiness screen describe nonparametrically: shape k < 1 means
+    DECREASING hazard (bursty arrivals, long quiet tails — retries and
+    failure clusters), k ~ 1 is memoryless Poisson, k > 1 is
+    wear-out/heartbeat rhythm. On positive durations with Benard median
+    ranks F_i = (i - 0.3)/(n + 0.4):
+
+        y_i = ln(-ln(1 - F_i)),  x_i = ln(v_(i))
+        OLS y on x: slope = k, scale = exp(-intercept/k)
+
+    Ranks come from one per-group sort of the reduced duration
+    relation; tied durations may receive either rank order but
+    contribute identical x with the same fixed rank set, so the fit is
+    deterministic without a tie-break. Returns (group?, n, shape_k,
+    scale, r2, decreasing_hazard); groups with n < 3 or zero duration
+    variance yield NULL fit.
+    """
+    gcols = [group] if group else []
+    v = F.col(value_col).cast("double")
+    pos = df.filter(v.isNotNull() & (v > 0)).select(*gcols, v.alias("__v"))
+    cnt = pos.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        pos.join(F.broadcast(cnt), gcols)
+        if gcols
+        else pos.crossJoin(F.broadcast(cnt))
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        if gcols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy("__v")
+    ranked = j.select(
+        *gcols, "n", "__v", F.row_number().over(w).alias("__r")
+    )
+    fi = (F.col("__r") - 0.3) / (F.col("n") + 0.4)
+    x = F.log("__v")
+    y = F.log(-F.log(1.0 - fi))
+    fit = ranked.select(*gcols, "n", x.alias("__x"), y.alias("__y")).groupBy(
+        *gcols
+    ).agg(
+        F.first("n").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd
+    syy = F.col("__syy") - F.col("__sy") * F.col("__sy") / nd
+    k = F.try_divide(cov, F.when(sxx > 0, sxx))
+    c = (F.col("__sy") - k * F.col("__sx")) / nd
+    r2 = F.try_divide(cov * cov, F.when(sxx * syy > 0, sxx * syy))
+    ok = (F.col("n") >= 3) & k.isNotNull() & (k > 0)
+    return fit.select(
+        *gcols,
+        "n",
+        F.when(ok, F.round(k, 6)).alias("shape_k"),
+        F.when(ok, F.round(F.exp(-c / k), 6)).alias("scale"),
+        F.when(ok, F.round(r2, 6)).alias("r2"),
+        F.when(ok, k < 1.0).alias("decreasing_hazard"),
+    )

@@ -639,3 +639,57 @@ def zipf_slope(
     return tot.crossJoin(out).select(
         "n_types", "n_tokens", "slope", "intercept", "r2"
     )
+
+
+def species_richness(
+    df: DataFrame,
+    token_col: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Good-Turing missing mass + bias-corrected Chao1 richness over a
+    token relation — the "how much vocabulary have we NOT seen yet"
+    gate: a corpus slice whose singleton fraction n1/N is high is
+    nowhere near lexically saturated, so dedup rates, contamination
+    estimates and vocabulary_richness trends computed on it will still
+    be moving. Two classical estimators from the frequency-of-
+    frequencies alone:
+
+        missing_mass = n1 / N            (Good-Turing P(next token is new))
+        chao1 = S_obs + n1(n1-1)/(2(n2+1))   (bias-corrected lower bound)
+
+    Two stacked aggregations (token counts, then counts-of-counts) —
+    the second input is O(types), the heavy shuffle is the first and
+    it is exactly the word-count combine. Returns (group?, n_tokens,
+    n_types, singletons, doubletons, missing_mass, coverage, chao1,
+    undetected_types); an empty slice yields no row, N = 0 never
+    divides.
+    """
+    gcols = [group] if group else []
+    freq = (
+        df.filter(F.col(token_col).isNotNull())
+        .groupBy(*gcols, F.col(token_col).alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    agg = freq.groupBy(*gcols).agg(
+        F.sum("__n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__n") == 1).cast("long")).alias("singletons"),
+        F.sum((F.col("__n") == 2).cast("long")).alias("doubletons"),
+    )
+    n1 = F.col("singletons").cast("double")
+    n2 = F.col("doubletons").cast("double")
+    mm = n1 / F.col("n_tokens").cast("double")
+    chao1 = F.col("n_types").cast("double") + n1 * (n1 - 1.0) / (
+        2.0 * (n2 + 1.0)
+    )
+    return agg.select(
+        *gcols,
+        "n_tokens",
+        "n_types",
+        "singletons",
+        "doubletons",
+        F.round(mm, 6).alias("missing_mass"),
+        F.round(1.0 - mm, 6).alias("coverage"),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(chao1 - F.col("n_types"), 6).alias("undetected_types"),
+    )

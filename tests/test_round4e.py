@@ -624,3 +624,141 @@ def test_mahalanobis_clean_corpus_empty(spark):
         for i in range(50)
     ]
     assert mahalanobis_outliers(spark.createDataFrame(rows), "id", "v").count() == 0
+
+
+# ---------------------------------------------------------- species_richness
+
+
+def test_species_richness_hand_computed(spark):
+    # Tokens: a a a b b c d e -> N=8, S=5, n1=3 (c,d,e), n2=1 (b):
+    # missing_mass = 3/8, chao1 = 5 + 3*2/(2*2) = 6.5.
+    from jsonschema_validator_spark.operators.textstats import (
+        species_richness,
+    )
+
+    toks = list("aaabbcde")
+    df = spark.createDataFrame([Row(t=c) for c in toks])
+    r = species_richness(df, "t").collect()[0]
+    assert (r["n_tokens"], r["n_types"]) == (8, 5)
+    assert (r["singletons"], r["doubletons"]) == (3, 1)
+    assert r["missing_mass"] == pytest.approx(0.375)
+    assert r["coverage"] == pytest.approx(0.625)
+    assert r["chao1"] == pytest.approx(6.5)
+    assert r["undetected_types"] == pytest.approx(1.5)
+
+
+def test_species_richness_saturated_corpus(spark):
+    # Every type seen many times: no singletons -> missing mass 0 and
+    # chao1 collapses to the observed count (nothing left to find).
+    from jsonschema_validator_spark.operators.textstats import (
+        species_richness,
+    )
+
+    df = spark.createDataFrame([Row(t=c) for c in "ababab" * 5])
+    r = species_richness(df, "t").collect()[0]
+    assert r["missing_mass"] == 0.0
+    assert r["chao1"] == pytest.approx(r["n_types"])
+    assert r["undetected_types"] == 0.0
+
+
+def test_species_richness_all_singletons(spark):
+    # Every token unique: missing mass 1 (the next token is certainly
+    # new) and chao1 explodes past S_obs — the unsaturated extreme.
+    from jsonschema_validator_spark.operators.textstats import (
+        species_richness,
+    )
+
+    df = spark.createDataFrame([Row(t=f"w{i}") for i in range(10)])
+    r = species_richness(df, "t").collect()[0]
+    assert r["missing_mass"] == 1.0
+    assert r["chao1"] > r["n_types"] * 4
+
+
+# ---------------------------------------------------------- weibull_plot_fit
+
+
+def _weibull_replay(vals):
+    n = len(vals)
+    sv = sorted(vals)
+    xs = [math.log(v) for v in sv]
+    ys = [
+        math.log(-math.log(1.0 - (i + 1 - 0.3) / (n + 0.4)))
+        for i in range(n)
+    ]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    k = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    c = (sy - k * sx) / n
+    return k, math.exp(-c / k)
+
+
+def test_weibull_recovers_exponential_shape(spark):
+    # Exponential quantile grid (Weibull k=1, scale 5): the plot fit
+    # must recover k ~ 1 and scale ~ 5.
+    from jsonschema_validator_spark.operators.survival import (
+        weibull_plot_fit,
+    )
+
+    n = 200
+    vals = [-5.0 * math.log(1.0 - (i + 0.5) / n) for i in range(n)]
+    r = weibull_plot_fit(
+        spark.createDataFrame([Row(v=v) for v in vals]), "v"
+    ).collect()[0]
+    assert r["shape_k"] == pytest.approx(1.0, abs=0.05)
+    assert r["scale"] == pytest.approx(5.0, rel=0.05)
+    assert r["r2"] > 0.99
+    # (k sits a hair under 1 on the finite grid, so the knife-edge
+    # decreasing-hazard flag is asserted on the clear k=2 case below)
+    rayleigh = [
+        3.0 * math.sqrt(-math.log(1.0 - (i + 0.5) / 100)) for i in range(100)
+    ]
+    r2 = weibull_plot_fit(
+        spark.createDataFrame([Row(v=v) for v in rayleigh]), "v"
+    ).collect()[0]
+    assert r2["shape_k"] == pytest.approx(2.0, abs=0.1)
+    assert r2["decreasing_hazard"] is False
+
+
+def test_weibull_matches_replay_and_flags_bursty(spark):
+    # Weibull(k=0.5) quantile grid: decreasing hazard must flag, and
+    # the fit must equal the scalar replay of the same median-rank
+    # regression.
+    from jsonschema_validator_spark.operators.survival import (
+        weibull_plot_fit,
+    )
+
+    n = 100
+    vals = [2.0 * (-math.log(1.0 - (i + 0.5) / n)) ** 2 for i in range(n)]
+    k, scale = _weibull_replay(vals)
+    r = weibull_plot_fit(
+        spark.createDataFrame([Row(v=v) for v in vals]), "v"
+    ).collect()[0]
+    assert r["shape_k"] == pytest.approx(k, abs=1e-6)
+    assert r["scale"] == pytest.approx(scale, abs=1e-4)
+    assert r["shape_k"] < 1.0
+    assert r["decreasing_hazard"] is True
+
+
+def test_weibull_degenerate_constant_gaps(spark):
+    # All durations equal: zero x-variance, fit undefined -> NULLs.
+    from jsonschema_validator_spark.operators.survival import (
+        weibull_plot_fit,
+    )
+
+    r = weibull_plot_fit(
+        spark.createDataFrame([Row(v=2.0)] * 10), "v"
+    ).collect()[0]
+    assert r["shape_k"] is None and r["decreasing_hazard"] is None
+
+
+def test_weibull_nonpositive_excluded(spark):
+    from jsonschema_validator_spark.operators.survival import (
+        weibull_plot_fit,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 0.0, -1.0]
+    r = weibull_plot_fit(
+        spark.createDataFrame([Row(v=v) for v in vals]), "v"
+    ).collect()[0]
+    assert r["n"] == 4
