@@ -12227,6 +12227,150 @@ FROM t ORDER BY event_type
 """
 
 
+def q_pairwise_welch_events(spark, sf_dir):
+    """All-pairs Welch mean comparison of value across event_types
+    (operators/stats.pairwise_welch) — the post-hoc step anova_events'
+    verdict demands: "the groups differ" names no group, this names
+    every pair, against the Bonferroni-adjusted normal critical
+    2.807034 (10 pairs, family alpha 0.05 — pinned because a Column
+    plan cannot invert Phi). One moment aggregation, then a broadcast
+    self-join over the O(groups) relation. Oracle replays the moment
+    self-join."""
+    from jsonschema_validator_spark.operators.stats import pairwise_welch
+
+    ev = _t(spark, sf_dir, "events")
+    return pairwise_welch(ev, "value", "event_type", z_crit=2.807034)
+
+
+_ORACLE_PAIRWISE_WELCH = """
+WITH per AS (
+  SELECT event_type AS g, count(*)::BIGINT AS n, avg(value) AS m,
+         var_samp(value) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1),
+p AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+         a.m - b.m AS md, sqrt(a.v / a.n + b.v / b.n) AS se,
+         a.v AS va, b.v AS vb
+  FROM per a JOIN per b ON a.g < b.g)
+SELECT group_a, group_b, n_a, n_b, round(md, 6) AS mean_diff,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND va IS NOT NULL AND vb IS NOT NULL
+            AND se > 0
+       THEN round(se, 6) END AS se,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND va IS NOT NULL AND vb IS NOT NULL
+            AND se > 0
+       THEN round(md / se, 6) + 0.0 END AS z,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND va IS NOT NULL AND vb IS NOT NULL
+            AND se > 0
+       THEN abs(md / se) > 2.807034 END AS significant
+FROM p ORDER BY group_a, group_b
+"""
+
+
+def q_brown_forsythe_events(spark, sf_dir):
+    """Brown-Forsythe homogeneity-of-variance test across event_types
+    (operators/stats.brown_forsythe) — the admission check for every
+    pooled-variance statistic: one-way ANOVA on |x - group median|
+    (median, not mean, keeps it honest under the heavy tails
+    hill_tail_events measures), against the pinned F critical 2.372
+    (df1=4, large df2, 5%). Exact per-group median, broadcast join
+    back, one final aggregation. Oracle replays the deviation ANOVA
+    with the same interpolated median."""
+    from jsonschema_validator_spark.operators.stats import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    return brown_forsythe(ev, "value", "event_type", f_crit=2.372)
+
+
+_ORACLE_BROWN_FORSYTHE = """
+WITH base AS (
+  SELECT event_type AS g, value::DOUBLE AS x
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+med AS (SELECT g, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1),
+z AS (SELECT base.g, abs(base.x - med.med) AS z
+      FROM base JOIN med USING (g)),
+per AS (SELECT g, count(*)::BIGINT AS n, sum(z) AS s, sum(z * z) AS q
+        FROM z GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n, sum(s) AS ts,
+               sum(q) AS tq, sum(s * s / n) AS sb
+        FROM per),
+c AS (SELECT k, n, sb - ts * ts / n AS ssb, tq - sb AS ssw FROM tot)
+SELECT k, n,
+  CASE WHEN k >= 2 AND n > k AND ssw > 0
+       THEN round((ssb / (k - 1.0)) / (ssw / (n - k)), 6) END AS f_stat,
+  k - 1 AS df1,
+  CASE WHEN k >= 2 AND n > k AND ssw > 0
+       THEN (ssb / (k - 1.0)) / (ssw / (n - k)) > 2.372 END
+    AS heteroscedastic
+FROM c
+"""
+
+
+def q_partial_corr_lineitem(spark, sf_dir):
+    """First-order partial correlation of (quantity, extendedprice)
+    controlling discount, per return flag
+    (operators/stats.partial_correlation) — the confounder screen the
+    plain correlation matrix can't be: r_xy.z is what remains of a
+    correlation after the third variable is held fixed, and the
+    ``confounded`` flag marks correlations that were mostly the
+    confounder. ONE aggregation of nine power sums. Oracle replays the
+    partial-correlation algebra."""
+    from jsonschema_validator_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return partial_correlation(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        group="l_returnflag",
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_PARTIAL_CORR = """
+WITH base AS (
+  SELECT l_returnflag AS g, l_quantity::DOUBLE AS x,
+         l_extendedprice::DOUBLE AS y, l_discount::DOUBLE AS z
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL),
+a AS (
+  SELECT g, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+         sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+  FROM base GROUP BY 1),
+c AS (
+  SELECT g, n,
+         sxx - sx * sx / n AS vx, syy - sy * sy / n AS vy,
+         szz - sz * sz / n AS vz,
+         sxy - sx * sy / n AS cxy, sxz - sx * sz / n AS cxz,
+         syz - sy * sz / n AS cyz
+  FROM a),
+r AS (
+  SELECT g, n,
+         CASE WHEN vx * vy > 0 THEN cxy / sqrt(vx * vy) END AS rxy,
+         CASE WHEN vx * vz > 0 THEN cxz / sqrt(vx * vz) END AS rxz,
+         CASE WHEN vy * vz > 0 THEN cyz / sqrt(vy * vz) END AS ryz
+  FROM c),
+p AS (
+  SELECT g, n, rxy, rxz, ryz,
+         CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+              THEN (rxy - rxz * ryz)
+                   / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END AS rp
+  FROM r)
+SELECT g AS l_returnflag, n,
+  round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+  CASE WHEN n >= 3 AND rp IS NOT NULL THEN round(rp, 6) + 0.0 END
+    AS r_partial,
+  CASE WHEN n >= 3 AND rp IS NOT NULL
+       THEN abs(rxy) > 0.1 AND abs(rp) <= 0.1 END AS confounded
+FROM p ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12491,6 +12635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers_embeddings": q_embedding_outliers_embeddings,
         "species_coverage_documents": q_species_coverage_documents,
         "weibull_gaps_events": q_weibull_gaps_events,
+        "pairwise_welch_events": q_pairwise_welch_events,
+        "brown_forsythe_events": q_brown_forsythe_events,
+        "partial_corr_lineitem": q_partial_corr_lineitem,
     }
 
 
@@ -12750,4 +12897,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers_embeddings": _ORACLE_EMBEDDING_OUTLIERS,
         "species_coverage_documents": _ORACLE_SPECIES_COVERAGE,
         "weibull_gaps_events": _ORACLE_WEIBULL_GAPS,
+        "pairwise_welch_events": _ORACLE_PAIRWISE_WELCH,
+        "brown_forsythe_events": _ORACLE_BROWN_FORSYTHE,
+        "partial_corr_lineitem": _ORACLE_PARTIAL_CORR,
     }

@@ -2291,3 +2291,203 @@ def poisson_bootstrap(
             "ci_hi"
         ),
     )
+
+
+def pairwise_welch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """All-pairs Welch mean comparison — the post-hoc step the one-way
+    ANOVA verdict demands: "the groups differ" names no group, this
+    names every pair. For each unordered pair (a, b):
+
+        z = (mean_a - mean_b) / sqrt(var_a/n_a + var_b/n_b)
+
+    compared against ``z_crit``. Pass the Bonferroni-adjusted normal
+    critical for the pair count (e.g. 2.807034 for 10 pairs at family
+    alpha 0.05) — the caller pins the constant because a Column plan
+    cannot invert Phi. Large-sample normal form (Welch-Satterthwaite
+    df is irrelevant past n ~ 100 per group).
+
+    One aggregation to the O(groups) moment relation, then a self-join
+    over it — the pair relation never touches raw rows. Returns one
+    row per pair: (group_a, group_b, n_a, n_b, mean_diff, se, z,
+    significant); degenerate pairs (a zero-variance side with n < 2,
+    or se = 0) yield NULL z.
+    """
+    v = F.col(value_col).cast("double")
+    per = (
+        df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(v).alias("__m"),
+            F.var_samp(v).alias("__v"),
+        )
+    )
+    a = per.select(
+        F.col("__g").alias("group_a"),
+        F.col("__n").alias("n_a"),
+        F.col("__m").alias("__ma"),
+        F.col("__v").alias("__va"),
+    )
+    b = per.select(
+        F.col("__g").alias("group_b"),
+        F.col("__n").alias("n_b"),
+        F.col("__m").alias("__mb"),
+        F.col("__v").alias("__vb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    se = F.sqrt(
+        F.col("__va") / F.col("n_a") + F.col("__vb") / F.col("n_b")
+    )
+    z = (F.col("__ma") - F.col("__mb")) / se
+    ok = (
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & F.col("__va").isNotNull()
+        & F.col("__vb").isNotNull()
+        & (se > 0)
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("__ma") - F.col("__mb"), 6).alias("mean_diff"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok, F.round(z, 6) + 0.0).alias("z"),
+        F.when(ok, F.abs(z) > z_crit).alias("significant"),
+    ).orderBy("group_a", "group_b")
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    f_crit: float | None = None,
+) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test — the admission
+    check for every pooled-variance statistic in the suite: one-way
+    ANOVA on the absolute deviations from the per-group MEDIAN
+    (median, not mean, is what makes it robust to the heavy tails
+    hill_tail measures). F = MS_between / MS_within on z_ij =
+    |x_ij - med_j|.
+
+    The per-group median is one exact percentile aggregation; the
+    transformed values need a broadcast join back and ONE more
+    aggregation — raw rows are scanned twice, shuffled by group twice,
+    never sorted globally. ``f_crit`` is caller-pinned (e.g. 2.372 for
+    df1=4 at the 5% level with large df2); when omitted the verdict
+    column is NULL and only the statistic is reported. Returns one
+    row: (k, n, f_stat, df1, heteroscedastic); k < 2 or zero within-
+    group variation yields NULL f_stat.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__x")
+    )
+    med = base.groupBy("__g").agg(
+        F.expr("percentile(__x, 0.5)").alias("__med")
+    )
+    z = base.join(F.broadcast(med), "__g").select(
+        "__g", F.abs(F.col("__x") - F.col("__med")).alias("__z")
+    )
+    per = z.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__z").alias("__s"),
+        F.sum(F.col("__z") * F.col("__z")).alias("__q"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n").alias("n"),
+        F.sum("__s").alias("__ts"),
+        F.sum("__q").alias("__tq"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__sb"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("__sb") - F.col("__ts") * F.col("__ts") / nd
+    ssw = F.col("__tq") - F.col("__sb")
+    fstat = (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+    ok = (F.col("k") >= 2) & (nd > kd) & (ssw > 0)
+    crit = (
+        F.when(ok, fstat > float(f_crit))
+        if f_crit is not None
+        else F.lit(None).cast("boolean")
+    )
+    return tot.select(
+        "k",
+        "n",
+        F.when(ok, F.round(fstat, 6)).alias("f_stat"),
+        (F.col("k") - 1).alias("df1"),
+        crit.alias("heteroscedastic"),
+    )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    group: str | None = None,
+) -> DataFrame:
+    """First-order partial correlation r_xy.z — the confounder screen
+    the plain correlation matrix can't be: quantity and price can
+    correlate entirely THROUGH discount, and
+
+        r_xy.z = (r_xy - r_xz * r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2))
+
+    is the correlation left after z is held fixed. ONE aggregation of
+    the nine power sums over rows where all three are present; pure
+    arithmetic after. Returns (group?, n, r_xy, r_xz, r_yz, r_partial,
+    confounded); groups with n < 3, any zero-variance column, or a
+    degenerate denominator yield NULL r_partial. ``confounded`` flags
+    |r_xy| > 0.1 collapsing to |r_partial| <= 0.1 — a correlation that
+    was mostly the confounder.
+    """
+    gcols = [group] if group else []
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull() & z.isNotNull()
+    ).select(*gcols, x.alias("__x"), y.alias("__y"), z.alias("__z"))
+    agg = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__z").alias("__sz"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__z") * F.col("__z")).alias("__szz"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__z")).alias("__sxz"),
+        F.sum(F.col("__y") * F.col("__z")).alias("__syz"),
+    )
+    nd = F.col("n").cast("double")
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / nd
+    vz = F.col("__szz") - F.col("__sz") * F.col("__sz") / nd
+    cxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd
+    cxz = F.col("__sxz") - F.col("__sx") * F.col("__sz") / nd
+    cyz = F.col("__syz") - F.col("__sy") * F.col("__sz") / nd
+    rxy = F.try_divide(cxy, F.when(vx * vy > 0, F.sqrt(vx * vy)))
+    rxz = F.try_divide(cxz, F.when(vx * vz > 0, F.sqrt(vx * vz)))
+    ryz = F.try_divide(cyz, F.when(vy * vz > 0, F.sqrt(vy * vz)))
+    den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    rp = F.try_divide(rxy - rxz * ryz, F.when(den > 0, F.sqrt(den)))
+    ok = (F.col("n") >= 3) & rp.isNotNull()
+    return agg.select(
+        *gcols,
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.when(ok, F.round(rp, 6) + 0.0).alias("r_partial"),
+        F.when(ok, (F.abs(rxy) > 0.1) & (F.abs(rp) <= 0.1)).alias(
+            "confounded"
+        ),
+    )

@@ -762,3 +762,175 @@ def test_weibull_nonpositive_excluded(spark):
         spark.createDataFrame([Row(v=v) for v in vals]), "v"
     ).collect()[0]
     assert r["n"] == 4
+
+
+# ------------------------------------------------------------ pairwise_welch
+
+
+def test_pairwise_welch_hand_computed(spark):
+    # a: mean 0, var 1 over {-1,0,1}x4 (n=12); b: mean 5 same spread ->
+    # z = -5/sqrt(2*v/12); c tiny n for a third pair set.
+    from jsonschema_validator_spark.operators.stats import pairwise_welch
+
+    rows = (
+        [Row(g="a", v=float(x)) for x in [-1, 0, 1] * 4]
+        + [Row(g="b", v=float(x + 5)) for x in [-1, 0, 1] * 4]
+        + [Row(g="c", v=float(x)) for x in [0, 10]]
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in pairwise_welch(
+            spark.createDataFrame(rows), "v", "g", z_crit=2.807034
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    var = 8.0 / 11.0  # var_samp of {-1,0,1}x4
+    se = math.sqrt(2 * var / 12)
+    assert ab["mean_diff"] == pytest.approx(-5.0)
+    assert ab["se"] == pytest.approx(se, abs=1e-6)
+    assert ab["z"] == pytest.approx(-5.0 / se, abs=1e-4)
+    assert ab["significant"] is True
+    ac = out[("a", "c")]
+    assert ac["significant"] is False  # huge se from n=2 spread-10 side
+    assert len(out) == 3
+
+
+def test_pairwise_welch_zero_variance_side_null(spark):
+    # One group constant with n >= 2: var 0 but the OTHER side's
+    # variance keeps se > 0 -> still testable; both constant -> NULL.
+    from jsonschema_validator_spark.operators.stats import pairwise_welch
+
+    rows = [Row(g="a", v=3.0)] * 5 + [Row(g="b", v=4.0)] * 5
+    r = pairwise_welch(spark.createDataFrame(rows), "v", "g").collect()[0]
+    assert r["se"] is None and r["z"] is None and r["significant"] is None
+    assert r["mean_diff"] == pytest.approx(-1.0)
+
+
+# ------------------------------------------------------------ brown_forsythe
+
+
+def test_brown_forsythe_equal_spread_accepts(spark):
+    # Same shape in both groups (shifted): deviations from the medians
+    # are identical -> F ~ 0, no heteroscedasticity verdict.
+    from jsonschema_validator_spark.operators.stats import brown_forsythe
+
+    base = [-2.0, -1.0, 0.0, 1.0, 2.0] * 6
+    rows = [Row(g="a", v=x) for x in base] + [
+        Row(g="b", v=x + 100) for x in base
+    ]
+    r = brown_forsythe(
+        spark.createDataFrame(rows), "v", "g", f_crit=3.9
+    ).collect()[0]
+    assert r["k"] == 2 and r["n"] == 60
+    assert r["f_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r["heteroscedastic"] is False
+
+
+def test_brown_forsythe_tenfold_spread_rejects(spark):
+    from jsonschema_validator_spark.operators.stats import brown_forsythe
+
+    base = [-2.0, -1.0, 0.0, 1.0, 2.0] * 6
+    rows = [Row(g="a", v=x) for x in base] + [
+        Row(g="b", v=10 * x) for x in base
+    ]
+    r = brown_forsythe(
+        spark.createDataFrame(rows), "v", "g", f_crit=3.9
+    ).collect()[0]
+    assert r["f_stat"] > 3.9
+    assert r["heteroscedastic"] is True
+
+
+def test_brown_forsythe_no_crit_reports_stat_only(spark):
+    from jsonschema_validator_spark.operators.stats import brown_forsythe
+
+    rows = [Row(g="a", v=float(i)) for i in range(10)] + [
+        Row(g="b", v=float(3 * i)) for i in range(10)
+    ]
+    r = brown_forsythe(spark.createDataFrame(rows), "v", "g").collect()[0]
+    assert r["f_stat"] is not None
+    assert r["heteroscedastic"] is None
+
+
+# -------------------------------------------------------- partial_correlation
+
+
+def test_partial_correlation_pure_confounder(spark):
+    # x = z + tiny x-noise, y = z + tiny y-noise with orthogonal noise
+    # patterns: r_xy is almost 1 purely through z; holding z fixed the
+    # residual correlation collapses -> confounded flag fires.
+    from jsonschema_validator_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    rows = []
+    for i in range(60):
+        zv = float(i)
+        nx = 0.1 * ((i * 7) % 11 - 5)
+        ny = 0.1 * ((i * 5) % 13 - 6)
+        rows.append(Row(x=zv + nx, y=zv + ny, z=zv))
+    r = partial_correlation(
+        spark.createDataFrame(rows), "x", "y", "z"
+    ).collect()[0]
+    assert r["r_xy"] > 0.99
+    assert abs(r["r_partial"]) < 0.1
+    assert r["confounded"] is True
+
+
+def test_partial_correlation_direct_link_survives(spark):
+    # y = x + noise with z independent: partialling z out changes
+    # nothing, the correlation is real.
+    from jsonschema_validator_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    rows = [
+        Row(
+            x=float(i),
+            y=float(i) + 0.5 * ((i * 7) % 11 - 5),
+            z=float((i * 13) % 17),
+        )
+        for i in range(60)
+    ]
+    r = partial_correlation(
+        spark.createDataFrame(rows), "x", "y", "z"
+    ).collect()[0]
+    assert r["r_xy"] > 0.9
+    assert r["r_partial"] > 0.9
+    assert r["confounded"] is False
+
+
+def test_partial_correlation_replay_formula(spark):
+    # r_xy.z must equal the textbook recursion computed from the three
+    # plain correlations the operator itself reports.
+    from jsonschema_validator_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    rows = [
+        Row(
+            x=float((i * 3) % 7),
+            y=float((i * 5) % 11),
+            z=float((i * 2) % 5),
+        )
+        for i in range(50)
+    ]
+    r = partial_correlation(
+        spark.createDataFrame(rows), "x", "y", "z"
+    ).collect()[0]
+    expect = (r["r_xy"] - r["r_xz"] * r["r_yz"]) / math.sqrt(
+        (1 - r["r_xz"] ** 2) * (1 - r["r_yz"] ** 2)
+    )
+    assert r["r_partial"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_partial_correlation_constant_z_null(spark):
+    # Constant confounder: r_xz undefined -> partial undefined, NULL.
+    from jsonschema_validator_spark.operators.stats import (
+        partial_correlation,
+    )
+
+    rows = [Row(x=float(i), y=float(2 * i), z=7.0) for i in range(20)]
+    r = partial_correlation(
+        spark.createDataFrame(rows), "x", "y", "z"
+    ).collect()[0]
+    assert r["r_partial"] is None and r["confounded"] is None
