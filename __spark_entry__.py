@@ -12371,6 +12371,76 @@ FROM p ORDER BY l_returnflag
 """
 
 
+def q_quantile_shift_events(spark, sf_dir):
+    """Quantile shift function Delta(q) = Q_error(q) - Q_click(q) at
+    the deciles (operators/drift.quantile_shift) — the WHERE answer to
+    the KS/PSI screens' WHETHER: "the median moved 2 but the p90 moved
+    40" reads directly off it. Exact interpolated percentiles per
+    sample, then an O(probs) explode — raw rows are never joined.
+    Oracle replays with list-quantile_cont."""
+    from jsonschema_validator_spark.operators.drift import quantile_shift
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_shift(ev, "value", "event_type", "click", "error")
+
+
+_ORACLE_QUANTILE_SHIFT = """
+WITH s AS (
+  SELECT event_type AS s, value::DOUBLE AS v FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'error')),
+agg AS (
+  SELECT
+    quantile_cont(CASE WHEN s = 'click' THEN v END,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qa,
+    quantile_cont(CASE WHEN s = 'error' THEN v END,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb
+  FROM s),
+g AS (
+  SELECT qs.q AS q, agg.qa[qs.i] AS a, agg.qb[qs.i] AS b
+  FROM agg, (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS i,
+                    unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                            0.6, 0.7, 0.8, 0.9]) AS q) qs)
+SELECT q, round(a, 6) AS q_a, round(b, 6) AS q_b,
+  round(b - a, 6) AS shift,
+  CASE WHEN abs(a) > 1e-12 THEN round((b - a) / abs(a), 6) + 0.0 END
+    AS rel_shift
+FROM g ORDER BY q
+"""
+
+
+def q_ess_weights_documents(spark, sf_dir):
+    """Kish effective sample size of cubic length-mixing weights per
+    source (operators/sampling.weight_diagnostics) — the pre-flight
+    for every weighted estimate: a slice with a million rows but
+    ESS = 40 is secretly a 40-row estimate, and max_share names the
+    document that owns it. ONE aggregation over a derived weight
+    expression (no materialization). Oracle replays the Kish algebra."""
+    from jsonschema_validator_spark.operators.sampling import (
+        weight_diagnostics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.pow(F.col("n_chars").cast("double"), 3.0)
+    return weight_diagnostics(docs, w, group="source").orderBy("source")
+
+
+_ORACLE_ESS_WEIGHTS = """
+WITH base AS (
+  SELECT source, pow(n_chars::DOUBLE, 3.0) AS w FROM documents
+  WHERE n_chars IS NOT NULL AND pow(n_chars::DOUBLE, 3.0) > 0),
+a AS (
+  SELECT source, count(*)::BIGINT AS n, sum(w) AS s, sum(w * w) AS q,
+         max(w) AS mx
+  FROM base GROUP BY 1)
+SELECT source, n,
+  round(s * s / q, 6) AS ess,
+  round(s * s / q / n, 6) AS ess_ratio,
+  round(mx / s, 6) AS max_share,
+  s * s / q / n < 0.1 AS degenerate
+FROM a ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12638,6 +12708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_welch_events": q_pairwise_welch_events,
         "brown_forsythe_events": q_brown_forsythe_events,
         "partial_corr_lineitem": q_partial_corr_lineitem,
+        "quantile_shift_events": q_quantile_shift_events,
+        "ess_weights_documents": q_ess_weights_documents,
     }
 
 
@@ -12900,4 +12972,6 @@ def oracle_sql() -> dict[str, str]:
         "pairwise_welch_events": _ORACLE_PAIRWISE_WELCH,
         "brown_forsythe_events": _ORACLE_BROWN_FORSYTHE,
         "partial_corr_lineitem": _ORACLE_PARTIAL_CORR,
+        "quantile_shift_events": _ORACLE_QUANTILE_SHIFT,
+        "ess_weights_documents": _ORACLE_ESS_WEIGHTS,
     }

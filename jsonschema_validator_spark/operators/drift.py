@@ -872,3 +872,55 @@ def histogram_distances(
         F.when(ok, F.round(0.5 * F.col("__tvd2"), 6)).alias("tvd"),
         F.when(ok, F.round(bc, 6)).alias("bhattacharyya"),
     )
+
+
+def quantile_shift(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    a,
+    b,
+    probs: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Quantile shift function Delta(q) = Q_b(q) - Q_a(q) at the given
+    probabilities — the WHERE answer to the drift screens' WHETHER: a
+    KS rejection says the distributions differ, the shift function
+    says "the median moved 2 points but the p90 moved 40" — tail
+    inflation, median drift and floor effects all read directly off
+    it. Exact interpolated percentiles (one sort-based aggregation per
+    sample over the filtered scan), then an explode of the O(probs)
+    result — raw rows are never joined. Returns one row per
+    probability: (q, q_a, q_b, shift, rel_shift); an empty side yields
+    NULLs, a zero baseline quantile yields NULL rel_shift.
+    """
+    v = F.col(value_col).cast("double")
+    sel = df.filter(v.isNotNull() & F.col(sample_col).isin([a, b])).select(
+        F.col(sample_col).cast("string").alias("__s"), v.alias("__v")
+    )
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    per = sel.groupBy("__s").agg(
+        F.percentile("__v", parr).alias("__qs")
+    )
+    sa, sb = str(a), str(b)
+    ex = per.select(
+        "__s", F.posexplode("__qs").alias("__i", "__q")
+    )
+    piv = ex.groupBy("__i").agg(
+        F.sum(F.when(F.col("__s") == sa, F.col("__q"))).alias("q_a"),
+        F.sum(F.when(F.col("__s") == sb, F.col("__q"))).alias("q_b"),
+    )
+    qlit = F.array(*[F.lit(float(p)) for p in probs])
+    shift = F.col("q_b") - F.col("q_a")
+    return (
+        piv.select(
+            F.element_at(qlit, F.col("__i") + 1).alias("q"),
+            F.round("q_a", 6).alias("q_a"),
+            F.round("q_b", 6).alias("q_b"),
+            F.round(shift, 6).alias("shift"),
+            F.when(
+                F.abs(F.col("q_a")) > 1e-12,
+                F.round(shift / F.abs(F.col("q_a")), 6) + 0.0,
+            ).alias("rel_shift"),
+        )
+        .orderBy("q")
+    )

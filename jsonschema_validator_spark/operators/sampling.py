@@ -425,3 +425,50 @@ def weighted_panel(
         .withColumn("draw_score", F.round("__raw", 6))
         .drop("__raw")
     )
+
+
+def weight_diagnostics(
+    df: DataFrame,
+    weight_col,
+    group: str | None = None,
+) -> DataFrame:
+    """Effective sample size and concentration of an importance /
+    mixing weight column — the pre-flight for every weighted estimate
+    in the suite (temperature sampling, source mixing, weighted
+    panels): a slice with n = 10^6 rows but ESS = 40 is secretly a
+    40-row estimate, and
+
+        ess = (sum w)^2 / sum w^2        (Kish)
+        max_share = max w / sum w
+
+    say exactly how degenerate the weighting is. ONE aggregation;
+    ``weight_col`` may be a name or a Column expression, so derived
+    weights (temperature powers, inverse propensities) need no
+    materialization. Returns (group?, n, ess, ess_ratio, max_share,
+    degenerate) with degenerate = ess_ratio < 0.1; nonpositive and
+    NULL weights are excluded (they are not draws), and an all-excluded
+    group yields no row.
+    """
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    gcols = [group] if group else []
+    base = df.filter(w.isNotNull() & (w > 0)).select(
+        *gcols, w.alias("__w")
+    )
+    agg = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__w").alias("__s"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__q"),
+        F.max("__w").alias("__mx"),
+    )
+    ess = F.col("__s") * F.col("__s") / F.col("__q")
+    ratio = ess / F.col("n").cast("double")
+    return agg.select(
+        *gcols,
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(ratio, 6).alias("ess_ratio"),
+        F.round(F.col("__mx") / F.col("__s"), 6).alias("max_share"),
+        (ratio < 0.1).alias("degenerate"),
+    )

@@ -934,3 +934,115 @@ def test_partial_correlation_constant_z_null(spark):
         spark.createDataFrame(rows), "x", "y", "z"
     ).collect()[0]
     assert r["r_partial"] is None and r["confounded"] is None
+
+
+# ------------------------------------------------------------ quantile_shift
+
+
+def test_quantile_shift_pure_location(spark):
+    # b = a + 10 elementwise: every decile shifts by exactly 10.
+    from jsonschema_validator_spark.operators.drift import quantile_shift
+
+    avals = [float(i) for i in range(100)]
+    rows = [Row(s="a", v=v) for v in avals] + [
+        Row(s="b", v=v + 10) for v in avals
+    ]
+    out = quantile_shift(
+        spark.createDataFrame(rows), "v", "s", "a", "b"
+    ).collect()
+    assert len(out) == 9
+    assert all(r["shift"] == pytest.approx(10.0, abs=1e-9) for r in out)
+    assert [r["q"] for r in out] == pytest.approx(
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    )
+
+
+def test_quantile_shift_tail_only_inflation(spark):
+    # b doubles only above its p80: low deciles stay put, the p90
+    # shift dwarfs the median shift — the exact pattern KS can detect
+    # but never localize.
+    from jsonschema_validator_spark.operators.drift import quantile_shift
+
+    avals = [float(i) for i in range(100)]
+    bvals = [v if v < 80 else v * 2 for v in avals]
+    rows = [Row(s="a", v=v) for v in avals] + [
+        Row(s="b", v=v) for v in bvals
+    ]
+    out = {
+        round(r["q"], 1): r
+        for r in quantile_shift(
+            spark.createDataFrame(rows), "v", "s", "a", "b"
+        ).collect()
+    }
+    assert out[0.5]["shift"] == pytest.approx(0.0, abs=1e-9)
+    assert out[0.9]["shift"] > 50
+    assert out[0.9]["rel_shift"] > 0.5
+
+
+def test_quantile_shift_missing_side_nulls(spark):
+    from jsonschema_validator_spark.operators.drift import quantile_shift
+
+    rows = [Row(s="a", v=float(i)) for i in range(10)]
+    out = quantile_shift(
+        spark.createDataFrame(rows), "v", "s", "a", "b"
+    ).collect()
+    assert all(r["q_b"] is None and r["shift"] is None for r in out)
+
+
+# --------------------------------------------------------- weight_diagnostics
+
+
+def test_weight_diagnostics_uniform_weights_full_ess(spark):
+    # Equal weights: ESS = n exactly, max_share = 1/n, not degenerate.
+    from jsonschema_validator_spark.operators.sampling import (
+        weight_diagnostics,
+    )
+
+    df = spark.createDataFrame([Row(w=2.5) for _ in range(50)])
+    r = weight_diagnostics(df, "w").collect()[0]
+    assert r["n"] == 50
+    assert r["ess"] == pytest.approx(50.0)
+    assert r["ess_ratio"] == pytest.approx(1.0)
+    assert r["max_share"] == pytest.approx(0.02)
+    assert r["degenerate"] is False
+
+
+def test_weight_diagnostics_one_dominant_weight(spark):
+    # One weight of 1000 among 99 ones: ESS collapses toward 1 and the
+    # dominant row owns ~91% of the mass -> degenerate.
+    from jsonschema_validator_spark.operators.sampling import (
+        weight_diagnostics,
+    )
+
+    rows = [Row(w=1.0)] * 99 + [Row(w=1000.0)]
+    r = weight_diagnostics(spark.createDataFrame(rows), "w").collect()[0]
+    expect_ess = (99 + 1000.0) ** 2 / (99 + 1000.0**2)
+    assert r["ess"] == pytest.approx(expect_ess, abs=1e-4)
+    assert r["degenerate"] is True
+    assert r["max_share"] == pytest.approx(1000.0 / 1099.0, abs=1e-6)
+
+
+def test_weight_diagnostics_nonpositive_excluded(spark):
+    from jsonschema_validator_spark.operators.sampling import (
+        weight_diagnostics,
+    )
+
+    rows = [Row(w=1.0)] * 10 + [Row(w=0.0), Row(w=-3.0), Row(w=None)]
+    r = weight_diagnostics(spark.createDataFrame(rows), "w").collect()[0]
+    assert r["n"] == 10
+    assert r["ess"] == pytest.approx(10.0)
+
+
+def test_weight_diagnostics_column_expression(spark):
+    # Derived weights (a temperature power) without materialization.
+    from jsonschema_validator_spark.operators.sampling import (
+        weight_diagnostics,
+    )
+
+    df = spark.createDataFrame([Row(g="s", c=float(i + 1)) for i in range(20)])
+    r = weight_diagnostics(
+        df, F.pow(F.col("c"), 2.0), group="g"
+    ).collect()[0]
+    s = sum((i + 1) ** 2 for i in range(20))
+    q = sum((i + 1) ** 4 for i in range(20))
+    assert r["ess"] == pytest.approx(s * s / q, abs=1e-4)
