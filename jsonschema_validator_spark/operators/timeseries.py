@@ -1129,9 +1129,12 @@ def seasonal_strength(
 
     (population variances, Hyndman & Athanasopoulos FPP3 ch. 4.)
 
-    The raw table reduces once to the O(groups x days) daily relation;
-    the OLS fit and weekday means are aggregations over it with
-    broadcast joins back — no window touches raw rows. Returns
+    The raw table reduces once to the O(groups x days) daily relation,
+    which is localCheckpoint-ed eagerly — the decomposition reuses it
+    in three branches (fit, detrend join, weekday means) and without
+    truncation each branch re-derives it from the raw scan; the OLS
+    fit and weekday means are aggregations over it with broadcast
+    joins back — no window touches raw rows. Returns
     (group?, n_days, var_remainder, trend_strength,
     seasonal_strength); groups with < 14 days (two weekday cycles) or
     a zero-variance series yield NULL strengths.
@@ -1152,6 +1155,7 @@ def seasonal_strength(
             (F.dayofweek("__d") - 1).alias("__wd"),
             "__y",
         )
+        .localCheckpoint(eager=True)
     )
     fit = daily.groupBy(*gkey).agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -1309,7 +1313,12 @@ def cochrane_orcutt(
 
     Two fits, both from power-sum aggregations over the O(days)
     reduced series; residuals and quasi-differences via one broadcast
-    join back and one lag window ordered by (x, y). Returns (group?,
+    join back and one lag window ordered by (x, y). The reduced (x, y)
+    relation is localCheckpoint-ed eagerly: the plan is a diamond
+    (fit, residuals, rho, refit all reuse it) and without truncation
+    Catalyst re-derives it from the RAW input once per branch — six
+    raw scans at 100 TB for a relation that fits in one partition.
+    Returns (group?,
     n, slope_ols, rho, slope_corrected, slope_shift); groups with
     n < 4, zero x-variance, or zero lagged-residual energy yield NULL
     corrected slope. slope_shift = corrected - ols, the size of the
@@ -1320,7 +1329,7 @@ def cochrane_orcutt(
         *gcols,
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
-    )
+    ).localCheckpoint(eager=True)
     fit = xy.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__x").alias("__sx"),
@@ -1359,7 +1368,7 @@ def cochrane_orcutt(
         F.lag(e).over(w).alias("__ep"),
         F.lag("__x").over(w).alias("__xp"),
         F.lag("__y").over(w).alias("__yp"),
-    )
+    ).localCheckpoint(eager=True)
     rho_agg = res.groupBy(*gcols).agg(
         F.first("n").alias("n"),
         F.first("__b").alias("__b"),
