@@ -12441,6 +12441,46 @@ FROM a ORDER BY source
 """
 
 
+def q_streaming_mmd_embeddings(spark, sf_dir):
+    """Streaming ingest path of the polynomial-kernel MMD
+    (streaming/validate.stream_moment_partials): micro-batches append
+    additive (s, i, j, v) embedding-moment partials — the same Arrow
+    outer-product kernel as the batch path — through the batch_id-
+    partitioned exactly-once sink; assembling the summed sink with
+    mmd_from_partials must reproduce the one-shot batch MMD exactly,
+    which is why this query shares the BATCH oracle. Zero unbounded
+    streaming state: the sink is the state."""
+    import tempfile
+
+    from jsonschema_validator_spark.operators.similarity import (
+        mmd_from_partials,
+    )
+    from jsonschema_validator_spark.streaming.validate import (
+        stream_moment_partials,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="stream_mmd_")
+    src_dir = f"{root}/in"
+    emb.repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    out_dir = f"{root}/out"
+    q = stream_moment_partials(
+        spark,
+        src_dir,
+        schema,
+        out_dir,
+        "embedding",
+        lambda df: F.when(F.col("label") < 5, "a").otherwise("b"),
+        "a",
+        "b",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(f"{out_dir}/moment_partials")
+    return mmd_from_partials(sink, "a", "b", c=1.0)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12710,6 +12750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_corr_lineitem": q_partial_corr_lineitem,
         "quantile_shift_events": q_quantile_shift_events,
         "ess_weights_documents": q_ess_weights_documents,
+        "streaming_mmd_embeddings": q_streaming_mmd_embeddings,
     }
 
 
@@ -12974,4 +13015,7 @@ def oracle_sql() -> dict[str, str]:
         "partial_corr_lineitem": _ORACLE_PARTIAL_CORR,
         "quantile_shift_events": _ORACLE_QUANTILE_SHIFT,
         "ess_weights_documents": _ORACLE_ESS_WEIGHTS,
+        # the streaming twin must equal the one-shot batch MMD exactly,
+        # so it shares the batch oracle verbatim
+        "streaming_mmd_embeddings": _ORACLE_MMD,
     }

@@ -898,35 +898,58 @@ def poly_mmd(
     up to summation order. Returns one row: (n_a, n_b, mmd2_linear,
     mmd2_quadratic, mmd2); an empty side yields NULLs.
     """
+    parts = moment_partials(df, vec_col, sample_col, a, b)
+    return mmd_from_partials(parts, a, b, c)
+
+
+def _moment_partial_gen(batches):
+    """Arrow-batch kernel shared by the batch and streaming MMD paths:
+    per batch and sample, the d x d outer-product partial V^T V, the
+    mean-vector partial (j = -1) and the row count (i = j = -1)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ss, ii, jj, vv = [], [], [], []
+        for s, grp in pdf.groupby("__s"):
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in grp["__v"]]
+            )
+            d = V.shape[1]
+            M = V.T @ V
+            mu = V.sum(axis=0)
+            gi, gj = np.indices((d, d))
+            ss += [s] * (d * d + d + 1)
+            ii += [*gi.ravel().tolist(), *range(d), -1]
+            jj += [*gj.ravel().tolist(), *([-1] * d), -1]
+            vv += [*M.ravel().tolist(), *mu.tolist(), float(len(grp))]
+        yield pd.DataFrame({"s": ss, "i": ii, "j": jj, "v": vv})
+
+
+def moment_partials(
+    df: DataFrame, vec_col: str, sample_col: str, a, b
+) -> DataFrame:
+    """The additive (s, i, j, v) moment-partial relation behind
+    poly_mmd — exposed separately because it is MERGEABLE: partials
+    from any row partitioning (or any sequence of streaming
+    micro-batches) sum to the same moments, so batch and incremental
+    MMD share one assembly and one oracle."""
     sel = df.filter(
         F.col(vec_col).isNotNull() & F.col(sample_col).isin([a, b])
     ).select(
         F.col(sample_col).cast("string").alias("__s"),
         F.col(vec_col).alias("__v"),
     )
+    return sel.mapInPandas(
+        _moment_partial_gen, "s string, i int, j int, v double"
+    )
+
+
+def mmd_from_partials(parts: DataFrame, a, b, c: float = 1.0) -> DataFrame:
+    """Assemble the poly_mmd result row from a (s, i, j, v) partial
+    relation (fresh from moment_partials or re-read from a streaming
+    sink — extra columns like batch_id are ignored)."""
     sa, sb = str(a), str(b)
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            ss, ii, jj, vv = [], [], [], []
-            for s, grp in pdf.groupby("__s"):
-                V = np.stack(
-                    [np.asarray(x, dtype=np.float64) for x in grp["__v"]]
-                )
-                d = V.shape[1]
-                M = V.T @ V
-                mu = V.sum(axis=0)
-                gi, gj = np.indices((d, d))
-                ss += [s] * (d * d + d + 1)
-                ii += [*gi.ravel().tolist(), *range(d), -1]
-                jj += [*gj.ravel().tolist(), *([-1] * d), -1]
-                vv += [*M.ravel().tolist(), *mu.tolist(), float(len(grp))]
-            yield pd.DataFrame({"s": ss, "i": ii, "j": jj, "v": vv})
-
-    parts = sel.mapInPandas(gen, "s string, i int, j int, v double")
     sums = parts.groupBy("s", "i", "j").agg(F.sum("v").alias("v"))
     ns = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         "s", F.col("v").alias("__n")

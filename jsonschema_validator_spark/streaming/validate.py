@@ -412,3 +412,65 @@ def stream_histogram_counts(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_moment_partials(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    output_dir: str,
+    vec_col: str,
+    sample_expr,
+    a,
+    b,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of similarity.moment_partials: every micro-batch
+    appends its additive (s, i, j, v) embedding-moment partials —
+    outer-product, mean-vector and count rows from the same Arrow
+    kernel as the batch path — keyed by batch_id through the
+    exactly-once dynamic-overwrite sink. Because the partials are
+    commutative sums, assembling the sink with
+    similarity.mmd_from_partials reproduces the one-shot batch MMD
+    over everything streamed so far — at ANY point, not just stream
+    end, with zero unbounded streaming state (the sink IS the state,
+    idempotent under micro-batch replay).
+
+    ``sample_expr`` maps a batch DataFrame to the two-sample label
+    Column (e.g. a label threshold or an ingest-generation tag).
+    Returns the StreamingQuery.
+    """
+    from jsonschema_validator_spark.operators.similarity import (
+        moment_partials,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parts = moment_partials(
+            batch_df.withColumn("__sample", sample_expr(batch_df)),
+            vec_col,
+            "__sample",
+            a,
+            b,
+        ).withColumn("batch_id", F.lit(batch_id))
+        (
+            parts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/moment_partials")
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1046,3 +1046,28 @@ def test_weight_diagnostics_column_expression(spark):
     s = sum((i + 1) ** 2 for i in range(20))
     q = sum((i + 1) ** 4 for i in range(20))
     assert r["ess"] == pytest.approx(s * s / q, abs=1e-4)
+
+
+def test_moment_partials_mergeable_across_splits(spark):
+    # Partials computed on two disjoint halves, unioned, must assemble
+    # to the identical MMD row as the one-shot batch — the property
+    # the streaming sink relies on.
+    from jsonschema_validator_spark.operators.similarity import (
+        mmd_from_partials,
+        moment_partials,
+        poly_mmd,
+    )
+
+    rows = [
+        Row(s="a" if i % 2 == 0 else "b", v=[float((i * 3) % 7), float((i * 5) % 11)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    whole = poly_mmd(df, "v", "s", "a", "b").collect()[0]
+    h1 = df.limit(20)
+    h2 = df.subtract(h1)
+    parts = moment_partials(h1, "v", "s", "a", "b").unionByName(
+        moment_partials(h2, "v", "s", "a", "b")
+    )
+    merged = mmd_from_partials(parts, "a", "b").collect()[0]
+    assert merged.asDict() == whole.asDict()
