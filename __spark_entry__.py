@@ -12481,6 +12481,96 @@ def q_streaming_mmd_embeddings(spark, sf_dir):
     return mmd_from_partials(sink, "a", "b", c=1.0)
 
 
+def q_count_model_events(spark, sf_dir):
+    """Count-model screen of daily volumes per event_type
+    (operators/anomaly.count_model_screen) — the quantification beside
+    the overdispersion flag: method-of-moments negative-binomial
+    (r, p) a capacity planner can simulate from, plus the
+    zero-inflation check over a COMPLETE day spine — days with no rows
+    at all (the exact days an outage produces) are materialized as
+    zeros, not silently absent. Oracle replays the spine and the
+    moment algebra."""
+    from jsonschema_validator_spark.operators.anomaly import (
+        count_model_screen,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return count_model_screen(ev, "ts", group="event_type").orderBy(
+        "event_type"
+    )
+
+
+_ORACLE_COUNT_MODEL = """
+WITH daily AS (
+  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+span AS (SELECT g, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT g, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM span),
+f AS (
+  SELECT spine.g, coalesce(daily.c, 0)::DOUBLE AS c
+  FROM spine LEFT JOIN daily USING (g, d)),
+a AS (
+  SELECT g, count(*)::BIGINT AS n_days,
+         sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_days,
+         avg(c) AS m, var_pop(c) AS v
+  FROM f GROUP BY 1)
+SELECT g AS event_type, n_days, zero_days,
+  round(m, 6) AS mean_count, round(v, 6) AS var_count,
+  CASE WHEN m > 0 THEN round(v / m, 6) END AS dispersion,
+  CASE WHEN v > m AND m > 0 THEN round(m * m / (v - m), 6) END AS nb_r,
+  CASE WHEN v > m AND m > 0 THEN round(m / v, 6) END AS nb_p,
+  round(zero_days::DOUBLE / n_days, 6) AS zero_observed,
+  round(exp(-m), 6) AS zero_expected,
+  zero_days::DOUBLE / n_days > exp(-m) + 0.05 AS zero_excess_flag
+FROM a ORDER BY event_type
+"""
+
+
+def q_turn_latency_sla_events(spark, sf_dir):
+    """Per-(prev_role, role) response-latency SLA report
+    (operators/conversation.turn_latency_sla) at a one-day SLA — the
+    percentile sibling of turn_gap_stats: the mean hides the p95 an
+    SLA is written against, and breach_rate is the contract number.
+    Exact integer-microsecond gaps from the user-keyed lag window,
+    exact interpolated p50/p95 per edge. Oracle replays gaps and
+    percentiles."""
+    from jsonschema_validator_spark.operators.conversation import (
+        turn_latency_sla,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return turn_latency_sla(
+        ev,
+        group="user_id",
+        order="event_id",
+        role="event_type",
+        ts="ts",
+        sla_s=86400.0,
+    )
+
+
+_ORACLE_TURN_LATENCY_SLA = """
+WITH pre AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+gaps AS (
+  SELECT lag(event_type) OVER w AS prev_role, event_type AS role,
+         (us - lag(us) OVER w) / 1000000.0 AS g
+  FROM pre WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+f AS (SELECT prev_role, role, g FROM gaps
+      WHERE g IS NOT NULL AND prev_role IS NOT NULL),
+a AS (
+  SELECT prev_role, role, count(*)::BIGINT AS n,
+         quantile_cont(g, 0.5) AS p50, quantile_cont(g, 0.95) AS p95,
+         avg(CASE WHEN g > 86400.0 THEN 1.0 ELSE 0.0 END) AS br
+  FROM f GROUP BY 1, 2)
+SELECT prev_role, role, n, round(p50, 6) AS p50_s, round(p95, 6) AS p95_s,
+  round(br, 6) AS breach_rate, p95 > 86400.0 AS sla_breached
+FROM a ORDER BY prev_role, role
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12751,6 +12841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_shift_events": q_quantile_shift_events,
         "ess_weights_documents": q_ess_weights_documents,
         "streaming_mmd_embeddings": q_streaming_mmd_embeddings,
+        "count_model_events": q_count_model_events,
+        "turn_latency_sla_events": q_turn_latency_sla_events,
     }
 
 
@@ -13018,4 +13110,6 @@ def oracle_sql() -> dict[str, str]:
         # the streaming twin must equal the one-shot batch MMD exactly,
         # so it shares the batch oracle verbatim
         "streaming_mmd_embeddings": _ORACLE_MMD,
+        "count_model_events": _ORACLE_COUNT_MODEL,
+        "turn_latency_sla_events": _ORACLE_TURN_LATENCY_SLA,
     }

@@ -462,3 +462,71 @@ def hill_tail(
         F.when(alpha_ok, F.round(1.0 / gamma, 6)).alias("tail_alpha"),
         F.when(alpha_ok, (1.0 / gamma) < 2.0).alias("infinite_variance"),
     )
+
+
+def count_model_screen(
+    df: DataFrame,
+    ts_col: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Count-model screen for daily volumes: method-of-moments
+    negative-binomial fit plus a zero-inflation check — the
+    QUANTIFICATION beside poisson_dispersion's flag: "overdispersed"
+    becomes (r, p) a capacity planner can simulate from, and the
+    zero-day comparison (observed share of zero-volume days vs the
+    Poisson-expected e^-lambda) catches silent-outage days that a
+    mean-based screen averages away. Crucially the day spine is
+    COMPLETE: days with no rows at all — the exact days an outage
+    produces — are materialized via a per-group min..max date sequence
+    and counted as zeros, not silently absent.
+
+        m = mean, v = var_pop over the completed spine
+        dispersion = v/m;  NB: p = m/v, r = m^2/(v - m)  (only if v > m)
+        zero_expected = e^-m,  zero_excess = observed - expected
+
+    One reduction to (group, day, count), one tiny per-group spine
+    explode (O(days)), one moment aggregation. Returns (group?,
+    n_days, zero_days, mean_count, var_count, dispersion, nb_r, nb_p,
+    zero_observed, zero_expected, zero_excess_flag); v <= m yields
+    NULL NB parameters (equidispersed or under — NB degenerates).
+    zero_excess_flag fires when observed > expected + 0.05.
+    """
+    gcols = [group] if group else []
+    d = F.to_date(F.col(ts_col))
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, d.alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    span = daily.groupBy(*gcols).agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    spine = span.select(
+        *gcols, F.explode(F.sequence("__lo", "__hi")).alias("__d")
+    )
+    full = spine.join(daily, [*gcols, "__d"], "left").select(
+        *gcols, F.coalesce(F.col("__c"), F.lit(0)).cast("double").alias("__c")
+    )
+    agg = full.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((F.col("__c") == 0).cast("long")).alias("zero_days"),
+        F.avg("__c").alias("__m"),
+        F.var_pop("__c").alias("__v"),
+    )
+    m, v = F.col("__m"), F.col("__v")
+    nb_ok = (v > m) & (m > 0)
+    zo = F.col("zero_days").cast("double") / F.col("n_days")
+    ze = F.exp(-m)
+    return agg.select(
+        *gcols,
+        "n_days",
+        "zero_days",
+        F.round(m, 6).alias("mean_count"),
+        F.round(v, 6).alias("var_count"),
+        F.when(m > 0, F.round(v / m, 6)).alias("dispersion"),
+        F.when(nb_ok, F.round(m * m / (v - m), 6)).alias("nb_r"),
+        F.when(nb_ok, F.round(m / v, 6)).alias("nb_p"),
+        F.round(zo, 6).alias("zero_observed"),
+        F.round(ze, 6).alias("zero_expected"),
+        (zo > ze + 0.05).alias("zero_excess_flag"),
+    )

@@ -796,3 +796,54 @@ def markov_surprisal(
             F.round(F.max(-F.log2("__p")), 6).alias("max_surprisal"),
         )
     )
+
+
+def turn_latency_sla(
+    df: DataFrame,
+    group: str,
+    order: str,
+    role: str,
+    ts: str,
+    sla_s: float = 60.0,
+) -> DataFrame:
+    """Per-(prev_role, role) response-latency SLA report — the
+    percentile sibling of turn_gap_stats' mean/max: a mean hides the
+    p95 an SLA is written against, and the breach fraction is the
+    contract number. Gaps in exact integer microseconds from the
+    group-keyed lag window (fine key, no skew), then per-edge exact
+    interpolated p50/p95 and the share of gaps above ``sla_s``.
+    Returns (prev_role, role, n, p50_s, p95_s, breach_rate,
+    sla_breached) ordered by edge; sla_breached fires when the p95
+    itself exceeds the SLA (the contract is usually written on p95,
+    not on the breach count).
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = Window.partitionBy(group).orderBy(order)
+    gaps = (
+        df.select(
+            F.col(role).alias("role"),
+            F.lag(F.col(role)).over(w).alias("prev_role"),
+            (us - F.lag(us).over(w)).alias("__gap_us"),
+        )
+        .filter(
+            F.col("__gap_us").isNotNull() & F.col("prev_role").isNotNull()
+        )
+        .select(
+            "prev_role", "role", (F.col("__gap_us") / 1000000.0).alias("__g")
+        )
+    )
+    agg = gaps.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(__g, 0.5)").alias("__p50"),
+        F.expr("percentile(__g, 0.95)").alias("__p95"),
+        F.avg((F.col("__g") > sla_s).cast("double")).alias("__br"),
+    )
+    return agg.select(
+        "prev_role",
+        "role",
+        "n",
+        F.round("__p50", 6).alias("p50_s"),
+        F.round("__p95", 6).alias("p95_s"),
+        F.round("__br", 6).alias("breach_rate"),
+        (F.col("__p95") > sla_s).alias("sla_breached"),
+    ).orderBy("prev_role", "role")

@@ -1071,3 +1071,125 @@ def test_moment_partials_mergeable_across_splits(spark):
     )
     merged = mmd_from_partials(parts, "a", "b").collect()[0]
     assert merged.asDict() == whole.asDict()
+
+
+# --------------------------------------------------------- count_model_screen
+
+
+def test_count_model_materializes_missing_days_as_zero(spark):
+    # Rows on days 1, 2 and 5 only: the spine must complete days 3-4
+    # as zeros (n_days = 5, zero_days = 2) — absent days are the
+    # outage, not a gap in the report.
+    from jsonschema_validator_spark.operators.anomaly import (
+        count_model_screen,
+    )
+
+    rows = []
+    for day, cnt in [(1, 3), (2, 1), (5, 2)]:
+        rows += [
+            Row(ts=datetime.datetime(2024, 1, day, 10, 0, 0))
+            for _ in range(cnt)
+        ]
+    r = count_model_screen(spark.createDataFrame(rows), "ts").collect()[0]
+    assert r["n_days"] == 5
+    assert r["zero_days"] == 2
+    assert r["mean_count"] == pytest.approx(6 / 5)
+    assert r["zero_observed"] == pytest.approx(0.4)
+    # Poisson at lambda=1.2 expects e^-1.2 ~ 0.301 zeros; 0.4 exceeds
+    # it by ~0.1 -> flag fires.
+    assert r["zero_excess_flag"] is True
+
+
+def test_count_model_nb_fit_overdispersed(spark):
+    # Counts [0, 0, 12, 0, 0, 12, ...]: heavily overdispersed -> the
+    # NB moment fit exists and matches the closed form.
+    from jsonschema_validator_spark.operators.anomaly import (
+        count_model_screen,
+    )
+
+    rows = []
+    for day in range(1, 11):
+        cnt = 12 if day % 3 == 0 else 0
+        rows += [
+            Row(ts=datetime.datetime(2024, 2, day, 9, 0, 0))
+            for _ in range(cnt)
+        ]
+    r = count_model_screen(spark.createDataFrame(rows), "ts").collect()[0]
+    m = r["mean_count"]
+    v = r["var_count"]
+    assert v > m
+    assert r["nb_r"] == pytest.approx(m * m / (v - m), abs=1e-4)
+    assert r["nb_p"] == pytest.approx(m / v, abs=1e-6)
+    assert r["dispersion"] > 2
+
+
+def test_count_model_equidispersed_nb_null(spark):
+    # Constant daily count: variance 0 < mean -> NB fit withheld.
+    from jsonschema_validator_spark.operators.anomaly import (
+        count_model_screen,
+    )
+
+    rows = [
+        Row(ts=datetime.datetime(2024, 3, day, 12, 0, 0))
+        for day in range(1, 8)
+        for _ in range(4)
+    ]
+    r = count_model_screen(spark.createDataFrame(rows), "ts").collect()[0]
+    assert r["var_count"] == 0.0
+    assert r["nb_r"] is None and r["nb_p"] is None
+    assert r["zero_excess_flag"] is False
+
+
+# ---------------------------------------------------------- turn_latency_sla
+
+
+def test_turn_latency_sla_hand_computed(spark):
+    # One conversation, gaps 10s / 10s / 100s on the same (a -> b)
+    # edge... construct: roles a,b,a,b with gaps 10,10,100: edges
+    # (a,b): 10, 100; (b,a): 10.
+    from jsonschema_validator_spark.operators.conversation import (
+        turn_latency_sla,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(conv="c", i=1, role="a", ts=t0),
+        Row(conv="c", i=2, role="b", ts=t0 + datetime.timedelta(seconds=10)),
+        Row(conv="c", i=3, role="a", ts=t0 + datetime.timedelta(seconds=20)),
+        Row(conv="c", i=4, role="b", ts=t0 + datetime.timedelta(seconds=120)),
+    ]
+    out = {
+        (r["prev_role"], r["role"]): r
+        for r in turn_latency_sla(
+            spark.createDataFrame(rows), "conv", "i", "role", "ts", sla_s=50.0
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n"] == 2
+    assert ab["p50_s"] == pytest.approx(55.0)  # interpolated between 10,100
+    assert ab["breach_rate"] == pytest.approx(0.5)
+    assert ab["sla_breached"] is True
+    ba = out[("b", "a")]
+    assert ba["n"] == 1
+    assert ba["p95_s"] == pytest.approx(10.0)
+    assert ba["sla_breached"] is False
+
+
+def test_turn_latency_sla_cross_conversation_gaps_excluded(spark):
+    # The first turn of each conversation has no predecessor: no edge
+    # across conversation boundaries.
+    from jsonschema_validator_spark.operators.conversation import (
+        turn_latency_sla,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(conv=c, i=i, role="r", ts=t0 + datetime.timedelta(seconds=30 * i))
+        for c in ("c1", "c2")
+        for i in (1, 2)
+    ]
+    out = turn_latency_sla(
+        spark.createDataFrame(rows), "conv", "i", "role", "ts"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 2  # one intra-conv gap per conversation
