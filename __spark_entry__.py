@@ -12571,6 +12571,114 @@ FROM a ORDER BY prev_role, role
 """
 
 
+def q_mojibake_documents(spark, sf_dir):
+    """Encoding-damage census per language
+    (operators/cleaning.mojibake_screen) over deterministically
+    planted damage — U+FFFD on every 41st doc, a C1 control (U+0085)
+    on every 43rd, the classic double-decoded "caf[C3][A9]" digraph on
+    every 37th: the three signatures of irreparable text that only
+    re-ingestion fixes (normalize_unicode can only repair the
+    representable kinds). Pure JVM regexp counts, one aggregation.
+    Oracle plants the identical bytes via chr() and replays the
+    class counts in RE2."""
+    from jsonschema_validator_spark.operators.cleaning import (
+        mojibake_screen,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    planted = docs.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(t, F.lit(" cafÃ©")),
+        )
+        .when(F.col("doc_id") % 41 == 0, F.concat(t, F.lit("�")))
+        .when(F.col("doc_id") % 43 == 0, F.concat(t, F.lit("")))
+        .otherwise(t)
+        .alias("text"),
+    )
+    return mojibake_screen(planted, "text", group="lang").orderBy("lang")
+
+
+_ORACLE_MOJIBAKE = """
+WITH planted AS (
+  SELECT lang,
+    CASE WHEN doc_id % 37 = 0 THEN text || ' caf' || chr(195) || chr(169)
+         WHEN doc_id % 41 = 0 THEN text || chr(65533)
+         WHEN doc_id % 43 = 0 THEN text || chr(133)
+         ELSE text END AS text
+  FROM documents),
+f AS (
+  SELECT lang,
+    CASE WHEN position(chr(65533) IN text) > 0 THEN 1 ELSE 0 END AS fffd,
+    CASE WHEN regexp_matches(text, '[\\x{0080}-\\x{009f}]')
+         THEN 1 ELSE 0 END AS c1,
+    CASE WHEN regexp_matches(text,
+           '[\\x{00c2}\\x{00c3}\\x{00c5}][\\x{00a0}-\\x{00bf}' ||
+           '\\x{2018}\\x{2019}\\x{201c}\\x{201d}\\x{2026}\\x{20ac}]')
+         THEN 1 ELSE 0 END AS dbl
+  FROM planted WHERE text IS NOT NULL)
+SELECT lang, count(*)::BIGINT AS n_docs,
+  sum(fffd)::BIGINT AS fffd_docs,
+  sum(c1)::BIGINT AS c1_docs,
+  sum(dbl)::BIGINT AS double_decode_docs,
+  sum(CASE WHEN fffd + c1 + dbl > 0 THEN 1 ELSE 0 END)::BIGINT
+    AS damaged_docs,
+  round(sum(CASE WHEN fffd + c1 + dbl > 0 THEN 1 ELSE 0 END)::DOUBLE
+        / count(*), 6) AS damaged_rate
+FROM f GROUP BY 1 ORDER BY lang
+"""
+
+
+def q_entropy_rate_events(spark, sf_dir):
+    """Entropy rate of the role process
+    (operators/conversation.entropy_rate) — the single number behind
+    transition_matrix_events: H(next|current) vs the zeroth-order
+    H(role), and predictability = 1 - ratio. A collapse toward 0 means
+    role structure dissolved even when every edge stays legal; a jump
+    toward 1 means conversations became rigid templates. One lead()
+    window; everything after runs on the O(roles^2) aggregate. Oracle
+    replays the conditional-entropy algebra."""
+    from jsonschema_validator_spark.operators.conversation import (
+        entropy_rate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return entropy_rate(
+        ev, group="user_id", order="event_id", role="event_type"
+    )
+
+
+_ORACLE_ENTROPY_RATE = """
+WITH p AS (
+  SELECT event_type AS role,
+         lead(event_type) OVER w AS next_role,
+         lead(event_id) OVER w AS next_order
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+pairs AS (SELECT role, next_role FROM p WHERE next_order IS NOT NULL),
+c AS (SELECT role, next_role, count(*)::BIGINT AS n FROM pairs
+      GROUP BY 1, 2),
+s AS (SELECT role, sum(n)::BIGINT AS n_src FROM c GROUP BY 1),
+j AS (SELECT c.role, c.n, s.n_src FROM c JOIN s
+      ON c.role IS NOT DISTINCT FROM s.role),
+t AS (SELECT sum(n)::BIGINT AS n_transitions,
+             sum(n::DOUBLE * -log2(n::DOUBLE / n_src)) AS hsum
+      FROM j),
+h0t AS (
+  SELECT sum((n_src::DOUBLE / t.n_transitions)
+             * -log2(n_src::DOUBLE / t.n_transitions)) AS h0,
+         count(*)::BIGINT AS n_roles
+  FROM s, t)
+SELECT t.n_transitions, h0t.n_roles, round(h0t.h0, 6) AS h0_bits,
+  round(t.hsum / t.n_transitions, 6) AS h_rate_bits,
+  CASE WHEN h0t.h0 > 0
+       THEN round(1.0 - (t.hsum / t.n_transitions) / h0t.h0, 6) + 0.0
+  END AS predictability
+FROM t, h0t
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12843,6 +12951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_mmd_embeddings": q_streaming_mmd_embeddings,
         "count_model_events": q_count_model_events,
         "turn_latency_sla_events": q_turn_latency_sla_events,
+        "mojibake_documents": q_mojibake_documents,
+        "entropy_rate_events": q_entropy_rate_events,
     }
 
 
@@ -13112,4 +13222,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_mmd_embeddings": _ORACLE_MMD,
         "count_model_events": _ORACLE_COUNT_MODEL,
         "turn_latency_sla_events": _ORACLE_TURN_LATENCY_SLA,
+        "mojibake_documents": _ORACLE_MOJIBAKE,
+        "entropy_rate_events": _ORACLE_ENTROPY_RATE,
     }

@@ -222,3 +222,55 @@ def impute(
         .withColumn(f"{value_col}__imputed", imputed)
         .drop("__g", "__fill")
     )
+
+
+def mojibake_screen(
+    df: DataFrame,
+    text_col: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Encoding-damage census — the screen normalize_unicode cannot
+    replace: normalization REPAIRS representable text, this DETECTS
+    the irreparable kinds that only re-ingestion fixes. Three
+    signatures, each a pure regexp/contains count (JVM-side, no UDF):
+
+    - replacement chars (U+FFFD): a decoder already gave up upstream;
+    - C1 control chars (U+0080-U+009F): the classic windows-1252-
+      read-as-latin-1 tell;
+    - UTF-8-read-as-latin-1 digraphs: U+00C2/C3/C5 followed by a
+      char in the re-decoded continuation range U+00A0-U+00BF or a
+      CP1252 remap (curly quotes, ellipsis, euro) — the "A-tilde + symbol" class
+      of double-decoded text).
+
+    One aggregation; per-group signature counts plus the damaged
+    share. Returns (group?, n_docs, fffd_docs, c1_docs,
+    double_decode_docs, damaged_docs, damaged_rate); NULL texts are
+    excluded.
+    """
+    t = F.col(text_col)
+    gcols = [group] if group else []
+    fffd = t.contains("�")
+    c1 = t.rlike("[\\x80-\\x9f]")
+    dbl = t.rlike(
+        "[\\u00c2\\u00c3\\u00c5]"
+        "[\\u00a0-\\u00bf\\u2018\\u2019\\u201c\\u201d\\u2026\\u20ac]"
+    )
+    damaged = fffd | c1 | dbl
+    agg = df.filter(t.isNotNull()).groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(fffd.cast("long")).alias("fffd_docs"),
+        F.sum(c1.cast("long")).alias("c1_docs"),
+        F.sum(dbl.cast("long")).alias("double_decode_docs"),
+        F.sum(damaged.cast("long")).alias("damaged_docs"),
+    )
+    return agg.select(
+        *gcols,
+        "n_docs",
+        "fffd_docs",
+        "c1_docs",
+        "double_decode_docs",
+        "damaged_docs",
+        F.round(
+            F.col("damaged_docs") / F.col("n_docs").cast("double"), 6
+        ).alias("damaged_rate"),
+    )

@@ -847,3 +847,79 @@ def turn_latency_sla(
         F.round("__br", 6).alias("breach_rate"),
         (F.col("__p95") > sla_s).alias("sla_breached"),
     ).orderBy("prev_role", "role")
+
+
+def entropy_rate(
+    df: DataFrame,
+    group: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+) -> DataFrame:
+    """Entropy rate of the role process — the single number behind the
+    transition matrix: H(next | current) = -sum_i p(i) sum_j p(j|i)
+    log2 p(j|i) weighted by the empirical current-state distribution,
+    beside the zeroth-order H(role) for comparison. predictability =
+    1 - H_rate / H0 is the "how much does knowing the current role
+    tell you" score — a collapse toward 0 means role structure
+    dissolved (a pipeline regression even when every edge stays
+    legal), a jump toward 1 means conversations became rigid
+    templates.
+
+    Same single lead() window as transition_matrix; everything after
+    runs on the O(roles^2) aggregate. NULL roles participate as a real
+    category in both positions (an edge INTO an unknown-role turn is
+    (role, NULL), never conflated with conversation end). Returns one
+    row: (n_transitions, n_roles, h0_bits, h_rate_bits,
+    predictability); a single-role corpus yields 0 for both entropies
+    and NULL predictability (0/0 is not a score).
+    """
+    w = Window.partitionBy(group).orderBy(order)
+    pairs = (
+        df.select(group, order, F.col(role).alias("role"))
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("__has_next", F.lead(order).over(w).isNotNull())
+        .filter(F.col("__has_next"))
+    )
+    counts = pairs.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_src = counts.groupBy("role").agg(F.sum("n").alias("n_src"))
+    # null-safe join-back: NULL is a real source role and a plain
+    # equi-join would silently drop every edge LEAVING an unknown-role
+    # turn from the entropy sum
+    j = counts.join(
+        F.broadcast(per_src.withColumnRenamed("role", "__src")),
+        F.col("role").eqNullSafe(F.col("__src")),
+    )
+    contrib = F.col("n").cast("double") * -F.log2(
+        F.col("n") / F.col("n_src")
+    )
+    tot = j.agg(
+        F.sum("n").alias("n_transitions"),
+        F.sum(contrib).alias("__hsum"),
+    )
+    src_h = (
+        per_src.crossJoin(F.broadcast(tot.select("n_transitions")))
+        .select(
+            (
+                (F.col("n_src") / F.col("n_transitions"))
+                * -F.log2(F.col("n_src") / F.col("n_transitions"))
+            ).alias("__h0c")
+        )
+        .agg(
+            F.sum("__h0c").alias("__h0"),
+            F.count(F.lit(1)).alias("n_roles"),
+        )
+    )
+    out = tot.crossJoin(F.broadcast(src_h))
+    h_rate = F.col("__hsum") / F.col("n_transitions")
+    h0 = F.col("__h0")
+    return out.select(
+        "n_transitions",
+        "n_roles",
+        F.round(h0, 6).alias("h0_bits"),
+        F.round(h_rate, 6).alias("h_rate_bits"),
+        F.when(h0 > 0, F.round(1.0 - h_rate / h0, 6) + 0.0).alias(
+            "predictability"
+        ),
+    )

@@ -1193,3 +1193,105 @@ def test_turn_latency_sla_cross_conversation_gaps_excluded(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["n"] == 2  # one intra-conv gap per conversation
+
+
+# ------------------------------------------------------------ mojibake_screen
+
+
+def test_mojibake_detects_each_signature(spark):
+    from jsonschema_validator_spark.operators.cleaning import mojibake_screen
+
+    rows = [
+        Row(t="clean ascii text"),
+        Row(t="decoder gave up \ufffd here"),
+        Row(t="c1 control \u0085 residue"),
+        Row(t="double decoded caf\u00c3\u00a9"),
+        Row(t="Portuguese S\u00c3O PAULO stays clean"),  # A-tilde + ASCII
+        Row(t=None),
+    ]
+    r = mojibake_screen(spark.createDataFrame(rows), "t").collect()[0]
+    assert r["n_docs"] == 5  # NULL excluded
+    assert r["fffd_docs"] == 1
+    assert r["c1_docs"] == 1
+    assert r["double_decode_docs"] == 1
+    assert r["damaged_docs"] == 3
+    assert r["damaged_rate"] == pytest.approx(0.6)
+
+
+def test_mojibake_legit_accents_not_flagged(spark):
+    # Correctly-decoded accented text (lowercase accents, uppercase
+    # followed by ASCII) must never count as damage.
+    from jsonschema_validator_spark.operators.cleaning import mojibake_screen
+
+    rows = [
+        Row(t="caf\u00e9 cr\u00e8me"),
+        Row(t="S\u00e3o Paulo \u00c0 bient\u00f4t"),
+        Row(t="stra\u00dfe \u00fcber"),
+    ]
+    r = mojibake_screen(spark.createDataFrame(rows), "t").collect()[0]
+    assert r["damaged_docs"] == 0
+    assert r["damaged_rate"] == 0.0
+
+
+# --------------------------------------------------------------- entropy_rate
+
+
+def test_entropy_rate_deterministic_cycle(spark):
+    # a->b->a->b...: H0 = 1 bit (roles 50/50) but the next role is
+    # fully determined -> H_rate = 0, predictability = 1.
+    from jsonschema_validator_spark.operators.conversation import (
+        entropy_rate,
+    )
+
+    rows = [
+        Row(conv="c", i=i, role="a" if i % 2 == 0 else "b")
+        for i in range(21)
+    ]
+    r = entropy_rate(spark.createDataFrame(rows), "conv", "i", "role").collect()[0]
+    assert r["n_transitions"] == 20
+    assert r["h0_bits"] == pytest.approx(1.0, abs=1e-6)
+    assert r["h_rate_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert r["predictability"] == pytest.approx(1.0)
+
+
+def test_entropy_rate_iid_uniform_no_predictability(spark):
+    # Next role independent of current (balanced 2x2 transition
+    # counts): H_rate = H0 = 1 bit, predictability ~ 0.
+    from jsonschema_validator_spark.operators.conversation import (
+        entropy_rate,
+    )
+
+    seq = "aabb" * 10  # transitions: a->a, a->b, b->b, b->a balanced
+    rows = [Row(conv="c", i=i, role=ch) for i, ch in enumerate(seq)]
+    r = entropy_rate(spark.createDataFrame(rows), "conv", "i", "role").collect()[0]
+    assert r["h0_bits"] == pytest.approx(1.0, abs=0.01)
+    assert r["predictability"] == pytest.approx(0.0, abs=0.05)
+
+
+def test_entropy_rate_single_role_null_predictability(spark):
+    from jsonschema_validator_spark.operators.conversation import (
+        entropy_rate,
+    )
+
+    rows = [Row(conv="c", i=i, role="only") for i in range(5)]
+    r = entropy_rate(spark.createDataFrame(rows), "conv", "i", "role").collect()[0]
+    assert r["n_roles"] == 1
+    assert r["h0_bits"] == 0.0 and r["h_rate_bits"] == 0.0
+    assert r["predictability"] is None
+
+
+def test_entropy_rate_null_role_is_category(spark):
+    # A NULL-role turn mid-conversation contributes edges in and out;
+    # the role census counts it.
+    from jsonschema_validator_spark.operators.conversation import (
+        entropy_rate,
+    )
+
+    rows = [
+        Row(conv="c", i=1, role="a"),
+        Row(conv="c", i=2, role=None),
+        Row(conv="c", i=3, role="a"),
+    ]
+    r = entropy_rate(spark.createDataFrame(rows), "conv", "i", "role").collect()[0]
+    assert r["n_transitions"] == 2
+    assert r["n_roles"] == 2  # 'a' and NULL both appear as sources
