@@ -12679,6 +12679,83 @@ FROM t, h0t
 """
 
 
+def q_positional_failures_events(spark, sf_dir):
+    """Validation failure rate by sequence-position quartile — WHERE in
+    a conversation documents go bad: a failure rate that climbs toward
+    the tail (context corruption, truncated tool payloads) and one
+    concentrated at position 0 (malformed openers) are different bugs
+    with identical overall rates. The package validator
+    (api.Schema.validate_many — same compiled spec as
+    violation_triage_events) supplies per-row ``valid``; the position
+    quartile comes from one user-keyed window; one final aggregation.
+    The spec is the bounds subset of the triage schema (required k,
+    0 <= k <= 80) so validity actually VARIES — under the full triage
+    spec every document fails `required m` and a positional profile of
+    a constant is vacuous. Oracle replays the spec's keyword semantics
+    and the quartile arithmetic."""
+    from jsonschema_validator_spark.api import Schema
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 80}
+            },
+        },
+        spark,
+        draft="draft7",
+    )
+    from pyspark.sql import Window as W
+
+    validated = s.validate_many(ev, "props").select(
+        "user_id", "event_id", "valid"
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    nw = W.partitionBy("user_id")
+    pos = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(nw)
+    bucket = F.floor((pos - 1) * 4.0 / n).cast("int")
+    agg = validated.select(
+        bucket.alias("quartile"), (~F.col("valid")).cast("long").alias("__f")
+    ).groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__f").alias("n_invalid"),
+    )
+    return agg.select(
+        "quartile",
+        "n_rows",
+        "n_invalid",
+        F.round(
+            F.col("n_invalid") / F.col("n_rows").cast("double"), 6
+        ).alias("invalid_rate"),
+    ).orderBy("quartile")
+
+
+_ORACLE_POSITIONAL_FAILURES = """
+WITH v AS (
+  SELECT user_id, event_id,
+    CASE WHEN props IS NULL OR NOT json_valid(props) THEN FALSE
+         ELSE coalesce(
+           json_extract(props, '$.k') IS NOT NULL
+           AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 80,
+           FALSE) END AS valid
+  FROM events),
+p AS (
+  SELECT valid,
+         floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                - 1) * 4.0
+               / count(*) OVER (PARTITION BY user_id))::INT AS quartile
+  FROM v)
+SELECT quartile, count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN valid THEN 0 ELSE 1 END)::BIGINT AS n_invalid,
+  round(sum(CASE WHEN valid THEN 0 ELSE 1 END)::DOUBLE / count(*), 6)
+    AS invalid_rate
+FROM p GROUP BY 1 ORDER BY quartile
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12953,6 +13030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency_sla_events": q_turn_latency_sla_events,
         "mojibake_documents": q_mojibake_documents,
         "entropy_rate_events": q_entropy_rate_events,
+        "positional_failures_events": q_positional_failures_events,
     }
 
 
@@ -13224,4 +13302,5 @@ def oracle_sql() -> dict[str, str]:
         "turn_latency_sla_events": _ORACLE_TURN_LATENCY_SLA,
         "mojibake_documents": _ORACLE_MOJIBAKE,
         "entropy_rate_events": _ORACLE_ENTROPY_RATE,
+        "positional_failures_events": _ORACLE_POSITIONAL_FAILURES,
     }
