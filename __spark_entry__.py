@@ -13031,6 +13031,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_documents": q_mojibake_documents,
         "entropy_rate_events": q_entropy_rate_events,
         "positional_failures_events": q_positional_failures_events,
+        "jarque_bera_events": q_jarque_bera_events,
+        "bartlett_events": q_bartlett_events,
+        "grubbs_events": q_grubbs_events,
+        "pacf_events": q_pacf_events,
+        "periodogram_events": q_periodogram_events,
+        "effective_rank_embeddings": q_effective_rank_embeddings,
+        "entropy_l_diversity_events": q_entropy_l_diversity_events,
+        "cuped_events": q_cuped_events,
+        "tool_influence_events": q_tool_influence_events,
+        "ols2_lineitem": q_ols2_lineitem,
     }
 
 
@@ -13303,4 +13313,623 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_documents": _ORACLE_MOJIBAKE,
         "entropy_rate_events": _ORACLE_ENTROPY_RATE,
         "positional_failures_events": _ORACLE_POSITIONAL_FAILURES,
+        "jarque_bera_events": _ORACLE_JARQUE_BERA,
+        "bartlett_events": _ORACLE_BARTLETT,
+        "grubbs_events": _ORACLE_GRUBBS,
+        "pacf_events": _ORACLE_PACF,
+        "periodogram_events": _ORACLE_PERIODOGRAM,
+        "effective_rank_embeddings": _ORACLE_EFFECTIVE_RANK,
+        "entropy_l_diversity_events": _ORACLE_ENTROPY_L_DIVERSITY,
+        "cuped_events": _ORACLE_CUPED,
+        "tool_influence_events": _ORACLE_TOOL_INFLUENCE,
+        "ols2_lineitem": _ORACLE_OLS2,
     }
+
+
+# ---------------------------------------------------------------------------
+# round-4h: normality / variance / outlier battery (operators/normality.py)
+# ---------------------------------------------------------------------------
+
+def q_jarque_bera_events(spark, sf_dir):
+    """Jarque-Bera normality screen per event_type
+    (operators/normality.jarque_bera_screen) — the gate in front of
+    every normal-theory test downstream (Bartlett, Grubbs, small-n
+    Welch): JB = n/6 (S^2 + K^2/4) from skewness and excess kurtosis,
+    assembled from ONE map-side-combinable pass of raw power sums
+    (sum x..x^4); all algebra on the O(groups) aggregate. chi2(2)
+    critical pinned at 5.991. Oracle replays the binomial-expansion
+    central moments exactly."""
+    from jsonschema_validator_spark.operators.normality import (
+        jarque_bera_screen,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return jarque_bera_screen(ev, "event_type", "value").orderBy("event_type")
+
+
+_ORACLE_JARQUE_BERA = """
+WITH a AS (
+  SELECT event_type AS g, count(*)::DOUBLE AS n,
+         sum(value) AS s1, sum(value*value) AS s2,
+         sum(value*value*value) AS s3,
+         sum(value*value*value*value) AS s4
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+m AS (
+  SELECT g, n,
+         s2/n - (s1/n)*(s1/n) AS m2,
+         s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+         s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+              - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+  FROM a),
+j AS (
+  SELECT g, n, m3/pow(m2, 1.5) AS s, m4/(m2*m2) - 3.0 AS k FROM m
+  WHERE n >= 8 AND m2 > 0)
+SELECT g AS event_type, n::BIGINT AS n,
+  round(s, 6) AS skewness, round(k, 6) AS kurtosis_excess,
+  round(n/6.0 * (s*s + k*k/4.0), 6) AS jb_stat,
+  5.991 AS jb_crit_95,
+  n/6.0 * (s*s + k*k/4.0) > 5.991 AS reject
+FROM j ORDER BY event_type
+"""
+
+
+def q_bartlett_events(spark, sf_dir):
+    """Bartlett variance homogeneity across event_type groups
+    (operators/normality.bartlett_test) — the normal-theory twin of
+    the robust brown_forsythe_events: more powerful when
+    jarque_bera_events clears normality, anticonservative otherwise
+    (a DISAGREEMENT between the two is itself the heavy-tail signal).
+    Two chained aggregations, both over reduced relations; chi-square
+    critical read from the pinned df table. Oracle replays the pooled
+    log-variance statistic and the C correction."""
+    from jsonschema_validator_spark.operators.normality import bartlett_test
+
+    ev = _t(spark, sf_dir, "events")
+    return bartlett_test(ev, "event_type", "value")
+
+
+_ORACLE_BARTLETT = """
+WITH per AS (
+  SELECT event_type AS g, count(*)::DOUBLE AS n, var_samp(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+cls AS (SELECT *, (n >= 2 AND v > 0) AS ok FROM per),
+a AS (
+  SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS k,
+         sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT
+           AS n_groups_excluded,
+         sum(CASE WHEN ok THEN n ELSE 0 END) AS n_tot,
+         sum(CASE WHEN ok THEN (n-1)*v ELSE 0 END) AS ss,
+         sum(CASE WHEN ok THEN (n-1)*ln(v) ELSE 0 END) AS sumlog,
+         sum(CASE WHEN ok THEN 1.0/(n-1) ELSE 0 END) AS suminv
+  FROM cls),
+t AS (
+  SELECT k, n_groups_excluded, n_tot,
+         ss / (n_tot - k) AS sp2,
+         ((n_tot - k) * ln(ss / (n_tot - k)) - sumlog)
+           / (1.0 + (suminv - 1.0/(n_tot - k)) / (3.0 * (k - 1.0))) AS t
+  FROM a WHERE k >= 2),
+crit AS (
+  SELECT *, [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+             15.507, 16.919, 18.307][(k - 1)::INT] AS c
+  FROM t)
+SELECT k, n_tot::BIGINT AS n_total, round(sp2, 6) AS pooled_var,
+  round(t, 6) AS t_stat, c AS t_crit_95, t > c AS reject,
+  n_groups_excluded
+FROM crit
+"""
+
+
+def q_grubbs_events(spark, sf_dir):
+    """Grubbs max-outlier screen per event_type with a PLANTED
+    contamination (every event_id divisible by 3001 has its value
+    scaled 40x — the deterministic-plant pattern of
+    mojibake_documents): the normal-theory single-outlier test beside
+    the median/MAD screen, with the extreme value attributed from the
+    same single aggregation (the max-deviation point is necessarily
+    the group max or min — no argmax window, no second scan). Critical
+    4.0 pinned for the contract group sizes (~alpha 0.05 at n ~ 2000).
+    Oracle replays plant + statistic."""
+    from jsonschema_validator_spark.operators.normality import grubbs_screen
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 3001 == 0, F.col("value") * 40)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return grubbs_screen(ev, "event_type", "value", crit=4.0).orderBy(
+        "event_type"
+    )
+
+
+_ORACLE_GRUBBS = """
+WITH planted AS (
+  SELECT event_type,
+    CASE WHEN event_id % 3001 = 0 THEN value * 40 ELSE value END AS value
+  FROM events),
+a AS (
+  SELECT event_type AS g, count(*)::DOUBLE AS n, avg(value) AS mu,
+         stddev_samp(value) AS sd, max(value) AS mx, min(value) AS mn
+  FROM planted WHERE value IS NOT NULL GROUP BY 1),
+s AS (
+  SELECT g, n, mu, sd,
+         CASE WHEN mx - mu >= mu - mn THEN mx ELSE mn END AS extreme,
+         greatest(mx - mu, mu - mn) / sd AS gstat
+  FROM a WHERE n >= 8 AND sd > 0)
+SELECT g AS event_type, n::BIGINT AS n, round(mu, 6) AS mean,
+  round(sd, 6) AS sd, round(extreme, 6) AS extreme_value,
+  round(gstat, 6) AS g_stat, 4.0 AS g_crit, gstat > 4.0 AS reject
+FROM s ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-4h: serial-structure battery (operators/spectral.py)
+# ---------------------------------------------------------------------------
+
+def q_pacf_events(spark, sf_dir):
+    """Partial autocorrelation (lags 1..3) of the daily volume series
+    per event_type (operators/spectral.pacf_yw) — the AR-ORDER
+    diagnostic after acf_events says dependence exists: an AR(1)'s ACF
+    decays forever but its PACF cuts off after lag 1. Yule-Walker
+    solved by Cramer's rule on the Toeplitz system (Durbin-Levinson
+    unrolled — pinned against the recursion in
+    tests/test_round4f.py), so the screen stays a Column plan on the
+    O(groups x days) daily relation. Oracle replays ACF + determinant
+    algebra."""
+    from jsonschema_validator_spark.operators.spectral import pacf_yw
+
+    ev = _t(spark, sf_dir, "events")
+    return pacf_yw(ev, group="event_type", ts="ts").orderBy(
+        "event_type", "lag"
+    )
+
+
+_ORACLE_PACF = """
+WITH daily AS (
+  SELECT event_type AS g,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2),
+m AS (SELECT g, avg(x) AS mu, count(*)::BIGINT AS n_days
+      FROM daily GROUP BY 1),
+d AS (
+  SELECT daily.g, n_days, x - mu AS d0,
+         lag(x, 1) OVER w - mu AS l1,
+         lag(x, 2) OVER w - mu AS l2,
+         lag(x, 3) OVER w - mu AS l3
+  FROM daily JOIN m ON daily.g = m.g
+  WINDOW w AS (PARTITION BY daily.g ORDER BY day)),
+a AS (
+  SELECT g, max(n_days) AS n_days, sum(d0*d0) AS den,
+         sum(d0*l1) AS s1, sum(d0*l2) AS s2, sum(d0*l3) AS s3
+  FROM d GROUP BY g),
+r AS (
+  -- acf_ljung_box emits r rounded to 6 decimals; the determinant
+  -- algebra downstream must see the SAME rounded inputs
+  SELECT g, n_days, round(s1/den, 6) AS r1, round(s2/den, 6) AS r2,
+         round(s3/den, 6) AS r3
+  FROM a WHERE den > 0),
+p AS (
+  SELECT g, n_days, 1 AS lag, r1 AS pacf FROM r WHERE r1 IS NOT NULL
+  UNION ALL
+  SELECT g, n_days, 2, (r2 - r1*r1) / (1 - r1*r1) FROM r
+  WHERE r2 IS NOT NULL AND abs(1 - r1*r1) > 1e-12
+  UNION ALL
+  SELECT g, n_days, 3,
+         (r3 - 2*r1*r2 - r1*r1*r3 + r1*r2*r2 + r1*r1*r1)
+         / (1 - 2*r1*r1 - r2*r2 + 2*r1*r1*r2)
+  FROM r WHERE r3 IS NOT NULL
+    AND abs(1 - 2*r1*r1 - r2*r2 + 2*r1*r1*r2) > 1e-12)
+SELECT g AS event_type, n_days, lag, round(pacf, 6) AS pacf,
+  round(2.0/sqrt(n_days), 6) AS band,
+  abs(round(pacf, 6)) > 2.0/sqrt(n_days) AS significant
+FROM p WHERE pacf IS NOT NULL ORDER BY event_type, lag
+"""
+
+
+def q_periodogram_events(spark, sf_dir):
+    """Candidate-period periodogram + Fisher's g per event_type
+    (operators/spectral.periodogram_screen): DFT power of the demeaned
+    daily series at periods {2, 3, 7} — the period-DISCOVERY screen
+    in front of seasonal_strength_events (which must be TOLD the
+    period). One shuffle to the daily relation; trig sums in one
+    aggregation; O(groups x 3) rows after. Oracle replays the DFT
+    sums with the same observed-day indexing."""
+    from jsonschema_validator_spark.operators.spectral import (
+        periodogram_screen,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return periodogram_screen(ev, group="event_type", ts="ts").orderBy(
+        "event_type", "period"
+    )
+
+
+_ORACLE_PERIODOGRAM = """
+WITH daily AS (
+  SELECT event_type AS g,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2),
+m AS (SELECT g, avg(x) AS mu, count(*)::BIGINT AS n_days
+      FROM daily GROUP BY 1),
+idx AS (
+  SELECT daily.g, n_days, x - mu AS d,
+         (row_number() OVER (PARTITION BY daily.g ORDER BY day)
+          - 1)::DOUBLE AS t
+  FROM daily JOIN m ON daily.g = m.g),
+s AS (
+  SELECT g, max(n_days) AS n_days,
+         sum(d*cos(2*pi()*t/2)) AS a2, sum(d*sin(2*pi()*t/2)) AS b2,
+         sum(d*cos(2*pi()*t/3)) AS a3, sum(d*sin(2*pi()*t/3)) AS b3,
+         sum(d*cos(2*pi()*t/7)) AS a7, sum(d*sin(2*pi()*t/7)) AS b7
+  FROM idx GROUP BY g),
+p AS (
+  SELECT g, n_days, 2 AS period, 2*(a2*a2 + b2*b2)/n_days AS power FROM s
+  UNION ALL
+  SELECT g, n_days, 3, 2*(a3*a3 + b3*b3)/n_days FROM s
+  UNION ALL
+  SELECT g, n_days, 7, 2*(a7*a7 + b7*b7)/n_days FROM s),
+w AS (
+  SELECT g, n_days, period, power,
+         sum(power) OVER (PARTITION BY g) AS total,
+         max(power) OVER (PARTITION BY g) AS pmax
+  FROM p)
+SELECT g AS event_type, n_days, period, round(power, 6) AS power,
+  CASE WHEN total > 0 THEN round(power/total, 6) END AS power_share,
+  CASE WHEN total > 0 THEN round(pmax/total, 6) END AS fisher_g,
+  (total > 0 AND power = pmax) AS dominant
+FROM w WHERE n_days >= 8 ORDER BY event_type, period
+"""
+
+
+def q_effective_rank_embeddings(spark, sf_dir):
+    """Effective rank (participation ratio) of the embedding
+    covariance spectrum (operators/spectral.effective_rank):
+    PR = tr(C)^2 / tr(C^2) — exact, whole-spectrum, and closed-form
+    where gram_spectrum_embeddings power-iterates for the top
+    eigenvalue's share only. Reuses the mergeable Arrow-batched
+    moment partials of the MMD family (d^2 + d + 1 rows per batch, no
+    pairwise matrix, float64 widening before any product). Oracle
+    assembles the same covariance entries by an unnest self-join."""
+    from jsonschema_validator_spark.operators.spectral import effective_rank
+
+    em = _t(spark, sf_dir, "embeddings")
+    return effective_rank(em, "embedding")
+
+
+_ORACLE_EFFECTIVE_RANK = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+dims AS (SELECT max(len(embedding)) AS dim FROM e),
+idx AS (SELECT unnest(range(1, dim + 1))::INT AS i FROM dims),
+u AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM e, idx),
+n AS (SELECT count(*)::DOUBLE AS n FROM e),
+mu AS (SELECT i, sum(v) AS s FROM u GROUP BY i),
+sec AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sv
+  FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+cov AS (
+  SELECT sec.i, sec.j,
+         sv / n.n - (ma.s / n.n) * (mb.s / n.n) AS c
+  FROM sec, n
+  JOIN mu ma ON sec.i = ma.i
+  JOIN mu mb ON sec.j = mb.i),
+agg AS (
+  SELECT (SELECT n FROM n) AS n, (SELECT dim FROM dims) AS dim,
+         sum(CASE WHEN i = j THEN c END) AS tr,
+         sum(c * c) AS fr2
+  FROM cov)
+SELECT n::BIGINT AS n_vectors, dim::INT AS dim, round(tr, 6) AS trace,
+  round(fr2, 6) AS frob2, round(tr*tr/fr2, 6) AS effective_rank,
+  round(tr*tr/fr2/dim, 6) AS rank_ratio,
+  tr*tr/fr2/dim < 0.25 AS collapsed
+FROM agg
+"""
+
+
+def q_entropy_l_diversity_events(spark, sf_dir):
+    """Entropy l-diversity audit over the (event_type, day, hour)
+    release classes (operators/privacy.entropy_l_diversity) — the
+    screen between k_anonymity_events' DISTINCT-count l-diversity and
+    t_closeness_events: a class with two user_ids at 99-to-1 passes
+    the distinct count yet leaks its dominant user with
+    near-certainty; its entropy fails log2(l). Same single-shuffle
+    class relation; the entropy is an exact regrouping
+    (log2(tot) - sum c log2 c / tot). Oracle replays it."""
+    from jsonschema_validator_spark.operators.privacy import (
+        entropy_l_diversity,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "user_id",
+    )
+    return entropy_l_diversity(
+        ev, ["event_type", "day", "hour"], "user_id", l=2.0
+    ).orderBy("event_type", "day", "hour")
+
+
+_ORACLE_ENTROPY_L_DIVERSITY = """
+WITH base AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         extract(hour FROM ts)::INT AS hour, user_id
+  FROM events),
+cls AS (
+  SELECT event_type, day, hour, count(*)::BIGINT AS class_size
+  FROM base GROUP BY 1, 2, 3),
+v AS (
+  SELECT event_type, day, hour, user_id, count(*)::DOUBLE AS c
+  FROM base WHERE user_id IS NOT NULL GROUP BY 1, 2, 3, 4),
+e AS (
+  SELECT event_type, day, hour, count(*)::BIGINT AS n_sensitive,
+         sum(c) AS tot, sum(c * log2(c)) AS clogc
+  FROM v GROUP BY 1, 2, 3)
+SELECT cls.event_type, cls.day, cls.hour, cls.class_size,
+  coalesce(e.n_sensitive, 0) AS n_sensitive,
+  round(log2(tot) - clogc/tot, 6) AS entropy_bits,
+  round(pow(2.0, log2(tot) - clogc/tot), 6) AS effective_l,
+  coalesce(log2(tot) - clogc/tot < 1.0, TRUE) AS l_violation
+FROM cls LEFT JOIN e
+  ON cls.event_type = e.event_type AND cls.day = e.day
+  AND cls.hour = e.hour
+ORDER BY 1, 2, 3
+"""
+
+
+def q_cuped_events(spark, sf_dir):
+    """CUPED variance-reduced A/B test
+    (operators/evaluation.cuped, Deng et al. WSDM 2013): each user's
+    PRE-period mean value (Jan 1-15) adjusts their POST-period mean
+    (Jan 16-30); arms by user-id parity as in ab_test_events. Reports
+    the raw and adjusted lift/z side-by-side plus theta, rho and the
+    realized variance reduction — the adjustment every large
+    experimentation platform applies by default. ONE shuffle to the
+    per-user relation, one aggregation of sums/products, algebra on a
+    single row. Oracle replays the whole estimator."""
+    from jsonschema_validator_spark.operators.evaluation import cuped
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),
+        F.avg(F.when(F.col("ts") >= cut, F.col("value"))).alias("y"),
+    )
+    armed = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    return cuped(
+        armed, "arm", "x", "y", control="control",
+        treatment="treatment", min_n=4,
+    )
+
+
+_ORACLE_CUPED = """
+WITH pu AS (
+  SELECT user_id,
+    avg(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value END) AS x,
+    avg(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END) AS y
+  FROM events GROUP BY 1),
+b AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t, x, y
+  FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+a AS (
+  SELECT
+    sum(CASE WHEN t = 0 THEN 1.0 END) AS n_c,
+    sum(CASE WHEN t = 0 THEN x END) AS sx_c,
+    sum(CASE WHEN t = 0 THEN y END) AS sy_c,
+    sum(CASE WHEN t = 0 THEN x*x END) AS sxx_c,
+    sum(CASE WHEN t = 0 THEN y*y END) AS syy_c,
+    sum(CASE WHEN t = 0 THEN x*y END) AS sxy_c,
+    sum(CASE WHEN t = 1 THEN 1.0 END) AS n_t,
+    sum(CASE WHEN t = 1 THEN x END) AS sx_t,
+    sum(CASE WHEN t = 1 THEN y END) AS sy_t,
+    sum(CASE WHEN t = 1 THEN x*x END) AS sxx_t,
+    sum(CASE WHEN t = 1 THEN y*y END) AS syy_t,
+    sum(CASE WHEN t = 1 THEN x*y END) AS sxy_t
+  FROM b),
+m AS (
+  SELECT *,
+    n_c + n_t AS n, sx_c + sx_t AS sx, sy_c + sy_t AS sy,
+    sxx_c + sxx_t AS sxx, syy_c + syy_t AS syy, sxy_c + sxy_t AS sxy
+  FROM a WHERE n_c >= 4 AND n_t >= 4),
+po AS (
+  SELECT *,
+    sxx/n - (sx/n)*(sx/n) AS var_x,
+    syy/n - (sy/n)*(sy/n) AS var_y,
+    sxy/n - (sx/n)*(sy/n) AS cov,
+    sx/n AS xbar
+  FROM m),
+th AS (
+  SELECT *,
+    CASE WHEN var_x > 0 THEN cov/var_x END AS theta,
+    CASE WHEN var_x > 0 AND var_y > 0
+         THEN cov/sqrt(var_x*var_y) END AS rho,
+    coalesce(CASE WHEN var_x > 0 THEN cov/var_x END, 0.0) AS th0
+  FROM po),
+st AS (
+  SELECT *,
+    sx_c/n_c AS mxc, sy_c/n_c AS myc,
+    (syy_c - n_c*(sy_c/n_c)*(sy_c/n_c)) / (n_c - 1) AS vyc,
+    (sxx_c - n_c*(sx_c/n_c)*(sx_c/n_c)) / (n_c - 1) AS vxc,
+    (sxy_c - n_c*(sx_c/n_c)*(sy_c/n_c)) / (n_c - 1) AS cxyc,
+    sx_t/n_t AS mxt, sy_t/n_t AS myt,
+    (syy_t - n_t*(sy_t/n_t)*(sy_t/n_t)) / (n_t - 1) AS vyt,
+    (sxx_t - n_t*(sx_t/n_t)*(sx_t/n_t)) / (n_t - 1) AS vxt,
+    (sxy_t - n_t*(sx_t/n_t)*(sy_t/n_t)) / (n_t - 1) AS cxyt
+  FROM th),
+fin AS (
+  SELECT *,
+    myt - myc AS lift_raw,
+    vyt/n_t + vyc/n_c AS se2_raw,
+    (myt - th0*(mxt - xbar)) - (myc - th0*(mxc - xbar)) AS lift_cv,
+    (vyt - 2*th0*cxyt + th0*th0*vxt)/n_t
+      + (vyc - 2*th0*cxyc + th0*th0*vxc)/n_c AS se2_cv
+  FROM st)
+SELECT n_c::BIGINT AS n_control, n_t::BIGINT AS n_treatment,
+  round(lift_raw, 6) AS lift_raw,
+  CASE WHEN se2_raw > 0 THEN round(lift_raw/sqrt(se2_raw), 6) END AS z_raw,
+  round(theta, 6) AS theta, round(rho, 6) AS rho,
+  round(lift_cv, 6) AS lift_cuped,
+  CASE WHEN se2_cv > 0 THEN round(lift_cv/sqrt(se2_cv), 6) END AS z_cuped,
+  CASE WHEN se2_raw > 0 THEN round(1.0 - se2_cv/se2_raw, 6) END
+    AS var_reduction
+FROM fin
+"""
+
+
+def q_tool_influence_events(spark, sf_dir):
+    """Conditional mutual information I(next_role ; payload-bucket |
+    role) over transcripts
+    (operators/conversation.conditional_mutual_information) — does
+    the current turn's payload magnitude (k bucketed by 25s from the
+    props JSON, the tool-call-size proxy) predict WHAT HAPPENS NEXT
+    beyond the current role? Zero iff the covariate is conditionally
+    independent (first-order-Markov sufficiency); NULL/malformed
+    payloads participate as the '(null)' sentinel category (the
+    transition_matrix lesson). One lead() window + one shuffle to the
+    O(roles x buckets x roles) count relation. Oracle replays both
+    conditional entropies by exact count regrouping."""
+    from jsonschema_validator_spark.operators.conversation import (
+        conditional_mutual_information,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
+    prepped = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(k / 25).alias("kb"),
+    )
+    return conditional_mutual_information(
+        prepped, "user_id", "event_id", "event_type", "kb"
+    )
+
+
+_ORACLE_TOOL_INFLUENCE = """
+WITH b AS (
+  SELECT user_id, event_id,
+    coalesce(event_type, '(null)') AS r,
+    coalesce(
+      CAST(CAST(floor(
+        CASE WHEN props IS NOT NULL AND json_valid(props)
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+        END / 25.0) AS BIGINT) AS VARCHAR),
+      '(null)') AS z
+  FROM events),
+tr AS (
+  SELECT r, z,
+         lead(r) OVER w AS nxt,
+         lead(event_id) OVER w AS hn
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+c AS (
+  SELECT r, z, nxt, count(*)::DOUBLE AS n FROM tr
+  WHERE hn IS NOT NULL GROUP BY 1, 2, 3),
+rn AS (SELECT r, nxt, sum(n) AS n FROM c GROUP BY 1, 2),
+rr AS (SELECT r, sum(n) AS na, sum(n * log2(n)) AS cl FROM rn GROUP BY 1),
+h1 AS (
+  SELECT sum(na) AS n, sum(na * log2(na)) - sum(cl) AS hn FROM rr),
+rz AS (SELECT r, z, sum(n) AS na, sum(n * log2(n)) AS cl
+       FROM c GROUP BY 1, 2),
+h2 AS (SELECT sum(na * log2(na)) - sum(cl) AS hnz FROM rz)
+SELECT h1.n::BIGINT AS n_transitions,
+  round(h1.hn / h1.n, 6) AS h_next_given_role_bits,
+  round(h2.hnz / h1.n, 6) AS h_next_given_role_z_bits,
+  round((h1.hn - h2.hnz) / h1.n, 6) AS cmi_bits,
+  CASE WHEN h1.hn > 0
+       THEN round((h1.hn - h2.hnz) / h1.hn, 6) + 0.0 END
+    AS influence_ratio
+FROM h1, h2
+"""
+
+
+def q_ols2_lineitem(spark, sf_dir):
+    """Two-regressor OLS per returnflag (operators/regression.ols2):
+    l_extendedprice ~ l_quantity + l_discount by closed-form Cramer's
+    rule on the centered normal equations — the "does quantity still
+    matter once discount is held fixed" question the engine's
+    simple-regression surface (cooks/durbin_watson) cannot ask — with
+    classical standard errors, VIF collinearity, and the pinned
+    asymptotic t critical. ONE map-side-combinable aggregation of ten
+    power sums; algebra on O(groups) rows. Oracle replays the
+    determinant solve."""
+    from jsonschema_validator_spark.operators.regression import ols2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols2(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+        group="l_returnflag",
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_OLS2 = """
+WITH base AS (
+  SELECT l_returnflag AS g, l_extendedprice AS y, l_quantity AS x1,
+         l_discount AS x2
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL),
+a AS (
+  SELECT g, count(*)::DOUBLE AS n,
+    sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+    sum(x1*x1) AS sx11, sum(x2*x2) AS sx22, sum(x1*x2) AS sx12,
+    sum(x1*y) AS sx1y, sum(x2*y) AS sx2y, sum(y*y) AS syy
+  FROM base GROUP BY 1),
+c AS (
+  SELECT g, n,
+    sx11 - n*(sx1/n)*(sx1/n) AS s11,
+    sx22 - n*(sx2/n)*(sx2/n) AS s22,
+    sx12 - n*(sx1/n)*(sx2/n) AS s12,
+    sx1y - n*(sx1/n)*(sy/n) AS s1y,
+    sx2y - n*(sx2/n)*(sy/n) AS s2y,
+    syy - n*(sy/n)*(sy/n) AS syy_c,
+    sx1/n AS m1, sx2/n AS m2, sy/n AS my
+  FROM a WHERE n >= 8),
+d AS (
+  SELECT *, s11*s22 - s12*s12 AS det,
+    (abs(s11*s22 - s12*s12) > 1e-12 AND syy_c > 0) AS ok
+  FROM c),
+f AS (
+  SELECT g, n,
+    CASE WHEN ok THEN (s22*s1y - s12*s2y)/det END AS b1,
+    CASE WHEN ok THEN (s11*s2y - s12*s1y)/det END AS b2,
+    s11, s22, s12, s1y, s2y, syy_c, det, ok, m1, m2, my
+  FROM d),
+h AS (
+  SELECT *,
+    CASE WHEN ok THEN my - b1*m1 - b2*m2 END AS b0,
+    b1*s1y + b2*s2y AS ssr,
+    (syy_c - (b1*s1y + b2*s2y)) / (n - 3.0) AS s2e,
+    CASE WHEN s11 > 0 AND s22 > 0 THEN s12*s12/(s11*s22) END AS r12sq
+  FROM f),
+fin AS (
+  SELECT *,
+    sqrt(s2e * s22 / det) AS se1, sqrt(s2e * s11 / det) AS se2,
+    ssr / syy_c AS r2,
+    CASE WHEN r12sq < 1.0 THEN 1.0/(1.0 - r12sq) END AS vif
+  FROM h)
+SELECT g AS l_returnflag, n::BIGINT AS n,
+  round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+  round(se1, 6) AS se_b1, round(se2, 6) AS se_b2,
+  round(b1/se1, 6) AS t_b1, round(b2/se2, 6) AS t_b2,
+  CASE WHEN ok THEN abs(b1/se1) > 1.96 END AS sig_b1,
+  CASE WHEN ok THEN abs(b2/se2) > 1.96 END AS sig_b2,
+  round(r2, 6) AS r2,
+  round(1.0 - (1.0 - r2)*(n - 1.0)/(n - 3.0), 6) AS adj_r2,
+  round(vif, 6) AS vif,
+  CASE WHEN vif IS NOT NULL THEN vif > 10.0 END AS collinear
+FROM fin ORDER BY l_returnflag
+"""

@@ -923,3 +923,94 @@ def entropy_rate(
             "predictability"
         ),
     )
+
+
+def conditional_mutual_information(
+    df: DataFrame,
+    group: str,
+    order: str,
+    role: str,
+    cond: str,
+) -> DataFrame:
+    """Conditional mutual information I(next_role ; Z | role) in bits
+    — does a per-turn covariate Z (tool used, payload-size bucket,
+    latency band) carry information about WHAT HAPPENS NEXT beyond
+    what the current role already tells you? This is the next
+    diagnostic after entropy_rate: entropy_rate measures how
+    predictable the role process is from the role alone; this measures
+    how much MORE predictable a covariate makes it. I = 0 iff Z is
+    conditionally independent of the next role given the current role
+    (the first-order-Markov-sufficiency check); I close to
+    H(next|role) means the covariate essentially determines the next
+    turn.
+
+        I = H(next | role) - H(next | role, Z)
+
+    both terms from one (role, z, next_role) count relation:
+    H(next|A) = [ sum_A n_A log2 n_A - sum_{A,next} n log2 n ] / N
+    (exact regrouping of -sum p log p, one aggregation each).
+
+    Scale shape: one lead() window keyed by the conversation (the same
+    shuffle every transition screen pays), ONE shuffle to the
+    O(roles x z x roles) count relation, then two tiny rollups.
+    NULL role / NULL Z / NULL next-role coalesce to the '(null)'
+    sentinel BEFORE the window, so unknown-covariate turns participate
+    as a real category instead of being dropped (the transition_matrix
+    lesson). Conversation-final turns (no next) are excluded — they
+    have no next role to inform.
+
+    Returns one row: (n_transitions, h_next_given_role_bits,
+    h_next_given_role_z_bits, cmi_bits, influence_ratio) where
+    influence_ratio = I / H(next|role) in [0, 1] (NULL when
+    H(next|role) = 0).
+    """
+    sent = F.lit("(null)")
+    base = df.select(
+        F.col(group).alias("__g"),
+        F.col(order).alias("__o"),
+        F.coalesce(F.col(role).cast("string"), sent).alias("__r"),
+        F.coalesce(F.col(cond).cast("string"), sent).alias("__z"),
+    )
+    w = Window.partitionBy("__g").orderBy("__o")
+    trans = base.select(
+        "__r",
+        "__z",
+        F.lead("__r").over(w).alias("__next"),
+        F.lead("__o").over(w).alias("__has_next"),
+    ).filter(F.col("__has_next").isNotNull())
+    counts = trans.groupBy("__r", "__z", "__next").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    # H(next | role): regroup over (role) and (role, next)
+    by_rn = counts.groupBy("__r", "__next").agg(F.sum("n").alias("n"))
+    by_r = by_rn.groupBy("__r").agg(
+        F.sum("n").alias("na"), F.sum(F.col("n") * F.log2("n")).alias("cl")
+    )
+    h1 = by_r.agg(
+        F.sum("na").alias("N"),
+        (
+            (F.sum(F.col("na") * F.log2("na")) - F.sum("cl"))
+        ).alias("hn"),
+    )
+    # H(next | role, z): regroup over (role, z) and (role, z, next)
+    by_rz = counts.groupBy("__r", "__z").agg(
+        F.sum("n").alias("na"), F.sum(F.col("n") * F.log2("n")).alias("cl")
+    )
+    h2 = by_rz.agg(
+        (
+            (F.sum(F.col("na") * F.log2("na")) - F.sum("cl"))
+        ).alias("hnz")
+    )
+    out = h1.crossJoin(F.broadcast(h2))
+    h_r = F.col("hn") / F.col("N")
+    h_rz = F.col("hnz") / F.col("N")
+    cmi = h_r - h_rz
+    return out.select(
+        F.col("N").cast("long").alias("n_transitions"),
+        F.round(h_r, 6).alias("h_next_given_role_bits"),
+        F.round(h_rz, 6).alias("h_next_given_role_z_bits"),
+        F.round(cmi, 6).alias("cmi_bits"),
+        F.when(h_r > 0, F.round(cmi / h_r, 6) + 0.0).alias(
+            "influence_ratio"
+        ),
+    )

@@ -20,6 +20,8 @@ values via a null-safe struct key rather than being dropped.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -152,3 +154,66 @@ def t_closeness(
         (F.col("emd") > t).alias("t_violation"),
     )
     return out
+
+
+def entropy_l_diversity(
+    df: DataFrame,
+    quasi: list[str],
+    sensitive: str,
+    l: float = 2.0,
+) -> DataFrame:
+    """Entropy l-diversity audit (Machanavajjhala et al., ICDE 2006):
+    each quasi-identifier equivalence class must satisfy
+    H(sensitive | class) >= log2(l) — the screen DISTINCT-count
+    l-diversity (k_anonymity's ``l_violation``) misses: a class with
+    l distinct sensitive values, 99% of them one value, passes the
+    distinct count yet leaks that value with near-certainty; its
+    entropy is near zero and fails here. Sits between the distinct
+    count and t_closeness (which additionally compares against the
+    GLOBAL distribution).
+
+    Scale shape: ONE shuffle to the (class, sensitive) count relation;
+    the entropy is a second aggregation over that reduced relation
+    (O(classes x values) rows, never data rows). NULL sensitive values
+    carry no signal and are excluded from the entropy (counted in
+    class_size but not n_sensitive — same convention as k_anonymity);
+    NULL quasi values form real classes.
+
+    Returns one row per class: quasi columns, class_size, n_sensitive
+    (distinct non-NULL), entropy_bits, effective_l (2^H — the "number
+    of equally-likely values the class behaves as"), l_violation.
+    """
+    if not quasi:
+        raise ValueError("quasi must name at least one column")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    counts = (
+        df.groupBy(
+            F.struct(*[F.col(c) for c in quasi]).alias("__qi"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    vals = (
+        df.filter(F.col(sensitive).isNotNull())
+        .groupBy(
+            F.struct(*[F.col(c) for c in quasi]).alias("__qi"),
+            F.col(sensitive).alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    ent = vals.groupBy("__qi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+        F.sum("c").alias("__tot"),
+        F.sum(F.col("c") * F.log2("c")).alias("__clogc"),
+    )
+    # H = log2(tot) - sum(c log2 c)/tot  (exact regrouping, one pass)
+    h = F.log2("__tot") - F.col("__clogc") / F.col("__tot")
+    scored = counts.join(ent, "__qi", "left")
+    return scored.select(
+        *[F.col("__qi").getField(c).alias(c) for c in quasi],
+        F.col("class_size").cast("long").alias("class_size"),
+        F.coalesce(F.col("n_sensitive"), F.lit(0)).alias("n_sensitive"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), 6).alias("effective_l"),
+        F.coalesce(h < math.log2(l), F.lit(True)).alias("l_violation"),
+    )
