@@ -13041,6 +13041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_events": q_cuped_events,
         "tool_influence_events": q_tool_influence_events,
         "ols2_lineitem": q_ols2_lineitem,
+        "newey_west_events": q_newey_west_events,
+        "seasonal_mk_events": q_seasonal_mk_events,
+        "yuen_events": q_yuen_events,
+        "stump_events": q_stump_events,
+        "mde_events": q_mde_events,
+        "streaming_jb_events": q_streaming_jb_events,
     }
 
 
@@ -13323,6 +13329,14 @@ def oracle_sql() -> dict[str, str]:
         "cuped_events": _ORACLE_CUPED,
         "tool_influence_events": _ORACLE_TOOL_INFLUENCE,
         "ols2_lineitem": _ORACLE_OLS2,
+        "newey_west_events": _ORACLE_NEWEY_WEST,
+        "seasonal_mk_events": _ORACLE_SEASONAL_MK,
+        "yuen_events": _ORACLE_YUEN,
+        "stump_events": _ORACLE_STUMP,
+        "mde_events": _ORACLE_MDE,
+        # the streaming twin must equal the one-shot batch JB exactly,
+        # so it shares the batch oracle verbatim
+        "streaming_jb_events": _ORACLE_JARQUE_BERA,
     }
 
 
@@ -13933,3 +13947,386 @@ SELECT g AS l_returnflag, n::BIGINT AS n,
   CASE WHEN vif IS NOT NULL THEN vif > 10.0 END AS collinear
 FROM fin ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# round-4i: HAC inference, seasonal trend, robust A/B, root-cause stump,
+# experiment power, streaming shape monitoring
+# ---------------------------------------------------------------------------
+
+def q_newey_west_events(spark, sf_dir):
+    """Newey-West HAC standard error of the daily-volume mean per
+    event_type (operators/timeseries.newey_west_se) — the honesty
+    patch for every mean +- z * sd/sqrt(n) interval over a serially
+    dependent series (exactly what acf_events detects): the long-run
+    variance gamma_0 + 2 sum (1 - h/(L+1)) gamma_h replaces gamma_0,
+    and `inflation` says how much the i.i.d. interval overclaimed.
+    Same lag-window machinery and single daily-relation shuffle as the
+    ACF; L = 5. Oracle replays the Bartlett-weighted sum."""
+    from jsonschema_validator_spark.operators.timeseries import newey_west_se
+
+    ev = _t(spark, sf_dir, "events")
+    return newey_west_se(ev, group="event_type", ts="ts", max_lag=5).orderBy(
+        "event_type"
+    )
+
+
+_ORACLE_NEWEY_WEST = """
+WITH daily AS (
+  SELECT event_type AS g,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2),
+m AS (SELECT g, avg(x) AS mu, count(*)::BIGINT AS n_days
+      FROM daily GROUP BY 1),
+d AS (
+  SELECT daily.g, n_days, mu, x - mu AS d0,
+         lag(x, 1) OVER w - mu AS l1, lag(x, 2) OVER w - mu AS l2,
+         lag(x, 3) OVER w - mu AS l3, lag(x, 4) OVER w - mu AS l4,
+         lag(x, 5) OVER w - mu AS l5
+  FROM daily JOIN m ON daily.g = m.g
+  WINDOW w AS (PARTITION BY daily.g ORDER BY day)),
+a AS (
+  SELECT g, max(n_days) AS n_days, max(mu) AS mu,
+         sum(d0*d0) AS g0s,
+         coalesce(sum(d0*l1), 0) AS g1s, coalesce(sum(d0*l2), 0) AS g2s,
+         coalesce(sum(d0*l3), 0) AS g3s, coalesce(sum(d0*l4), 0) AS g4s,
+         coalesce(sum(d0*l5), 0) AS g5s
+  FROM d GROUP BY g),
+v AS (
+  SELECT g, n_days, mu, g0s / n_days AS gamma0,
+         g0s/n_days
+         + 2*((1 - 1.0/6)*g1s + (1 - 2.0/6)*g2s + (1 - 3.0/6)*g3s
+              + (1 - 4.0/6)*g4s + (1 - 5.0/6)*g5s)/n_days AS lrv
+  FROM a WHERE n_days > 5 AND g0s / n_days > 0)
+SELECT g AS event_type, n_days, round(mu, 6) AS mean,
+  round(gamma0, 6) AS gamma0, round(lrv, 6) AS lrv,
+  round(sqrt(gamma0 / n_days), 6) AS se_naive,
+  round(sqrt(lrv / n_days), 6) AS se_nw,
+  round(sqrt(lrv / n_days) / sqrt(gamma0 / n_days), 6) AS inflation,
+  round(mu - 1.96 * sqrt(lrv / n_days), 6) AS ci_lo,
+  round(mu + 1.96 * sqrt(lrv / n_days), 6) AS ci_hi
+FROM v ORDER BY event_type
+"""
+
+
+def q_seasonal_mk_events(spark, sf_dir):
+    """Seasonal Mann-Kendall trend test per event_type
+    (operators/timeseries.seasonal_mann_kendall, Hirsch-Slack 1984):
+    compares only LIKE weekdays, so the weekly cycle the plain
+    mann_kendall conflates with trend cancels by construction. The
+    pairwise relation is bounded at O((days/7)^2) per (group,
+    weekday); one shuffle to the daily relation. Oracle replays the
+    per-season S / tie-corrected Var and the pooled z."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        seasonal_mann_kendall,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_mann_kendall(
+        ev, group="event_type", ts="ts", value="value"
+    ).orderBy("event_type")
+
+
+_ORACLE_SEASONAL_MK = """
+WITH daily AS (
+  SELECT event_type AS g,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2),
+sd AS (SELECT g, day, x, dayofweek(CAST(day AS DATE)) AS season
+       FROM daily),
+s AS (
+  SELECT a.g, a.season, sum(sign(b.x - a.x))::BIGINT AS s_k
+  FROM sd a JOIN sd b ON a.g = b.g AND a.season = b.season
+  WHERE a.day < b.day GROUP BY 1, 2),
+n AS (SELECT g, season, count(*)::BIGINT AS n_k FROM sd GROUP BY 1, 2),
+ties AS (
+  SELECT g, season, sum(tt) AS tie_k FROM (
+    SELECT g, season, count(*)*(count(*)-1)*(2*count(*)+5) AS tt
+    FROM sd GROUP BY g, season, x) GROUP BY 1, 2),
+per AS (
+  SELECT n.g, n.n_k, coalesce(s.s_k, 0) AS s_k,
+         (n.n_k*(n.n_k-1)*(2*n.n_k+5) - ties.tie_k)/18.0 AS var_k
+  FROM n LEFT JOIN s ON n.g = s.g AND n.season = s.season
+  JOIN ties ON n.g = ties.g AND n.season = ties.season),
+tot AS (
+  SELECT g, sum(n_k)::BIGINT AS n_days, count(*)::BIGINT AS n_seasons,
+         sum(s_k)::BIGINT AS s_stat, sum(var_k) AS var_s
+  FROM per GROUP BY g)
+SELECT g AS event_type, n_days, n_seasons, s_stat,
+  round(var_s, 6) AS var_s,
+  round(CASE WHEN s_stat = 0 OR var_s <= 0 THEN 0.0
+        ELSE (s_stat - sign(s_stat)) / sqrt(var_s) END, 6) AS z,
+  CASE WHEN var_s > 0 AND (s_stat - sign(s_stat))/sqrt(var_s) > 1.96
+         AND s_stat != 0 THEN 'increasing'
+       WHEN var_s > 0 AND (s_stat - sign(s_stat))/sqrt(var_s) < -1.96
+         AND s_stat != 0 THEN 'decreasing'
+       ELSE 'none' END AS trend
+FROM tot ORDER BY event_type
+"""
+
+
+def q_yuen_events(spark, sf_dir):
+    """Yuen 20%-trimmed-mean A/B test per event_type
+    (operators/normality.yuen_trimmed_test): the ROBUST arm comparison
+    to run where jarque_bera_events rejects — arms by user parity as
+    in ab_test_events, metric = value. Order-statistic trimming (one
+    rank window, the single raw shuffle) with winsorized-variance
+    standard errors; a Welch-significant lift that dies here was a
+    tail artifact. Oracle replays rank trimming, clamping and the
+    Yuen SE."""
+    from jsonschema_validator_spark.operators.normality import (
+        yuen_trimmed_test,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "value",
+    )
+    return yuen_trimmed_test(
+        ev, "event_type", "arm", "value", control="A", treatment="B", trim=0.2
+    ).orderBy("event_type")
+
+
+_ORACLE_YUEN = """
+WITH base AS (
+  SELECT event_type AS g,
+         CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t,
+         value AS x
+  FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT g, t, x,
+         row_number() OVER (PARTITION BY g, t ORDER BY x) AS r,
+         count(*) OVER (PARTITION BY g, t) AS n
+  FROM base),
+cuts AS (SELECT *, floor(0.2 * n)::BIGINT AS cut FROM ranked),
+kept AS (
+  SELECT g, t, max(n) AS n, count(*)::DOUBLE AS h, avg(x) AS tm,
+         min(x) AS lo, max(x) AS hi
+  FROM cuts WHERE r > cut AND r <= n - cut GROUP BY 1, 2),
+clamped AS (
+  SELECT c.g, c.t,
+         greatest(least(c.x, k.hi), k.lo) AS cx
+  FROM cuts c JOIN kept k ON c.g = k.g AND c.t = k.t),
+wins AS (
+  SELECT g, t, sum(cx) AS sc, sum(cx*cx) AS scc
+  FROM clamped GROUP BY 1, 2),
+per AS (
+  SELECT k.g, k.t, k.n::DOUBLE AS n, k.h, k.tm,
+         ((w.scc - k.n*(w.sc/k.n)*(w.sc/k.n)) / (k.n - 1.0))
+           * (k.n - 1.0) / (k.h * (k.h - 1.0)) AS d
+  FROM kept k JOIN wins w ON k.g = w.g AND k.t = w.t),
+piv AS (
+  SELECT g,
+    max(CASE WHEN t = 0 THEN n END) AS n_c,
+    max(CASE WHEN t = 1 THEN n END) AS n_t,
+    max(CASE WHEN t = 0 THEN h END) AS h_c,
+    max(CASE WHEN t = 1 THEN h END) AS h_t,
+    max(CASE WHEN t = 0 THEN tm END) AS tm_c,
+    max(CASE WHEN t = 1 THEN tm END) AS tm_t,
+    max(CASE WHEN t = 0 THEN d END) AS d_c,
+    max(CASE WHEN t = 1 THEN d END) AS d_t
+  FROM per GROUP BY g)
+SELECT g AS event_type, n_c::BIGINT AS n_control,
+  n_t::BIGINT AS n_treatment, h_c::BIGINT AS h_control,
+  h_t::BIGINT AS h_treatment,
+  round(tm_c, 6) AS trimmed_mean_control,
+  round(tm_t, 6) AS trimmed_mean_treatment,
+  round(tm_t - tm_c, 6) AS lift_trimmed,
+  round((tm_t - tm_c) / sqrt(d_t + d_c), 6) AS t_stat,
+  1.96 AS t_crit,
+  abs((tm_t - tm_c) / sqrt(d_t + d_c)) > 1.96 AS reject
+FROM piv
+WHERE n_c >= 10 AND n_t >= 10 AND h_c > 1 AND h_t > 1 AND d_t + d_c > 0
+ORDER BY event_type
+"""
+
+
+def q_stump_events(spark, sf_dir):
+    """Root-cause decision stump (operators/rootcause.decision_stump):
+    which single `value` threshold best separates schema-INVALID
+    payloads from valid ones — the first question after
+    violation_triage fires, answered exactly over a pinned threshold
+    grid in ONE aggregation (2G+2 conditional sums; no tree library,
+    no iteration). The label is the compiled-engine verdict
+    (api.Schema.validate_many, bounds spec of
+    positional_failures_events); `best` is decided on the ROUNDED
+    gain so the flag is engine-stable. A best gain near 0 is itself
+    the answer: value does not explain validity. Oracle replays spec
+    semantics + entropy algebra."""
+    from jsonschema_validator_spark.api import Schema
+    from jsonschema_validator_spark.operators.rootcause import decision_stump
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 80}
+            },
+        },
+        spark,
+        draft="draft7",
+    )
+    labeled = s.validate_many(ev, "props").select(
+        (~F.col("valid")).alias("invalid"), "value"
+    )
+    return decision_stump(
+        labeled,
+        "invalid",
+        "value",
+        thresholds=[10, 20, 30, 40, 50, 60, 70, 80, 90],
+    ).orderBy("threshold")
+
+
+_ORACLE_STUMP = """
+WITH v AS (
+  SELECT value AS x,
+    CASE WHEN props IS NULL OR NOT json_valid(props) THEN 1
+         ELSE CASE WHEN coalesce(
+           json_extract(props, '$.k') IS NOT NULL
+           AND CAST(json_extract(props, '$.k') AS BIGINT)
+               BETWEEN 0 AND 80, FALSE) THEN 0 ELSE 1 END END AS y
+  FROM events WHERE value IS NOT NULL),
+tot AS (SELECT count(*)::DOUBLE AS n, sum(y)::DOUBLE AS pos FROM v),
+cand AS (SELECT unnest([10.0,20.0,30.0,40.0,50.0,60.0,70.0,80.0,90.0])
+           AS threshold),
+cnt AS (
+  SELECT threshold,
+         sum(CASE WHEN x <= threshold THEN 1 ELSE 0 END)::DOUBLE AS nl,
+         sum(CASE WHEN x <= threshold THEN y ELSE 0 END)::DOUBLE AS pl
+  FROM v, cand GROUP BY threshold),
+sc AS (
+  SELECT threshold, nl, tot.n - nl AS ng, pl, tot.pos - pl AS pg,
+         tot.n AS n, tot.pos AS pos
+  FROM cnt, tot),
+gain AS (
+  SELECT threshold, nl, ng, pl, pg, n,
+    CASE WHEN nl >= 1 AND ng >= 1 THEN
+      (CASE WHEN pos/n > 0 AND pos/n < 1
+            THEN -(pos/n*log2(pos/n) + (1-pos/n)*log2(1-pos/n))
+            ELSE 0 END)
+      - (nl/n) * (CASE WHEN pl/nl > 0 AND pl/nl < 1
+            THEN -(pl/nl*log2(pl/nl) + (1-pl/nl)*log2(1-pl/nl))
+            ELSE 0 END)
+      - (ng/n) * (CASE WHEN pg/ng > 0 AND pg/ng < 1
+            THEN -(pg/ng*log2(pg/ng) + (1-pg/ng)*log2(1-pg/ng))
+            ELSE 0 END)
+    END AS g
+  FROM sc),
+r AS (
+  SELECT threshold, nl::BIGINT AS n_le, ng::BIGINT AS n_gt,
+    CASE WHEN nl > 0 THEN round(pl/nl, 6) END AS pos_rate_le,
+    CASE WHEN ng > 0 THEN round(pg/ng, 6) END AS pos_rate_gt,
+    round(g, 6) AS info_gain
+  FROM gain),
+w AS (
+  SELECT *, max(info_gain) OVER () AS mg FROM r),
+bt AS (
+  SELECT *, min(CASE WHEN info_gain = mg THEN threshold END)
+              OVER () AS best_t
+  FROM w)
+SELECT threshold, n_le, n_gt, pos_rate_le, pos_rate_gt, info_gain,
+  (info_gain IS NOT NULL AND threshold = best_t) AS best
+FROM bt ORDER BY threshold
+"""
+
+
+def q_mde_events(spark, sf_dir):
+    """Two-proportion power planning per event_type
+    (operators/evaluation.mde_two_proportion): at the CURRENT arm
+    sizes of ab_test_events' experiment, the minimum detectable lift
+    and the per-arm n the OBSERVED lift would need — the column that
+    distinguishes "no effect" from "underpowered". Pinned z constants
+    (two-sided 5%, 80% power); same armed relation and single
+    aggregation as ab_test. Oracle replays the closed forms."""
+    from jsonschema_validator_spark.operators.evaluation import (
+        mde_two_proportion,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    armed = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        (F.col("value") > 35).cast("int").alias("conv"),
+    )
+    return mde_two_proportion(
+        armed, "arm", "conv", control="A", treatment="B", group="event_type"
+    ).orderBy("event_type")
+
+
+_ORACLE_MDE = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value > 35 THEN 1.0 ELSE 0.0 END AS y
+  FROM events),
+a AS (
+  SELECT event_type,
+         sum(CASE WHEN t = 0 THEN 1.0 END) AS n_c,
+         sum(CASE WHEN t = 1 THEN 1.0 END) AS n_t,
+         sum(CASE WHEN t = 0 THEN y END) AS x_c,
+         sum(CASE WHEN t = 1 THEN y END) AS x_t
+  FROM d WHERE y IS NOT NULL GROUP BY 1),
+f AS (
+  SELECT event_type, n_c, n_t, x_c/n_c AS p_c, x_t/n_t AS p_t,
+         (x_c + x_t)/(n_c + n_t) AS pool
+  FROM a WHERE n_c > 0 AND n_t > 0),
+g AS (
+  SELECT *,
+    p_t - p_c AS lift,
+    CASE WHEN pool > 0 AND pool < 1
+         THEN 2.8016 * sqrt(pool*(1-pool)*(1.0/n_c + 1.0/n_t)) END AS mde,
+    CASE WHEN abs(p_t - p_c) > 0
+         THEN 2.8016*2.8016 * (p_c*(1-p_c) + p_t*(1-p_t))
+              / ((p_t - p_c)*(p_t - p_c)) END AS req
+  FROM f)
+SELECT event_type, n_c::BIGINT AS n_control, n_t::BIGINT AS n_treatment,
+  round(p_c, 6) AS rate_control, round(p_t, 6) AS rate_treatment,
+  round(lift, 6) AS lift, round(mde, 6) AS mde,
+  CASE WHEN mde IS NOT NULL THEN abs(lift) >= mde END AS powered,
+  ceil(req)::BIGINT AS required_n_per_arm
+FROM g ORDER BY event_type
+"""
+
+
+def q_streaming_jb_events(spark, sf_dir):
+    """Streaming Jarque-Bera twin (streaming/validate.py
+    stream_power_sums): micro-batches append additive per-group
+    (n, s1..s4) power-sum partials through the batch_id-partitioned
+    exactly-once sink; assembling the sink with
+    normality.jb_from_power_sums must reproduce the one-shot batch
+    screen — partials are commutative, so batch boundaries are
+    irrelevant by construction, and distribution-SHAPE monitoring
+    joins the mean/null-rate (streaming_stats) and covariance
+    (streaming_mmd) families as an incrementally-maintained check.
+    The oracle IS the batch JB SQL, shared verbatim."""
+    import tempfile
+
+    from jsonschema_validator_spark.operators.normality import (
+        jb_from_power_sums,
+    )
+    from jsonschema_validator_spark.streaming.validate import (
+        stream_power_sums,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    root = tempfile.mkdtemp(prefix="stream_jb_")
+    src_dir = f"{root}/in"
+    ev.repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    out_dir = f"{root}/out"
+    q = stream_power_sums(
+        spark, src_dir, schema, out_dir, "event_type", "value"
+    )
+    q.awaitTermination()
+    parts = spark.read.parquet(f"{out_dir}/power_sums")
+    return jb_from_power_sums(parts, "event_type").orderBy("event_type")

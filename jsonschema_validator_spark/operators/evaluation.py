@@ -822,3 +822,81 @@ def cuped(
         F.round(vr, 6).alias("var_reduction"),
     ]
     return agg.filter((nc >= min_n) & (nt >= min_n)).select(*cols)
+
+
+def mde_two_proportion(
+    df: DataFrame,
+    arm: str,
+    outcome: str,
+    control,
+    treatment,
+    group: str | None = None,
+    z_alpha: float = 1.96,
+    z_beta: float = 0.8416,
+) -> DataFrame:
+    """Experiment-design honesty check for a two-proportion test: at
+    the CURRENT arm sizes, what lift could this experiment actually
+    detect (MDE), and how many units per arm would the OBSERVED lift
+    need (required_n_per_arm)? An ab_test "no significant difference"
+    with MDE 5x the observed lift is an underpowered experiment, not
+    evidence of no effect — this screen makes that distinction a
+    column instead of a judgment call.
+
+        mde = (z_alpha + z_beta) * sqrt(p(1-p)(1/n_c + 1/n_t))
+        required_n = (z_alpha + z_beta)^2 (p_c q_c + p_t q_t) / lift^2
+
+    with p the pooled rate. z constants are caller-pinned (defaults:
+    two-sided 5% / 80% power — a Column plan cannot invert the normal
+    CDF, same contract as every pinned critical in this engine).
+    ``powered`` = |observed lift| >= mde. A zero observed lift yields
+    NULL required_n (no effect to size for); a degenerate pooled rate
+    (0 or 1) yields NULL mde.
+
+    Same input contract and single aggregation as ab_test — run them
+    side by side on the same armed relation. Returns (group?,
+    n_control, n_treatment, rate_control, rate_treatment, lift, mde,
+    powered, required_n_per_arm).
+    """
+    a = F.col(arm).cast("string")
+    y = F.col(outcome).cast("double")
+    base = df.filter(
+        y.isNotNull() & a.isin([str(control), str(treatment)])
+    )
+    keys = [F.col(group).alias("g")] if group else []
+    is_t = (a == str(treatment)).cast("int")
+    agg = base.select(*keys, is_t.alias("t"), y.alias("y")).groupBy(
+        *([F.col("g")] if group else [])
+    ).agg(
+        F.sum(F.when(F.col("t") == 0, 1.0)).alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, 1.0)).alias("n_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y"))).alias("x_c"),
+        F.sum(F.when(F.col("t") == 1, F.col("y"))).alias("x_t"),
+    )
+    n_c, n_t = F.col("n_c"), F.col("n_t")
+    p_c = F.col("x_c") / n_c
+    p_t = F.col("x_t") / n_t
+    pool = (F.col("x_c") + F.col("x_t")) / (n_c + n_t)
+    lift = p_t - p_c
+    zsum = z_alpha + z_beta
+    mde = F.when(
+        (pool > 0) & (pool < 1),
+        zsum * F.sqrt(pool * (1 - pool) * (1.0 / n_c + 1.0 / n_t)),
+    )
+    req = F.when(
+        F.abs(lift) > 0,
+        zsum * zsum * (p_c * (1 - p_c) + p_t * (1 - p_t)) / (lift * lift),
+    )
+    cols = []
+    if group:
+        cols.append(F.col("g").alias(group))
+    cols += [
+        n_c.cast("long").alias("n_control"),
+        n_t.cast("long").alias("n_treatment"),
+        F.round(p_c, 6).alias("rate_control"),
+        F.round(p_t, 6).alias("rate_treatment"),
+        F.round(lift, 6).alias("lift"),
+        F.round(mde, 6).alias("mde"),
+        F.when(mde.isNotNull(), F.abs(lift) >= mde).alias("powered"),
+        F.round(F.ceil(req), 1).cast("long").alias("required_n_per_arm"),
+    ]
+    return agg.filter((n_c > 0) & (n_t > 0)).select(*cols)

@@ -35,15 +35,15 @@ _CHI2_95 = [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
             15.507, 16.919, 18.307]
 
 
-def _central_moments(df: DataFrame, group: str, value: str):
-    """One-pass raw power sums -> (n, mean, m2, m3, m4) per group.
-
-    m_k are the biased (1/n) central moments, derived from raw sums by
-    the binomial expansion — the only formulation that stays a single
-    map-side-combinable aggregation.
-    """
+def power_sums(df: DataFrame, group: str, value: str) -> DataFrame:
+    """The ADDITIVE (g, n, s1..s4) power-sum relation behind
+    jarque_bera_screen — exposed separately because it is MERGEABLE:
+    partials from any row partitioning (or any sequence of streaming
+    micro-batches) sum to the same moments, so batch and incremental
+    JB share one assembly and one oracle (the same contract as
+    similarity.moment_partials for the MMD family)."""
     x = F.col(value).cast("double")
-    agg = (
+    return (
         df.filter(x.isNotNull())
         .groupBy(F.col(group).alias("g"))
         .agg(
@@ -54,6 +54,15 @@ def _central_moments(df: DataFrame, group: str, value: str):
             F.sum(x * x * x * x).alias("s4"),
         )
     )
+
+
+def _central_moments(agg: DataFrame):
+    """(n, mean, m2, m3, m4) column exprs over a power-sum relation.
+
+    m_k are the biased (1/n) central moments, derived from raw sums by
+    the binomial expansion — the only formulation that stays a single
+    map-side-combinable aggregation.
+    """
     n = F.col("n")
     mu = F.col("s1") / n
     m2 = F.col("s2") / n - mu * mu
@@ -65,6 +74,39 @@ def _central_moments(df: DataFrame, group: str, value: str):
         - 3 * mu * mu * mu * mu
     )
     return agg, n, mu, m2, m3, m4
+
+
+def jb_from_power_sums(
+    parts: DataFrame, group: str, min_n: int = 8
+) -> DataFrame:
+    """Assemble the Jarque-Bera result from a (g, n, s1..s4) power-sum
+    relation — fresh from :func:`power_sums` or re-read from a
+    streaming sink (extra columns like batch_id are ignored; partials
+    for the same g are summed, which is the identity when the relation
+    is already one row per group)."""
+    merged = parts.groupBy("g").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    )
+    agg, n, mu, m2, m3, m4 = _central_moments(merged)
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return (
+        agg.filter((n >= min_n) & (m2 > 0))
+        .select(
+            F.col("g").alias(group),
+            n.cast("long").alias("n"),
+            F.round(skew, 6).alias("skewness"),
+            F.round(kurt, 6).alias("kurtosis_excess"),
+            F.round(jb, 6).alias("jb_stat"),
+            F.lit(_CHI2_95[1]).alias("jb_crit_95"),
+            (jb > _CHI2_95[1]).alias("reject"),
+        )
+    )
 
 
 def jarque_bera_screen(
@@ -81,24 +123,11 @@ def jarque_bera_screen(
     approximation is meaningless there).
 
     Returns (group, n, skewness, kurtosis_excess, jb_stat, jb_crit_95,
-    reject). One aggregation; O(groups) rows downstream.
+    reject). One raw-table aggregation (power_sums) plus an O(groups)
+    assembly; the split into additive partials + assembly is what the
+    streaming twin reuses.
     """
-    agg, n, mu, m2, m3, m4 = _central_moments(df, group, value)
-    skew = m3 / F.pow(m2, 1.5)
-    kurt = m4 / (m2 * m2) - 3.0
-    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
-    return (
-        agg.filter((n >= min_n) & (m2 > 0))
-        .select(
-            F.col("g").alias(group),
-            n.cast("long").alias("n"),
-            F.round(skew, 6).alias("skewness"),
-            F.round(kurt, 6).alias("kurtosis_excess"),
-            F.round(jb, 6).alias("jb_stat"),
-            F.lit(_CHI2_95[1]).alias("jb_crit_95"),
-            (jb > _CHI2_95[1]).alias("reject"),
-        )
-    )
+    return jb_from_power_sums(power_sums(df, group, value), group, min_n)
 
 
 def bartlett_test(
@@ -225,5 +254,124 @@ def grubbs_screen(
             F.round(g, 6).alias("g_stat"),
             F.lit(crit).alias("g_crit"),
             (g > crit).alias("reject"),
+        )
+    )
+
+
+def yuen_trimmed_test(
+    df: DataFrame,
+    group: str,
+    arm: str,
+    value: str,
+    control,
+    treatment,
+    trim: float = 0.2,
+    t_crit: float = 1.96,
+    min_n: int = 10,
+) -> DataFrame:
+    """Yuen's trimmed-mean two-sample test (Yuen 1974) per group — the
+    ROBUST arm-comparison to run when jarque_bera_screen rejects and
+    Welch's premises fail: trim the top and bottom ``trim`` fraction
+    of each arm (by order statistics, not by sigma — no normality
+    assumption), compare trimmed means, and standard-error them with
+    the WINSORIZED variance (the variance of the sample with the
+    trimmed tails clamped to the cut values — trimming alone would
+    understate the error):
+
+        g = floor(trim * n),  h = n - 2g   (effective sample size)
+        d = s_w^2 (n - 1) / (h (h - 1))
+        t = (tm_treat - tm_ctrl) / sqrt(d_t + d_c)
+
+    ``t_crit`` is the caller-pinned critical value (the Yuen df is a
+    Welch-style fraction a Column plan cannot invert a t CDF for; the
+    asymptotic 1.96 default is documented). A heavy-tail-driven
+    "significant" Welch lift that is NOT significant here was a tail
+    artifact, not a level shift.
+
+    Scale shape: one rank window per (group, arm) — the single
+    raw-table shuffle — then two aggregations that reuse the same
+    partitioning (kept-range stats, then winsorized sums after an
+    O(groups x arms) bounds broadcast). Tie permutations at the cut
+    do not affect any output (equal values clamp to themselves).
+    Returns (group, n_control, n_treatment, h_control, h_treatment,
+    trimmed_mean_control, trimmed_mean_treatment, lift_trimmed,
+    t_stat, t_crit, reject).
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    x = F.col(value).cast("double")
+    a = F.col(arm).cast("string")
+    base = df.filter(
+        x.isNotNull() & a.isin([str(control), str(treatment)])
+    ).select(
+        F.col(group).alias("g"),
+        (a == str(treatment)).cast("int").alias("t"),
+        x.alias("x"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("g", "t").orderBy("x")
+    nw = W.partitionBy("g", "t")
+    ranked = base.select(
+        "g",
+        "t",
+        "x",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    ).withColumn("cut", F.floor(F.lit(trim) * F.col("n")))
+    kept = ranked.filter(
+        (F.col("r") > F.col("cut")) & (F.col("r") <= F.col("n") - F.col("cut"))
+    )
+    bounds = kept.groupBy("g", "t").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("h"),
+        F.avg("x").alias("tm"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+    clamped = ranked.join(F.broadcast(bounds.select("g", "t", "lo", "hi")), ["g", "t"]).select(
+        "g", "t", F.greatest(F.least(F.col("x"), F.col("hi")), F.col("lo")).alias("c")
+    )
+    wins = clamped.groupBy("g", "t").agg(
+        F.sum("c").alias("sc"), F.sum(F.col("c") * F.col("c")).alias("scc")
+    )
+    per = bounds.join(wins, ["g", "t"])
+    n = F.col("n").cast("double")
+    h = F.col("h").cast("double")
+    wm = F.col("sc") / n
+    sw2 = (F.col("scc") - n * wm * wm) / (n - 1.0)
+    d = sw2 * (n - 1.0) / (h * (h - 1.0))
+    per = per.select("g", "t", "n", "h", "tm", d.alias("d"))
+    piv = per.groupBy("g").agg(
+        F.max(F.when(F.col("t") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("t") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("t") == 0, F.col("h"))).alias("h_c"),
+        F.max(F.when(F.col("t") == 1, F.col("h"))).alias("h_t"),
+        F.max(F.when(F.col("t") == 0, F.col("tm"))).alias("tm_c"),
+        F.max(F.when(F.col("t") == 1, F.col("tm"))).alias("tm_t"),
+        F.max(F.when(F.col("t") == 0, F.col("d"))).alias("d_c"),
+        F.max(F.when(F.col("t") == 1, F.col("d"))).alias("d_t"),
+    )
+    tstat = (F.col("tm_t") - F.col("tm_c")) / F.sqrt(F.col("d_t") + F.col("d_c"))
+    return (
+        piv.filter(
+            (F.col("n_c") >= min_n)
+            & (F.col("n_t") >= min_n)
+            & (F.col("h_c") > 1)
+            & (F.col("h_t") > 1)
+            & ((F.col("d_t") + F.col("d_c")) > 0)
+        )
+        .select(
+            F.col("g").alias(group),
+            F.col("n_c").cast("long").alias("n_control"),
+            F.col("n_t").cast("long").alias("n_treatment"),
+            F.col("h_c").cast("long").alias("h_control"),
+            F.col("h_t").cast("long").alias("h_treatment"),
+            F.round("tm_c", 6).alias("trimmed_mean_control"),
+            F.round("tm_t", 6).alias("trimmed_mean_treatment"),
+            F.round(F.col("tm_t") - F.col("tm_c"), 6).alias("lift_trimmed"),
+            F.round(tstat, 6).alias("t_stat"),
+            F.lit(t_crit).alias("t_crit"),
+            (F.abs(tstat) > t_crit).alias("reject"),
         )
     )

@@ -1420,3 +1420,167 @@ def cochrane_orcutt(
             "slope_shift"
         ),
     )
+
+
+def newey_west_se(
+    df: DataFrame,
+    group: str = "event_type",
+    ts: str = "ts",
+    value: str | None = None,
+    max_lag: int = 5,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """HAC (Newey-West 1987, Bartlett kernel) standard error of the
+    daily-series mean per group — the honesty patch for every
+    mean +- 1.96 * sd/sqrt(n) interval this engine emits over a
+    SERIALLY DEPENDENT series (exactly what acf_ljung_box detects):
+    positive autocorrelation makes the naive SE too small, so alerts
+    fire on noise. The long-run variance replaces gamma_0:
+
+        lrv = gamma_0 + 2 * sum_{h=1..L} (1 - h/(L+1)) gamma_h
+        se_nw = sqrt(lrv / n)     (gamma_h = 1/n sum (x_t-mu)(x_{t+h}-mu))
+
+    Bartlett weights keep lrv >= 0. ``inflation`` = se_nw/se_naive is
+    the factor by which the i.i.d. interval was overclaiming (< 1
+    means negative autocorrelation — the naive interval was
+    conservative). Daily counts when ``value`` is None, else daily
+    means; same lag-window machinery and observed-day spacing
+    convention as acf_ljung_box, ONE shuffle to the daily relation.
+    Returns (group, n_days, mean, gamma0, lrv, se_naive, se_nw,
+    inflation, ci_lo, ci_hi) with the ci at the pinned ``z_crit``.
+    """
+    if not 1 <= max_lag <= 10:
+        raise ValueError("max_lag must be in 1..10")
+    val = (
+        F.count(F.lit(1)).cast("double") if value is None else F.avg(F.col(value))
+    )
+    daily = _daily(df, group, ts, val)
+    means = daily.groupBy("g").agg(F.avg("x").alias("mu"))
+    w = Window.partitionBy("g").orderBy("day")
+    dev = F.col("x") - F.col("mu")
+    lagged = daily.join(means, "g").select(
+        "g",
+        F.col("mu"),
+        dev.alias("d0"),
+        *[
+            (F.lag("x", k).over(w) - F.col("mu")).alias(f"d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = lagged.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("mu").alias("mu"),
+        F.sum(F.col("d0") * F.col("d0")).alias("g0s"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"g{k}s")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    n = F.col("n_days").cast("double")
+    gamma0 = F.col("g0s") / n
+    lrv = gamma0
+    for k in range(1, max_lag + 1):
+        wgt = 1.0 - k / (max_lag + 1.0)
+        lrv = lrv + 2.0 * wgt * (F.coalesce(F.col(f"g{k}s"), F.lit(0.0)) / n)
+    se_naive = F.sqrt(gamma0 / n)
+    se_nw = F.sqrt(lrv / n)
+    return agg.filter((F.col("n_days") > max_lag) & (gamma0 > 0)).select(
+        F.col("g").alias(group),
+        "n_days",
+        F.round("mu", 6).alias("mean"),
+        F.round(gamma0, 6).alias("gamma0"),
+        F.round(lrv, 6).alias("lrv"),
+        F.round(se_naive, 6).alias("se_naive"),
+        F.round(se_nw, 6).alias("se_nw"),
+        F.round(se_nw / se_naive, 6).alias("inflation"),
+        F.round(F.col("mu") - z_crit * se_nw, 6).alias("ci_lo"),
+        F.round(F.col("mu") + z_crit * se_nw, 6).alias("ci_hi"),
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    group: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) per
+    group: the plain mann_kendall compares EVERY day pair, so a strong
+    weekly cycle registers as spurious "trend" or masks a real one;
+    the seasonal variant compares only LIKE days (Monday with Monday),
+    then pools:
+
+        S = sum_seasons S_season,  Var = sum_seasons Var_season
+        z = (S -/+ 1) / sqrt(Var)
+
+    (independence across seasons, the standard Hirsch-Slack form
+    without the cross-season covariance correction — stated, not
+    hidden). Season = day-of-week of the daily-mean series. The
+    pairwise relation is bounded per (group, season) at O(k^2) with
+    k = days/7; the raw table shuffles once into the daily relation.
+    Returns (group, n_days, n_seasons, s_stat, var_s, z, trend).
+    """
+    d = _daily(df, group, ts, F.avg(F.col(value).cast("double"))).select(
+        "g",
+        "day",
+        "x",
+        F.dayofweek(F.to_date("day")).alias("season"),
+    )
+    a = d.select("g", "season", F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = d.select("g", "season", F.col("day").alias("d2"), F.col("x").alias("x2"))
+    s = (
+        a.join(b, ["g", "season"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("g", "season")
+        .agg(
+            F.sum(F.signum(F.col("x2") - F.col("x1")))
+            .cast("bigint")
+            .alias("s_k")
+        )
+    )
+    n = d.groupBy("g", "season").agg(F.count(F.lit(1)).alias("n_k"))
+    t = F.count(F.lit(1))
+    ties = (
+        d.groupBy("g", "season", "x")
+        .agg((t * (t - 1) * (2 * t + 5)).alias("tt"))
+        .groupBy("g", "season")
+        .agg(F.sum("tt").alias("tie_k"))
+    )
+    nk = F.col("n_k").cast("double")
+    var_k = (
+        nk * (nk - 1) * (2 * nk + 5) - F.col("tie_k").cast("double")
+    ) / 18.0
+    per = (
+        n.join(s, ["g", "season"], "left")
+        .join(ties, ["g", "season"])
+        .select(
+            "g",
+            "n_k",
+            F.coalesce(F.col("s_k"), F.lit(0)).alias("s_k"),
+            var_k.alias("var_k"),
+        )
+    )
+    tot = per.groupBy("g").agg(
+        F.sum("n_k").alias("n_days"),
+        F.count(F.lit(1)).alias("n_seasons"),
+        F.sum("s_k").alias("s_stat"),
+        F.sum("var_k").alias("var_s"),
+    )
+    ss = F.col("s_stat").cast("double")
+    vs = F.col("var_s")
+    z = F.when((ss == 0) | (vs <= 0), F.lit(0.0)).otherwise(
+        (ss - F.signum(ss)) / F.sqrt(vs)
+    )
+    return tot.select(
+        F.col("g").alias(group),
+        "n_days",
+        "n_seasons",
+        "s_stat",
+        F.round(vs, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z > z_crit, F.lit("increasing"))
+        .when(z < -z_crit, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )

@@ -474,3 +474,56 @@ def stream_moment_partials(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_power_sums(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    output_dir: str,
+    group: str,
+    value: str,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of normality.power_sums: every micro-batch
+    appends its additive per-group (g, n, s1..s4) power-sum partials
+    keyed by batch_id through the exactly-once dynamic-overwrite sink.
+    Because the partials are commutative sums, assembling the sink
+    with normality.jb_from_power_sums reproduces the one-shot batch
+    Jarque-Bera over everything streamed so far — at ANY point, not
+    just stream end, with zero unbounded streaming state (the sink IS
+    the state, idempotent under micro-batch replay). Same design as
+    stream_moment_partials / stream_stat_partials; distribution-SHAPE
+    monitoring joins the mean/null-rate and MMD families as an
+    incrementally-maintained check.
+
+    Returns the StreamingQuery (caller awaits it).
+    """
+    from jsonschema_validator_spark.operators.normality import power_sums
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parts = power_sums(batch_df, group, value).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            parts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/power_sums")
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
