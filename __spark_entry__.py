@@ -13047,6 +13047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_events": q_stump_events,
         "mde_events": q_mde_events,
         "streaming_jb_events": q_streaming_jb_events,
+        "delta_ratio_events": q_delta_ratio_events,
+        "srm_events": q_srm_events,
+        "post_strat_events": q_post_strat_events,
     }
 
 
@@ -13337,6 +13340,9 @@ def oracle_sql() -> dict[str, str]:
         # the streaming twin must equal the one-shot batch JB exactly,
         # so it shares the batch oracle verbatim
         "streaming_jb_events": _ORACLE_JARQUE_BERA,
+        "delta_ratio_events": _ORACLE_DELTA_RATIO,
+        "srm_events": _ORACLE_SRM,
+        "post_strat_events": _ORACLE_POST_STRAT,
     }
 
 
@@ -14330,3 +14336,223 @@ def q_streaming_jb_events(spark, sf_dir):
     q.awaitTermination()
     parts = spark.read.parquet(f"{out_dir}/power_sums")
     return jb_from_power_sums(parts, "event_type").orderBy("event_type")
+
+
+def q_delta_ratio_events(spark, sf_dir):
+    """Delta-method ratio-metric A/B test per event_type
+    (operators/evaluation.delta_method_ratio_test, Deng et al. KDD
+    2018): the metric is a RATIO of per-user sums (high-value events /
+    total events), so the per-row z-test is invalid — rows within a
+    user are correlated; the delta method gives the closed-form SE of
+    the ratio-of-sums (the exact-form twin of jackknife_events' LOO
+    replicates). One shuffle to the per-(event_type, user) relation,
+    one aggregation of sums/products. Oracle replays the expansion."""
+    from jsonschema_validator_spark.operators.evaluation import (
+        delta_method_ratio_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(F.col("value") > 35, 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    armed = per.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    return delta_method_ratio_test(
+        armed, "arm", "x", "y", control="A", treatment="B",
+        group="event_type", min_n=4,
+    ).orderBy("event_type")
+
+
+_ORACLE_DELTA_RATIO = """
+WITH per AS (
+  SELECT event_type AS g, user_id,
+         sum(CASE WHEN value > 35 THEN 1 ELSE 0 END)::DOUBLE AS x,
+         count(*)::DOUBLE AS y,
+         CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT g,
+    sum(CASE WHEN t = 0 THEN 1.0 END) AS n_c,
+    sum(CASE WHEN t = 0 THEN x END) AS sx_c,
+    sum(CASE WHEN t = 0 THEN y END) AS sy_c,
+    sum(CASE WHEN t = 0 THEN x*x END) AS sxx_c,
+    sum(CASE WHEN t = 0 THEN y*y END) AS syy_c,
+    sum(CASE WHEN t = 0 THEN x*y END) AS sxy_c,
+    sum(CASE WHEN t = 1 THEN 1.0 END) AS n_t,
+    sum(CASE WHEN t = 1 THEN x END) AS sx_t,
+    sum(CASE WHEN t = 1 THEN y END) AS sy_t,
+    sum(CASE WHEN t = 1 THEN x*x END) AS sxx_t,
+    sum(CASE WHEN t = 1 THEN y*y END) AS syy_t,
+    sum(CASE WHEN t = 1 THEN x*y END) AS sxy_t
+  FROM per GROUP BY 1),
+f AS (
+  SELECT g, n_c, n_t,
+    CASE WHEN sy_c != 0 THEN sx_c/sy_c END AS r_c,
+    CASE WHEN sy_t != 0 THEN sx_t/sy_t END AS r_t,
+    (sxx_c - n_c*(sx_c/n_c)*(sx_c/n_c))/(n_c-1) AS vx_c,
+    (syy_c - n_c*(sy_c/n_c)*(sy_c/n_c))/(n_c-1) AS vy_c,
+    (sxy_c - n_c*(sx_c/n_c)*(sy_c/n_c))/(n_c-1) AS cxy_c,
+    (sxx_t - n_t*(sx_t/n_t)*(sx_t/n_t))/(n_t-1) AS vx_t,
+    (syy_t - n_t*(sy_t/n_t)*(sy_t/n_t))/(n_t-1) AS vy_t,
+    (sxy_t - n_t*(sx_t/n_t)*(sy_t/n_t))/(n_t-1) AS cxy_t,
+    sy_c/n_c AS my_c, sy_t/n_t AS my_t
+  FROM a WHERE n_c >= 4 AND n_t >= 4),
+v AS (
+  SELECT g, n_c, n_t, r_c, r_t,
+    (vx_c - 2*r_c*cxy_c + r_c*r_c*vy_c) / (n_c * my_c * my_c) AS var_c,
+    (vx_t - 2*r_t*cxy_t + r_t*r_t*vy_t) / (n_t * my_t * my_t) AS var_t
+  FROM f),
+s AS (
+  SELECT g, n_c, n_t, r_c, r_t,
+    CASE WHEN var_c >= 0 THEN sqrt(var_c) END AS se_c,
+    CASE WHEN var_t >= 0 THEN sqrt(var_t) END AS se_t
+  FROM v)
+SELECT g AS event_type, n_c::BIGINT AS n_control,
+  n_t::BIGINT AS n_treatment,
+  round(r_c, 6) AS ratio_control, round(r_t, 6) AS ratio_treatment,
+  round(r_t - r_c, 6) AS lift,
+  round(se_c, 6) AS se_control, round(se_t, 6) AS se_treatment,
+  CASE WHEN se_c*se_c + se_t*se_t > 0
+       THEN round((r_t - r_c)/sqrt(se_c*se_c + se_t*se_t), 6) END AS z
+FROM s ORDER BY event_type
+"""
+
+
+def q_srm_events(spark, sf_dir):
+    """Sample-ratio-mismatch gate per event_type
+    (operators/evaluation.srm_check) with a PLANTED assignment bug:
+    treatment silently loses every user_id % 10 == 1 (a crashing
+    variant dropping its own traffic — the classic SRM cause). The
+    chi-square GOF against the designed 50/50 split fires, which means
+    every metric comparison on this experiment is invalid BEFORE
+    looking at any metric — the gate platforms run first. Oracle
+    replays plant + GOF."""
+    from jsonschema_validator_spark.operators.evaluation import srm_check
+
+    ev = _t(spark, sf_dir, "events")
+    armed = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "user_id",
+    ).filter(
+        ~((F.col("arm") == "B") & (F.col("user_id") % 10 == 1))
+    )
+    return srm_check(
+        armed, "arm", {"A": 0.5, "B": 0.5}, group="event_type"
+    ).orderBy("event_type")
+
+
+_ORACLE_SRM = """
+WITH armed AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM events
+  WHERE NOT (user_id % 2 != 0 AND user_id % 10 = 1)),
+a AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::DOUBLE AS o_a,
+         sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::DOUBLE AS o_b
+  FROM armed GROUP BY 1)
+SELECT event_type, n::BIGINT AS n_total, 0::BIGINT AS n_unexpected,
+  round((o_a - n*0.5)*(o_a - n*0.5)/(n*0.5)
+        + (o_b - n*0.5)*(o_b - n*0.5)/(n*0.5), 6) AS chi2,
+  3.841 AS chi2_crit,
+  (o_a - n*0.5)*(o_a - n*0.5)/(n*0.5)
+    + (o_b - n*0.5)*(o_b - n*0.5)/(n*0.5) > 3.841 AS srm
+FROM a ORDER BY event_type
+"""
+
+
+def q_post_strat_events(spark, sf_dir):
+    """Post-stratified A/B comparison
+    (operators/evaluation.post_stratified_test) — the categorical
+    CUPED: arms by user parity, outcome = value, stratum = event_type,
+    with a PLANTED mix imbalance (treatment loses half its 'view'
+    rows), so the raw lift inherits the stratum-mean confound and the
+    post-stratified lift removes exactly it; `imbalance` quantifies
+    the mix gap that was corrected. One shuffle to the (stratum, arm)
+    cell relation. Oracle replays weights and variance algebra."""
+    from jsonschema_validator_spark.operators.evaluation import (
+        post_stratified_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    armed = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "value",
+        "event_id",
+    ).filter(
+        ~(
+            (F.col("arm") == "B")
+            & (F.col("event_type") == "view")
+            & (F.col("event_id") % 2 == 0)
+        )
+    )
+    return post_stratified_test(
+        armed, "arm", "event_type", "value", control="A", treatment="B"
+    )
+
+
+_ORACLE_POST_STRAT = """
+WITH armed AS (
+  SELECT event_type AS s,
+         CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t,
+         value AS y
+  FROM events
+  WHERE value IS NOT NULL
+    AND NOT (user_id % 2 != 0 AND event_type = 'view'
+             AND event_id % 2 = 0)),
+cells AS (
+  SELECT s, t, count(*)::DOUBLE AS n, avg(y) AS m, var_samp(y) AS v
+  FROM armed GROUP BY 1, 2),
+piv AS (
+  SELECT s,
+    max(CASE WHEN t = 0 THEN n END) AS n_c,
+    max(CASE WHEN t = 1 THEN n END) AS n_t,
+    max(CASE WHEN t = 0 THEN m END) AS m_c,
+    max(CASE WHEN t = 1 THEN m END) AS m_t,
+    max(CASE WHEN t = 0 THEN v END) AS v_c,
+    max(CASE WHEN t = 1 THEN v END) AS v_t
+  FROM cells GROUP BY s
+  HAVING max(CASE WHEN t = 0 THEN n END) >= 2
+     AND max(CASE WHEN t = 1 THEN n END) >= 2),
+sh AS (
+  SELECT *,
+    abs(n_t / sum(n_t) OVER () - n_c / sum(n_c) OVER ()) AS sh_gap
+  FROM piv),
+tot AS (
+  SELECT sum(n_c) AS N_c, sum(n_t) AS N_t,
+    count(*)::BIGINT AS n_strata,
+    sum((n_c + n_t) * m_c) AS wm_c, sum((n_c + n_t) * m_t) AS wm_t,
+    sum((n_c + n_t)*(n_c + n_t) * v_c / n_c) AS wv_c,
+    sum((n_c + n_t)*(n_c + n_t) * v_t / n_t) AS wv_t,
+    sum(n_c * m_c) AS sraw_c, sum(n_t * m_t) AS sraw_t,
+    max(sh_gap) AS imbalance
+  FROM sh),
+f AS (
+  SELECT *, N_c + N_t AS n_pool FROM tot)
+SELECT N_c::BIGINT AS n_control, N_t::BIGINT AS n_treatment, n_strata,
+  round(sraw_t/N_t - sraw_c/N_c, 6) AS lift_raw,
+  round(wm_t/n_pool - wm_c/n_pool, 6) AS lift_post,
+  round(sqrt(wv_c/(n_pool*n_pool) + wv_t/(n_pool*n_pool)), 6) AS se_post,
+  CASE WHEN sqrt(wv_c/(n_pool*n_pool) + wv_t/(n_pool*n_pool)) > 0
+       THEN round((wm_t/n_pool - wm_c/n_pool)
+            / sqrt(wv_c/(n_pool*n_pool) + wv_t/(n_pool*n_pool)), 6)
+  END AS z_post,
+  round(imbalance, 6) AS imbalance
+FROM f
+"""

@@ -900,3 +900,279 @@ def mde_two_proportion(
         F.round(F.ceil(req), 1).cast("long").alias("required_n_per_arm"),
     ]
     return agg.filter((n_c > 0) & (n_t > 0)).select(*cols)
+
+
+def delta_method_ratio_test(
+    df: DataFrame,
+    arm: str,
+    num: str,
+    den: str,
+    control,
+    treatment,
+    group: str | None = None,
+    min_n: int = 8,
+) -> DataFrame:
+    """Two-sample test for a RATIO-OF-SUMS metric with delta-method
+    standard errors (Deng, Knoblich & Lu, KDD 2018 — the "metrics are
+    ratios, units are users" problem): clicks/views, violations/turns,
+    revenue/sessions. The naive per-row test is wrong because rows
+    within a unit are correlated; the unit-level ratio-of-means R =
+    sum(num)/sum(den) is right but its variance needs the delta
+    method:
+
+        var(R) ~= ( var(x) - 2 R cov(x, y) + R^2 var(y) )
+                  / ( n * ybar^2 )
+
+    per arm, with (x, y) the per-UNIT numerator/denominator. This is
+    the exact-form twin of jackknife_events' resampled SE (same
+    estimand; closed form instead of leave-one-out replicates).
+
+    Input contract: ONE ROW PER UNIT, already reduced (build with a
+    per-unit aggregation first). One aggregation of sums/products per
+    arm; algebra on the O(groups) aggregate. Units with NULL num/den
+    or den contributing zero to an arm are handled by the sums
+    themselves (a zero-denominator ARM yields NULL ratio).
+
+    Returns (group?, n_control, n_treatment, ratio_control,
+    ratio_treatment, lift, se_control, se_treatment, z).
+    """
+    a = F.col(arm).cast("string")
+    x = F.col(num).cast("double")
+    y = F.col(den).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull()
+        & a.isin([str(control), str(treatment)])
+    )
+    keys = [F.col(group).alias("g")] if group else []
+    is_t = (a == str(treatment)).cast("int")
+    tagged = base.select(*keys, is_t.alias("t"), x.alias("x"), y.alias("y"))
+    agg = tagged.groupBy(*([F.col("g")] if group else [])).agg(
+        *[
+            e.alias(n_)
+            for side, tag in ((0, "c"), (1, "t"))
+            for n_, e in (
+                (f"n_{tag}", F.sum(F.when(F.col("t") == side, 1.0))),
+                (f"sx_{tag}", F.sum(F.when(F.col("t") == side, F.col("x")))),
+                (f"sy_{tag}", F.sum(F.when(F.col("t") == side, F.col("y")))),
+                (
+                    f"sxx_{tag}",
+                    F.sum(
+                        F.when(F.col("t") == side, F.col("x") * F.col("x"))
+                    ),
+                ),
+                (
+                    f"syy_{tag}",
+                    F.sum(
+                        F.when(F.col("t") == side, F.col("y") * F.col("y"))
+                    ),
+                ),
+                (
+                    f"sxy_{tag}",
+                    F.sum(
+                        F.when(F.col("t") == side, F.col("x") * F.col("y"))
+                    ),
+                ),
+            )
+        ]
+    )
+
+    def _side(tag):
+        n = F.col(f"n_{tag}")
+        mx = F.col(f"sx_{tag}") / n
+        my = F.col(f"sy_{tag}") / n
+        vx = (F.col(f"sxx_{tag}") - n * mx * mx) / (n - 1)
+        vy = (F.col(f"syy_{tag}") - n * my * my) / (n - 1)
+        cxy = (F.col(f"sxy_{tag}") - n * mx * my) / (n - 1)
+        r = F.when(F.col(f"sy_{tag}") != 0, F.col(f"sx_{tag}") / F.col(f"sy_{tag}"))
+        var_r = (vx - 2 * r * cxy + r * r * vy) / (n * my * my)
+        return n, r, F.when(var_r >= 0, F.sqrt(var_r))
+
+    n_c, r_c, se_c = _side("c")
+    n_t, r_t, se_t = _side("t")
+    z = F.when(
+        (se_c * se_c + se_t * se_t) > 0,
+        (r_t - r_c) / F.sqrt(se_c * se_c + se_t * se_t),
+    )
+    cols = []
+    if group:
+        cols.append(F.col("g").alias(group))
+    cols += [
+        n_c.cast("long").alias("n_control"),
+        n_t.cast("long").alias("n_treatment"),
+        F.round(r_c, 6).alias("ratio_control"),
+        F.round(r_t, 6).alias("ratio_treatment"),
+        F.round(r_t - r_c, 6).alias("lift"),
+        F.round(se_c, 6).alias("se_control"),
+        F.round(se_t, 6).alias("se_treatment"),
+        F.round(z, 6).alias("z"),
+    ]
+    return agg.filter((n_c >= min_n) & (n_t >= min_n)).select(*cols)
+
+
+def srm_check(
+    df: DataFrame,
+    arm: str,
+    expected: dict[str, float],
+    group: str | None = None,
+    chi2_crit: float = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch gate: chi-square goodness-of-fit of the
+    OBSERVED arm allocation against the DESIGNED split. The single
+    most common way a "significant" experiment result is garbage is
+    that the assignment itself broke (a crashing variant drops its
+    own users, a bot filter eats one arm) — and any metric comparison
+    on a mismatched sample is invalid regardless of its p-value.
+    Experimentation platforms run this gate before showing ANY result;
+    so should a validation engine.
+
+        chi2 = sum_arms (obs - exp)^2 / exp,  df = arms - 1
+
+    ``expected`` maps arm label -> designed fraction (must sum to ~1).
+    The critical value defaults from the pinned df 1..10 chi-square
+    table; rows with arms outside ``expected`` are counted in
+    n_unexpected (an unknown arm label is itself an assignment bug)
+    but excluded from the statistic. ONE aggregation; algebra on
+    O(groups) rows. Returns (group?, n_total, n_unexpected, chi2,
+    chi2_crit, srm) — srm True means DO NOT read the experiment.
+    """
+    fracs = {str(k): float(v) for k, v in expected.items()}
+    if not fracs or abs(sum(fracs.values()) - 1.0) > 1e-6:
+        raise ValueError("expected fractions must sum to 1")
+    if len(fracs) < 2:
+        raise ValueError("need at least two arms")
+    _CHI2 = [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+             15.507, 16.919, 18.307]
+    crit = chi2_crit if chi2_crit is not None else _CHI2[len(fracs) - 2]
+    a = F.col(arm).cast("string")
+    keys = [F.col(group).alias("g")] if group else []
+    agg = df.select(*keys, a.alias("a")).groupBy(
+        *([F.col("g")] if group else [])
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        F.sum(F.col("a").isin(list(fracs)).cast("int"))
+        .cast("double")
+        .alias("n_known"),
+        *[
+            F.sum((F.col("a") == lbl).cast("int"))
+            .cast("double")
+            .alias(f"o_{i}")
+            for i, lbl in enumerate(fracs)
+        ],
+    )
+    chi2 = None
+    for i, (lbl, frac) in enumerate(fracs.items()):
+        exp = F.col("n_known") * frac
+        term = (F.col(f"o_{i}") - exp) * (F.col(f"o_{i}") - exp) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    chi2 = F.when(F.col("n_known") > 0, chi2)
+    cols = []
+    if group:
+        cols.append(F.col("g").alias(group))
+    cols += [
+        F.col("n_known").cast("long").alias("n_total"),
+        (F.col("n_all") - F.col("n_known")).cast("long").alias("n_unexpected"),
+        F.round(chi2, 6).alias("chi2"),
+        F.lit(crit).alias("chi2_crit"),
+        F.coalesce(chi2 > crit, F.lit(True)).alias("srm"),
+    ]
+    return agg.select(*cols)
+
+
+def post_stratified_test(
+    df: DataFrame,
+    arm: str,
+    stratum: str,
+    outcome: str,
+    control,
+    treatment,
+    min_cell: int = 2,
+) -> DataFrame:
+    """Post-stratified A/B comparison — the categorical sibling of
+    CUPED: reweight each arm's per-stratum means by the POOLED stratum
+    distribution, so a chance imbalance in a covariate (traffic
+    source, language, device) stops leaking into the lift:
+
+        mean_post = sum_s w_s * mean(y | arm, s),
+        w_s = n_s / n        (both arms pooled)
+        var_post = sum_s w_s^2 * var(y | arm, s) / n_{arm, s}
+
+    The adjusted z tests the same lift with the stratum-mix noise
+    removed; ``imbalance`` (max over strata of |share_t - share_c|)
+    says how much mix difference there was to remove. Strata where
+    either arm has < ``min_cell`` rows are dropped from BOTH sides
+    (weights renormalized implicitly by using the kept-pool total) —
+    a one-arm stratum has no within-cell contrast to reweight.
+
+    ONE shuffle to the (stratum, arm) cell relation; everything after
+    runs on O(strata) rows. Returns one row: (n_control, n_treatment,
+    n_strata, lift_raw, lift_post, se_post, z_post, imbalance).
+    """
+    a = F.col(arm).cast("string")
+    y = F.col(outcome).cast("double")
+    base = df.filter(
+        y.isNotNull() & a.isin([str(control), str(treatment)])
+    ).select(
+        F.col(stratum).alias("s"),
+        (a == str(treatment)).cast("int").alias("t"),
+        y.alias("y"),
+    )
+    cells = base.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+    piv = cells.groupBy("s").agg(
+        F.max(F.when(F.col("t") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("t") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("t") == 0, F.col("m"))).alias("m_c"),
+        F.max(F.when(F.col("t") == 1, F.col("m"))).alias("m_t"),
+        F.max(F.when(F.col("t") == 0, F.col("v"))).alias("v_c"),
+        F.max(F.when(F.col("t") == 1, F.col("v"))).alias("v_t"),
+    ).filter((F.col("n_c") >= min_cell) & (F.col("n_t") >= min_cell))
+    # per-stratum arm shares (windows over the O(strata) relation,
+    # never raw rows) so the final rollup can take max |share gap|
+    w_all = Window.partitionBy()
+    piv = piv.withColumn(
+        "sh_gap",
+        F.abs(
+            F.col("n_t") / F.sum("n_t").over(w_all)
+            - F.col("n_c") / F.sum("n_c").over(w_all)
+        ),
+    )
+    tot = piv.agg(
+        F.sum("n_c").alias("N_c"),
+        F.sum("n_t").alias("N_t"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum((F.col("n_c") + F.col("n_t")) * F.col("m_c")).alias("wm_c"),
+        F.sum((F.col("n_t") + F.col("n_c")) * F.col("m_t")).alias("wm_t"),
+        F.sum(
+            (F.col("n_c") + F.col("n_t")) * (F.col("n_c") + F.col("n_t"))
+            * F.col("v_c") / F.col("n_c")
+        ).alias("wv_c"),
+        F.sum(
+            (F.col("n_c") + F.col("n_t")) * (F.col("n_c") + F.col("n_t"))
+            * F.col("v_t") / F.col("n_t")
+        ).alias("wv_t"),
+        F.sum(F.col("n_c") * F.col("m_c")).alias("sraw_c"),
+        F.sum(F.col("n_t") * F.col("m_t")).alias("sraw_t"),
+        F.max("sh_gap").alias("imbalance"),
+    )
+    n_pool = F.col("N_c") + F.col("N_t")
+    mean_c = F.col("wm_c") / n_pool
+    mean_t = F.col("wm_t") / n_pool
+    var_c = F.col("wv_c") / (n_pool * n_pool)
+    var_t = F.col("wv_t") / (n_pool * n_pool)
+    lift_post = mean_t - mean_c
+    se = F.sqrt(var_c + var_t)
+    return tot.select(
+        F.col("N_c").cast("long").alias("n_control"),
+        F.col("N_t").cast("long").alias("n_treatment"),
+        "n_strata",
+        F.round(
+            F.col("sraw_t") / F.col("N_t") - F.col("sraw_c") / F.col("N_c"), 6
+        ).alias("lift_raw"),
+        F.round(lift_post, 6).alias("lift_post"),
+        F.round(se, 6).alias("se_post"),
+        F.when(se > 0, F.round(lift_post / se, 6)).alias("z_post"),
+        F.round("imbalance", 6).alias("imbalance"),
+    )

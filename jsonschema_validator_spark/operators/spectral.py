@@ -226,7 +226,15 @@ def effective_rank(
 
     tagged = df.withColumn("__one", F.lit("a"))
     parts = moment_partials(tagged, vec_col, "__one", "a", "a")
-    sums = parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    # the O(d^2) sums relation feeds FOUR branches (n, mu twice,
+    # second moments); localCheckpoint truncates the lineage so the
+    # Arrow outer-product pass scans the raw table exactly once — the
+    # diamond-plan convention of seasonal_strength/cochrane_orcutt
+    sums = (
+        parts.groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
     n_row = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("v").alias("__n")
     )
