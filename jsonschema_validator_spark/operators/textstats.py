@@ -693,3 +693,132 @@ def species_richness(
         F.round(chao1, 6).alias("chao1"),
         F.round(chao1 - F.col("n_types"), 6).alias("undetected_types"),
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group: str | None = None,
+    n_checkpoints: int = 16,
+    min_types: int = 50,
+) -> DataFrame:
+    """Heaps' law vocabulary-growth fit per group: V(T) ~ K * T^beta
+    (vocabulary size vs cumulative token count), estimated by log-log
+    OLS over ``n_checkpoints`` corpus prefixes. The growth-side
+    complement of species_coverage (which asks how much vocabulary is
+    UNSEEN at the current size): beta ~ 0.4-0.6 is natural text;
+    beta near 1 means near-zero reuse (ID-like or heavily boilerplate
+    corpus where "vocabulary" never saturates); beta near 0 means a
+    closed vocabulary (templated text). A corpus whose beta shifts
+    between snapshots changed its TYPE of content, not just its size.
+
+    Prefixes are defined by PINNED id fractions (doc ``id_col`` <=
+    max_id * k/n_checkpoints), so V(T) and T are 2C conditional sums
+    in ONE aggregation over the exploded token relation — no global
+    rank, no unpartitioned window, no sort (the scale trap of the
+    naive cumulative formulation). Prefix membership follows the id
+    order, which for ingest-ordered ids is corpus order (stated; any
+    deterministic order measures the same law). Tokenization matches
+    zipf_slope: lowercase, split on non-letters.
+
+    Checkpoints with zero tokens are dropped; groups with fewer than
+    ``min_types`` total types emit nothing (the fit is noise).
+    Returns (group?, n_checkpoints_used, n_tokens, n_types, beta, k,
+    r2).
+    """
+    gcols = [F.col(group).alias("grp")] if group else []
+    toks = df.select(
+        *gcols,
+        F.col(id_col).cast("double").alias("__id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    gb = ["grp"] if group else []
+    # first occurrence of each type, in id order, + max id per group
+    firsts = toks.groupBy(*gb, "w").agg(
+        F.min("__id").alias("first_id"), F.count(F.lit(1)).alias("cnt")
+    )
+    maxid = toks.groupBy(*gb).agg(F.max("__id").alias("max_id"))
+    per_type = (
+        firsts.join(F.broadcast(maxid), gb) if group else
+        firsts.crossJoin(F.broadcast(maxid))
+    )
+    # token counts per doc prefix need per-DOC sums, not per-type
+    per_doc = toks.groupBy(*gb, "__id").agg(
+        F.count(F.lit(1)).alias("doc_toks")
+    )
+    per_doc = (
+        per_doc.join(F.broadcast(maxid), gb) if group else
+        per_doc.crossJoin(F.broadcast(maxid))
+    )
+    cuts = [k / float(n_checkpoints) for k in range(1, n_checkpoints + 1)]
+    v_aggs = [
+        F.sum(
+            (F.col("first_id") <= F.col("max_id") * c).cast("long")
+        ).alias(f"v{i}")
+        for i, c in enumerate(cuts)
+    ]
+    t_aggs = [
+        F.sum(
+            F.when(F.col("__id") <= F.col("max_id") * c, F.col("doc_toks"))
+            .otherwise(0)
+        ).alias(f"t{i}")
+        for i, c in enumerate(cuts)
+    ]
+    v_row = per_type.groupBy(*gb).agg(*v_aggs)
+    t_row = per_doc.groupBy(*gb).agg(*t_aggs)
+    wide = v_row.join(t_row, gb) if group else v_row.crossJoin(t_row)
+    pts = wide.select(
+        *gb,
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.col(f"t{i}").cast("double") for i in range(len(cuts))]),
+                F.array(*[F.col(f"v{i}").cast("double") for i in range(len(cuts))]),
+            )
+        ).alias("p"),
+    ).select(
+        *gb,
+        F.col("p.0").alias("t"),
+        F.col("p.1").alias("v"),
+    ).filter((F.col("t") > 0) & (F.col("v") > 0))
+    ols = pts.select(
+        *gb,
+        F.log2("t").alias("x"),
+        F.log2("v").alias("y"),
+        "t",
+        "v",
+    ).groupBy(*gb).agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max("t").cast("long").alias("n_tokens"),
+        F.max("v").cast("long").alias("n_types"),
+    )
+    m = F.col("m")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / m
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / m
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / m
+    # epsilon guards: a constant V (closed vocabulary) leaves vary as
+    # pure float residue whose sign differs across engines; treat
+    # sub-epsilon variance as degenerate (r2 undefined) on BOTH sides
+    beta = F.when(varx > 1e-9, cov / varx)
+    intercept = (F.col("sy") - beta * F.col("sx")) / m
+    r2 = F.when((varx > 1e-9) & (vary > 1e-9), cov * cov / (varx * vary))
+    out_g = [F.col("grp").alias(group)] if group else []
+    return ols.filter(F.col("n_types") >= min_types).select(
+        *out_g,
+        m.cast("long").alias("n_checkpoints_used"),
+        "n_tokens",
+        "n_types",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.pow(F.lit(2.0), intercept), 6).alias("k"),
+        F.round(r2, 6).alias("r2"),
+    )
