@@ -13054,6 +13054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "records_events": q_records_events,
         "turning_points_events": q_turning_points_events,
         "heaps_documents": q_heaps_documents,
+        "quantile_slopes_events": q_quantile_slopes_events,
+        "column_risk_lineitem": q_column_risk_lineitem,
     }
 
 
@@ -13351,6 +13353,8 @@ def oracle_sql() -> dict[str, str]:
         "records_events": _ORACLE_RECORDS,
         "turning_points_events": _ORACLE_TURNING,
         "heaps_documents": _ORACLE_HEAPS,
+        "quantile_slopes_events": _ORACLE_QUANTILE_SLOPES,
+        "column_risk_lineitem": _ORACLE_COLUMN_RISK,
     }
 
 
@@ -14788,4 +14792,150 @@ SELECT lang, m::BIGINT AS n_checkpoints_used, n_tokens, n_types,
   CASE WHEN varx > 1e-9 AND vary > 1e-9
        THEN round(cov*cov/(varx*vary), 6) END AS r2
 FROM fin ORDER BY lang
+"""
+
+
+def q_quantile_slopes_events(spark, sf_dir):
+    """Quantile-regression slopes of the daily mean value at tau 0.5
+    and 0.9 (operators/timeseries.quantile_slope_divergence): the
+    tail-trend screen — a p90 slope above a flat p50 slope is the
+    shape of most latency/capacity regressions, invisible to every
+    mean/median slope in the engine. Exhaustive pinball-loss argmin
+    over a pinned 21-slope grid; the optimal intercept per slope is
+    an exact quantile, so every step is closed form over the
+    O(groups x days x grid) relation (never raw rows). Grid-edge
+    best fits are flagged rather than silently clamped. Oracle
+    replays grid, quantiles and pinball argmin."""
+    from jsonschema_validator_spark.operators.timeseries import (
+        quantile_slope_divergence,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_slope_divergence(
+        ev, group="event_type", ts="ts", value="value"
+    ).orderBy("event_type", "tau")
+
+
+_ORACLE_QUANTILE_SLOPES = """
+WITH daily AS (
+  SELECT event_type AS g,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT g, (row_number() OVER (PARTITION BY g ORDER BY day) - 1)::DOUBLE
+           AS t, x
+  FROM daily),
+cnt AS (SELECT g, count(*)::BIGINT AS n_days FROM idx GROUP BY 1),
+grid AS (SELECT unnest([-2.0,-1.5,-1.0,-0.75,-0.5,-0.3,-0.2,-0.1,-0.05,
+                        -0.02,0.0,0.02,0.05,0.1,0.2,0.3,0.5,0.75,1.0,
+                        1.5,2.0]) AS b),
+ex AS (
+  SELECT idx.g, cnt.n_days, grid.b, idx.t, idx.x,
+         idx.x - grid.b * idx.t AS resid
+  FROM idx JOIN cnt ON idx.g = cnt.g, grid
+  WHERE cnt.n_days >= 10),
+ic AS (
+  SELECT g, n_days, b, 0.5 AS tau,
+         quantile_cont(resid, 0.5) AS a
+  FROM ex GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT g, n_days, b, 0.9, quantile_cont(resid, 0.9)
+  FROM ex GROUP BY 1, 2, 3),
+loss AS (
+  SELECT ex.g, ex.n_days, ic.tau, ex.b, ic.a,
+         round(sum(CASE WHEN ex.x - ex.b*ex.t - ic.a >= 0
+                   THEN ic.tau * (ex.x - ex.b*ex.t - ic.a)
+                   ELSE (ic.tau - 1.0) * (ex.x - ex.b*ex.t - ic.a) END),
+               6) AS loss
+  FROM ex JOIN ic ON ex.g = ic.g AND ex.b = ic.b
+  GROUP BY 1, 2, 3, 4, 5),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY g, tau
+              ORDER BY loss, abs(b), b) AS rk
+  FROM loss)
+SELECT g AS event_type, round(tau, 2) AS tau, n_days,
+  round(b, 6) AS slope, round(a, 6) AS intercept,
+  loss AS pinball_loss,
+  (b = -2.0 OR b = 2.0) AS at_grid_edge
+FROM best WHERE rk = 1 ORDER BY event_type, tau
+"""
+
+
+def q_column_risk_lineitem(spark, sf_dir):
+    """Column re-identification / shape triage over lineitem
+    (operators/profile.column_risk_profile): null rate, distinct
+    ratio, value entropy, top-value share and a role classification
+    (identifier / quasi_id / dominated / categorical) per column —
+    the SELECTION step in front of the k-anonymity / l-diversity /
+    t-closeness suite (which columns form the quasi tuple). One melt
+    to the (col, value) relation, two aggregations — C columns cost
+    one C-fold expansion, not C scans. Oracle replays the melt with
+    the same stated tie order (count desc, value desc)."""
+    from jsonschema_validator_spark.operators.profile import (
+        column_risk_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_risk_profile(
+        li,
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_discount",
+            "l_returnflag",
+            "l_linestatus",
+        ],
+    ).orderBy("column")
+
+
+_ORACLE_COLUMN_RISK = """
+WITH melted AS (
+  SELECT 'l_orderkey' AS c, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(l_discount AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem),
+counts AS (
+  SELECT c, v, count(*)::BIGINT AS n FROM melted GROUP BY 1, 2),
+top AS (
+  SELECT c, v AS top_v, n AS top_n,
+         row_number() OVER (PARTITION BY c ORDER BY n DESC, v DESC) AS rk
+  FROM counts WHERE v IS NOT NULL),
+per AS (
+  SELECT c,
+    sum(n)::BIGINT AS n_rows,
+    sum(CASE WHEN v IS NULL THEN n ELSE 0 END)::BIGINT AS n_null,
+    sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_distinct,
+    sum(CASE WHEN v IS NOT NULL THEN n ELSE 0 END)::DOUBLE AS n_obs,
+    sum(CASE WHEN v IS NOT NULL THEN n * log2(n) ELSE 0 END)::DOUBLE
+      AS clogc
+  FROM counts GROUP BY 1),
+j AS (
+  SELECT per.*, top.top_v, top.top_n
+  FROM per LEFT JOIN top ON per.c = top.c AND top.rk = 1),
+f AS (
+  SELECT *,
+    CASE WHEN n_obs > 0 THEN n_distinct / n_obs END AS dr,
+    CASE WHEN n_obs > 0 THEN log2(n_obs) - clogc / n_obs END AS ent,
+    CASE WHEN n_obs > 0 THEN top_n / n_obs END AS tshare
+  FROM j)
+SELECT c AS "column", n_rows,
+  round(n_null::DOUBLE / n_rows, 6) AS null_rate,
+  n_distinct, round(dr, 6) AS distinct_ratio,
+  round(ent, 6) AS entropy_bits,
+  top_v AS top_value, round(tshare, 6) AS top_share,
+  CASE WHEN dr IS NULL THEN 'dominated'
+       WHEN dr >= 0.9 THEN 'identifier'
+       WHEN tshare > 0.5 THEN 'dominated'
+       WHEN dr >= 0.1 THEN 'quasi_id'
+       ELSE 'categorical' END AS role
+FROM f ORDER BY c
 """

@@ -263,3 +263,118 @@ def shape_profile(df: DataFrame, col: str, k: int = 20) -> DataFrame:
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+def column_risk_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    id_ratio: float = 0.9,
+    quasi_ratio: float = 0.1,
+    top_share_cut: float = 0.5,
+) -> DataFrame:
+    """Per-column re-identification / shape triage over any table:
+    for every profiled column — null rate, distinct count, distinct
+    ratio, Shannon entropy of the value distribution (bits), the top
+    value's frequency share — and a coarse ``role`` classification:
+
+        identifier   distinct_ratio >= id_ratio  (joins to a person)
+        quasi_id     distinct_ratio >= quasi_ratio (k-anonymity input)
+        dominated    top value holds > top_share_cut of rows
+        categorical  everything else
+
+    This is the SELECTION step in front of the privacy suite: which
+    columns belong in k_anonymity's quasi tuple, which are the
+    sensitive attributes worth l-diversity/t-closeness, and which are
+    constants masquerading as features. Thresholds are caller-pinned
+    (same contract as every cutoff in this engine).
+
+    Scale shape: the table is MELTED once to a (col, value) relation
+    (one stringified value row per cell, columns pruned to the
+    profiled set) and everything — counts, entropy regrouping, top
+    share — is two aggregations over it; profiling C columns costs
+    one C-fold row expansion, not C scans. NULL is profiled via the
+    null_rate column, not as a value (entropy is over observed
+    values; an all-NULL column classifies as dominated with NULL
+    entropy, stated).
+
+    Returns one row per column: (column, n_rows, null_rate,
+    n_distinct, distinct_ratio, entropy_bits, top_value, top_share,
+    role).
+    """
+    cols = df.columns if columns is None else columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.c", "kv.v")
+    counts = melted.groupBy("c", "v").agg(F.count(F.lit(1)).alias("n"))
+    per_col = counts.groupBy("c").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(0)).alias(
+            "n_null"
+        ),
+        F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0)).alias(
+            "n_distinct"
+        ),
+        F.sum(
+            F.when(F.col("v").isNotNull(), F.col("n").cast("double")).otherwise(
+                0.0
+            )
+        ).alias("n_obs"),
+        F.sum(
+            F.when(
+                F.col("v").isNotNull(),
+                F.col("n").cast("double") * F.log2(F.col("n").cast("double")),
+            ).otherwise(0.0)
+        ).alias("clogc"),
+        F.max(
+            F.when(
+                F.col("v").isNotNull(),
+                F.struct(
+                    F.col("n").alias("n"),
+                    # struct max = (count, then value string) — count
+                    # ties break toward the LARGEST value, a stated
+                    # deterministic order any engine can mirror
+                    F.col("v").alias("v"),
+                ),
+            )
+        ).alias("top"),
+    )
+    ent = F.when(
+        F.col("n_obs") > 0,
+        F.log2("n_obs") - F.col("clogc") / F.col("n_obs"),
+    )
+    dr = F.when(
+        F.col("n_obs") > 0, F.col("n_distinct") / F.col("n_obs")
+    )
+    top_share = F.when(
+        F.col("n_obs") > 0, F.col("top.n") / F.col("n_obs")
+    )
+    role = (
+        F.when(dr.isNull(), F.lit("dominated"))
+        .when(dr >= id_ratio, F.lit("identifier"))
+        .when(top_share > top_share_cut, F.lit("dominated"))
+        .when(dr >= quasi_ratio, F.lit("quasi_id"))
+        .otherwise(F.lit("categorical"))
+    )
+    return per_col.select(
+        F.col("c").alias("column"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_rate"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(dr, 6).alias("distinct_ratio"),
+        F.round(ent, 6).alias("entropy_bits"),
+        F.col("top.v").alias("top_value"),
+        F.round(top_share, 6).alias("top_share"),
+        role.alias("role"),
+    )

@@ -1584,3 +1584,112 @@ def seasonal_mann_kendall(
         .otherwise(F.lit("none"))
         .alias("trend"),
     )
+
+
+def quantile_slope_divergence(
+    df: DataFrame,
+    group: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    taus: tuple = (0.5, 0.9),
+    slope_grid: tuple = (
+        -2.0, -1.5, -1.0, -0.75, -0.5, -0.3, -0.2, -0.1, -0.05,
+        -0.02, 0.0, 0.02, 0.05, 0.1, 0.2, 0.3, 0.5, 0.75, 1.0, 1.5, 2.0,
+    ),
+    min_days: int = 10,
+) -> DataFrame:
+    """Quantile-regression slope of the daily series at each tau, by
+    exhaustive pinball-loss minimization over a PINNED slope grid —
+    the tail-trend screen the mean/median slope estimators
+    (theil_sen, cochrane_orcutt) cannot be: a p90 growing faster than
+    the p50 means the tail is degrading while the typical day looks
+    flat (the shape of most capacity incidents and most latency
+    regressions).
+
+    For each candidate slope b, the optimal intercept under pinball
+    loss rho_tau is a(b) = tau-quantile of (x_t - b*t), so the whole
+    fit is: explode the G-candidate grid over the O(groups x days)
+    daily relation, one exact-percentile aggregation per (group, tau,
+    b), one loss aggregation, and an argmin — closed form at every
+    step, G x days rows TOTAL (never raw rows; the raw table shuffles
+    once into the daily relation). The grid is caller-pinned like
+    every critical constant in this engine; a best-fit at the grid
+    EDGE is flagged (``at_grid_edge``) — widen the grid there rather
+    than trusting the clamp. Ties on the ROUNDED loss break toward
+    the smallest |b| then smallest b (engine-stable, same contract as
+    decision_stump's best flag).
+
+    t is the observed-day rank starting at 0 (same spacing convention
+    as acf_ljung_box). Returns one row per (group, tau): (group, tau,
+    n_days, slope, intercept, pinball_loss, at_grid_edge) plus the
+    per-group divergence columns (slope_hi - slope_lo) repeated on
+    each row would denormalize — instead the caller compares rows;
+    the contract query pivots taus side by side.
+    """
+    from pyspark.sql import Window as W
+
+    daily = _daily(df, group, ts, F.avg(F.col(value).cast("double")))
+    w = W.partitionBy("g").orderBy("day")
+    idx = daily.select(
+        "g", (F.row_number().over(w) - 1).cast("double").alias("t"), "x"
+    )
+    counts = idx.groupBy("g").agg(F.count(F.lit(1)).alias("n_days"))
+    idx = idx.join(F.broadcast(counts.filter(F.col("n_days") >= min_days)), "g")
+    grid = F.array(*[F.lit(float(b)) for b in slope_grid])
+    exploded = idx.select(
+        "g", "n_days", "t", "x", F.explode(grid).alias("b")
+    ).select(
+        "g", "n_days", "b", "t", "x",
+        (F.col("x") - F.col("b") * F.col("t")).alias("resid"),
+    )
+    # exact tau-quantile of the residuals = optimal intercept per b;
+    # percentile()'s fraction must be foldable, so one aggregation per
+    # pinned tau, unioned (taus is a short pinned tuple)
+    icpt = None
+    for tq in taus:
+        part_t = exploded.groupBy("g", "n_days", "b").agg(
+            F.expr(f"percentile(resid, {float(tq)!r})").alias("a")
+        ).withColumn("tau", F.lit(float(tq)))
+        icpt = part_t if icpt is None else icpt.unionByName(part_t)
+    lossed = (
+        exploded.join(icpt, ["g", "n_days", "b"])
+        .select(
+            "g", "n_days", "tau", "b", "a",
+            (F.col("x") - F.col("b") * F.col("t") - F.col("a")).alias("u"),
+        )
+        .groupBy("g", "n_days", "tau", "b", "a")
+        .agg(
+            F.sum(
+                F.when(F.col("u") >= 0, F.col("tau") * F.col("u")).otherwise(
+                    (F.col("tau") - 1.0) * F.col("u")
+                )
+            ).alias("loss")
+        )
+    )
+    scored = lossed.select(
+        "g", "n_days", "tau", "b", "a",
+        F.round("loss", 6).alias("loss"),
+    )
+    part = W.partitionBy("g", "tau")
+    best_loss = F.min("loss").over(part)
+    best_b = F.min(
+        F.when(
+            F.col("loss") == best_loss,
+            F.struct(F.abs(F.col("b")).alias("ab"), F.col("b").alias("b")),
+        )
+    ).over(part)
+    lo, hi = float(min(slope_grid)), float(max(slope_grid))
+    out = (
+        scored.withColumn("bb", best_b)
+        .filter(F.col("b") == F.col("bb.b"))
+        .select(
+            F.col("g").alias(group),
+            F.round("tau", 2).alias("tau"),
+            "n_days",
+            F.round("b", 6).alias("slope"),
+            F.round("a", 6).alias("intercept"),
+            F.col("loss").alias("pinball_loss"),
+            ((F.col("b") == lo) | (F.col("b") == hi)).alias("at_grid_edge"),
+        )
+    )
+    return out
