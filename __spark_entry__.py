@@ -13056,6 +13056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_documents": q_heaps_documents,
         "quantile_slopes_events": q_quantile_slopes_events,
         "column_risk_lineitem": q_column_risk_lineitem,
+        "cochran_armitage_events": q_cochran_armitage_events,
+        "mantel_haenszel_events": q_mantel_haenszel_events,
+        "wilson_events": q_wilson_events,
     }
 
 
@@ -13355,6 +13358,9 @@ def oracle_sql() -> dict[str, str]:
         "heaps_documents": _ORACLE_HEAPS,
         "quantile_slopes_events": _ORACLE_QUANTILE_SLOPES,
         "column_risk_lineitem": _ORACLE_COLUMN_RISK,
+        "cochran_armitage_events": _ORACLE_COCHRAN_ARMITAGE,
+        "mantel_haenszel_events": _ORACLE_MANTEL_HAENSZEL,
+        "wilson_events": _ORACLE_WILSON,
     }
 
 
@@ -14938,4 +14944,211 @@ SELECT c AS "column", n_rows,
        WHEN dr >= 0.1 THEN 'quasi_id'
        ELSE 'categorical' END AS role
 FROM f ORDER BY c
+"""
+
+
+def q_cochran_armitage_events(spark, sf_dir):
+    """Cochran-Armitage linear-trend test on the daily schema-failure
+    rate (operators/categorical.cochran_armitage): day-of-month as
+    the ordered score, outcome = invalid under the compiled bounds
+    spec (api.Schema.validate_many — same spec as
+    positional_failures_events). The chi-square independence test
+    spreads power over every deviation; this one puts it all on the
+    monotone drift a slowly-degrading pipeline actually produces.
+    One aggregation to the (day, n, failures) relation. Oracle
+    replays spec semantics + score algebra."""
+    from jsonschema_validator_spark.api import Schema
+    from jsonschema_validator_spark.operators.categorical import (
+        cochran_armitage,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 80}
+            },
+        },
+        spark,
+        draft="draft7",
+    )
+    labeled = s.validate_many(ev, "props").select(
+        F.dayofmonth("ts").cast("double").alias("day_score"),
+        (~F.col("valid")).cast("int").alias("invalid"),
+    )
+    return cochran_armitage(labeled, "day_score", "invalid")
+
+
+_ORACLE_COCHRAN_ARMITAGE = """
+WITH v AS (
+  SELECT extract(day FROM ts)::DOUBLE AS w,
+    CASE WHEN props IS NULL OR NOT json_valid(props) THEN 1
+         ELSE CASE WHEN coalesce(
+           json_extract(props, '$.k') IS NOT NULL
+           AND CAST(json_extract(props, '$.k') AS BIGINT)
+               BETWEEN 0 AND 80, FALSE) THEN 0 ELSE 1 END END AS y
+  FROM events WHERE ts IS NOT NULL),
+per AS (
+  SELECT w, count(*)::DOUBLE AS n, sum(y)::DOUBLE AS x
+  FROM v GROUP BY 1),
+a AS (
+  SELECT count(*)::BIGINT AS n_buckets, sum(n) AS nn, sum(x) AS xx,
+         sum(w*x) AS swx, sum(w*n) AS swn, sum(w*w*n) AS swwn
+  FROM per),
+f AS (
+  SELECT *, xx/nn AS p,
+         swx - (xx/nn)*swn AS t,
+         (xx/nn)*(1 - xx/nn)*(swwn - swn*swn/nn) AS var
+  FROM a)
+SELECT n_buckets, nn::BIGINT AS n_total, round(p, 6) AS pooled_rate,
+  round(t, 6) AS t_stat,
+  CASE WHEN n_buckets >= 3 AND var > 0
+       THEN round(t/sqrt(var), 6) END AS z,
+  CASE WHEN n_buckets >= 3 AND var > 0
+       THEN abs(t/sqrt(var)) > 1.96 END AS trending
+FROM f
+"""
+
+
+def q_mantel_haenszel_events(spark, sf_dir):
+    """Mantel-Haenszel common odds ratio of high-value conversion
+    (value > 35) between parity arms, stratified by event_type
+    (operators/categorical.mantel_haenszel) — the 2x2 sibling of
+    post_strat_events and the estimator to reach for when
+    simpsons_lineitem-style reversal fires on a rate comparison:
+    within-stratum pooling is immune to the stratum-mix confound that
+    can flip the pooled table's sign. Continuity-corrected MH
+    chi-square carries the verdict. One shuffle to the (stratum, arm)
+    cells. Oracle replays the per-stratum table algebra."""
+    from jsonschema_validator_spark.operators.categorical import (
+        mantel_haenszel,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    armed = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        (F.col("value") > 35).cast("int").alias("conv"),
+    )
+    return mantel_haenszel(
+        armed, "event_type", "arm", "conv", control="A", treatment="B"
+    )
+
+
+_ORACLE_MANTEL_HAENSZEL = """
+WITH base AS (
+  SELECT event_type AS s,
+         CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value > 35 THEN 1.0 ELSE 0.0 END AS y
+  FROM events),
+cells AS (
+  SELECT s, t, count(*)::DOUBLE AS n, sum(y) AS x
+  FROM base WHERE y IS NOT NULL GROUP BY 1, 2),
+piv AS (
+  SELECT s,
+    max(CASE WHEN t = 1 THEN n END) AS r1,
+    max(CASE WHEN t = 0 THEN n END) AS r0,
+    max(CASE WHEN t = 1 THEN x END) AS a,
+    max(CASE WHEN t = 0 THEN x END) AS c
+  FROM cells GROUP BY s),
+ok AS (
+  SELECT *,
+    (r1 IS NOT NULL AND r0 IS NOT NULL AND r1 >= 2 AND r0 >= 2
+     AND r1 + r0 > 1) AS keep,
+    r1 + r0 AS n_i, r1 - a AS b, r0 - c AS d
+  FROM piv),
+agg AS (
+  SELECT
+    sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_strata,
+    sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT
+      AS n_strata_excluded,
+    sum(CASE WHEN keep THEN n_i ELSE 0 END) AS n_total,
+    sum(CASE WHEN keep THEN a*d/n_i END) AS num,
+    sum(CASE WHEN keep THEN b*c/n_i END) AS den,
+    sum(CASE WHEN keep THEN a END) AS sa,
+    sum(CASE WHEN keep THEN r1*(a + c)/n_i END) AS se,
+    sum(CASE WHEN keep THEN r1*r0*(a + c)*(b + d)
+             / (n_i*n_i*(n_i - 1)) END) AS sv
+  FROM ok),
+f AS (
+  SELECT *,
+    CASE WHEN den > 0 THEN num/den END AS or_mh,
+    CASE WHEN sv > 0 THEN
+      CASE WHEN abs(sa - se) - 0.5 > 0
+           THEN (abs(sa - se) - 0.5)*(abs(sa - se) - 0.5)/sv
+           ELSE 0.0 END END AS chi2
+  FROM agg WHERE n_strata >= 1)
+SELECT n_strata, n_strata_excluded, n_total::BIGINT AS n_total,
+  round(or_mh, 6) AS or_mh, round(chi2, 6) AS chi2,
+  round(1.96*1.96, 6) AS chi2_crit,
+  CASE WHEN chi2 IS NOT NULL THEN chi2 > 1.96*1.96 END AS reject
+FROM f
+"""
+
+
+def q_wilson_events(spark, sf_dir):
+    """Wilson score intervals for the per-event_type schema-validity
+    rate (operators/categorical.wilson_intervals): the
+    normal-approximation interval degenerates exactly where
+    violation rates live (near 0 and 1 — negative lower bounds,
+    zero-width at p = 0); Wilson stays in [0, 1] with near-nominal
+    coverage and is still closed form. Both interval families are
+    emitted side by side so the disagreement is VISIBLE. Label =
+    compiled-engine verdict (same bounds spec as the stump/trend
+    screens). Oracle replays the score algebra."""
+    from jsonschema_validator_spark.api import Schema
+    from jsonschema_validator_spark.operators.categorical import (
+        wilson_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 80}
+            },
+        },
+        spark,
+        draft="draft7",
+    )
+    labeled = s.validate_many(ev, "props").select(
+        "event_type", F.col("valid").cast("int").alias("ok")
+    )
+    return wilson_intervals(labeled, "event_type", "ok").orderBy(
+        "event_type"
+    )
+
+
+_ORACLE_WILSON = """
+WITH v AS (
+  SELECT event_type,
+    CASE WHEN props IS NULL OR NOT json_valid(props) THEN 0
+         ELSE CASE WHEN coalesce(
+           json_extract(props, '$.k') IS NOT NULL
+           AND CAST(json_extract(props, '$.k') AS BIGINT)
+               BETWEEN 0 AND 80, FALSE) THEN 1 ELSE 0 END END AS y
+  FROM events),
+a AS (
+  SELECT event_type AS g, count(*)::DOUBLE AS n, sum(y)::DOUBLE AS x
+  FROM v GROUP BY 1),
+f AS (
+  SELECT g, n, x, x/n AS p, 1.96*1.96 AS z2,
+         1.0 + 1.96*1.96/n AS denom
+  FROM a)
+SELECT g AS event_type, n::BIGINT AS n, x::BIGINT AS successes,
+  round(p, 6) AS rate,
+  round((p + z2/(2*n))/denom
+        - 1.96*sqrt(p*(1-p)/n + z2/(4*n*n))/denom, 6) AS wilson_lo,
+  round((p + z2/(2*n))/denom
+        + 1.96*sqrt(p*(1-p)/n + z2/(4*n*n))/denom, 6) AS wilson_hi,
+  round(p - 1.96*sqrt(p*(1-p)/n), 6) AS normal_lo,
+  round(p + 1.96*sqrt(p*(1-p)/n), 6) AS normal_hi
+FROM f ORDER BY event_type
 """
