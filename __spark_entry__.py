@@ -13059,6 +13059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage_events": q_cochran_armitage_events,
         "mantel_haenszel_events": q_mantel_haenszel_events,
         "wilson_events": q_wilson_events,
+        "sla_backtest_events": q_sla_backtest_events,
+        "sequential_overlap_documents": q_sequential_overlap_documents,
     }
 
 
@@ -13361,6 +13363,8 @@ def oracle_sql() -> dict[str, str]:
         "cochran_armitage_events": _ORACLE_COCHRAN_ARMITAGE,
         "mantel_haenszel_events": _ORACLE_MANTEL_HAENSZEL,
         "wilson_events": _ORACLE_WILSON,
+        "sla_backtest_events": _ORACLE_SLA_BACKTEST,
+        "sequential_overlap_documents": _ORACLE_SEQUENTIAL_OVERLAP,
     }
 
 
@@ -15151,4 +15155,156 @@ SELECT g AS event_type, n::BIGINT AS n, x::BIGINT AS successes,
   round(p - 1.96*sqrt(p*(1-p)/n), 6) AS normal_lo,
   round(p + 1.96*sqrt(p*(1-p)/n), 6) AS normal_hi
 FROM f ORDER BY event_type
+"""
+
+
+def q_sla_backtest_events(spark, sf_dir):
+    """Kupiec + Christoffersen backtest of a daily invalid-rate budget
+    per event_type (operators/quality_rules.sla_breach_backtest): the
+    contract "daily invalid rate may exceed 50% on half the days"
+    fails two different ways — too OFTEN (Kupiec's frequency LR) and
+    in RUNS (Christoffersen's Markov independence LR; clustered
+    breaches are what page people). Label = compiled-engine verdict
+    (the bounds spec of the stump/trend screens). One shuffle to the
+    daily relation + one lag window. Oracle replays both likelihood
+    ratios."""
+    from jsonschema_validator_spark.api import Schema
+    from jsonschema_validator_spark.operators.quality_rules import (
+        sla_breach_backtest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 80}
+            },
+        },
+        spark,
+        draft="draft7",
+    )
+    labeled = s.validate_many(ev, "props").select(
+        "event_type", "ts", (~F.col("valid")).cast("int").alias("invalid")
+    )
+    return sla_breach_backtest(
+        labeled, "event_type", "ts", F.col("invalid"), p0=0.5
+    ).orderBy("event_type")
+
+
+_ORACLE_SLA_BACKTEST = """
+WITH v AS (
+  SELECT event_type, ts,
+    CASE WHEN props IS NULL OR NOT json_valid(props) THEN 1
+         ELSE CASE WHEN coalesce(
+           json_extract(props, '$.k') IS NOT NULL
+           AND CAST(json_extract(props, '$.k') AS BIGINT)
+               BETWEEN 0 AND 80, FALSE) THEN 0 ELSE 1 END END AS y
+  FROM events),
+daily AS (
+  SELECT event_type AS g,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CASE WHEN avg(y) > 0.5 THEN 1 ELSE 0 END AS e
+  FROM v GROUP BY 1, 2),
+seq AS (
+  SELECT g, e, lag(e) OVER (PARTITION BY g ORDER BY day) AS pe
+  FROM daily),
+agg AS (
+  SELECT g, count(*)::DOUBLE AS n, sum(e)::DOUBLE AS x,
+    sum(CASE WHEN pe = 0 AND e = 0 THEN 1 ELSE 0 END)::DOUBLE AS n00,
+    sum(CASE WHEN pe = 0 AND e = 1 THEN 1 ELSE 0 END)::DOUBLE AS n01,
+    sum(CASE WHEN pe = 1 AND e = 0 THEN 1 ELSE 0 END)::DOUBLE AS n10,
+    sum(CASE WHEN pe = 1 AND e = 1 THEN 1 ELSE 0 END)::DOUBLE AS n11
+  FROM seq GROUP BY g),
+f AS (
+  SELECT *, x/n AS ph, n00+n01+n10+n11 AS nt,
+    (n01+n11)/(n00+n01+n10+n11) AS pht
+  FROM agg),
+lr AS (
+  SELECT *,
+    -2*( (CASE WHEN n-x > 0 THEN (n-x)*ln(0.5) ELSE 0 END)
+       + (CASE WHEN x > 0 THEN x*ln(0.5) ELSE 0 END) )
+    +2*( (CASE WHEN n-x > 0 THEN (n-x)*ln(1-ph) ELSE 0 END)
+       + (CASE WHEN x > 0 THEN x*ln(ph) ELSE 0 END) ) AS lr_pof,
+    CASE WHEN n00+n01 > 0 AND n10+n11 > 0 AND nt > 0 THEN
+      -2*( (CASE WHEN n00+n10 > 0 THEN (n00+n10)*ln(1-pht) ELSE 0 END)
+         + (CASE WHEN n01+n11 > 0 THEN (n01+n11)*ln(pht) ELSE 0 END) )
+      +2*( (CASE WHEN n00 > 0 THEN n00*ln(1 - n01/(n00+n01)) ELSE 0 END)
+         + (CASE WHEN n01 > 0 THEN n01*ln(n01/(n00+n01)) ELSE 0 END)
+         + (CASE WHEN n10 > 0 THEN n10*ln(1 - n11/(n10+n11)) ELSE 0 END)
+         + (CASE WHEN n11 > 0 THEN n11*ln(n11/(n10+n11)) ELSE 0 END) )
+    END AS lr_ind
+  FROM f)
+SELECT g AS event_type, n::BIGINT AS n_days, x::BIGINT AS n_breach_days,
+  round(ph, 6) AS breach_share, round(lr_pof, 6) AS lr_pof,
+  lr_pof > 3.841 AS pof_reject,
+  n01::BIGINT AS n01, n11::BIGINT AS n11,
+  round(lr_ind, 6) AS lr_ind,
+  CASE WHEN lr_ind IS NOT NULL THEN lr_ind > 3.841 END AS ind_reject
+FROM lr ORDER BY event_type
+"""
+
+
+def q_sequential_overlap_documents(spark, sf_dir):
+    """Ingest-adjacency near-duplicate screen per source
+    (operators/dedup.sequential_overlap) with PLANTED adjacent copies
+    (every doc_id % 13 == 0 re-ingested immediately after itself —
+    the crawler-loop / resumed-upload failure mode that puts
+    duplicates NEXT TO each other): one lag window + JVM array set
+    algebra finds them where the global MinHash pass pays banding and
+    a shuffle; cut pinned at 1.0 (identical token sets) because this
+    corpus's 31-word closed vocabulary makes lower cuts trivially
+    noisy — stated, and itself an example of reading heaps_documents
+    before picking dedup thresholds. Oracle replays the plant, the
+    tokenizer bridge, and the set sizes."""
+    from jsonschema_validator_spark.operators.dedup import sequential_overlap
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    base = docs.select(
+        "source", (F.col("doc_id") * 10).alias("oid"), "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "source", (F.col("doc_id") * 10 + 1).alias("oid"), "text"
+    )
+    corpus = base.unionByName(copies)
+    return sequential_overlap(
+        corpus, "source", "oid", "text", jaccard_cut=1.0
+    ).orderBy("source", "id")
+
+
+_ORACLE_SEQUENTIAL_OVERLAP = """
+WITH corpus AS (
+  SELECT source, doc_id * 10 AS oid, text FROM documents
+  UNION ALL
+  SELECT source, doc_id * 10 + 1, text FROM documents
+  WHERE doc_id % 13 = 0),
+tok AS (
+  SELECT DISTINCT source, oid, w
+  FROM (SELECT source, oid,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM corpus)
+  WHERE w != ''),
+sizes AS (
+  SELECT source, oid, count(*)::INT AS n FROM tok GROUP BY 1, 2),
+ord AS (
+  SELECT source, oid,
+         lag(oid) OVER (PARTITION BY source ORDER BY oid) AS prev
+  FROM corpus),
+common AS (
+  SELECT o.source, o.oid, o.prev, count(*)::INT AS c
+  FROM ord o
+  JOIN tok a ON a.source = o.source AND a.oid = o.oid
+  JOIN tok b ON b.source = o.source AND b.oid = o.prev AND b.w = a.w
+  WHERE o.prev IS NOT NULL
+  GROUP BY 1, 2, 3),
+scored AS (
+  SELECT c.source, c.oid AS id, c.prev AS prev_id,
+         sa.n AS n_tokens, sb.n AS n_prev_tokens, c.c AS n_common,
+         round(c.c::DOUBLE / (sa.n + sb.n - c.c), 6) AS jaccard,
+         c.c::DOUBLE / (sa.n + sb.n - c.c) >= 1.0 AS near_dup
+  FROM common c
+  JOIN sizes sa ON sa.source = c.source AND sa.oid = c.oid
+  JOIN sizes sb ON sb.source = c.source AND sb.oid = c.prev)
+SELECT * FROM scored WHERE near_dup ORDER BY source, id
 """

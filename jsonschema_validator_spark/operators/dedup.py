@@ -966,3 +966,67 @@ def capture_recapture_pairs(
             "caught_frac_b"
         ),
     )
+
+
+def sequential_overlap(
+    df: DataFrame,
+    group: str,
+    order: str,
+    text: str,
+    jaccard_cut: float = 0.8,
+) -> DataFrame:
+    """Ingest-adjacency near-duplicate screen: token-set Jaccard
+    between each document and its PREDECESSOR in ingest order, per
+    source. Crawler loops, doubled shards and resumed-upload overlaps
+    put their duplicates NEXT TO each other — this screen finds that
+    failure mode with one lag window and pure Column set algebra,
+    where the global MinHash/LSH pass pays banding and a shuffle to
+    find the same pairs (the global pass still owns non-adjacent
+    duplicates; this is the cheap first-line monitor, not a
+    replacement — stated).
+
+    Tokenization matches zipf_slope/heaps_law (lowercase, split on
+    non-letters, distinct). Jaccard = |A intersect B| / |A union B|
+    via array_intersect/array_union on the deduplicated token
+    arrays — JVM-side, no UDF. First document of each group and
+    empty-token documents yield NULL jaccard (nothing to compare).
+
+    One shuffle (the per-group order window); emits the O(rows)
+    scored relation filtered to flagged pairs. Returns (group,
+    id = order value, prev_id, n_tokens, n_prev_tokens, n_common,
+    jaccard, near_dup) for pairs with jaccard >= jaccard_cut.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text)), "[^a-z]+"), lambda w: w != ""
+        )
+    )
+    base = df.select(
+        F.col(group).alias("g"),
+        F.col(order).alias("oid"),
+        toks.alias("t"),
+    )
+    w = W.partitionBy("g").orderBy("oid")
+    paired = base.select(
+        "g",
+        "oid",
+        "t",
+        F.lag("oid").over(w).alias("prev_oid"),
+        F.lag("t").over(w).alias("pt"),
+    ).filter(F.col("prev_oid").isNotNull())
+    inter = F.size(F.array_intersect(F.col("t"), F.col("pt")))
+    uni = F.size(F.array_union(F.col("t"), F.col("pt")))
+    jac = F.when(uni > 0, inter.cast("double") / uni.cast("double"))
+    scored = paired.select(
+        F.col("g").alias(group),
+        F.col("oid").alias("id"),
+        F.col("prev_oid").alias("prev_id"),
+        F.size("t").alias("n_tokens"),
+        F.size("pt").alias("n_prev_tokens"),
+        inter.alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
+        F.coalesce(jac >= jaccard_cut, F.lit(False)).alias("near_dup"),
+    )
+    return scored.filter(F.col("near_dup"))
