@@ -13061,6 +13061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_events": q_wilson_events,
         "sla_backtest_events": q_sla_backtest_events,
         "sequential_overlap_documents": q_sequential_overlap_documents,
+        "smd_balance_events": q_smd_balance_events,
+        "did_events": q_did_events,
     }
 
 
@@ -13365,6 +13367,8 @@ def oracle_sql() -> dict[str, str]:
         "wilson_events": _ORACLE_WILSON,
         "sla_backtest_events": _ORACLE_SLA_BACKTEST,
         "sequential_overlap_documents": _ORACLE_SEQUENTIAL_OVERLAP,
+        "smd_balance_events": _ORACLE_SMD_BALANCE,
+        "did_events": _ORACLE_DID,
     }
 
 
@@ -15307,4 +15311,145 @@ scored AS (
   JOIN sizes sa ON sa.source = c.source AND sa.oid = c.oid
   JOIN sizes sb ON sb.source = c.source AND sb.oid = c.prev)
 SELECT * FROM scored WHERE near_dup ORDER BY source, id
+"""
+
+
+def q_smd_balance_events(spark, sf_dir):
+    """Covariate balance table for the parity-armed experiment
+    (operators/evaluation.smd_balance): standardized mean difference
+    of value and payload k between arms, with the |SMD| > 0.1 flag —
+    the sample-size-free diagnostic that decides whether the lift
+    screens can be read at all (at 10^12 rows every covariate
+    t-tests "significant"; only SMD says whether it CONFOUNDS). Both
+    covariates profiled in ONE scan (conditional sums). Oracle
+    replays the pooled-sd algebra."""
+    from jsonschema_validator_spark.operators.evaluation import smd_balance
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
+    armed = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "value",
+        k.cast("double").alias("k"),
+    )
+    return smd_balance(
+        armed, "arm", ["value", "k"], control="A", treatment="B"
+    ).orderBy("covariate")
+
+
+_ORACLE_SMD_BALANCE = """
+WITH armed AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t,
+         value,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+         END::DOUBLE AS k
+  FROM events),
+a AS (
+  SELECT
+    coalesce(sum(CASE WHEN t = 0 AND value IS NOT NULL
+                 THEN 1.0 END), 0) AS n_c_value,
+    sum(CASE WHEN t = 0 THEN value END) AS s_c_value,
+    sum(CASE WHEN t = 0 THEN value*value END) AS ss_c_value,
+    coalesce(sum(CASE WHEN t = 1 AND value IS NOT NULL
+                 THEN 1.0 END), 0) AS n_t_value,
+    sum(CASE WHEN t = 1 THEN value END) AS s_t_value,
+    sum(CASE WHEN t = 1 THEN value*value END) AS ss_t_value,
+    coalesce(sum(CASE WHEN t = 0 AND k IS NOT NULL
+                 THEN 1.0 END), 0) AS n_c_k,
+    sum(CASE WHEN t = 0 THEN k END) AS s_c_k,
+    sum(CASE WHEN t = 0 THEN k*k END) AS ss_c_k,
+    coalesce(sum(CASE WHEN t = 1 AND k IS NOT NULL
+                 THEN 1.0 END), 0) AS n_t_k,
+    sum(CASE WHEN t = 1 THEN k END) AS s_t_k,
+    sum(CASE WHEN t = 1 THEN k*k END) AS ss_t_k
+  FROM armed),
+rows_ AS (
+  SELECT 'value' AS covariate, n_c_value AS nc, n_t_value AS nt,
+         s_c_value AS sc, s_t_value AS st,
+         ss_c_value AS ssc, ss_t_value AS sst FROM a
+  UNION ALL
+  SELECT 'k', n_c_k, n_t_k, s_c_k, s_t_k, ss_c_k, ss_t_k FROM a),
+f AS (
+  SELECT covariate, nc, nt, sc/nc AS mc, st/nt AS mt,
+    sqrt( ((ssc - nc*(sc/nc)*(sc/nc))/(nc-1)
+          + (sst - nt*(st/nt)*(st/nt))/(nt-1)) / 2.0 ) AS sdp
+  FROM rows_)
+SELECT covariate, nc::BIGINT AS n_control, nt::BIGINT AS n_treatment,
+  round(mc, 6) AS mean_control, round(mt, 6) AS mean_treatment,
+  round(sdp, 6) AS sd_pooled,
+  CASE WHEN nc > 1 AND nt > 1 AND sdp > 0
+       THEN round((mt - mc)/sdp, 6) END AS smd,
+  CASE WHEN nc > 1 AND nt > 1 AND sdp > 0
+       THEN abs((mt - mc)/sdp) > 0.1 END AS imbalanced
+FROM f ORDER BY covariate
+"""
+
+
+def q_did_events(spark, sf_dir):
+    """Difference-in-differences on the parity arms across the
+    Jan-16 period split (operators/evaluation.did_test) — the
+    non-randomized-rollout estimator: the treatment arm's pre->post
+    change minus the control arm's nets out the level gap AND the
+    common time trend (parallel-trends assumption stated in the
+    operator). One aggregation over the four (arm, period) cells
+    with Welch-style independent-cell SE. Oracle replays the 2x2
+    algebra."""
+    from jsonschema_validator_spark.operators.evaluation import did_test
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    framed = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.when(F.col("ts") < cut, F.lit("pre"))
+        .otherwise(F.lit("post"))
+        .alias("period"),
+        "value",
+    )
+    return did_test(
+        framed, "arm", "period", "value", control="A", treatment="B",
+        pre="pre", post="post",
+    )
+
+
+_ORACLE_DID = """
+WITH framed AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS q,
+         value AS y
+  FROM events WHERE value IS NOT NULL),
+a AS (
+  SELECT t, q, count(*)::DOUBLE AS n, avg(y) AS m, var_samp(y) AS v
+  FROM framed GROUP BY 1, 2),
+piv AS (
+  SELECT
+    max(CASE WHEN t=0 AND q=0 THEN n END) AS n00,
+    max(CASE WHEN t=0 AND q=1 THEN n END) AS n01,
+    max(CASE WHEN t=1 AND q=0 THEN n END) AS n10,
+    max(CASE WHEN t=1 AND q=1 THEN n END) AS n11,
+    max(CASE WHEN t=0 AND q=0 THEN m END) AS m00,
+    max(CASE WHEN t=0 AND q=1 THEN m END) AS m01,
+    max(CASE WHEN t=1 AND q=0 THEN m END) AS m10,
+    max(CASE WHEN t=1 AND q=1 THEN m END) AS m11,
+    max(CASE WHEN t=0 AND q=0 THEN v END) AS v00,
+    max(CASE WHEN t=0 AND q=1 THEN v END) AS v01,
+    max(CASE WHEN t=1 AND q=0 THEN v END) AS v10,
+    max(CASE WHEN t=1 AND q=1 THEN v END) AS v11
+  FROM a),
+f AS (
+  SELECT *, (m11 - m10) - (m01 - m00) AS did,
+    v00/n00 + v01/n01 + v10/n10 + v11/n11 AS se2
+  FROM piv
+  WHERE n00 >= 2 AND n01 >= 2 AND n10 >= 2 AND n11 >= 2)
+SELECT n00::BIGINT AS n_control_pre, n01::BIGINT AS n_control_post,
+  n10::BIGINT AS n_treatment_pre, n11::BIGINT AS n_treatment_post,
+  round(m01 - m00, 6) AS diff_control,
+  round(m11 - m10, 6) AS diff_treatment,
+  round(did, 6) AS did, round(sqrt(se2), 6) AS se,
+  CASE WHEN se2 > 0 THEN round(did/sqrt(se2), 6) END AS z
+FROM f
 """

@@ -1176,3 +1176,193 @@ def post_stratified_test(
         F.when(se > 0, F.round(lift_post / se, 6)).alias("z_post"),
         F.round("imbalance", 6).alias("imbalance"),
     )
+
+
+def smd_balance(
+    df: DataFrame,
+    arm: str,
+    covariates: list[str],
+    control,
+    treatment,
+    smd_cut: float = 0.1,
+) -> DataFrame:
+    """Standardized-mean-difference covariate balance table — the
+    diagnostic that decides whether a between-arm comparison is an
+    experiment or an observational study in disguise:
+
+        SMD = (mean_t - mean_c) / sqrt( (var_t + var_c) / 2 )
+
+    per covariate, with the conventional |SMD| > 0.1 imbalance flag
+    (Austin 2009 — public epidemiology literature; the cut is
+    caller-pinned). Unlike a t-test on the covariate, SMD is sample-
+    size-free: at n = 10^9 every covariate "significantly" differs,
+    but only SMD says whether the difference is big enough to
+    confound. Run it BEFORE ab_test/cuped; if rows flag, reach for
+    post_stratified_test / mantel_haenszel instead of trusting the
+    raw lift.
+
+    One aggregation computing per-arm sums/squares for ALL covariates
+    at once (2 x 3 x C conditional sums, map-side combinable — C
+    covariates cost one scan, not C). NULL covariate values are
+    excluded per-covariate (complete-case per column, stated).
+
+    Returns one row per covariate: (covariate, n_control,
+    n_treatment, mean_control, mean_treatment, sd_pooled, smd,
+    imbalanced).
+    """
+    if not covariates:
+        raise ValueError("covariates must be non-empty")
+    a = F.col(arm).cast("string")
+    base = df.filter(a.isin([str(control), str(treatment)])).select(
+        (a == str(treatment)).cast("int").alias("t"),
+        *[F.col(c).cast("double").alias(c) for c in covariates],
+    )
+    aggs = []
+    for c in covariates:
+        x = F.col(c)
+        for side, tag in ((0, "c"), (1, "t")):
+            cond = (F.col("t") == side) & x.isNotNull()
+            aggs += [
+                F.coalesce(F.sum(F.when(cond, 1.0)), F.lit(0.0)).alias(
+                    f"n_{tag}_{c}"
+                ),
+                F.sum(F.when(cond, x)).alias(f"s_{tag}_{c}"),
+                F.sum(F.when(cond, x * x)).alias(f"ss_{tag}_{c}"),
+            ]
+    agg = base.agg(*aggs)
+    rows = []
+    for c in covariates:
+        nc, nt = F.col(f"n_c_{c}"), F.col(f"n_t_{c}")
+        mc = F.col(f"s_c_{c}") / nc
+        mt = F.col(f"s_t_{c}") / nt
+        vc = (F.col(f"ss_c_{c}") - nc * mc * mc) / (nc - 1)
+        vt = (F.col(f"ss_t_{c}") - nt * mt * mt) / (nt - 1)
+        sdp = F.sqrt((vc + vt) / 2.0)
+        smd = F.when((nc > 1) & (nt > 1) & (sdp > 0), (mt - mc) / sdp)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                nc.cast("long").alias("n_control"),
+                nt.cast("long").alias("n_treatment"),
+                F.round(mc, 6).alias("mean_control"),
+                F.round(mt, 6).alias("mean_treatment"),
+                F.round(sdp, 6).alias("sd_pooled"),
+                F.round(smd, 6).alias("smd"),
+                F.when(smd.isNotNull(), F.abs(smd) > smd_cut).alias(
+                    "imbalanced"
+                ),
+            )
+        )
+    return agg.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")
+
+
+def did_test(
+    df: DataFrame,
+    arm: str,
+    period: str,
+    outcome: str,
+    control,
+    treatment,
+    pre,
+    post,
+    min_cell: int = 2,
+) -> DataFrame:
+    """Difference-in-differences estimator with closed-form SE — the
+    comparison to run when treatment was NOT randomized (a rollout, a
+    config change, one cluster migrated first): the treatment arm's
+    pre->post change minus the control arm's pre->post change nets
+    out both the level difference between arms and the common time
+    trend, under the parallel-trends assumption (stated; the
+    assumption is testable only with more pre-periods):
+
+        DiD = (m_t_post - m_t_pre) - (m_c_post - m_c_pre)
+        SE^2 = sum over the four cells of var_cell / n_cell
+
+    (the independent-cells Welch-style variance — rows are assumed
+    independent across cells; for per-user repeated observations feed
+    one row per (user, period) so the cell unit is the user, same
+    reduction contract as cuped/delta_method_ratio_test.)
+
+    One aggregation over the four (arm, period) cells; algebra on one
+    row. Cells below ``min_cell`` rows yield an empty result (a 2x2
+    with an empty cell has no DiD). Returns one row: (n_control_pre,
+    n_control_post, n_treatment_pre, n_treatment_post, diff_control,
+    diff_treatment, did, se, z).
+    """
+    a = F.col(arm).cast("string")
+    p = F.col(period).cast("string")
+    y = F.col(outcome).cast("double")
+    base = df.filter(
+        y.isNotNull()
+        & a.isin([str(control), str(treatment)])
+        & p.isin([str(pre), str(post)])
+    ).select(
+        (a == str(treatment)).cast("int").alias("t"),
+        (p == str(post)).cast("int").alias("q"),
+        y.alias("y"),
+    )
+    agg = base.agg(
+        *[
+            e.alias(f"{n_}_{t_}{q_}")
+            for t_ in (0, 1)
+            for q_ in (0, 1)
+            for n_, e in (
+                (
+                    "n",
+                    F.sum(
+                        F.when((F.col("t") == t_) & (F.col("q") == q_), 1.0)
+                    ),
+                ),
+                (
+                    "s",
+                    F.sum(
+                        F.when(
+                            (F.col("t") == t_) & (F.col("q") == q_),
+                            F.col("y"),
+                        )
+                    ),
+                ),
+                (
+                    "ss",
+                    F.sum(
+                        F.when(
+                            (F.col("t") == t_) & (F.col("q") == q_),
+                            F.col("y") * F.col("y"),
+                        )
+                    ),
+                ),
+            )
+        ]
+    )
+
+    def cell(t_, q_):
+        n = F.col(f"n_{t_}{q_}")
+        m = F.col(f"s_{t_}{q_}") / n
+        v = (F.col(f"ss_{t_}{q_}") - n * m * m) / (n - 1)
+        return n, m, v
+
+    n00, m00, v00 = cell(0, 0)
+    n01, m01, v01 = cell(0, 1)
+    n10, m10, v10 = cell(1, 0)
+    n11, m11, v11 = cell(1, 1)
+    did = (m11 - m10) - (m01 - m00)
+    se2 = v00 / n00 + v01 / n01 + v10 / n10 + v11 / n11
+    ok = (
+        (n00 >= min_cell)
+        & (n01 >= min_cell)
+        & (n10 >= min_cell)
+        & (n11 >= min_cell)
+    )
+    return agg.filter(ok).select(
+        n00.cast("long").alias("n_control_pre"),
+        n01.cast("long").alias("n_control_post"),
+        n10.cast("long").alias("n_treatment_pre"),
+        n11.cast("long").alias("n_treatment_post"),
+        F.round(m01 - m00, 6).alias("diff_control"),
+        F.round(m11 - m10, 6).alias("diff_treatment"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt(se2), 6).alias("se"),
+        F.when(se2 > 0, F.round(did / F.sqrt(se2), 6)).alias("z"),
+    )
