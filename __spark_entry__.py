@@ -13063,6 +13063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_overlap_documents": q_sequential_overlap_documents,
         "smd_balance_events": q_smd_balance_events,
         "did_events": q_did_events,
+        "rbo_documents": q_rbo_documents,
+        "assortativity_lineitem": q_assortativity_lineitem,
     }
 
 
@@ -13369,6 +13371,8 @@ def oracle_sql() -> dict[str, str]:
         "sequential_overlap_documents": _ORACLE_SEQUENTIAL_OVERLAP,
         "smd_balance_events": _ORACLE_SMD_BALANCE,
         "did_events": _ORACLE_DID,
+        "rbo_documents": _ORACLE_RBO,
+        "assortativity_lineitem": _ORACLE_ASSORTATIVITY,
     }
 
 
@@ -15452,4 +15456,131 @@ SELECT n00::BIGINT AS n_control_pre, n01::BIGINT AS n_control_post,
   round(did, 6) AS did, round(sqrt(se2), 6) AS se,
   CASE WHEN se2 > 0 THEN round(did/sqrt(se2), 6) END AS z
 FROM f
+"""
+
+
+def q_rbo_documents(spark, sf_dir):
+    """Rank-biased overlap per language between two quality rankings
+    of the same documents — by raw size (n_chars) and by distinct
+    lexical types (operators/evaluation.rank_biased_overlap, Webber
+    et al. TOIS 2010): the top-weighted agreement measure for the
+    question Kendall/Spearman dilute — when two scorers disagree,
+    only the TOP of the list ships. Prefix intersections collapse to
+    a cumulative count over max(rank_a, rank_b), so the whole measure
+    is two rank windows + one O(depth) pass per group; the truncated
+    form's bias bound (p^D) is stated in the operator. Oracle
+    recomputes prefix overlaps by an independent d-series join."""
+    from jsonschema_validator_spark.operators.evaluation import (
+        rank_biased_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("size_score"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"),
+                    lambda w: w != "",
+                )
+            )
+        ).cast("double").alias("type_score"),
+    )
+    return rank_biased_overlap(
+        scored, "doc_id", "size_score", "type_score",
+        group="lang", p=0.9, depth=50,
+    ).orderBy("lang")
+
+
+_ORACLE_RBO = """
+WITH scored AS (
+  SELECT lang, doc_id, n_chars::DOUBLE AS sa,
+         (SELECT count(DISTINCT w)
+          FROM unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+          WHERE w != '')::DOUBLE AS sb
+  FROM documents),
+ranked AS (
+  SELECT lang,
+         greatest(
+           row_number() OVER (PARTITION BY lang ORDER BY sa DESC, doc_id),
+           row_number() OVER (PARTITION BY lang ORDER BY sb DESC, doc_id)
+         ) AS m
+  FROM scored),
+d AS (SELECT unnest(range(1, 51)) AS d),
+ov AS (
+  SELECT r.lang, d.d, count(*)::DOUBLE AS overlap
+  FROM ranked r JOIN d ON r.m <= d.d
+  GROUP BY 1, 2),
+s AS (
+  SELECT lang, sum(pow(0.9, d - 1) * overlap / d) AS s
+  FROM ov GROUP BY 1),
+n AS (SELECT lang, count(*)::BIGINT AS n_items FROM scored GROUP BY 1)
+SELECT n.lang, n.n_items, 50 AS depth, 0.9 AS p,
+  round(0.1 * coalesce(s.s, 0.0), 6) AS rbo
+FROM n LEFT JOIN s ON n.lang = s.lang ORDER BY n.lang
+"""
+
+
+def q_assortativity_lineitem(spark, sf_dir):
+    """Degree assortativity of the part co-purchase graph
+    (operators/graph.degree_assortativity, Newman 2002) — the same
+    graph as triangles_lineitem, asked the shape question first: a
+    strongly negative r means a few dominant parts touch everything
+    (hub-and-spoke), which is exactly where the graph operators'
+    skew guards earn their keep. Canonicalized edge set, one degree
+    aggregation, one Pearson over the ordered endpoint pairs — no
+    windows, no iteration. Oracle replays degrees + correlation."""
+    from jsonschema_validator_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = li.join(
+        li.withColumnRenamed("l_partkey", "p2"), "l_orderkey"
+    ).filter(F.col("l_partkey") != F.col("p2"))
+    return degree_assortativity(pairs, "l_partkey", "p2")
+
+
+_ORACLE_ASSORTATIVITY = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30),
+pairs AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS t
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey != b.l_partkey),
+canon AS (
+  SELECT DISTINCT
+    least(CAST(s AS VARCHAR), CAST(t AS VARCHAR)) AS a,
+    greatest(CAST(s AS VARCHAR), CAST(t AS VARCHAR)) AS b
+  FROM pairs),
+directed AS (
+  SELECT a AS u, b AS v FROM canon
+  UNION ALL
+  SELECT b, a FROM canon),
+deg AS (SELECT u, count(*)::DOUBLE AS d FROM directed GROUP BY 1),
+paired AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM directed
+  JOIN deg du ON directed.u = du.u
+  JOIN deg dv ON directed.v = dv.u),
+agg AS (
+  SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM paired),
+cnt AS (
+  SELECT (SELECT count(*) FROM canon)::BIGINT AS n_edges,
+         (SELECT count(*) FROM deg)::BIGINT AS n_nodes)
+SELECT cnt.n_nodes, cnt.n_edges,
+  round(2.0 * cnt.n_edges / cnt.n_nodes, 6) AS mean_degree,
+  CASE WHEN sxx - sx*sx/m > 1e-9 AND syy - sy*sy/m > 1e-9
+       THEN round((sxy - sx*sy/m)
+            / sqrt((sxx - sx*sx/m)*(syy - sy*sy/m)), 6) END
+    AS assortativity
+FROM agg, cnt
 """

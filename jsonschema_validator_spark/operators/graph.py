@@ -170,3 +170,77 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             ).alias("local_cc"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, public paper) of
+    the undirected simple graph: the Pearson correlation of the
+    degrees at the two ends of each edge. r > 0 — hubs attach to hubs
+    (social-graph shape); r < 0 — hubs attach to leaves
+    (hub-and-spoke, the shape of a catalog or a star schema); r ~ 0 —
+    degree-blind wiring. For a co-occurrence graph built from
+    transactions, a strongly negative r is the signature of a few
+    dominant items touching everything — exactly where the dedup /
+    similarity passes need their skew guards, so this is the
+    read-it-first diagnostic for graph-shaped operators (triangles,
+    pagerank, components).
+
+    Computation over the canonicalized edge set (self-loops dropped,
+    parallel edges collapsed, both directions materialized so each
+    undirected edge contributes its two ordered endpoint pairs — the
+    standard convention that makes the two marginals identical):
+    degrees from ONE groupBy of the edge list, then the correlation's
+    sums over the ordered-pair relation — O(edges) rows end to end,
+    no windows, no iteration.
+
+    Returns one row: (n_nodes, n_edges, mean_degree, assortativity) —
+    assortativity NULL for a degree-regular graph (zero variance:
+    correlation undefined, stated).
+    """
+    base = (
+        edges.filter(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least(F.col(src).cast("string"), F.col(dst).cast("string")).alias("a"),
+            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    directed = base.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(base.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    paired = (
+        directed.join(deg, "u")
+        .withColumnRenamed("d", "du")
+        .join(deg.withColumnRenamed("u", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("double").alias("m2"),
+        F.sum(F.col("du").cast("double")).alias("sx"),
+        F.sum(F.col("dv").cast("double")).alias("sy"),
+        F.sum((F.col("du") * F.col("du")).cast("double")).alias("sxx"),
+        F.sum((F.col("dv") * F.col("dv")).cast("double")).alias("syy"),
+        F.sum((F.col("du") * F.col("dv")).cast("double")).alias("sxy"),
+    )
+    counts = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    m = F.col("m2")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / m
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / m
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / m
+    r = F.when((vx > 1e-9) & (vy > 1e-9), cov / F.sqrt(vx * vy))
+    return agg.crossJoin(F.broadcast(counts)).select(
+        "n_nodes",
+        "n_edges",
+        F.round(
+            2.0 * F.col("n_edges") / F.col("n_nodes"), 6
+        ).alias("mean_degree"),
+        F.round(r, 6).alias("assortativity"),
+    )
