@@ -13065,6 +13065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_events": q_did_events,
         "rbo_documents": q_rbo_documents,
         "assortativity_lineitem": q_assortativity_lineitem,
+        "weighted_kappa_documents": q_weighted_kappa_documents,
+        "bowker_documents": q_bowker_documents,
+        "cronbach_documents": q_cronbach_documents,
     }
 
 
@@ -13373,6 +13376,9 @@ def oracle_sql() -> dict[str, str]:
         "did_events": _ORACLE_DID,
         "rbo_documents": _ORACLE_RBO,
         "assortativity_lineitem": _ORACLE_ASSORTATIVITY,
+        "weighted_kappa_documents": _ORACLE_WEIGHTED_KAPPA,
+        "bowker_documents": _ORACLE_BOWKER,
+        "cronbach_documents": _ORACLE_CRONBACH,
     }
 
 
@@ -15583,4 +15589,188 @@ SELECT cnt.n_nodes, cnt.n_edges,
             / sqrt((sxx - sx*sx/m)*(syy - sy*sy/m)), 6) END
     AS assortativity
 FROM agg, cnt
+"""
+
+
+def q_weighted_kappa_documents(spark, sf_dir):
+    """Quadratic-weighted kappa between two ordinal document graders
+    (operators/agreement.weighted_kappa): tier-by-size (pinned
+    n_chars cuts 200/400/600) vs tier-by-lexical-types (pinned cuts
+    12/20/26) — ordinal labels where a one-tier miss must not cost
+    what a three-tier miss costs (plain cohen_kappa scores them
+    identically; quadratic weights approach the ICC). Out-of-range
+    grades are surfaced in n_excluded, not folded in. One shuffle to
+    the O(k^2) confusion relation. Oracle replays marginals + weight
+    algebra on the dense grid."""
+    from jsonschema_validator_spark.operators.agreement import weighted_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    types = F.size(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda w: w != ""
+            )
+        )
+    )
+    tier_a = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .when(F.col("n_chars") < 600, 2)
+        .otherwise(3)
+    )
+    tier_b = (
+        F.when(types < 12, 0).when(types < 20, 1).when(types < 26, 2).otherwise(3)
+    )
+    graded = docs.select(tier_a.alias("ga"), tier_b.alias("gb"))
+    return weighted_kappa(graded, "ga", "gb", levels=4)
+
+
+_ORACLE_WEIGHTED_KAPPA = """
+WITH types AS (
+  SELECT doc_id, n_chars,
+    (SELECT count(DISTINCT w)
+     FROM unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+     WHERE w != '') AS nt
+  FROM documents),
+graded AS (
+  SELECT CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+              WHEN n_chars < 600 THEN 2 ELSE 3 END AS a,
+         CASE WHEN nt < 12 THEN 0 WHEN nt < 20 THEN 1
+              WHEN nt < 26 THEN 2 ELSE 3 END AS b
+  FROM types),
+cm AS (SELECT a, b, count(*)::DOUBLE AS o FROM graded GROUP BY 1, 2),
+n AS (SELECT sum(o) AS n FROM cm),
+ra AS (SELECT a, sum(o) AS ra FROM cm GROUP BY 1),
+rb AS (SELECT b, sum(o) AS rb FROM cm GROUP BY 1),
+grid AS (
+  SELECT ra.a, rb.b, ra.ra * rb.rb / n.n AS e,
+         pow(abs(ra.a - rb.b) / 3.0, 2) AS w
+  FROM ra, rb, n),
+j AS (
+  SELECT grid.w, grid.e, coalesce(cm.o, 0.0) AS o
+  FROM grid LEFT JOIN cm ON grid.a = cm.a AND grid.b = cm.b),
+agg AS (
+  SELECT sum(w*o) AS wo, sum(w*e) AS we FROM j)
+SELECT n.n::BIGINT AS n, 0::BIGINT AS n_excluded,
+  round(1.0 - wo/n.n, 6) AS po_weighted,
+  round(1.0 - we/n.n, 6) AS pe_weighted,
+  CASE WHEN we > 0 THEN round(1.0 - wo/we, 6) END AS kappa_w
+FROM agg, n
+"""
+
+
+def q_bowker_documents(spark, sf_dir):
+    """Bowker symmetry test between the size grader and a PLANTED
+    systematically-demoting regrade (every doc_id % 7 == 0 drops one
+    tier — the "medium quietly became low" drift)
+    (operators/agreement.bowker_symmetry, the k x k McNemar): the
+    discordance is one-directional, which aggregate agreement
+    averages away and this test isolates. Pairs with no discordant
+    mass consume no df. Oracle replays the pair fold."""
+    from jsonschema_validator_spark.operators.agreement import bowker_symmetry
+
+    docs = _t(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .when(F.col("n_chars") < 600, 2)
+        .otherwise(3)
+    )
+    regraded = docs.select(
+        tier.alias("before"),
+        F.when(F.col("doc_id") % 7 == 0, F.greatest(tier - 1, F.lit(0)))
+        .otherwise(tier)
+        .alias("after"),
+    )
+    return bowker_symmetry(regraded, "before", "after")
+
+
+_ORACLE_BOWKER = """
+WITH graded AS (
+  SELECT doc_id,
+    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+         WHEN n_chars < 600 THEN 2 ELSE 3 END AS t
+  FROM documents),
+pairs AS (
+  SELECT CAST(t AS VARCHAR) AS a,
+         CAST(CASE WHEN doc_id % 7 = 0 THEN greatest(t - 1, 0)
+              ELSE t END AS VARCHAR) AS b
+  FROM graded),
+cm AS (SELECT a, b, count(*)::DOUBLE AS n FROM pairs GROUP BY 1, 2),
+up AS (SELECT a, b, n AS x FROM cm WHERE a < b),
+lo AS (SELECT b AS a, a AS b, n AS y FROM cm WHERE a > b),
+fold AS (
+  SELECT coalesce(up.a, lo.a) AS a, coalesce(up.b, lo.b) AS b,
+         coalesce(x, 0.0) AS x, coalesce(y, 0.0) AS y
+  FROM up FULL JOIN lo ON up.a = lo.a AND up.b = lo.b),
+agg AS (
+  SELECT count(*)::INT AS df,
+         sum((x - y)*(x - y)/(x + y)) AS chi2
+  FROM fold WHERE x + y > 0),
+tot AS (SELECT sum(n)::BIGINT AS n FROM cm)
+SELECT tot.n, agg.df, round(agg.chi2, 6) AS chi2,
+  [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507,
+   16.919, 18.307][agg.df] AS chi2_crit_95,
+  agg.chi2 > [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+              15.507, 16.919, 18.307][agg.df] AS reject
+FROM agg, tot
+"""
+
+
+def q_cronbach_documents(spark, sf_dir):
+    """Cronbach's alpha over four deterministic per-document size/
+    complexity scores — n_chars, raw text length, total letter
+    tokens, distinct lexical types
+    (operators/agreement.cronbach_alpha): do these heuristics measure
+    ONE underlying trait (here: document size — alpha should be
+    high), the sanity check in front of any composite quality score
+    the curation pipelines would average them into. Complete-case
+    with exclusions surfaced; one fused aggregation of all item and
+    row-sum moments. Oracle replays the variance algebra."""
+    from jsonschema_validator_spark.operators.agreement import cronbach_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda w: w != ""
+    )
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("s_chars"),
+        F.length("text").cast("double").alias("s_len"),
+        F.size(toks).cast("double").alias("s_tokens"),
+        F.size(F.array_distinct(toks)).cast("double").alias("s_types"),
+    )
+    return cronbach_alpha(
+        scored, ["s_chars", "s_len", "s_tokens", "s_types"]
+    )
+
+
+_ORACLE_CRONBACH = """
+WITH scored AS (
+  SELECT n_chars::DOUBLE AS x0, length(text)::DOUBLE AS x1,
+    (SELECT count(*) FROM unnest(string_split_regex(lower(text),
+       '[^a-z]+')) AS t(w) WHERE w != '')::DOUBLE AS x2,
+    (SELECT count(DISTINCT w) FROM unnest(string_split_regex(lower(text),
+       '[^a-z]+')) AS t(w) WHERE w != '')::DOUBLE AS x3
+  FROM documents),
+ok AS (
+  SELECT *, x0 + x1 + x2 + x3 AS rs FROM scored
+  WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL
+    AND x3 IS NOT NULL),
+a AS (
+  SELECT count(*)::DOUBLE AS n,
+    (SELECT count(*) FROM scored) - count(*) AS n_excluded,
+    sum(x0) AS s0, sum(x0*x0) AS ss0, sum(x1) AS s1, sum(x1*x1) AS ss1,
+    sum(x2) AS s2, sum(x2*x2) AS ss2, sum(x3) AS s3, sum(x3*x3) AS ss3,
+    sum(rs) AS srs, sum(rs*rs) AS ssrs
+  FROM ok),
+f AS (
+  SELECT n, n_excluded,
+    (ss0 - s0*s0/n)/(n-1) + (ss1 - s1*s1/n)/(n-1)
+      + (ss2 - s2*s2/n)/(n-1) + (ss3 - s3*s3/n)/(n-1) AS iv,
+    (ssrs - srs*srs/n)/(n-1) AS tv
+  FROM a)
+SELECT n::BIGINT AS n, n_excluded::BIGINT AS n_excluded, 4 AS k,
+  round(iv, 6) AS sum_item_var, round(tv, 6) AS total_var,
+  CASE WHEN tv > 0 THEN round(4.0/3.0 * (1.0 - iv/tv), 6) END AS alpha
+FROM f
 """

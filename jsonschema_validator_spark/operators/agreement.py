@@ -380,3 +380,239 @@ def icc_oneway(
             "icc1"
         ),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    levels: int,
+    weights: str = "quadratic",
+    group: str | None = None,
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels (integer levels
+    0..levels-1): plain kappa (cohen_kappa) scores a one-level
+    disagreement exactly like a worst-case one, which is wrong for
+    quality tiers / severity grades; the weighted form scores
+    disagreement by distance,
+
+        kappa_w = 1 - sum w_ij O_ij / sum w_ij E_ij
+        w_ij = ((i - j)/(k - 1))^2  (quadratic; "linear" = |i-j|/(k-1))
+
+    (E from the raters' marginals, the usual chance model; quadratic
+    weights make kappa_w equal the ICC in large samples — the
+    standard choice for graded labels). Rows with either label NULL
+    or outside 0..levels-1 are EXCLUDED and counted (an out-of-range
+    grade is a data bug, not a rating — surfaced, not folded in).
+
+    One aggregation to the O(groups x k^2) confusion relation;
+    marginals and the weighted sums are rollups of it. Degenerate
+    chance agreement (sum w E = 0: both raters constant) yields NULL
+    kappa. Returns (group?, n, n_excluded, po_weighted, pe_weighted,
+    kappa_w).
+    """
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
+    if weights not in ("quadratic", "linear"):
+        raise ValueError("weights must be 'quadratic' or 'linear'")
+    a = F.col(rater_a).cast("int")
+    b = F.col(rater_b).cast("int")
+    in_range = (
+        a.isNotNull() & b.isNotNull()
+        & a.between(0, levels - 1) & b.between(0, levels - 1)
+    )
+    gcols = [F.col(group).alias("g")] if group else []
+    gb = ["g"] if group else []
+    tagged = df.select(*gcols, a.alias("a"), b.alias("b"), in_range.alias("ok"))
+    excl = tagged.groupBy(*gb).agg(
+        F.sum((~F.col("ok")).cast("long")).alias("n_excluded")
+    )
+    cm = (
+        tagged.filter("ok")
+        .groupBy(*gb, "a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    ra = cm.groupBy(*gb, "a").agg(F.sum("o").alias("ra"))
+    rb = cm.groupBy(*gb, "b").agg(F.sum("o").alias("rb"))
+    n_rel = cm.groupBy(*gb).agg(F.sum("o").alias("n"))
+    # dense i x j grid from the two marginals so E covers cells with
+    # O = 0 (a sparse join would silently drop their expected mass)
+    grid = ra.join(rb, gb) if group else ra.crossJoin(rb)
+    grid = grid.join(n_rel, gb) if group else grid.crossJoin(n_rel)
+    dist = F.abs(F.col("a") - F.col("b")).cast("double") / (levels - 1.0)
+    w = dist * dist if weights == "quadratic" else dist
+    e = F.col("ra") * F.col("rb") / F.col("n")
+    ge = grid.select(*gb, "a", "b", w.alias("w"), e.alias("e"))
+    joined = ge.join(cm, [*gb, "a", "b"], "left").select(
+        *gb, "w", "e", F.coalesce(F.col("o"), F.lit(0.0)).alias("o")
+    )
+    agg = joined.groupBy(*gb).agg(
+        F.sum(F.col("w") * F.col("o")).alias("wo"),
+        F.sum(F.col("w") * F.col("e")).alias("we"),
+    )
+    agg = agg.join(n_rel, gb) if group else agg.crossJoin(n_rel)
+    agg = agg.join(excl, gb) if group else agg.crossJoin(excl)
+    kappa = F.when(
+        F.col("we") > 0, 1.0 - F.col("wo") / F.col("we")
+    )
+    out_g = [F.col("g").alias(group)] if group else []
+    return agg.select(
+        *out_g,
+        F.col("n").cast("long").alias("n"),
+        "n_excluded",
+        F.round(1.0 - F.col("wo") / F.col("n"), 6).alias("po_weighted"),
+        F.round(1.0 - F.col("we") / F.col("n"), 6).alias("pe_weighted"),
+        F.round(kappa, 6).alias("kappa_w"),
+    )
+
+
+def bowker_symmetry(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group: str | None = None,
+) -> DataFrame:
+    """Bowker's test of symmetry — the k x k generalization of McNemar
+    (mcnemar_events is the 2x2 case): do the two raters (or the same
+    pipeline before/after a change) disagree SYMMETRICALLY, or is
+    there a systematic direction to the relabeling?
+
+        chi2 = sum_{i<j} (n_ij - n_ji)^2 / (n_ij + n_ji)
+        df   = #{i<j pairs with n_ij + n_ji > 0}
+
+    A significant Bowker with an insignificant accuracy change is the
+    signature of a category DRIFT (e.g. "medium" quietly becoming
+    "low") that aggregate agreement metrics average away. Pairs with
+    no discordant mass contribute nothing and don't consume df. The
+    critical value is read from the pinned chi-square table (df 1..10)
+    — a verdict for df > 10 is NULL and the caller compares chi2
+    against their own constant (stated, same pinned-table contract as
+    bartlett/acf).
+
+    One aggregation to the O(groups x k^2) confusion relation; the
+    pair fold is a self-join ON that reduced relation. Returns
+    (group?, n, df, chi2, chi2_crit_95, reject).
+    """
+    _CHI2_95 = [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+                15.507, 16.919, 18.307]
+    gcols = [F.col(group).alias("g")] if group else []
+    gb = ["g"] if group else []
+    labeled = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    )
+    cm = labeled.groupBy(
+        *gcols,
+        F.col(rater_a).cast("string").alias("a"),
+        F.col(rater_b).cast("string").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    upper = cm.filter(F.col("a") < F.col("b"))
+    lower = cm.filter(F.col("a") > F.col("b")).select(
+        *gb,
+        F.col("b").alias("a"),
+        F.col("a").alias("b"),
+        F.col("n_ab").alias("n_ba"),
+    )
+    pairs = upper.join(lower, [*gb, "a", "b"], "full").select(
+        *gb,
+        F.coalesce(F.col("n_ab"), F.lit(0.0)).alias("x"),
+        F.coalesce(F.col("n_ba"), F.lit(0.0)).alias("y"),
+    )
+    tot = cm.groupBy(*gb).agg(F.sum("n_ab").cast("long").alias("n"))
+    agg = pairs.filter((F.col("x") + F.col("y")) > 0).groupBy(*gb).agg(
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.sum(
+            (F.col("x") - F.col("y")) * (F.col("x") - F.col("y"))
+            / (F.col("x") + F.col("y"))
+        ).alias("chi2"),
+    )
+    agg = tot.join(agg, gb, "left") if group else tot.crossJoin(agg)
+    crit_arr = F.array(*[F.lit(c) for c in _CHI2_95])
+    crit = F.when(
+        F.col("df").between(1, 10), F.element_at(crit_arr, F.col("df"))
+    )
+    out_g = [F.col("g").alias(group)] if group else []
+    return agg.select(
+        *out_g,
+        "n",
+        "df",
+        F.round("chi2", 6).alias("chi2"),
+        crit.alias("chi2_crit_95"),
+        F.when(crit.isNotNull(), F.col("chi2") > crit).alias("reject"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    items: list[str],
+    group: str | None = None,
+    min_n: int = 8,
+) -> DataFrame:
+    """Cronbach's alpha — internal consistency of K parallel scores
+    (quality heuristics, rubric dimensions, judge prompts):
+
+        alpha = K/(K-1) * (1 - sum var_item / var(rowsum))
+
+    alpha near 1: the K scorers measure one underlying trait (and a
+    cheaper subset may suffice); near 0 (or negative): they measure
+    DIFFERENT things, and averaging them into one "quality score" is
+    destroying information — the sanity check in front of every
+    composite metric this engine's curation pipelines consume.
+
+    Complete-case rows only (a row missing any item is excluded and
+    counted — imputing would inflate consistency; stated). One
+    aggregation computing each item's sums/squares AND the row-sum's,
+    all map-side combinable; algebra on O(groups) rows. Degenerate
+    var(rowsum) = 0 yields NULL alpha. Returns (group?, n,
+    n_excluded, k, sum_item_var, total_var, alpha).
+    """
+    if len(items) < 2:
+        raise ValueError("need at least two items")
+    k = len(items)
+    cols = [F.col(c).cast("double") for c in items]
+    complete = cols[0].isNotNull()
+    for c in cols[1:]:
+        complete = complete & c.isNotNull()
+    rowsum = cols[0]
+    for c in cols[1:]:
+        rowsum = rowsum + c
+    gcols = [F.col(group).alias("g")] if group else []
+    gb = ["g"] if group else []
+    tagged = df.select(
+        *gcols,
+        complete.alias("ok"),
+        *[c.alias(f"x{i}") for i, c in enumerate(cols)],
+        rowsum.alias("rs"),
+    )
+    aggs = [
+        F.sum(F.col("ok").cast("long")).alias("n"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_excluded"),
+        F.sum(F.when(F.col("ok"), F.col("rs"))).alias("s_rs"),
+        F.sum(F.when(F.col("ok"), F.col("rs") * F.col("rs"))).alias("ss_rs"),
+    ]
+    for i in range(k):
+        x = F.col(f"x{i}")
+        aggs.append(F.sum(F.when(F.col("ok"), x)).alias(f"s{i}"))
+        aggs.append(F.sum(F.when(F.col("ok"), x * x)).alias(f"ss{i}"))
+    agg = tagged.groupBy(*gb).agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def _var(s, ss):
+        return (F.col(ss) - F.col(s) * F.col(s) / n) / (n - 1)
+
+    item_var = _var("s0", "ss0")
+    for i in range(1, k):
+        item_var = item_var + _var(f"s{i}", f"ss{i}")
+    tot_var = _var("s_rs", "ss_rs")
+    alpha = F.when(
+        tot_var > 0, k / (k - 1.0) * (1.0 - item_var / tot_var)
+    )
+    out_g = [F.col("g").alias(group)] if group else []
+    return agg.filter(F.col("n") >= min_n).select(
+        *out_g,
+        "n",
+        "n_excluded",
+        F.lit(k).alias("k"),
+        F.round(item_var, 6).alias("sum_item_var"),
+        F.round(tot_var, 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )
