@@ -13068,6 +13068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_kappa_documents": q_weighted_kappa_documents,
         "bowker_documents": q_bowker_documents,
         "cronbach_documents": q_cronbach_documents,
+        "scorecard_events": q_scorecard_events,
     }
 
 
@@ -13379,6 +13380,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_kappa_documents": _ORACLE_WEIGHTED_KAPPA,
         "bowker_documents": _ORACLE_BOWKER,
         "cronbach_documents": _ORACLE_CRONBACH,
+        "scorecard_events": _ORACLE_SCORECARD,
     }
 
 
@@ -15773,4 +15775,148 @@ SELECT n::BIGINT AS n, n_excluded::BIGINT AS n_excluded, 4 AS k,
   round(iv, 6) AS sum_item_var, round(tv, 6) AS total_var,
   CASE WHEN tv > 0 THEN round(4.0/3.0 * (1.0 - iv/tv), 6) END AS alpha
 FROM f
+"""
+
+
+def q_scorecard_events(spark, sf_dir):
+    """Query 300: the per-event_type health SCORECARD — one row
+    joining four independent screens the engine ships separately:
+    schema-validity rate with its Wilson lower bound
+    (categorical.wilson_intervals over the compiled bounds-spec
+    verdict), value-distribution normality (normality.
+    jarque_bera_screen — which downstream tests are even legal),
+    normal-theory max-outlier (normality.grubbs_screen, planted-free
+    raw values, crit pinned 4.0), and the assumption-free volume
+    trend verdict (extremes.record_count_test). This is the
+    operator-composition shape a data-health dashboard actually
+    queries — four reduced relations broadcast-joined on the tiny
+    group key, each produced by its own single-shuffle screen; no
+    screen recomputes another's scan. Oracle composes the same four
+    CTE bodies."""
+    from jsonschema_validator_spark.api import Schema
+    from jsonschema_validator_spark.operators.categorical import (
+        wilson_intervals,
+    )
+    from jsonschema_validator_spark.operators.extremes import (
+        record_count_test,
+    )
+    from jsonschema_validator_spark.operators.normality import (
+        grubbs_screen,
+        jarque_bera_screen,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = Schema.create(
+        {
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 80}
+            },
+        },
+        spark,
+        draft="draft7",
+    )
+    labeled = s.validate_many(ev, "props").select(
+        "event_type", F.col("valid").cast("int").alias("ok")
+    )
+    w = wilson_intervals(labeled, "event_type", "ok").select(
+        "event_type",
+        F.col("rate").alias("validity_rate"),
+        F.col("wilson_lo").alias("validity_lo"),
+    )
+    jb = jarque_bera_screen(ev, "event_type", "value").select(
+        "event_type", F.col("reject").alias("nonnormal_value")
+    )
+    gr = grubbs_screen(ev, "event_type", "value", crit=4.0).select(
+        "event_type", F.col("reject").alias("outlier_flag")
+    )
+    rc = record_count_test(ev, "event_type", "ts").select(
+        "event_type", F.col("verdict").alias("volume_trend")
+    )
+    return (
+        w.join(F.broadcast(jb), "event_type")
+        .join(F.broadcast(gr), "event_type")
+        .join(F.broadcast(rc), "event_type")
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_SCORECARD = """
+WITH v AS (
+  SELECT event_type,
+    CASE WHEN props IS NULL OR NOT json_valid(props) THEN 0
+         ELSE CASE WHEN coalesce(
+           json_extract(props, '$.k') IS NOT NULL
+           AND CAST(json_extract(props, '$.k') AS BIGINT)
+               BETWEEN 0 AND 80, FALSE) THEN 1 ELSE 0 END END AS y
+  FROM events),
+wil AS (
+  SELECT event_type, count(*)::DOUBLE AS n, sum(y)::DOUBLE AS x
+  FROM v GROUP BY 1),
+wilf AS (
+  SELECT event_type, round(x/n, 6) AS validity_rate,
+    round((x/n + 1.96*1.96/(2*n))/(1 + 1.96*1.96/n)
+      - 1.96*sqrt((x/n)*(1-x/n)/n + 1.96*1.96/(4*n*n))
+        /(1 + 1.96*1.96/n), 6) AS validity_lo
+  FROM wil),
+mo AS (
+  SELECT event_type AS g, count(*)::DOUBLE AS n,
+         sum(value) AS s1, sum(value*value) AS s2,
+         sum(value*value*value) AS s3,
+         sum(value*value*value*value) AS s4,
+         avg(value) AS mu, stddev_samp(value) AS sd,
+         max(value) AS mx, min(value) AS mn
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+jb AS (
+  SELECT g,
+    n/6.0 * (pow((s3/n - 3*(s1/n)*s2/n + 2*pow(s1/n, 3))
+                 / pow(s2/n - (s1/n)*(s1/n), 1.5), 2)
+             + pow((s4/n - 4*(s1/n)*s3/n + 6*pow(s1/n,2)*s2/n
+                    - 3*pow(s1/n,4))
+                   / pow(s2/n - (s1/n)*(s1/n), 2) - 3.0, 2)/4.0)
+      > 5.991 AS nonnormal_value
+  FROM mo WHERE n >= 8 AND s2/n - (s1/n)*(s1/n) > 0),
+gr AS (
+  SELECT g, greatest(mx - mu, mu - mn)/sd > 4.0 AS outlier_flag
+  FROM mo WHERE n >= 8 AND sd > 0),
+daily AS (
+  SELECT event_type AS g,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::DOUBLE AS x
+  FROM events GROUP BY 1, 2),
+rec AS (
+  SELECT g,
+    CASE WHEN max(x) OVER w IS NULL OR x > max(x) OVER w
+         THEN 1 ELSE 0 END AS ru,
+    CASE WHEN min(x) OVER w IS NULL OR x < min(x) OVER w
+         THEN 1 ELSE 0 END AS rl
+  FROM daily
+  WINDOW w AS (PARTITION BY g ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+ragg AS (
+  SELECT g, count(*)::BIGINT AS n_days,
+         sum(ru)::BIGINT AS n_up, sum(rl)::BIGINT AS n_low
+  FROM rec GROUP BY g),
+harm AS (
+  SELECT i AS n, sum(1.0/i) OVER o AS h_n,
+         sum(1.0/i - 1.0/(i*i)) OVER o AS v_n
+  FROM range(1, 10001) t(i)
+  WINDOW o AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+rcv AS (
+  SELECT g,
+    CASE WHEN (n_up - h_n)/sqrt(v_n) > 1.96
+          AND (n_low - h_n)/sqrt(v_n) > 1.96 THEN 'both_tails'
+         WHEN (n_up - h_n)/sqrt(v_n) > 1.96 THEN 'trending_up'
+         WHEN (n_low - h_n)/sqrt(v_n) > 1.96 THEN 'trending_down'
+         ELSE 'consistent_with_iid' END AS volume_trend
+  FROM ragg JOIN harm ON ragg.n_days = harm.n)
+SELECT wilf.event_type, wilf.validity_rate, wilf.validity_lo,
+  jb.nonnormal_value, gr.outlier_flag, rcv.volume_trend
+FROM wilf
+JOIN jb ON wilf.event_type = jb.g
+JOIN gr ON wilf.event_type = gr.g
+JOIN rcv ON wilf.event_type = rcv.g
+ORDER BY wilf.event_type
 """
