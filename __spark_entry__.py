@@ -12767,57 +12767,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- round-4 front: never driver-verified in r1-r3 (VERDICT r3 #1) ---
-        "theil_sen_events": q_theil_sen_events,
-        "mann_kendall_events": q_mann_kendall_events,
-        "acf_events": q_acf_events,
-        "wasserstein_events": q_wasserstein_events,
-        "chi_squared_lineitem": q_chi_squared_lineitem,
-        "spearman_lineitem": q_spearman_lineitem,
-        "anova_events": q_anova_events,
-        "kruskal_wallis_events": q_kruskal_wallis_events,
-        "mann_whitney_events": q_mann_whitney_events,
-        "jsd_events": q_jsd_events,
-        "cohort_retention_events": q_cohort_retention_events,
-        "markov_surprisal_events": q_markov_surprisal_events,
-        "cohen_kappa_documents": q_cohen_kappa_documents,
-        "bradley_terry_events": q_bradley_terry_events,
-        "roc_auc_documents": q_roc_auc_documents,
-        "calibration_documents": q_calibration_documents,
-        "ab_test_events": q_ab_test_events,
-        "fleiss_kappa_documents": q_fleiss_kappa_documents,
-        "pagerank_events": q_pagerank_events,
-        "reading_ease_documents": q_reading_ease_documents,
-        "bm25_documents": q_bm25_documents,
-        "gini_events": q_gini_events,
-        "trend_events": q_trend_events,
-        "kaplan_meier_events": q_kaplan_meier_events,
-        "pass_rate_sla_events": q_pass_rate_sla_events,
-        "quality_trend_events": q_quality_trend_events,
-        "nelson_aalen_events": q_nelson_aalen_events,
-        "median_ci_events": q_median_ci_events,
-        "association_lift_events": q_association_lift_events,
-        "pareto_front_events": q_pareto_front_events,
-        "weighted_quantile_lineitem": q_weighted_quantile_lineitem,
-        "twap_events": q_twap_events,
-        "shape_profile_events": q_shape_profile_events,
-        "circadian_events": q_circadian_events,
-        "vocab_richness_documents": q_vocab_richness_documents,
-        "neyman_allocation_events": q_neyman_allocation_events,
-        "impute_events": q_impute_events,
-        "pmi_collocations_documents": q_pmi_collocations_documents,
-        "ndcg_documents": q_ndcg_documents,
-        "islands_events": q_islands_events,
-        "scd2_events": q_scd2_events,
-        "zipf_documents": q_zipf_documents,
-        "sax_events": q_sax_events,
-        "rfm_events": q_rfm_events,
-        "burstiness_events": q_burstiness_events,
-        "cross_correlation_events": q_cross_correlation_events,
-        "cross_source_dup_documents": q_cross_source_dup_documents,
-        "max_drawdown_events": q_max_drawdown_events,
-        "distribution_contract_events": q_distribution_contract_events,
-        "changepoint_split_events": q_changepoint_split_events,
+        # --- round-5 front: the 185 never driver-verified in r1-r4 (VERDICT r4 #1) ---
         "gains_table_documents": q_gains_table_documents,
         "weighted_panel_documents": q_weighted_panel_documents,
         "simpsons_lineitem": q_simpsons_lineitem,
@@ -12855,23 +12805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": q_pii_scrub_documents,
         "packing_documents": q_packing_documents,
         "sessionization_events": q_sessionization_events,
-        "fingerprint_documents": q_fingerprint_documents,
-        "multimodal_meta_documents": q_multimodal_meta_documents,
         "multimodal_decode_documents": q_multimodal_decode_documents,
-        "dedup_cosine_embeddings": q_dedup_cosine_embeddings,
-        "dedup_cosine_lsh_embeddings": q_dedup_cosine_lsh_embeddings,
-        "text_quality_documents": q_text_quality_documents,
-        "row_parity_documents": q_row_parity_documents,
-        "volume_events": q_volume_events,
-        "freshness_events": q_freshness_events,
-        "streaming_verdicts_events": q_streaming_verdicts_events,
-        "streaming_completeness_events": q_streaming_completeness_events,
         "streaming_transitions_events": q_streaming_transitions_events,
-        "schema_validate_props_events": q_schema_validate_props_events,
-        "dedup_components_documents": q_dedup_components_documents,
-        "decontamination_documents": q_decontamination_documents,
-        "sample_documents": q_sample_documents,
-        "curation_pipeline_documents": q_curation_pipeline_documents,
         "curation_pipeline_v2_documents": q_curation_pipeline_v2_documents,
         "split_groups_events": q_split_groups_events,
         "range_join_events": q_range_join_events,
@@ -12917,62 +12852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_schema_coverage_events": q_conversation_schema_coverage_events,
         "streaming_schema_coverage_events": q_streaming_schema_coverage_events,
         "reindex_events": q_reindex_events,
-        # --- driver-verified green in earlier rounds (local gate keeps them) ---
-        "keyword_verdicts_events": q_keyword_verdicts_events,
-        "enum_membership_events": q_enum_membership_events,
-        "unique_keys_lineitem": q_unique_keys_lineitem,
-        "unique_salted_lineitem": q_unique_salted_lineitem,
-        "row_attribution_lineitem": q_row_attribution_lineitem,
-        "top_values_events": q_top_values_events,
-        "fd_violations_lineitem": q_fd_violations_lineitem,
-        "role_transitions_events": q_role_transitions_events,
-        "conversation_stats_events": q_conversation_stats_events,
-        "schema_validate_2020_events": q_schema_validate_2020_events,
-        "tool_dispatch_events": q_tool_dispatch_events,
-        "conversation_dedup_events": q_conversation_dedup_events,
-        "ri_childless_orders": q_ri_childless_orders,
-        "ri_orphan_lineitems": q_ri_orphan_lineitems,
-        "density_lineitem": q_density_lineitem,
-        "density_salted_lineitem": q_density_salted_lineitem,
-        "ordering_events": q_ordering_events,
-        "stats_orders": q_stats_orders,
-        "stats_events_value": q_stats_events_value,
-        "percentiles_events_value": q_percentiles_events_value,
-        "json_extract_events": q_json_extract_events,
-        "malformed_json_events": q_malformed_json_events,
-        "format_probes_events": q_format_probes_events,
-        "length_histogram_documents": q_length_histogram_documents,
-        "drift_events_value": q_drift_events_value,
-        "drift_matrix_events": q_drift_matrix_events,
         "drift_fdr_events": q_drift_fdr_events,
-        "json_profile_events": q_json_profile_events,
-        "schema_drift_events": q_schema_drift_events,
-        "violation_triage_events": q_violation_triage_events,
-        "volume_anomaly_events": q_volume_anomaly_events,
         "seasonal_volume_events": q_seasonal_volume_events,
         "fuzzy_pairs_documents": q_fuzzy_pairs_documents,
         "fk_discovery_lineitem": q_fk_discovery_lineitem,
         "join_cardinality_lineitem": q_join_cardinality_lineitem,
-        "cardinality_drift_events": q_cardinality_drift_events,
-        "conversation_schema_events": q_conversation_schema_events,
-        "entropy_documents": q_entropy_documents,
-        "unigram_logprob_documents": q_unigram_logprob_documents,
-        "incremental_dedup_documents": q_incremental_dedup_documents,
-        "topk_per_group_documents": q_topk_per_group_documents,
-        "asof_purchase_events": q_asof_purchase_events,
-        "chunk_documents": q_chunk_documents,
-        "key_skew_lineitem": q_key_skew_lineitem,
-        "embedding_drift_embeddings": q_embedding_drift_embeddings,
-        "streaming_volume_anomaly_events": q_streaming_volume_anomaly_events,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "dedup_jaccard_documents": q_dedup_jaccard_documents,
-        "dedup_minhash_documents": q_dedup_minhash_documents,
-        "dedup_simhash_documents": q_dedup_simhash_documents,
-        "similarity_topk_embeddings": q_similarity_topk_embeddings,
-        "similarity_lsh_embeddings": q_similarity_lsh_embeddings,
-        "similarity_ivf_embeddings": q_similarity_ivf_embeddings,
-        "similarity_recall_embeddings": q_similarity_recall_embeddings,
-        "token_stats_documents": q_token_stats_documents,
         "triangles_lineitem": q_triangles_lineitem,
         "gram_spectrum_embeddings": q_gram_spectrum_embeddings,
         "brier_documents": q_brier_documents,
@@ -13069,6 +12953,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowker_documents": q_bowker_documents,
         "cronbach_documents": q_cronbach_documents,
         "scorecard_events": q_scorecard_events,
+        # --- driver-verified in r1-r4 (115) ---
+        "theil_sen_events": q_theil_sen_events,
+        "mann_kendall_events": q_mann_kendall_events,
+        "acf_events": q_acf_events,
+        "wasserstein_events": q_wasserstein_events,
+        "chi_squared_lineitem": q_chi_squared_lineitem,
+        "spearman_lineitem": q_spearman_lineitem,
+        "anova_events": q_anova_events,
+        "kruskal_wallis_events": q_kruskal_wallis_events,
+        "mann_whitney_events": q_mann_whitney_events,
+        "jsd_events": q_jsd_events,
+        "cohort_retention_events": q_cohort_retention_events,
+        "markov_surprisal_events": q_markov_surprisal_events,
+        "cohen_kappa_documents": q_cohen_kappa_documents,
+        "bradley_terry_events": q_bradley_terry_events,
+        "roc_auc_documents": q_roc_auc_documents,
+        "calibration_documents": q_calibration_documents,
+        "ab_test_events": q_ab_test_events,
+        "fleiss_kappa_documents": q_fleiss_kappa_documents,
+        "pagerank_events": q_pagerank_events,
+        "reading_ease_documents": q_reading_ease_documents,
+        "bm25_documents": q_bm25_documents,
+        "gini_events": q_gini_events,
+        "trend_events": q_trend_events,
+        "kaplan_meier_events": q_kaplan_meier_events,
+        "pass_rate_sla_events": q_pass_rate_sla_events,
+        "quality_trend_events": q_quality_trend_events,
+        "nelson_aalen_events": q_nelson_aalen_events,
+        "median_ci_events": q_median_ci_events,
+        "association_lift_events": q_association_lift_events,
+        "pareto_front_events": q_pareto_front_events,
+        "weighted_quantile_lineitem": q_weighted_quantile_lineitem,
+        "twap_events": q_twap_events,
+        "shape_profile_events": q_shape_profile_events,
+        "circadian_events": q_circadian_events,
+        "vocab_richness_documents": q_vocab_richness_documents,
+        "neyman_allocation_events": q_neyman_allocation_events,
+        "impute_events": q_impute_events,
+        "pmi_collocations_documents": q_pmi_collocations_documents,
+        "ndcg_documents": q_ndcg_documents,
+        "islands_events": q_islands_events,
+        "scd2_events": q_scd2_events,
+        "zipf_documents": q_zipf_documents,
+        "sax_events": q_sax_events,
+        "rfm_events": q_rfm_events,
+        "burstiness_events": q_burstiness_events,
+        "cross_correlation_events": q_cross_correlation_events,
+        "cross_source_dup_documents": q_cross_source_dup_documents,
+        "max_drawdown_events": q_max_drawdown_events,
+        "distribution_contract_events": q_distribution_contract_events,
+        "changepoint_split_events": q_changepoint_split_events,
+        "fingerprint_documents": q_fingerprint_documents,
+        "multimodal_meta_documents": q_multimodal_meta_documents,
+        "dedup_cosine_embeddings": q_dedup_cosine_embeddings,
+        "dedup_cosine_lsh_embeddings": q_dedup_cosine_lsh_embeddings,
+        "text_quality_documents": q_text_quality_documents,
+        "row_parity_documents": q_row_parity_documents,
+        "volume_events": q_volume_events,
+        "freshness_events": q_freshness_events,
+        "streaming_verdicts_events": q_streaming_verdicts_events,
+        "streaming_completeness_events": q_streaming_completeness_events,
+        "schema_validate_props_events": q_schema_validate_props_events,
+        "dedup_components_documents": q_dedup_components_documents,
+        "decontamination_documents": q_decontamination_documents,
+        "sample_documents": q_sample_documents,
+        "curation_pipeline_documents": q_curation_pipeline_documents,
+        "keyword_verdicts_events": q_keyword_verdicts_events,
+        "enum_membership_events": q_enum_membership_events,
+        "unique_keys_lineitem": q_unique_keys_lineitem,
+        "unique_salted_lineitem": q_unique_salted_lineitem,
+        "row_attribution_lineitem": q_row_attribution_lineitem,
+        "top_values_events": q_top_values_events,
+        "fd_violations_lineitem": q_fd_violations_lineitem,
+        "role_transitions_events": q_role_transitions_events,
+        "conversation_stats_events": q_conversation_stats_events,
+        "schema_validate_2020_events": q_schema_validate_2020_events,
+        "tool_dispatch_events": q_tool_dispatch_events,
+        "conversation_dedup_events": q_conversation_dedup_events,
+        "ri_childless_orders": q_ri_childless_orders,
+        "ri_orphan_lineitems": q_ri_orphan_lineitems,
+        "density_lineitem": q_density_lineitem,
+        "density_salted_lineitem": q_density_salted_lineitem,
+        "ordering_events": q_ordering_events,
+        "stats_orders": q_stats_orders,
+        "stats_events_value": q_stats_events_value,
+        "percentiles_events_value": q_percentiles_events_value,
+        "json_extract_events": q_json_extract_events,
+        "malformed_json_events": q_malformed_json_events,
+        "format_probes_events": q_format_probes_events,
+        "length_histogram_documents": q_length_histogram_documents,
+        "drift_events_value": q_drift_events_value,
+        "drift_matrix_events": q_drift_matrix_events,
+        "json_profile_events": q_json_profile_events,
+        "schema_drift_events": q_schema_drift_events,
+        "violation_triage_events": q_violation_triage_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
+        "cardinality_drift_events": q_cardinality_drift_events,
+        "conversation_schema_events": q_conversation_schema_events,
+        "entropy_documents": q_entropy_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
+        "topk_per_group_documents": q_topk_per_group_documents,
+        "asof_purchase_events": q_asof_purchase_events,
+        "chunk_documents": q_chunk_documents,
+        "key_skew_lineitem": q_key_skew_lineitem,
+        "embedding_drift_embeddings": q_embedding_drift_embeddings,
+        "streaming_volume_anomaly_events": q_streaming_volume_anomaly_events,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_jaccard_documents": q_dedup_jaccard_documents,
+        "dedup_minhash_documents": q_dedup_minhash_documents,
+        "dedup_simhash_documents": q_dedup_simhash_documents,
+        "similarity_topk_embeddings": q_similarity_topk_embeddings,
+        "similarity_lsh_embeddings": q_similarity_lsh_embeddings,
+        "similarity_ivf_embeddings": q_similarity_ivf_embeddings,
+        "similarity_recall_embeddings": q_similarity_recall_embeddings,
+        "token_stats_documents": q_token_stats_documents,
     }
 
 
