@@ -451,14 +451,23 @@ def weighted_kappa(
         F.sum(F.col("w") * F.col("e")).alias("we"),
     )
     agg = agg.join(n_rel, gb) if group else agg.crossJoin(n_rel)
-    agg = agg.join(excl, gb) if group else agg.crossJoin(excl)
+    # derive the output from the EXCL relation, not the grid rollup: a
+    # group whose rows are all excluded has no confusion-matrix rows at
+    # all, and joining from the grid side would drop it — together with
+    # its n_excluded count — violating the excluded-and-counted
+    # contract. excl retains every group; left-join the grid stats on.
+    agg = (
+        excl.join(agg, gb, "left")
+        if group
+        else excl.join(agg, F.lit(True), "left")
+    )
     kappa = F.when(
         F.col("we") > 0, 1.0 - F.col("wo") / F.col("we")
     )
     out_g = [F.col("g").alias(group)] if group else []
     return agg.select(
         *out_g,
-        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.col("n").cast("long"), F.lit(0)).alias("n"),
         "n_excluded",
         F.round(1.0 - F.col("wo") / F.col("n"), 6).alias("po_weighted"),
         F.round(1.0 - F.col("we") / F.col("n"), 6).alias("pe_weighted"),

@@ -1461,9 +1461,14 @@ def rank_biased_overlap(
     counts = base.groupBy(*gb).agg(_F.count(_F.lit(1)).alias("n_items"))
     agg = stepped.groupBy(*gb).agg(_F.sum(term).alias("s"))
     # left join from counts: a group whose prefixes never intersect
-    # inside `depth` has no stepped rows at all — its RBO is exactly 0
+    # inside `depth` has no stepped rows at all — its RBO is exactly 0.
+    # The ungrouped path must ALSO be a left join (on a constant key):
+    # crossJoin against an empty agg would drop the single counts row
+    # and return zero rows, contradicting the RBO-exactly-0 contract.
     joined = (
-        counts.join(agg, gb, "left") if group else counts.crossJoin(agg)
+        counts.join(agg, gb, "left")
+        if group
+        else counts.join(agg, F.lit(True), "left")
     )
     out_g = [_F.col("g").alias(group)] if group else []
     return joined.select(

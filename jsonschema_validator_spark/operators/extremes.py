@@ -186,7 +186,11 @@ def record_count_test(
         F.round(F.sqrt("v_n"), 6).alias("sd"),
         F.round(z_up, 6).alias("z_up"),
         F.round(z_low, 6).alias("z_low"),
-        F.when(up & low, F.lit("both_tails"))
+        # a series past the harmonic-table cap has NULL h_n — say
+        # "undetermined" loudly rather than defaulting to the null
+        # verdict with no test actually performed
+        F.when(F.col("h_n").isNull(), F.lit("undetermined"))
+        .when(up & low, F.lit("both_tails"))
         .when(up, F.lit("trending_up"))
         .when(low, F.lit("trending_down"))
         .otherwise(F.lit("consistent_with_iid"))

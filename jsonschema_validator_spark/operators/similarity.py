@@ -34,14 +34,35 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _require_sample_scale(df: DataFrame, fn_name: str, max_rows: int) -> None:
+    """Enforce the sample-scale contract of the O(N^2)/full-broadcast
+    truth baselines: one count job (cheap — column-pruned scan), loud
+    error above the ceiling. The docstring contract 'this is the truth
+    baseline, use the banded/LSH twin at corpus scale' becomes
+    enforceable instead of documentary (VERDICT r4 #2). Pass a larger
+    ``max_rows`` explicitly when the quadratic cost is understood."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{fn_name}: input has {n} rows > max_rows={max_rows}. This is "
+            f"an O(N^2)/full-broadcast truth baseline for sample-scale "
+            f"sets; at corpus scale use its banded/LSH twin "
+            f"(cosine_near_duplicates n_planes>0, lsh_topk, ivf_topk), or "
+            f"raise max_rows explicitly to accept the quadratic cost."
+        )
+
+
 def brute_force_topk(
     df: DataFrame, id_col: str, vec_col: str, query_ids: list, k: int = 5,
-    metric: str = "cosine",
+    metric: str = "cosine", max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact top-k neighbors for the given query ids:
     (query_id, rank, neighbor_id, sim). Query side is broadcast; ranking
     ties break on neighbor_id for determinism. metric: 'cosine' or 'l2'
-    (sim = negative squared distance, so DESC ordering works for both)."""
+    (sim = negative squared distance, so DESC ordering works for both).
+    O(Q x N) scoring truth baseline — raises above ``max_rows`` corpus
+    rows (lsh_topk / ivf_topk are the corpus-scale twins)."""
+    _require_sample_scale(df, "brute_force_topk", max_rows)
     q = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
     )
@@ -339,6 +360,7 @@ def cosine_near_duplicates(
     max_hamming: int = 2,
     dim: int | None = None,
     seed: int = 42,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, sim >= threshold).
 
@@ -364,7 +386,9 @@ def cosine_near_duplicates(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if not n_planes:
-        return _exact_near_duplicates(df, id_col, vec_col, threshold)
+        return _exact_near_duplicates(
+            df, id_col, vec_col, threshold, max_rows=max_rows
+        )
     if n_planes < max_hamming + 1:
         raise ValueError(f"n_planes={n_planes} must be >= max_hamming+1={max_hamming + 1}")
     planes = _hyperplanes(dim, n_planes, seed)
@@ -404,12 +428,16 @@ def cosine_near_duplicates(
 
 
 def _exact_near_duplicates(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dups via broadcast corpus + per-batch
     numpy matmul (mapInPandas). Each unordered pair is emitted once
     (id_a < id_b). Rounding is half-up to 4 digits BEFORE thresholding,
-    matching the Column/SQL formulation (ROUND(sim,4) >= threshold)."""
+    matching the Column/SQL formulation (ROUND(sim,4) >= threshold).
+    Collects and broadcasts the full N x dim matrix — raises above
+    ``max_rows`` (the banded-LSH path is the corpus-scale twin)."""
+    _require_sample_scale(df, "cosine_near_duplicates[n_planes=0]", max_rows)
     import numpy as np
     import pandas as pd
 
@@ -705,7 +733,8 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
 
 
 def knn_label_agreement(
-    df: DataFrame, id_col: str, vec_col: str, label_col: str, k: int = 10
+    df: DataFrame, id_col: str, vec_col: str, label_col: str, k: int = 10,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Label-noise screen: for every labeled vector, the fraction of
     its k exact nearest neighbors (cosine) sharing its label; rolled up
@@ -720,7 +749,9 @@ def knn_label_agreement(
     agreement statistic composes with the banded-LSH candidate
     generation (cosine_near_duplicates) instead of the cross join —
     this operator IS the truth baseline those paths are measured
-    against, the same contract as brute_force_topk vs lsh/ivf_topk."""
+    against, the same contract as brute_force_topk vs lsh/ivf_topk.
+    Broadcasts the full labeled set — raises above ``max_rows``."""
+    _require_sample_scale(df, "knn_label_agreement", max_rows)
     a = df.select(
         F.col(id_col).alias("qid"),
         _as_double(F.col(vec_col)).alias("qe"),

@@ -961,9 +961,17 @@ def haar_energy(
     shrinking data — the classic scale shape for 2^k-length series.
     The input length must be divisible by 2^levels (callers truncate
     to a power of two; raises otherwise at plan-build time via a
-    documented contract check on the driver-side length). Returns one
-    row per level plus the approximation row: (component, n_coeffs,
-    energy, frac), energy/frac rounded to 6, ordered by component.
+    documented contract check on the driver-side length). Departure
+    from the module's single-pass contract, stated explicitly: each
+    level materializes its detail aggregate with a driver action
+    (levels+2 actions total), because the pyramid is inherently
+    sequential — each level's input is the previous level's
+    approximation. The per-level data halves, so total work is still
+    O(n). An all-zero series (total energy 0) yields NULL frac for
+    every component (0/0 is undefined, not 0 or 1) while energy_check
+    still passes (0 == 0). Returns one row per level plus the
+    approximation row: (component, n_coeffs, energy, frac),
+    energy/frac rounded to 6, ordered by component.
     """
     base = (
         df.filter(
@@ -1020,7 +1028,12 @@ def haar_energy(
         "component",
         "n_coeffs",
         F.round("energy", 6).alias("energy"),
-        F.round(F.col("energy") / F.lit(total), 6).alias("frac"),
+        F.round(
+            F.when(
+                F.lit(total) > 0, F.col("energy") / F.lit(total)
+            ),
+            6,
+        ).alias("frac"),
         F.lit(bool(abs(recon - total) <= 1e-6 * max(1.0, abs(total)))).alias(
             "energy_check"
         ),
