@@ -289,12 +289,34 @@ def ivf_topk(
     id_type = df.schema[id_col].dataType.simpleString()
 
     # -- 1. train a coarse quantizer on a deterministic sample ----------
-    sample = (
-        df.select(id_col, vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)), F.col(id_col))
-        .limit(train_sample)
-        .collect()
-    )
+    # the sample is the train_sample smallest rows by (hash(id), id) —
+    # selected by a hash-THRESHOLD filter plus a driver-side trim of
+    # the ~1.25x-oversampled survivors, not by orderBy(hash).limit(n):
+    # the filter is a plain scan predicate (no per-partition top-k
+    # TakeOrdered sort over the full corpus), and whenever the filter
+    # keeps >= train_sample rows its (hash, id) top-n equals the global
+    # top-n exactly (every excluded row hashes above every kept row),
+    # so the trained centroids — and the pinned recall oracles — are
+    # bit-identical to the sort formulation (VERDICT r4 #8). The rare
+    # binomial undershoot doubles the cutoff and rescans.
+    _M = 1_000_003
+    hcol = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_M))
+    n_corpus = df.count()
+    if n_corpus <= train_sample:
+        pool = df.select(id_col, vec_col, hcol.alias("__h")).collect()
+    else:
+        cutoff = min(_M, int(_M * 1.25 * train_sample / n_corpus) + 1)
+        while True:
+            pool = (
+                df.select(id_col, vec_col, hcol.alias("__h"))
+                .filter(F.col("__h") < cutoff)
+                .collect()
+            )
+            if len(pool) >= train_sample or cutoff >= _M:
+                break
+            cutoff = min(_M, cutoff * 2)
+    pool.sort(key=lambda r: (r["__h"], r[0]))
+    sample = pool[:train_sample]
     X = np.array([list(r[1]) for r in sample], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rs = np.random.RandomState(seed)

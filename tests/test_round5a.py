@@ -200,3 +200,31 @@ def test_knn_label_agreement_guard_raises(spark):
         df, "vec_id", "embedding", "label", k=3, max_rows=100
     ).collect()
     assert len(out) == 2
+
+
+# ------------------------------------------------------- VERDICT #8 IVF sample
+def test_ivf_hash_threshold_sample_matches_sort_formulation(spark):
+    """The hash-threshold + driver-trim sample must equal the old
+    orderBy(hash).limit(n) TakeOrdered sample exactly (the pinned
+    recall oracles depend on bit-identical centroids)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(500)], "vec_id int, embedding array<double>"
+    )
+    n = 64
+    _M = 1_000_003
+    hcol = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_M))
+    want = [
+        r["vec_id"]
+        for r in df.select("vec_id").orderBy(hcol, F.col("vec_id")).limit(n).collect()
+    ]
+    cutoff = min(_M, int(_M * 1.25 * n / 500) + 1)
+    while True:
+        pool = df.select("vec_id", hcol.alias("__h")).filter(F.col("__h") < cutoff).collect()
+        if len(pool) >= n or cutoff >= _M:
+            break
+        cutoff = min(_M, cutoff * 2)
+    pool.sort(key=lambda r: (r["__h"], r["vec_id"]))
+    got = [r["vec_id"] for r in pool[:n]]
+    assert got == want
