@@ -12757,6 +12757,93 @@ FROM p GROUP BY 1 ORDER BY quartile
 
 
 # ---------------------------------------------------------------------------
+def q_jpeg_raster_documents(spark, sf_dir):
+    """REAL baseline-JPEG full-raster decode round trip (VERDICT r4 #7
+    resolved as IMPLEMENT, round 5): plant per document (a) a grayscale
+    baseline JPEG built from per-8x8-block-uniform values with a
+    restart interval of 2 MCUs (so RSTn handling and DC-predictor
+    resets are on the oracle path) and (b) a 16x8 uniform-YCbCr color
+    JPEG, using the encoder in fixtures_jpeg (Annex K Huffman tables,
+    forward DCT — code disjoint from the decoder), then decode with the
+    engine's operators/jpegdec (marker walk, Huffman entropy decode,
+    dequant + vectorized IDCT, T.871 YCbCr->RGB). Uniform blocks make
+    the round trip EXACT (their DCT is a bare DC integer at quant=1),
+    so every output is a closed-form arithmetic function of doc_id the
+    DuckDB oracle replays: gray dims/pixel-sum from the planted block
+    values, color pixel-sum from the round-half-up clamped RGB
+    conversion."""
+    import pandas as pd
+
+    from jsonschema_validator_spark.operators.multimodal import decode_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(it):
+        import numpy as np
+
+        from jsonschema_validator_spark.fixtures_jpeg import (
+            encode_baseline_jpeg,
+        )
+
+        for pdf in it:
+            grays, colors = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                vals = np.array(
+                    [(d * 7 + 13 * b) % 256 for b in range(bw * bh)]
+                ).reshape(bh, bw)
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                grays.append(
+                    encode_baseline_jpeg([img], restart_interval=2)
+                )
+                y, cb, cr = d % 256, (d * 3) % 256, (d * 5) % 256
+                planes = [
+                    np.full((8, 16), v, np.uint8) for v in (y, cb, cr)
+                ]
+                colors.append(encode_baseline_jpeg(planes))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "gjpg": grays, "cjpg": colors}
+            )
+
+    # a small-SF documents parquet is ONE split — round-robin the
+    # CPU-heavy Python encode/decode across every core, and checkpoint
+    # so the two decode passes below don't re-encode the plant twice
+    planted = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, "doc_id long, gjpg binary, cjpg binary")
+        .localCheckpoint(eager=False)
+    )
+    g = decode_images(planted, "doc_id", "gjpg").select(
+        "doc_id",
+        F.col("width").alias("g_width"),
+        F.col("height").alias("g_height"),
+        F.col("pixel_sum").alias("g_pixel_sum"),
+    )
+    c = decode_images(planted, "doc_id", "cjpg").select(
+        "doc_id", F.col("pixel_sum").alias("c_pixel_sum")
+    )
+    return g.join(c, "doc_id").orderBy("doc_id")
+
+
+_ORACLE_JPEG_RASTER = """
+SELECT doc_id,
+       (8 * (1 + doc_id % 3))::BIGINT AS g_width,
+       (8 * (1 + doc_id % 2))::BIGINT AS g_height,
+       (64 * list_sum(list_transform(
+            range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+            b -> (doc_id * 7 + 13 * b) % 256)))::BIGINT AS g_pixel_sum,
+       (128 * (
+          GREATEST(0, LEAST(255, FLOOR((doc_id % 256) + 1.402 * ((doc_id * 5) % 256 - 128) + 0.5)))
+        + GREATEST(0, LEAST(255, FLOOR((doc_id % 256) - 0.344136 * ((doc_id * 3) % 256 - 128)
+                                        - 0.714136 * ((doc_id * 5) % 256 - 128) + 0.5)))
+        + GREATEST(0, LEAST(255, FLOOR((doc_id % 256) + 1.772 * ((doc_id * 3) % 256 - 128) + 0.5)))
+       ))::BIGINT AS c_pixel_sum
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -12768,6 +12855,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 front: the 185 never driver-verified in r1-r4 (VERDICT r4 #1) ---
+        "jpeg_raster_documents": q_jpeg_raster_documents,
         "gains_table_documents": q_gains_table_documents,
         "weighted_panel_documents": q_weighted_panel_documents,
         "simpsons_lineitem": q_simpsons_lineitem,
@@ -13171,6 +13259,7 @@ def oracle_sql() -> dict[str, str]:
         "resumable_runner_events": _ORACLE_RESUMABLE_RUNNER,
         "normalize_unicode_documents": _ORACLE_NORMALIZE_UNICODE,
         "packing_strategies_documents": _ORACLE_PACKING_STRATEGIES,
+        "jpeg_raster_documents": _ORACLE_JPEG_RASTER,
         "tree_depth_events": _ORACLE_TREE_DEPTH,
         "tree_linearize_events": _ORACLE_TREE_LINEARIZE,
         "audio_features_documents": _ORACLE_AUDIO_FEATURES,

@@ -2,16 +2,17 @@
 columns with typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested. Decode is REAL for the formats the
-Python stdlib can parse in this container — WAV (``wave`` module),
+signatures — is real and tested. Decode is REAL for the formats this
+container can parse without image libraries — WAV (``wave`` module),
 PPM/PGM (netpbm), uncompressed 24-bpp BMP full-raster, 8-bit
 non-interlaced PNG full-raster (zlib inflate + RFC 2083 filter
-inversion); palette/16-bit/interlaced PNG (CRC-checked IHDR), JPEG
+inversion), and baseline-sequential JPEG full-raster (T.81 marker +
+Huffman + IDCT decode, jpegdec module — round 5); palette/16-bit/
+interlaced PNG (CRC-checked IHDR), progressive/arithmetic/12-bit JPEG
 (SOFn marker scan), and GIF (logical-screen descriptor) degrade to
-container-header dims/depth — and falls
-back to a clearly-marked deterministic stub for everything else
-(JPEG raster + MP3/... need PIL/libvips/ffmpeg, absent here; a
-deployment swaps the fallback).
+container-header dims/depth — and falls back to a clearly-marked
+deterministic stub for everything else (MP3/video/... need
+PIL/libvips/ffmpeg, absent here; a deployment swaps the fallback).
 
 Decode/feature-extract runs through ``mapInPandas`` (Arrow-batched,
 vectorized) — the correct shape for CPU-heavy per-item work at scale:
@@ -351,15 +352,18 @@ def parse_jpeg_header(payload: bytes) -> dict | None:
 
 def decode_image_bytes(payload: bytes | None) -> dict | None:
     """REAL image decode for stdlib-parseable formats: binary netpbm
-    (P6 RGB / P5 grayscale), uncompressed 24-bpp BMP, and 8-bit
+    (P6 RGB / P5 grayscale), uncompressed 24-bpp BMP, 8-bit
     non-interlaced PNG (zlib inflate + the five RFC 2083 scanline
-    filters — decode_png_raster) decode the full raster (kind, dims,
-    bit_depth, and the exact int64 sum of all pixel channel bytes —
-    proof the raster was read). PNGs outside that scope (palette,
-    16-bit, interlaced, corrupt IDAT) and JPEG fall back to the real
-    container-header parse (CRC-checked IHDR / SOFn scan) with
-    pixel_sum=None (JPEG raster needs entropy decode — out of scope).
-    None for anything else (the caller falls back to the stub)."""
+    filters — decode_png_raster), and baseline-sequential JPEG
+    (marker parse + Huffman entropy decode + dequant/IDCT + YCbCr
+    conversion — jpegdec.decode_jpeg_raster, round 5) decode the full
+    raster (kind, dims, bit_depth, and the exact int64 sum of all
+    pixel channel bytes — proof the raster was read). PNGs outside
+    that scope (palette, 16-bit, interlaced, corrupt IDAT) and JPEGs
+    outside baseline (progressive SOF2, arithmetic, 12-bit) fall back
+    to the real container-header parse (CRC-checked IHDR / SOFn scan)
+    with pixel_sum=None. None for anything else (the caller falls
+    back to the stub)."""
     import numpy as np
 
     if not payload:
@@ -372,6 +376,14 @@ def decode_image_bytes(payload: bytes | None) -> dict | None:
     png = parse_png_header(payload)
     if png is not None:
         return {k: v for k, v in png.items() if k != "color_type"}
+    if payload[:2] == b"\xff\xd8":
+        from jsonschema_validator_spark.operators.jpegdec import (
+            decode_jpeg_raster,
+        )
+
+        jpg_full = decode_jpeg_raster(payload)
+        if jpg_full is not None:
+            return jpg_full
     jpg = parse_jpeg_header(payload)
     if jpg is not None:
         return {k: v for k, v in jpg.items() if k != "color_type"}
