@@ -772,30 +772,83 @@ def knn_label_agreement(
     generation (cosine_near_duplicates) instead of the cross join —
     this operator IS the truth baseline those paths are measured
     against, the same contract as brute_force_topk vs lsh/ivf_topk.
-    Broadcasts the full labeled set — raises above ``max_rows``."""
+    Broadcasts the full labeled set — raises above ``max_rows``.
+
+    Round 5: the per-pair scoring is one numpy block-matmul per Arrow
+    batch against the broadcast normalized corpus (the same
+    vectorization as _exact_near_duplicates) instead of a crossJoin of
+    interpreted array folds — with Q = N the fold formulation paid
+    O(N^2) higher-order-function evaluations and was ~100x the BLAS
+    cost at the 10x bench scale. Ranking semantics are unchanged:
+    exact top-k by (sim DESC, neighbor_id ASC), ties resolved by
+    taking every candidate tied with the k-th similarity and
+    lexsorting; neighbors with NULL labels are excluded from the
+    agreement mean exactly as the SQL AVG ignores NULL equality."""
     _require_sample_scale(df, "knn_label_agreement", max_rows)
-    a = df.select(
-        F.col(id_col).alias("qid"),
-        _as_double(F.col(vec_col)).alias("qe"),
-        F.col(label_col).alias("qlab"),
-    )
-    b = df.select(
-        F.col(id_col).alias("nid"),
-        _as_double(F.col(vec_col)).alias("ce"),
-        F.col(label_col).alias("nlab"),
+    import numpy as np
+    import pandas as pd
+
+    lab_type = df.schema[label_col].dataType.simpleString()
+    rows = df.select(id_col, vec_col, label_col).collect()
+    c_ids = np.array([r[0] for r in rows])
+    c_labs = np.array([r[2] for r in rows], dtype=object)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mat_n = np.where(norms > 0, mat / norms, 0.0)
+    bc = df.sparkSession.sparkContext.broadcast((c_ids, mat_n, c_labs))
+
+    def agree_batches(batches):
+        b_ids, b_mat, b_labs = bc.value
+        n = len(b_ids)
+        kk = min(k, n - 1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            nv = np.linalg.norm(V, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = np.where(nv > 0, V / nv, 0.0)
+            S = Vn @ b_mat.T
+            qids = pdf["__id"].to_numpy()
+            qlabs = pdf["__lab"].to_numpy()
+            agrees = []
+            for i in range(len(pdf)):
+                s = S[i].copy()
+                s[b_ids == qids[i]] = -np.inf  # exclude self
+                kth = np.partition(s, n - kk)[n - kk]
+                cand = np.flatnonzero(s >= kth)
+                # (sim DESC, id ASC) exactly, including k-th-place ties
+                cand = cand[np.lexsort((b_ids[cand], -s[cand]))][:kk]
+                if qlabs[i] is None:
+                    agrees.append(None)  # AVG over all-NULL equality
+                    continue
+                nlabs = b_labs[cand]
+                valid = np.array([x is not None for x in nlabs])
+                if not valid.any():
+                    agrees.append(None)
+                    continue
+                agrees.append(
+                    float(
+                        np.mean(
+                            np.array(
+                                [x == qlabs[i] for x in nlabs[valid]],
+                                dtype=np.float64,
+                            )
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {"qlab": qlabs, "agree": agrees}
+            )
+
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.col(label_col).alias("__lab"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sims = (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "qlab", "nid", "nlab", cosine(F.col("qe"), F.col("ce")).alias("sim"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    per_point = (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .groupBy("qid", "qlab")
-        .agg(F.avg((F.col("nlab") == F.col("qlab")).cast("double")).alias("agree"))
+    per_point = src.mapInPandas(
+        agree_batches, f"qlab {lab_type}, agree double"
     )
     return (
         per_point.groupBy(F.col("qlab").alias("label"))
