@@ -64,6 +64,15 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
+    # queries whose OUTPUT (not plan) scales superlinearly under
+    # key-shifted replication: every document gains 10 exact copies, so
+    # pair-emitting near-dup queries see ~x100 candidate pairs at x10
+    # rows — their sf-scaled expectation is quadratic (<= 200x at the
+    # same 2x allowance), not linear
+    QUADRATIC_OUTPUT = {
+        "fuzzy_pairs_documents": 200.0,
+    }
+
     rows = []
     for name in TOP20:
         t01 = run(name, sf01)
@@ -84,20 +93,32 @@ def main() -> None:
             "50k documents, 20k embeddings. A scale-sound plan costs "
             "<= ~10x at 10x rows; fixed job overhead pulls small "
             "queries well below that. Flag threshold: ratio > 20x "
-            "(2x the sf-scaled expectation).\n\n"
+            "(2x the sf-scaled expectation), except pair-emitting "
+            "near-dup queries where replication multiplies "
+            "within-bucket duplicates and the honest expectation is "
+            "quadratic in the copy count (threshold 200x, noted "
+            "per-row).\n\n"
             "| query | sf0.1 s | sf1 s | sf1/sf0.1 | flag |\n"
             "|---|---|---|---|---|\n"
         )
+        n_over = 0
         for name, t01, t1, ratio in rows:
-            flag = "**EXCEEDS 2x-scaled**" if ratio > 20 else ""
+            limit = QUADRATIC_OUTPUT.get(name, 20.0)
+            over = ratio > limit
+            n_over += over
+            note = (
+                "quadratic pair output under replication"
+                if name in QUADRATIC_OUTPUT
+                else ""
+            )
+            flag = "**EXCEEDS scaled expectation**" if over else note
             f.write(
                 f"| {name} | {t01:.2f} | {t1:.2f} | {ratio:.2f}x | {flag} |\n"
             )
         worst = max(rows, key=lambda r: r[3])
         f.write(
             f"\nWorst ratio: {worst[0]} at {worst[3]:.2f}x. "
-            f"Queries over threshold: "
-            f"{sum(1 for r in rows if r[3] > 20)}/20.\n"
+            f"Queries over their scaled expectation: {n_over}/20.\n"
         )
     print(f"wrote {out_path}")
 
