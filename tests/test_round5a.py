@@ -228,3 +228,63 @@ def test_ivf_hash_threshold_sample_matches_sort_formulation(spark):
     pool.sort(key=lambda r: (r["__h"], r["vec_id"]))
     got = [r["vec_id"] for r in pool[:n]]
     assert got == want
+
+
+# --------------------------------------------------- VERDICT #3 tree rework
+def test_tree_paths_deep_chain_quadrupling(spark):
+    """A single 300-deep chain resolves exactly (depth i for node i)
+    under the two-doublings-per-round loop — ceil(log4 300) = 5
+    materialized rounds."""
+    from jsonschema_validator_spark.operators.trees import tree_paths
+
+    n = 300
+    rows = [(i, i - 1 if i else None) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    got = {r["id"]: (r["depth"], r["root"]) for r in tree_paths(df, "id", "parent").collect()}
+    assert got == {i: (i, 0) for i in range(n)}
+
+
+def test_tree_paths_cycle_raises(spark):
+    from jsonschema_validator_spark.operators.trees import (
+        TreeNotConverged,
+        tree_paths,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 2), (10, None), (11, 10)], "id long, parent long"
+    )
+    with pytest.raises(TreeNotConverged, match="cycle"):
+        tree_paths(df, "id", "parent", max_iters=5).count()
+
+
+def test_tree_paths_orphan_raises(spark):
+    from jsonschema_validator_spark.operators.trees import (
+        TreeNotConverged,
+        tree_paths,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 99), (3, 2)], "id long, parent long"
+    )
+    with pytest.raises(TreeNotConverged, match="orphan"):
+        tree_paths(df, "id", "parent").count()
+
+
+def test_linearize_packed_extraction_matches_contract(spark):
+    """Best-leaf selection on the collect_list+mapInPandas extraction:
+    max score wins, NULL scores lose to any real score, ties break to
+    the smallest id, path is root-first."""
+    from jsonschema_validator_spark.operators.trees import linearize_best_path
+
+    rows = [
+        (1, None, None),   # root, unscored
+        (2, 1, 0.7),
+        (3, 1, 0.7),       # tie with 2 -> 2 wins (smaller id)
+        (4, 3, None),      # NULL leaf never beats a scored one
+        (20, None, None),  # fully unscored tree: leaf 21 still emitted
+        (21, 20, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, parent long, score double")
+    got = {r["root"]: r for r in linearize_best_path(df, "id", "parent", "score").collect()}
+    assert got[1]["leaf_id"] == 2 and got[1]["path"] == "1->2"
+    assert got[20]["leaf_id"] == 21 and got[20]["path"] == "20->21"
