@@ -8070,8 +8070,8 @@ a AS (SELECT part, count(*)::BIGINT AS n_gaps, avg(gap) AS mu,
 s AS (SELECT *, CASE WHEN n_gaps >= 2 AND (sd + mu) > 0
                      THEN (sd - mu) / (sd + mu) END AS b
       FROM a)
-SELECT part, n_gaps, round(mu / 1e6, 6) AS mean_gap_s,
-       round(sd / 1e6, 6) AS sd_gap_s, round(b, 6) AS b,
+SELECT part, n_gaps, round(mu / 1e6, 4) AS mean_gap_s,
+       round(sd / 1e6, 4) AS sd_gap_s, round(b, 6) AS b,
        CASE WHEN b < -1.0 / 3 THEN 'periodic'
             WHEN b <= 1.0 / 3 THEN 'poisson'
             WHEN b > 1.0 / 3 THEN 'bursty' END AS rhythm

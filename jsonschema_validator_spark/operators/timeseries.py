@@ -536,8 +536,13 @@ def burstiness(
     return agg.select(
         "part",
         "n_gaps",
-        F.round(mu / 1e6, 6).alias("mean_gap_s"),
-        F.round(sd / 1e6, 6).alias("sd_gap_s"),
+        # 4 decimals, not 6: gaps run to ~1e4 seconds, and 6 decimals
+        # demands 11 identical significant digits from two engines'
+        # stddev summation orders — a 1-ulp landmine at the round
+        # boundary (seen once at sf0.1); 0.1 ms resolution is already
+        # far below anything the rhythm verdict reads
+        F.round(mu / 1e6, 4).alias("mean_gap_s"),
+        F.round(sd / 1e6, 4).alias("sd_gap_s"),
         F.round(b, 6).alias("b"),
         F.when(b < -1.0 / 3, F.lit("periodic"))
         .when(b <= 1.0 / 3, F.lit("poisson"))
