@@ -814,18 +814,19 @@ def edit_distance_pairs(
     )
     ta = d.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta"))
     tb = d.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb"))
+    # THRESHOLDED levenshtein (Spark >= 3.5): banded O(max_dist x len)
+    # DP with early exit, returning -1 above the threshold — the length
+    # pre-filter prunes first, and the distance is computed ONCE (the
+    # old filter+select pair evaluated the full O(len^2) DP twice per
+    # surviving candidate)
+    dist = F.levenshtein("__ta", "__tb", max_dist)
     return (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
-        .filter(
-            (
-                F.abs(F.length("__ta") - F.length("__tb")) <= max_dist
-            )
-            & (F.levenshtein("__ta", "__tb") <= max_dist)
-        )
-        .select(
-            "id_a", "id_b", F.levenshtein("__ta", "__tb").alias("dist")
-        )
+        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
     )
 
 
