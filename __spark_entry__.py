@@ -1840,7 +1840,7 @@ def q_packing_documents(spark, sf_dir):
 
 
 _ORACLE_PACKING = """
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
   SELECT (doc_id % 8)::INT AS shard, doc_id,
          len(string_split(text, ' ')) AS n_tok,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
@@ -2026,7 +2026,7 @@ n AS (
               WHEN r >= 2 AND r % 5 = 0 THEN l2
               ELSE l1 END AS parent
   FROM t),
-d AS (
+d AS MATERIALIZED (
   SELECT id, 0::BIGINT AS depth FROM n WHERE parent IS NULL
   UNION ALL
   SELECT n.id, d.depth + 1 FROM n JOIN d ON n.parent = d.id)
@@ -2080,7 +2080,7 @@ n AS (
               WHEN r >= 2 AND r % 5 = 0 THEN l2
               ELSE l1 END AS parent
   FROM t),
-d AS (
+d AS MATERIALIZED (
   SELECT id, id AS root FROM n WHERE parent IS NULL
   UNION ALL
   SELECT n.id, d.root FROM n JOIN d ON n.parent = d.id),
@@ -2152,7 +2152,7 @@ def q_packing_strategies_documents(spark, sf_dir):
 
 
 _ORACLE_PACKING_STRATEGIES = """
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
   SELECT (doc_id % 8)::INT AS shard, doc_id,
          len(string_split(text, ' ')) AS n_tok,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn,
@@ -3022,7 +3022,7 @@ def q_curation_pipeline_v2_documents(spark, sf_dir):
 
 
 _ORACLE_CURATION_V2 = r"""
-WITH RECURSIVE planted AS (
+WITH RECURSIVE planted AS MATERIALIZED (
   SELECT doc_id,
     text || ' contact user' || doc_id::VARCHAR || '@example.com from ip 10.0.0.'
          || (doc_id % 250)::VARCHAR AS t
