@@ -3022,7 +3022,7 @@ def q_curation_pipeline_v2_documents(spark, sf_dir):
 
 
 _ORACLE_CURATION_V2 = r"""
-WITH RECURSIVE planted AS MATERIALIZED (
+WITH RECURSIVE planted AS (
   SELECT doc_id,
     text || ' contact user' || doc_id::VARCHAR || '@example.com from ip 10.0.0.'
          || (doc_id % 250)::VARCHAR AS t
@@ -3058,7 +3058,7 @@ dedup AS (
     SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
     FROM fp)
   WHERE rn = 1),
-d AS (
+d AS MATERIALIZED (
   SELECT (doc_id % 4)::INT AS shard, doc_id,
          len(string_split(s, ' ')) AS n_tok,
          row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
