@@ -125,3 +125,47 @@ def test_decode_image_bytes_routes_jpeg_full_raster(spark):
     assert rows[1]["width"] == 16 and rows[1]["height"] == 16
     assert rows[2]["pixel_sum"] is None  # header fallback keeps dims
     assert rows[2]["width"] == 16
+
+
+def test_16bit_quant_table_parsed():
+    """DQT precision 1 (16-bit table entries, T.81 B.2.4.1): rewrite a
+    valid 8-bit-DQT stream into the 16-bit encoding of the same table —
+    decode must be identical."""
+    import struct
+
+    img = np.repeat(np.repeat(np.arange(4).reshape(2, 2) * 50, 8, 0), 8, 1).astype(
+        np.uint8
+    )
+    enc = encode_baseline_jpeg([img])
+    want = decode_jpeg_raster(enc)["pixel_sum"]
+    i = enc.find(b"\xff\xdb")
+    seglen = struct.unpack_from(">H", enc, i + 2)[0]
+    assert seglen == 67  # 2 + 1 + 64 (8-bit table)
+    body = enc[i + 4 : i + 2 + seglen]
+    pq_tq, table = body[0], body[1:]
+    assert pq_tq == 0x00
+    wide = bytes([0x10]) + b"".join(
+        struct.pack(">H", v) for v in table
+    )  # pq=1, same values
+    enc16 = (
+        enc[: i + 2]
+        + struct.pack(">H", len(wide) + 2)
+        + wide
+        + enc[i + 2 + seglen :]
+    )
+    d = decode_jpeg_raster(enc16)
+    assert d is not None and d["pixel_sum"] == want
+
+
+def test_truncated_entropy_stream_returns_none():
+    """Truncation mid-entropy must fall back (None), not emit a
+    partial raster. The image must be incompressible — a uniform one
+    fits its whole entropy stream in ~10 bytes and legitimately
+    survives a near-SOS cut."""
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (32, 40)).astype(np.uint8)
+    enc = encode_baseline_jpeg([img])
+    sos = enc.find(b"\xff\xda")
+    assert len(enc) - sos > 500  # incompressible: plenty of entropy bytes
+    cut = enc[: sos + 30]
+    assert decode_jpeg_raster(cut) is None
