@@ -502,3 +502,22 @@ def test_round4b_ops_plan_shapes(spark):
     # (partial+final) for the daily reduction before any pandas operator
     pre_python = p.split("FlatMapGroupsInPandas")[-1]
     assert "HashAggregate" in pre_python, p
+
+
+def test_linearize_extraction_plan_shape(spark):
+    """Round-5 tree rework pins: linearize_best_path extracts paths via
+    a JVM-side collect_list aggregation + ONE mapInPandas over the
+    packed O(trees) relation — the plan must show the pandas stage fed
+    by an aggregate (ObjectHashAggregate carrying collect_list), and no
+    FlatMapGroupsInPandas (the per-group applyInPandas shape whose
+    per-tree overhead dominated), and no cartesian join anywhere in the
+    doubling chain."""
+    from jsonschema_validator_spark.operators.trees import linearize_best_path
+
+    rows = [(1, None, 0.5), (2, 1, 0.9), (10, None, 0.1), (11, 10, 0.2)]
+    df = spark.createDataFrame(rows, "id long, parent long, score double")
+    plan = plan_of(linearize_best_path(df, "id", "parent", "score"))
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "collect_list" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
